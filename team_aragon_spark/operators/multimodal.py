@@ -1,0 +1,88 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Design: media payloads are opaque ``binary`` columns travelling next
+to typed metadata; decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages so each Python worker
+processes columnar batches, never rows.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
+environment, so the decode kernel is pluggable:
+
+- ``fake_decode_meta`` — deterministic arithmetic stand-in used by
+  tests and the DuckDB oracle (real Spark plumbing, fake pixels);
+- ``real_decode_meta`` — raises ``NotImplementedError`` with the
+  intended contract, to be swapped in where codecs exist.
+
+Scale notes: media batches are large — keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` small (e.g. 64) for
+multi-MB payloads, and repartition by size-bucket before decode so
+batches are uniform and no worker gets all the 4K videos.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, n_frames int, modality string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Opaque binary column (here: utf-8 bytes of text as a stand-in
+    payload; in production this is the raw image/audio/video blob
+    loaded via ``spark.read.format('binaryFile')``)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in "decode": metadata derived from byte length.
+
+    Exercises the real distributed plumbing — Arrow batch iteration,
+    schema contract, per-partition execution — with a kernel the
+    oracle can replicate arithmetically.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blen = pdf[payload_col].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": blen,
+                    "width": (blen % 640).astype("int32"),
+                    "height": ((blen * 7) % 480).astype("int32"),
+                    "n_frames": (blen % 16).astype("int32"),
+                    "modality": pd.Series(["image"] * len(pdf)),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=META_SCHEMA)
+
+
+def real_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Real decode contract (PIL/ffmpeg): same output schema as
+    ``fake_decode_meta``; swap in where codec libraries exist."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; "
+            "plug PIL.Image.open / av.open into this kernel — the Spark-side "
+            "schema, batching, and partitioning contract is identical to fake_decode_meta"
+        )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=META_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling stage: keep metadata rows whose frame index grid
+    subsamples by ``every_n`` (arithmetic stand-in for video frame
+    extraction; the real kernel yields one row per sampled frame)."""
+    return df.withColumn(
+        "sampled_frames", F.expr(f"CAST(ceil(n_frames / {every_n}) AS INT)")
+    )

@@ -1,0 +1,166 @@
+"""Embedding similarity search (north-star extension).
+
+Two tiers:
+
+- ``cosine_topk_bruteforce`` — exact top-k: query-set × corpus join
+  with a JVM-side dot product (``zip_with`` + ``aggregate``, all in
+  double precision, summed left-to-right so results are bit-stable and
+  oracle-comparable).  The query side is broadcast; the corpus is never
+  shuffled — the plan is scan → broadcast-nested-loop → per-query top-k.
+  At 100 TB corpus scale this is still the right *baseline*: it reads
+  the corpus once per query batch, embarrassingly parallel.
+
+- ``ivf_topk`` — the scale path: k-means-lite coarse quantizer (IVF).
+  Centroids are trained on a sample (driver-side, tiny), broadcast;
+  each corpus vector is assigned to its nearest centroid once
+  (narrow); queries probe only ``nprobe`` nearest cells, so the
+  candidate set shrinks by ~ncells/nprobe.  Approximate — recall
+  depends on nprobe; verified against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Dot product over two float arrays, accumulated in DOUBLE left-to-right
+# (bit-stable, matches an ANSI oracle computing the same order).
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _norm_expr(col: str) -> str:
+    return f"sqrt({_DOT.format(a=col, b=col)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)} / ({_norm_expr(a)} * {_norm_expr(b)}))"
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine) with rank <= k per query;
+    self-matches excluded.  Similarity is rounded before ranking and
+    ties broken by neighbor id, so the result set is fully
+    deterministic (and oracle-hashable).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine", F.round(F.expr(cosine_expr("__qv", "__cv")), round_digits)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def train_centroids(corpus: DataFrame, n_cells: int, vec_col: str = "embedding", sample: int = 2048, iters: int = 5):
+    """Driver-side k-means on a bounded sample → list of centroid lists.
+
+    The sample is capped (default 2048 vectors) so driver memory is
+    constant regardless of corpus size; at 100 TB you train on an
+    equivalent sample, never the full data.
+    """
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(42)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            pts = x[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(0)
+    return [c.tolist() for c in cent]
+
+
+def assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment as a pure column expression.
+
+    Centroids ship inside the plan as an array literal (they are tiny);
+    the argmin is a JVM-side loop over ``n_cells`` dot products — no
+    shuffle, no UDF.
+    """
+    cent_lit = (
+        "array(" + ", ".join("array(" + ", ".join(repr(v) for v in c) + ")" for c in centroids) + ")"
+    )
+    dist = (
+        f"transform({cent_lit}, c -> aggregate(zip_with(c, {vec_col}, "
+        "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
+    )
+    return df.withColumn("__d", F.expr(dist)).withColumn(
+        out_col, F.expr("array_position(__d, array_min(__d)) - 1").cast("int")
+    ).drop("__d")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted-file (IVF) coarse quantization.
+
+    Corpus rows join only against queries probing their cell — an
+    equi-join on ``cell`` replaces the all-pairs cross join, cutting
+    candidate volume by ~``n_cells / nprobe``.
+    """
+    centroids = train_centroids(corpus, n_cells, vec_col)
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")), centroids, "__cv"
+    )
+    q = assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")), centroids, "__qv", out_col="__qcell"
+    )
+    # expand each query to its nprobe nearest cells
+    cent_lit = (
+        "array(" + ", ".join("array(" + ", ".join(repr(v) for v in c0) + ")" for c0 in centroids) + ")"
+    )
+    dists = (
+        f"transform({cent_lit}, c -> aggregate(zip_with(c, __qv, "
+        "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
+    )
+    q = (
+        q.withColumn("__dists", F.expr(dists))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(__dists, (d, i) -> struct(d, i))).i, 1, {nprobe})"
+                )
+            ),
+        )
+        .select("query_id", "__qv", "cell")
+    )
+    pairs = c.join(F.broadcast(q), on="cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cosine", F.round(F.expr(cosine_expr("__qv", "__cv")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,214 @@
+"""Near-duplicate detection over document corpora (north-star extension).
+
+Three families, all expressed with JVM-side array/hash expressions
+(no Python in the hot path):
+
+- **Exact n-gram Jaccard** (``jaccard_pairs``) — the ground truth:
+  word-shingle sets, |A∩B| / |A∪B| over candidate pairs.  O(n²) —
+  correct baseline at test scale, and the *verifier* stage for the
+  LSH candidates at any scale.
+
+- **MinHash + LSH banding** (``minhash_signatures`` /
+  ``lsh_candidate_pairs`` / ``minhash_neardup_pairs``) — the 100 TB
+  path: k min-hashes per doc → b bands of r rows → exact-match
+  bucket join per band.  Cost is O(n·k) + a shuffle on (band, hash);
+  no all-pairs comparison ever happens.  Candidates are verified with
+  exact Jaccard, so false positives cost only the verify join; recall
+  is 1-(1-t^r)^b for true similarity t.
+
+- **SimHash** (``simhash64`` / ``simhash_neardup_pairs``) — 64-bit
+  sign-of-weighted-votes fingerprint; near-dups are pairs within a
+  Hamming radius.  The scale path blocks on 16-bit chunks: any pair
+  with Hamming distance <= 3 shares at least one of 4 chunks
+  (pigeonhole), so an equi-join on chunks finds all of them.
+
+Hash base is Spark's ``xxhash64`` (seed 42, deterministic across
+runs/partitions); MinHash permutations are universal hashes
+``(a_i * x + b_i) mod p`` with constants derived from a fixed seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647
+
+
+def shingle_expr(text_col: str, n: int = 3) -> str:
+    """Word n-gram (shingle) array, distinct, as a SQL expression."""
+    tok = rf"split(trim({text_col}), '\\s+')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tok}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({tok}, i, {n}))))"
+    )
+
+
+def _perm_constants(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Fixed multiply-add constants for the minhash permutations."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31)) for _ in range(n_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """(id, signature: array<int>) — k-permutation MinHash per document.
+
+    One projection: shingles → 31-bit base hash per shingle → per
+    permutation, min over shingles of ``(a*x+b) mod p``.  Linear in
+    corpus size, embarrassingly parallel, no shuffle.
+    """
+    base = f"transform({shingle_expr(text_col, shingle_n)}, s -> pmod(xxhash64(s), {MERSENNE31}))"
+    mins = ", ".join(
+        f"array_min(transform(__base, x -> pmod({a}L * x + {b}L, {MERSENNE31})))"
+        for a, b in _perm_constants(n_hashes)
+    )
+    return (
+        df.select(F.col(id_col), F.expr(base).alias("__base"))
+        .select(F.col(id_col), F.expr(f"array({mins})").alias("signature"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: int = 16) -> DataFrame:
+    """Distinct candidate (a, b) pairs (a < b) from LSH band buckets.
+
+    Explode each signature into ``bands`` (band_idx, band_hash) keys;
+    docs sharing any band bucket become candidates via a self-equi-join
+    on the bucket key — the shuffle is on band hashes, never on pairs.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(signature, b * (size(signature) div {bands}) + 1, "
+                f"size(signature) div {bands}))) AS bhash))"
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.bhash")
+    left = banded.withColumnRenamed(id_col, "a")
+    right = banded.withColumnRenamed(id_col, "b")
+    return (
+        left.join(right, on=["band", "bhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact word-shingle Jaccard over candidate pairs (or all pairs).
+
+    With ``candidates=None`` this is the O(n²) ground truth; with an
+    LSH candidate set it is the verify stage of minhash dedup.
+    Output: (a, b, jaccard), a < b, jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col), F.expr(shingle_expr(text_col, shingle_n)).alias("__sh")
+    )
+    left = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
+    right = sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
+    if candidates is not None:
+        left = candidates.join(left, on="a")
+        pairs = left.join(right, on="b")
+    else:
+        pairs = left.join(right, F.col("a") < F.col("b"))
+    jac = F.expr(
+        "CAST(size(array_intersect(__sha, __shb)) AS DOUBLE) / CAST(size(array_union(__sha, __shb)) AS DOUBLE)"
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, round_digits))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: sign → band → verify.
+
+    The scalable near-dup operator: linear signature pass, bucket-join
+    candidate generation, exact-Jaccard verification (no false
+    positives; recall governed by (bands, rows) vs threshold).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    return jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash fingerprint (token-frequency weighted bit votes).
+
+    Pure expression pipeline: per token, xxhash64 → ±1 votes on each of
+    64 bit positions, summed with a ``zip_with`` accumulator; sign of
+    each vote becomes the output bit.  Single projection, no shuffle.
+    """
+    tok = rf"split(trim({text_col}), '\\s+')"
+    votes = (
+        f"aggregate({tok}, transform(sequence(0, 63), k -> 0L), "
+        "(acc, t) -> zip_with(acc, transform(sequence(0, 63), "
+        "k -> IF((shiftright(xxhash64(t), k) & 1L) = 1L, 1L, -1L)), (a, v) -> a + v))"
+    )
+    bits = (
+        f"aggregate(sequence(0, 63), 0L, (acc, k) -> acc + "
+        f"IF(element_at(__votes, k + 1) > 0L, shiftleft(1L, k), 0L))"
+    )
+    return (
+        df.withColumn("__votes", F.expr(votes))
+        .withColumn(out_col, F.expr(bits))
+        .drop("__votes")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within a Hamming radius of each other's SimHash.
+
+    Blocking: split the 64-bit fingerprint into 4 × 16-bit chunks and
+    equi-join on (chunk_idx, chunk_value) — by pigeonhole every pair
+    with <= 3 differing bits agrees on >= 1 chunk, so recall is exact
+    for ``max_hamming <= 3``; the Hamming filter removes false
+    positives.  Shuffle volume is 4 rows/doc, never O(n²).
+    """
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> struct(c AS cidx, "
+                "(shiftright(simhash, c * 16) & 65535L) AS cval))"
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.cidx", "ch.cval")
+    left = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("__ha"), "cidx", "cval")
+    right = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("__hb"), "cidx", "cval")
+    return (
+        left.join(right, on=["cidx", "cval"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.expr("bit_count(__ha ^ __hb)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

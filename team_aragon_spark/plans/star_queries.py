@@ -1,0 +1,849 @@
+"""The engine's query surface over the driver's star schema.
+
+Every operator shape from the reference's inventory (SURVEY.md §2 —
+filters, multi-way equi-joins, grouped aggregates, ratio-of-sums,
+top-k / bottom-k, dedup / anti-join load semantics) plus the
+north-star extensions (exact/near dedup, similarity search, text
+analysis, sessionization, multimodal plumbing) is registered here as:
+
+    name -> QueryDef(fn: (spark, sf_dir) -> DataFrame,
+                     oracle: ANSI SQL for DuckDB | None,
+                     ops:    SURVEY §2 operator ids covered)
+
+Rules that keep the DuckDB comparison exact:
+- every computed column is aliased identically in both plans;
+- float aggregates are rounded (2-6 digits) in BOTH engines so
+  accumulation-order ulps cannot flip the value hash;
+- every top-k has a total-order tie-break;
+- session timezone is UTC (see session.tune) so date_trunc agrees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from team_aragon_spark.operators import dedup, multimodal, similarity, text, text_dedup, windows
+from team_aragon_spark.session import tune
+from team_aragon_spark.sources.catalog import read_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    ops: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+QUERY_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, ops: tuple[str, ...] = (), doc: str = ""):
+    def wrap(fn):
+        QUERY_REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, ops=ops, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return read_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity shapes (SURVEY.md §2.B/C/E/F) on the star schema
+# ---------------------------------------------------------------------------
+
+WEEK_START, WEEK_END = "1998-01-05 00:00:00", "1998-01-12 00:00:00"
+EARLY_CUTOFF = "1996-01-01 00:00:00"
+
+
+@register(
+    "q01_week_count",
+    f"""SELECT count(*) AS n_records FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{WEEK_START}' AND l_shipdate < TIMESTAMP '{WEEK_END}'""",
+    ops=("A1", "F2"),
+    doc="Scalar filtered COUNT(*) — reference Reporting.py:29-32 shape.",
+)
+def q01_week_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit(WEEK_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(WEEK_END).cast("timestamp"))
+    ).agg(F.count(F.lit(1)).alias("n_records"))
+
+
+@register(
+    "q02_records_per_week",
+    f"""SELECT CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS week, count(*) AS n_records
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '{EARLY_CUTOFF}'
+        GROUP BY week ORDER BY week""",
+    ops=("A2", "F3", "T1"),
+    doc="GROUP BY week + COUNT + ORDER BY — reference Reporting.py:37-40 shape.",
+)
+def q02_records_per_week(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit(EARLY_CUTOFF).cast("timestamp"))
+        .groupBy(F.date_trunc("week", "l_shipdate").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("week")
+    )
+
+
+_SUM_ALIASES = """
+round(sum(l_quantity), 2) AS sum_qty,
+round(sum(l_extendedprice), 2) AS sum_base_price,
+round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+round(sum(l_tax), 2) AS sum_tax"""
+
+
+def _sum_cols():
+    return [
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+    ]
+
+
+@register(
+    "q03_week_totals",
+    f"""SELECT {_SUM_ALIASES} FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{WEEK_START}' AND l_shipdate < TIMESTAMP '{WEEK_END}'""",
+    ops=("A3", "F2"),
+    doc="Grand-total multi-SUM + ROUND for one week — Reporting.py:59-67 shape.",
+)
+def q03_week_totals(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit(WEEK_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(WEEK_END).cast("timestamp"))
+    ).agg(*_sum_cols())
+
+
+@register(
+    "q04_recent_weeks_totals",
+    f"""SELECT CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS week, {_SUM_ALIASES}
+        FROM lineitem GROUP BY week ORDER BY week DESC LIMIT 4""",
+    ops=("A4", "T2"),
+    doc="Top-k most recent weekly totals — Reporting.py:84-96 shape; "
+    "Spark compiles the sort+limit to TakeOrderedAndProject (true top-k).",
+)
+def q04_recent_weeks_totals(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_trunc("week", "l_shipdate").alias("week"))
+        .agg(*_sum_cols())
+        .orderBy(F.col("week").desc())
+        .limit(4)
+    )
+
+
+@register(
+    "q05_revenue_ratio_by_segment",
+    """SELECT c_mktsegment,
+              round(sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice), 6) AS revenue_ratio,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+              count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    ops=("A5", "J1", "T1"),
+    doc="FLAGSHIP: ratio-of-sums over a fact/dim join by group — the "
+    "reference's fraction_of_beds_in_use by rating (Reporting.py:117-122) "
+    "re-expressed. lineitem⋈orders is a co-keyed big-big shuffle join; "
+    "customer is broadcast (dim-sized).",
+)
+def q05_revenue_ratio_by_segment(spark, sf_dir):
+    li, orders, cust = (
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(net) / F.sum("l_extendedprice"), 6).alias("revenue_ratio"),
+            F.round(F.sum(net), 2).alias("net_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q06_weekly_volume",
+    f"""SELECT CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS week,
+               round(sum(l_quantity + l_tax + l_discount), 2) AS all_units,
+               round(sum(l_quantity), 2) AS plain_units
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '{EARLY_CUTOFF}'
+        GROUP BY week ORDER BY week""",
+    ops=("A6", "F4"),
+    doc="SUM of multi-term expression + plain SUM by week — Reporting.py:146-152 shape.",
+)
+def q06_weekly_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(EARLY_CUTOFF).cast("timestamp"))
+        .groupBy(F.date_trunc("week", "l_shipdate").alias("week"))
+        .agg(
+            F.round(F.sum(F.col("l_quantity") + F.col("l_tax") + F.col("l_discount")), 2).alias("all_units"),
+            F.round(F.sum("l_quantity"), 2).alias("plain_units"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "q07_active_customers_by_region",
+    """SELECT r_name, count(*) AS n_customers
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE c_acctbal > 0
+       GROUP BY r_name ORDER BY n_customers DESC, r_name""",
+    ops=("A7", "J2", "F5"),
+    doc="3-way dim join + filtered grouped count — Reporting.py:184-189 shape; "
+    "both dims broadcast.",
+)
+def q07_active_customers_by_region(spark, sf_dir):
+    cust, nation, region = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "r_name")
+    )
+
+
+@register(
+    "q08_priority_month_ratio",
+    """SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+              round(sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice), 6) AS net_ratio,
+              count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderstatus = 'F'
+       GROUP BY o_orderpriority, month ORDER BY o_orderpriority, month""",
+    ops=("A8", "J3", "F6"),
+    doc="Two-key GROUP BY + ratio-of-sums with a dim-attribute filter — "
+    "Reporting.py:215-221 shape. Catalyst pushes the status filter below the join.",
+)
+def q08_priority_month_ratio(spark, sf_dir):
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.round(F.sum(net) / F.sum("l_extendedprice"), 6).alias("net_ratio"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+_NATION_BAL = """SELECT n_name, round(avg(c_acctbal), 2) AS avg_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name"""
+
+
+def _nation_balance(spark, sf_dir):
+    cust, nation = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+@register(
+    "q09_top10_nations_by_balance",
+    _NATION_BAL + " ORDER BY avg_bal DESC, n_name LIMIT 10",
+    ops=("A9", "T5"),
+    doc="GROUP BY + AVG + top-10 — Reporting.py:259-263 shape (head(10)).",
+)
+def q09_top10_nations_by_balance(spark, sf_dir):
+    return _nation_balance(spark, sf_dir).orderBy(F.col("avg_bal").desc(), "n_name").limit(10)
+
+
+@register(
+    "q10_bottom10_nations_by_balance",
+    _NATION_BAL + " ORDER BY avg_bal ASC, n_name LIMIT 10",
+    ops=("A9", "T5"),
+    doc="Bottom-10 — Reporting.py:259-263 shape (tail(10)).",
+)
+def q10_bottom10_nations_by_balance(spark, sf_dir):
+    return _nation_balance(spark, sf_dir).orderBy(F.col("avg_bal").asc(), "n_name").limit(10)
+
+
+@register(
+    "q11_top20_part_types",
+    """SELECT p_type, count(*) AS n_parts FROM part
+       GROUP BY p_type ORDER BY n_parts DESC, p_type LIMIT 20""",
+    ops=("T4", "A7"),
+    doc="Top-20 groups by count — Reporting.py:196 (nlargest) shape.",
+)
+def q11_top20_part_types(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.col("n_parts").desc(), "p_type")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / key-integrity shapes (SURVEY.md §2.D)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_first_line_per_order",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+         SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_partkey) AS rn
+         FROM lineitem) WHERE rn = 1""",
+    ops=("D1",),
+    doc="Deterministic first-wins dedup by key — replaces the reference's "
+    "insertion-order dedup (load_hhs.py:23-29) with an explicit tie-break.",
+)
+def q12_first_line_per_order(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup.first_wins_dedup(li, ["l_orderkey"], ["l_linenumber", "l_partkey"]).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "q13_customers_without_orders",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ops=("D1", "D3"),
+    doc="Anti-join — the 'new keys only' half of load-time dedup "
+    "(load_quality.py:124-126). Probe side projected to keys only.",
+)
+def q13_customers_without_orders(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    new, _dups = dedup.split_new_vs_existing(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), orders, ["o_custkey"]
+    )
+    return new.select(F.col("o_custkey").alias("c_custkey"), "c_name")
+
+
+@register(
+    "q14_customers_with_recent_orders",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""",
+    ops=("D3", "F4"),
+    doc="Semi-join — the 'duplicates to quarantine' half of load-time dedup "
+    "(load_quality.py:127), with a pushed-down date filter.",
+)
+def q14_customers_with_recent_orders(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    _new, dups = dedup.split_new_vs_existing(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), recent, ["o_custkey"]
+    )
+    return dups.select(F.col("o_custkey").alias("c_custkey"), "c_name", "c_mktsegment")
+
+
+@register(
+    "q15_dedup_docs_exact",
+    """SELECT doc_id, fingerprint FROM (
+         SELECT doc_id,
+                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                row_number() OVER (
+                  PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn = 1""",
+    ops=("D1", "ext-dedup-exact"),
+    doc="Exact content dedup on a portable digest key (md5 of normalized "
+    "text) — shuffle key is 16 bytes, not the document body.",
+)
+def q15_dedup_docs_exact(spark, sf_dir):
+    docs = text.fingerprint(_t(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(docs, ["fingerprint"], ["doc_id"]).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Validation + quarantine shapes (SURVEY.md §2.B F1, §2.I O1)
+# ---------------------------------------------------------------------------
+
+_VALID_PRED_SQL = """(l_quantity IS NULL OR (l_quantity >= 1 AND l_quantity <= 45))
+   AND (l_tax IS NULL OR (l_tax >= 0 AND l_tax <= 0.06))
+   AND (l_extendedprice IS NULL OR l_extendedprice >= 0)"""
+
+
+def _lineitem_rules():
+    from team_aragon_spark.operators.validation import RangeRule
+
+    return [
+        RangeRule("l_quantity", min=1, max=45),
+        RangeRule("l_tax", min=0, max=0.06),
+        RangeRule("l_extendedprice", min=0),
+    ]
+
+
+@register(
+    "q16_validation_counts",
+    f"""SELECT CASE WHEN {_VALID_PRED_SQL} THEN true ELSE false END AS is_valid,
+               count(*) AS n
+        FROM lineitem GROUP BY is_valid ORDER BY is_valid""",
+    ops=("F1", "O1"),
+    doc="Null-safe range-validation split + load-report counters — the "
+    "reference's F1 (load_hhs.py:104-127) + O1 counters, one scan.",
+)
+def q16_validation_counts(spark, sf_dir):
+    from team_aragon_spark.operators.validation import validity_predicate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("is_valid", validity_predicate(_lineitem_rules()))
+        .groupBy("is_valid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("is_valid")
+    )
+
+
+@register(
+    "q17_quarantine_rows",
+    f"""SELECT l_orderkey, l_linenumber,
+               CASE WHEN NOT (l_quantity IS NULL OR (l_quantity >= 1 AND l_quantity <= 45))
+                      THEN 'l_quantity'
+                    WHEN NOT (l_tax IS NULL OR (l_tax >= 0 AND l_tax <= 0.06))
+                      THEN 'l_tax'
+                    ELSE 'l_extendedprice' END AS reason
+        FROM lineitem WHERE NOT ({_VALID_PRED_SQL})""",
+    ops=("F1", "K3", "S3"),
+    doc="The quarantine branch: invalid rows + first-failing-rule reason, "
+    "from the same single scan (no re-read, unlike load_hhs.py:154).",
+)
+def q17_quarantine_rows(spark, sf_dir):
+    from team_aragon_spark.operators.validation import validation_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = _lineitem_rules()
+    _valid, invalid = validation_split(li, rules, persist=False)
+    reason = (
+        F.when(~rules[0].predicate(), F.lit("l_quantity"))
+        .when(~rules[1].predicate(), F.lit("l_tax"))
+        .otherwise(F.lit("l_extendedprice"))
+    )
+    return invalid.select("l_orderkey", "l_linenumber", reason.alias("reason"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_token_counts",
+    r"""SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents""",
+    ops=("ext-text",),
+    doc="Whitespace token counting — JVM-side split, no UDF.",
+)
+def q18_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+_LANG_SCORE_SQL = {
+    lang: (
+        rf"len(list_filter(regexp_split_to_array(trim(text), '\s+'), "
+        rf"x -> x IN ({', '.join(chr(39) + w + chr(39) for w in words)})))"
+    )
+    for lang, words in text.LANG_MARKERS.items()
+}
+
+_LANG_CASE_SQL = f"""CASE
+  WHEN s_zh = mx THEN 'zh' WHEN s_fr = mx THEN 'fr' WHEN s_es = mx THEN 'es'
+  WHEN s_en = mx THEN 'en' ELSE 'de' END"""
+
+
+@register(
+    "q19_language_id",
+    f"""SELECT doc_id, lang, {_LANG_CASE_SQL} AS predicted_lang FROM (
+          SELECT doc_id, lang,
+                 {', '.join(f'{e} AS s_{l}' for l, e in _LANG_SCORE_SQL.items())},
+                 greatest({', '.join(_LANG_SCORE_SQL.values())}) AS mx
+          FROM documents)""",
+    ops=("ext-text-langid",),
+    doc="Stopword-marker language ID; argmax with 'largest code wins' tie-break "
+    "(matches greatest-of-structs in the Spark plan).",
+)
+def q19_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.language_id(docs).select("doc_id", "lang", "predicted_lang")
+
+
+_QF_SQL = r"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x IN ({stop}))) AS ns
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         round((nc - n_tokens + 1) / n_tokens, 4) AS avg_token_len,
+         round(np / nc, 6) AS punct_ratio,
+         round(ns / n_tokens, 6) AS stopword_ratio
+  FROM feats)
+SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0
+                  ELSE least(1.0, stopword_ratio * 2 + 0.5)
+                       - least(0.5, punct_ratio * 5) END, 6) AS quality_score
+FROM r""".format(stop=", ".join(f"'{w}'" for w in text.EN_STOPWORDS))
+
+
+@register(
+    "q20_quality_scores",
+    _QF_SQL,
+    ops=("ext-text-quality",),
+    doc="Length/punctuation/stopword quality features + composite score "
+    "(C4/Gopher-style rules) as pure column expressions.",
+)
+def q20_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        F.col("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "q21_doc_fingerprints",
+    r"""SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents""",
+    ops=("ext-text-fingerprint",),
+    doc="Portable md5 document fingerprint over normalized text.",
+)
+def q21_doc_fingerprints(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search + near-dup (north-star extension)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5"""
+
+
+@register(
+    "q22_ann_cosine_topk",
+    _COS_SQL,
+    ops=("ext-similarity",),
+    doc="Exact top-5 cosine neighbors for 8 query vectors — broadcast "
+    "query side, JVM-side double dot products, deterministic tie-break.",
+)
+def q22_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_JACCARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
+  FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5"""
+
+
+@register(
+    "q23_jaccard_neardup_pairs",
+    _JACCARD_SQL,
+    ops=("ext-dedup-jaccard",),
+    doc="Exact 3-shingle Jaccard near-dup pairs (ground truth / verify "
+    "stage). O(n²) baseline; the scale path is q24 (MinHash-LSH).",
+)
+def q23_jaccard_neardup_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_dedup.jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "q24_minhash_neardup_pairs",
+    None,  # xxhash64-based; not expressible in the oracle — verified in
+    # tests against q23's exact result (recall) instead.
+    ops=("ext-dedup-minhash",),
+    doc="MinHash(64) + LSH(16 bands) near-dup pairs, exact-Jaccard "
+    "verified at 0.5 — the linear-cost 100 TB dedup path.",
+)
+def q24_minhash_neardup_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_dedup.minhash_neardup_pairs(docs, threshold=0.5)
+
+
+@register(
+    "q25_simhash_fingerprints",
+    None,  # xxhash64-based fingerprint; bucket recall tested in pytest.
+    ops=("ext-dedup-simhash",),
+    doc="64-bit SimHash fingerprints (token-frequency bit votes) — "
+    "Hamming-ball near-dup via 16-bit chunk blocking lives in "
+    "operators.text_dedup.simhash_neardup_pairs.",
+)
+def q25_simhash_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_dedup.simhash64(docs).select("doc_id", "simhash")
+
+
+@register(
+    "q26_ivf_ann_topk",
+    None,  # approximate (recall < 1 by design); recall vs q22 tested in pytest.
+    ops=("ext-similarity-ivf",),
+    doc="IVF approximate nearest neighbors: broadcast centroids, "
+    "cell-equi-join instead of all-pairs — the corpus-scale ANN path.",
+)
+def q26_ivf_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=8, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: windows, sessionization, JSON, pivot (extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q27_hourly_event_stats",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+              count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
+    ops=("ext-window-agg",),
+    doc="Tumbling-window (hourly) grouped aggregation — batch twin of the "
+    "streaming windowed agg in streaming/events_stream.py.",
+)
+def q27_hourly_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "q28_event_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""",
+    ops=("ext-json",),
+    doc="Semi-structured extraction from the JSON props column + filter.",
+)
+def q28_event_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+@register(
+    "q29_user_sessions",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events),
+       flags AS (
+         SELECT user_id,
+                CASE WHEN prev IS NULL
+                          OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM ordered)
+       SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+       FROM flags GROUP BY user_id ORDER BY user_id""",
+    ops=("ext-sessionize",),
+    doc="Gap-based sessionization (30 min) via lag + cumulative flag — "
+    "batch twin of session_window; one shuffle on user_id.",
+)
+def q29_user_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.session_stats(ev).orderBy("user_id")
+
+
+@register(
+    "q30_top_events_per_user",
+    """SELECT user_id, event_id, event_type, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn
+         FROM events) WHERE rn <= 3""",
+    ops=("ext-topk-per-group",),
+    doc="Top-k per group via row_number — per-partition TakeOrdered, "
+    "no global sort.",
+)
+def q30_top_events_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.topk_per_group(ev, ["user_id"], "value", 3, tiebreak="event_id").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q31_event_type_pivot",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    + ", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)
+    + " FROM events GROUP BY day ORDER BY day",
+    ops=("ext-pivot",),
+    doc="Pivot (wide counts per day) — groupBy().pivot() with an explicit "
+    "value list so no extra distinct-scan job runs.",
+)
+def q31_event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]).orderBy("day")
+
+
+@register(
+    "q32_event_value_percentiles",
+    """SELECT event_type,
+              round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+              round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    ops=("ext-percentile",),
+    doc="Exact interpolated percentiles; at 100 TB swap percentile() for "
+    "percentile_approx() (t-digest, single pass, mergeable).",
+)
+def q32_event_value_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q33_distinct_users_by_type",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    ops=("ext-count-distinct",),
+    doc="Exact distinct aggregation (two-phase expand); approx_count_distinct "
+    "is the 100 TB variant (HLL, no expand).",
+)
+def q33_distinct_users_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q34_clickers_not_buyers",
+    """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+       EXCEPT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+    ops=("ext-setop",),
+    doc="Set difference (EXCEPT) — distinct + anti-join under the hood.",
+)
+def q34_clickers_not_buyers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.subtract(buyers)
+
+
+@register(
+    "q35_status_priority_rollup",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    ops=("ext-rollup",),
+    doc="Hierarchical subtotals via ROLLUP (grouping-sets expansion, "
+    "single shuffle).",
+)
+def q35_status_priority_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "q36_multimodal_meta",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+              CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+              CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+              CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
+              'image' AS modality
+       FROM documents""",
+    ops=("ext-multimodal",),
+    doc="Multimodal column plumbing: opaque binary payload → Arrow-batched "
+    "mapInPandas decode kernel (deterministic stand-in; real codec slots "
+    "into the same contract — operators/multimodal.py).",
+)
+def q36_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs)
+    return multimodal.fake_decode_meta(payload)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in QUERY_REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERY_REGISTRY.items() if qd.oracle is not None}

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Scale posture (100 TB / 1000-executor design, tested on local[*]):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast-join demotion/promotion replace hand tuning.
+- ``spark.sql.shuffle.partitions`` is only the *initial* value; AQE
+  coalesces down. For a real cluster set it ~2-3x total cores.
+- Session timezone pinned to UTC so date_trunc/window semantics match
+  an ANSI oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for the Pandas-UDF paths (vectorized, not per-row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that is safe to (re)apply on an existing session at runtime.
+RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "team-aragon-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to a session we did not create.
+
+    The driver harness hands ``entry(spark)`` an externally-built
+    session; static conf (memory, master) can't change, but AQE /
+    timezone / Arrow can and must (UTC pinning is required for oracle
+    comparison correctness, not just performance).
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by a strict harness
+            pass
+    return spark

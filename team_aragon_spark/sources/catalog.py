@@ -1,0 +1,43 @@
+"""Table catalog over the driver's parquet star schema.
+
+Parquet scans are the fast path at scale: Catalyst pushes filters and
+column pruning into the reader (verify with ``.explain`` →
+``PushedFilters`` / ``ReadSchema``).  Nothing here forces an action;
+every accessor returns a lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from team_aragon_spark.schemas import STAR_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Parquet columns written as TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects outright.  We read them as raw nanosecond longs
+# (legacy.parquet.nanosAsLong) and convert to microsecond timestamps in
+# the plan — a narrow, distributed projection, equivalent to a source
+# adapter; no data is rewritten or collected.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Lazy parquet scan of one star-schema table."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _NANOS_TS_COLS.get(name, ())
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumns(
+            {c: F.timestamp_micros((F.col(c) / 1000).cast("long")) for c in ns_cols}
+        )
+    return spark.read.parquet(path)
+
+
+def load_star_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """All star tables as a dict of lazy DataFrames."""
+    return {name: read_table(spark, name, sf_dir) for name in STAR_TABLES}
