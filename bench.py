@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full computation, no
+driver-side collect) so the number measures the distributed plan, not
+result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+from team_aragon_spark.session import get_spark
+
+# Headline set: one per workload family, weighted toward the shapes
+# that dominate at 100 TB (joins, window dedup, LSH dedup, ANN, events).
+HEADLINE = [
+    "q01_week_count",                # filtered scan/count
+    "q04_recent_weeks_totals",       # grouped multi-agg + top-k
+    "q05_revenue_ratio_by_segment",  # flagship: 3-way join + ratio agg
+    "q08_priority_month_ratio",      # big-big join + 2-key agg
+    "q12_first_line_per_order",      # window dedup
+    "q13_customers_without_orders",  # anti join
+    "q18_token_counts",              # text projection
+    "q20_quality_scores",            # text feature pipeline
+    "q22_ann_cosine_topk",           # brute-force ANN
+    "q24_minhash_neardup_pairs",     # MinHash-LSH near-dup (linear path)
+    "q27_hourly_event_stats",        # windowed event agg
+    "q29_user_sessions",             # sessionization (2 window passes)
+    "q33_distinct_users_by_type",    # exact distinct agg
+    "q36_multimodal_meta",           # mapInPandas plumbing
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("team-aragon-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so startup cost is not attributed to q1.
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERY_REGISTRY[name].fn
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from team_aragon_spark.session import ensure_parallelism
+
 META_SCHEMA = (
     "doc_id bigint, byte_len bigint, width int, height int, n_frames int, modality string"
 )
@@ -62,7 +64,17 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=META_SCHEMA)
+    # Widen a single-split input, but cap the width: each mapInPandas
+    # partition starts (or leases) a Python worker whose startup cost
+    # (~0.2s, pandas import) dwarfs per-row work on small inputs.  At
+    # real scale width comes from upstream splits; ensure_parallelism
+    # only ever raises the count.
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col, payload_col), width).mapInPandas(
+        kernel, schema=META_SCHEMA
+    )
 
 
 def real_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:

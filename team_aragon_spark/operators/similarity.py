@@ -25,6 +25,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from team_aragon_spark.session import ensure_parallelism
+
 # Dot product over two float arrays, accumulated in DOUBLE left-to-right
 # (bit-stable, matches an ANSI oracle computing the same order).
 _DOT = (
@@ -59,7 +61,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = ensure_parallelism(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")))
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine", F.round(F.expr(cosine_expr("__qv", "__cv")), round_digits)

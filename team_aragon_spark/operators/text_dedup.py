@@ -14,7 +14,9 @@ Three families, all expressed with JVM-side array/hash expressions
   bucket join per band.  Cost is O(n·k) + a shuffle on (band, hash);
   no all-pairs comparison ever happens.  Candidates are verified with
   exact Jaccard, so false positives cost only the verify join; recall
-  is 1-(1-t^r)^b for true similarity t.
+  is 1-(1-t^r)^b for true similarity t.  Defaults k=96, b=32 (r=3):
+  recall 0.986 at t=0.5 (0.9996 at t=0.6), candidate rate ~t³·b for
+  dissimilar pairs (~0.04% at t=0.05).
 
 - **SimHash** (``simhash64`` / ``simhash_neardup_pairs``) — 64-bit
   sign-of-weighted-votes fingerprint; near-dups are pairs within a
@@ -31,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from team_aragon_spark.session import ensure_parallelism
 
 MERSENNE31 = 2_147_483_647
 
@@ -53,7 +57,7 @@ def _perm_constants(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 64, shingle_n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 96, shingle_n: int = 3
 ) -> DataFrame:
     """(id, signature: array<int>) — k-permutation MinHash per document.
 
@@ -61,6 +65,7 @@ def minhash_signatures(
     permutation, min over shingles of ``(a*x+b) mod p``.  Linear in
     corpus size, embarrassingly parallel, no shuffle.
     """
+    df = ensure_parallelism(df)
     base = f"transform({shingle_expr(text_col, shingle_n)}, s -> pmod(xxhash64(s), {MERSENNE31}))"
     mins = ", ".join(
         f"array_min(transform(__base, x -> pmod({a}L * x + {b}L, {MERSENNE31})))"
@@ -72,7 +77,7 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: int = 32) -> DataFrame:
     """Distinct candidate (a, b) pairs (a < b) from LSH band buckets.
 
     Explode each signature into ``bands`` (band_idx, band_hash) keys;
@@ -114,7 +119,7 @@ def jaccard_pairs(
     LSH candidate set it is the verify stage of minhash dedup.
     Output: (a, b, jaccard), a < b, jaccard >= threshold.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col), F.expr(shingle_expr(text_col, shingle_n)).alias("__sh")
     )
     left = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
@@ -138,8 +143,8 @@ def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_hashes: int = 64,
-    bands: int = 16,
+    n_hashes: int = 96,
+    bands: int = 32,
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -161,6 +166,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out
     64 bit positions, summed with a ``zip_with`` accumulator; sign of
     each vote becomes the output bit.  Single projection, no shuffle.
     """
+    df = ensure_parallelism(df)
     tok = rf"split(trim({text_col}), '\\s+')"
     votes = (
         f"aggregate({tok}, transform(sequence(0, 63), k -> 0L), "

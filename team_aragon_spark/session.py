@@ -47,6 +47,21 @@ def get_spark(app_name: str = "team-aragon-spark", shuffle_partitions: int | Non
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition a DataFrame that arrived under-split.
+
+    Small parquet files scan as 1 split, which serializes CPU-heavy
+    per-row operators (hashing, shingling, decode) on one core.  A
+    round-robin repartition costs one tiny shuffle and buys full
+    cluster width.  At 100 TB inputs are already wide, so this is a
+    no-op there (the check is partition count, not size).
+    """
+    n = min_partitions or default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to a session we did not create.
 
