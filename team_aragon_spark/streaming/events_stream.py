@@ -1,0 +1,96 @@
+"""Structured Streaming over the events table (extension; the
+reference has no streaming — SURVEY.md §2.H — its 'weekly cadence' is
+manual batch re-runs).
+
+The batch queries in plans/star_queries (q27 hourly stats, q29
+sessions) get streaming twins here: same aggregation logic, plus
+watermarks for late data and bounded state.  File source is used for
+local verification (``availableNow`` drains a directory of parquet
+like a replayed Kafka topic); in production the source line is the
+only thing that changes (``format("kafka")``).
+
+Scale notes: state size is (windows × event_types) for the windowed
+agg and (active sessions) for session_window — both bounded by the
+watermark, so a 1000-executor streaming job holds state in the
+HDFS/RocksDB-backed store, keyed by the same groupBy columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Events parquet re-encoded to µs timestamps for the file source (the
+# raw testdata is TIMESTAMP(NANOS), which the batch catalog adapts;
+# streaming readers need a declared schema up front).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source (drop-in stand-in for Kafka)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q27: tumbling 1-hour windows per event_type.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) are finalized and evicted.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_value_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding windows (1 h length, 15 min slide) — each event lands in 4
+    overlapping windows; state is 4× the tumbling case, still
+    watermark-bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("win_start"), "avg_value")
+    )
+
+
+def user_sessions_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization with the native session_window — the
+    streaming twin of q29's lag+cumsum batch plan.  Sessions close when
+    no event arrives within ``gap``; the watermark finalizes them."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+    """Drain all available input through the streaming query into an
+    in-memory sink and return the result as a batch DataFrame
+    (local verification harness; production uses a real sink +
+    continuous trigger)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

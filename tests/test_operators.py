@@ -1,0 +1,154 @@
+"""Unit tests for operator edge semantics on tiny literal DataFrames —
+the cases the reference handles implicitly (SURVEY.md §5 strategy):
+sentinel ordering, NULL-safe validation, first-wins determinism,
+remap quirks, near-dup recall on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from team_aragon_spark.operators import text_dedup, windows
+from team_aragon_spark.operators.cleaning import remap_values, sentinel_to_null
+from team_aragon_spark.operators.dedup import first_wins_dedup, split_new_vs_existing
+from team_aragon_spark.operators.validation import (
+    RangeRule,
+    non_negative_rules,
+    validation_split,
+)
+
+
+def test_sentinel_before_validation_order(spark):
+    """A -999999 sentinel must be treated as missing, not negative:
+    sentinel→NULL (P4) runs before F1, matching load_hhs.py:49 vs 104."""
+    df = spark.createDataFrame(
+        [("a", -999999.0), ("b", -3.0), ("c", 5.0), ("d", None)], ["id", "m"]
+    )
+    cleaned = sentinel_to_null(df, -999999.0, ["m"])
+    valid, invalid = validation_split(cleaned, non_negative_rules(["m"]), persist=False)
+    assert {r.id for r in valid.collect()} == {"a", "c", "d"}  # sentinel+NULL valid
+    assert {r.id for r in invalid.collect()} == {"b"}  # true negative quarantined
+
+
+def test_validation_null_negation_is_safe(spark):
+    """~(col >= 0) is NULL for NULL inputs; the split must still route
+    every row to exactly one side."""
+    df = spark.createDataFrame([(1, None), (2, -1.0), (3, 0.0)], ["id", "x"])
+    valid, invalid = validation_split(df, [RangeRule("x", min=0)], persist=False)
+    assert valid.count() + invalid.count() == 3
+
+
+def test_range_rule_max_bound(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, None)], ["id", "x"])
+    valid, invalid = validation_split(df, [RangeRule("x", min=0, max=10)], persist=False)
+    assert {r.id for r in valid.collect()} == {1, 3}
+    assert {r.id for r in invalid.collect()} == {2}
+
+
+def test_first_wins_dedup_deterministic(spark):
+    """Same key, different payload: survivor is decided by the tiebreak
+    column, not partition order (D1 made deterministic)."""
+    rows = [("k1", 2, "late"), ("k1", 1, "early"), ("k2", 9, "only")]
+    df = spark.createDataFrame(rows, ["k", "seq", "val"]).repartition(8)
+    for _ in range(3):
+        out = {(r.k, r.val) for r in first_wins_dedup(df, ["k"], ["seq"]).collect()}
+        assert out == {("k1", "early"), ("k2", "only")}
+
+
+def test_split_new_vs_existing(spark):
+    batch = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["k", "v"])
+    existing = spark.createDataFrame([("b", 99), ("x", 0)], ["k", "v"])
+    new, dups = split_new_vs_existing(batch, existing, ["k"])
+    assert {r.k for r in new.collect()} == {"a", "c"}
+    assert {r.k for r in dups.collect()} == {"b"}
+
+
+def test_remap_not_available_quirk(spark):
+    """'Not Available' → '0' (NOT NULL) — the reference's deliberate
+    quirk (load_quality.py:103) that creates the rating-0 group."""
+    df = spark.createDataFrame([("Not Available",), ("3",), (None,)], ["r"])
+    out = remap_values(df, "r", {"Not Available": "0"})
+    assert [r.r for r in out.orderBy(F.col("r").asc_nulls_first()).collect()] == [None, "0", "3"]
+
+
+def test_remap_bool_unmapped_to_null(spark):
+    df = spark.createDataFrame([("Yes",), ("No",), ("maybe",)], ["e"])
+    out = remap_values(df, "e", {"Yes": True, "No": False}, keep_unmapped=False)
+    vals = {r.e for r in out.collect()}
+    assert vals == {True, False, None}
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """Synthetic corpus with planted near-duplicates."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("tonight", "today")  # high-jaccard pair with 0
+    far = "completely different words describing an unrelated subject matter entirely here now"
+    exact = base  # exact dup of 0
+    rows = [(0, base), (1, near), (2, far), (3, exact), (4, "short text only")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_jaccard_finds_planted_pairs(spark, dup_corpus):
+    pairs = {(r.a, r.b) for r in text_dedup.jaccard_pairs(dup_corpus, threshold=0.5).collect()}
+    assert (0, 3) in pairs  # exact dup: jaccard 1.0
+    assert (0, 1) in pairs and (1, 3) in pairs  # near dup
+    assert not any(2 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact(spark, dup_corpus):
+    exact = {(r.a, r.b) for r in text_dedup.jaccard_pairs(dup_corpus, threshold=0.5).collect()}
+    lsh = {(r.a, r.b) for r in text_dedup.minhash_neardup_pairs(dup_corpus, threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_exact_dup_zero_hamming(spark, dup_corpus):
+    pairs = {(r.a, r.b): r.hamming for r in text_dedup.simhash_neardup_pairs(dup_corpus, max_hamming=3).collect()}
+    assert pairs.get((0, 3)) == 0  # identical text → identical fingerprint
+
+
+def test_simhash_stable_across_runs(spark, dup_corpus):
+    a = {(r.doc_id, r.simhash) for r in text_dedup.simhash64(dup_corpus).collect()}
+    b = {(r.doc_id, r.simhash) for r in text_dedup.simhash64(dup_corpus.repartition(7)).collect()}
+    assert a == b
+
+
+def test_sessionize_gap_boundary(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 100),
+        (1, t0 + dt.timedelta(minutes=29), 101),  # same session (<= 30min)
+        (1, t0 + dt.timedelta(minutes=61), 102),  # > 30min gap → new session
+        (2, t0, 200),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    stats = {r.user_id: r.n_sessions for r in windows.session_stats(df).collect()}
+    assert stats == {1: 2, 2: 1}
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/8 cells must recover most exact neighbors."""
+    from team_aragon_spark.operators import similarity
+    from team_aragon_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from team_aragon_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    payload = multimodal.attach_binary_payload(df)
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable|PythonException"):
+        multimodal.real_decode_meta(payload).collect()

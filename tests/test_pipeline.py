@@ -1,0 +1,112 @@
+"""End-to-end replay of the reference's own inputs through the engine.
+
+Loads two real HHS weekly CSVs + one CMS snapshot (read-only from
+/root/reference/, used as data fixtures) into a temp ParquetStore and
+asserts the reference's load semantics: cross-file dedup, validation
+quarantine, first-wins, the 'Not Available'→0 rating quirk, and that
+all seven report queries run over the resulting store.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from team_aragon_spark.pipeline.hhs_load import load_hhs_batch
+from team_aragon_spark.pipeline.quality_load import load_quality_batch
+from team_aragon_spark.pipeline.sinks import ParquetStore
+from team_aragon_spark.plans import reports
+
+HHS_W1 = "/root/reference/hhs_data/2022-09-23-hhs-data.csv"
+HHS_W2 = "/root/reference/hhs_data/2022-09-30-hhs-data.csv"
+CMS_1 = "/root/reference/hospital_data/Hospital_General_Information-2021-07.csv"
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("store")
+    s = ParquetStore(str(root))
+    r1 = load_hhs_batch(spark, HHS_W1, s, quarantine_dir=str(root / "quarantine_w1"))
+    r2 = load_hhs_batch(spark, HHS_W2, s, quarantine_dir=str(root / "quarantine_w2"))
+    q1 = load_quality_batch(spark, "2021-07-01", CMS_1, s)
+    return s, r1, r2, q1
+
+
+def test_week1_load_counts(spark, store):
+    s, r1, _, _ = store
+    # every valid row lands exactly once per table on first load
+    assert r1.table_rows["hospitals"] > 4000
+    assert r1.table_rows["hospitals"] == r1.table_rows["hospital_locations"]
+    assert r1.table_rows["hospital_beds"] == r1.table_rows["hospitals"]
+    assert r1.quarantined_duplicate["hospitals"] == 0
+
+
+def test_cross_file_dedup(spark, store):
+    """Week-2 file: ~99.98 % of hospital_pks repeat (SURVEY.md D1) →
+    dimensions nearly no-op, beds append a full new week."""
+    s, r1, r2, _ = store
+    assert r2.table_rows["hospitals"] < 50  # only genuinely new pks
+    assert r2.quarantined_duplicate["hospitals"] > 4000
+    assert r2.table_rows["hospital_beds"] > 4000  # new composite key week
+    assert r2.quarantined_duplicate["hospital_beds"] == 0
+
+
+def test_no_duplicate_keys_in_store(spark, store):
+    s, *_ = store
+    hosp = s.read(spark, "hospitals")
+    assert hosp.count() == hosp.select("hospital_pk").distinct().count()
+    beds = s.read(spark, "hospital_beds")
+    assert beds.count() == beds.select("hospital_fk", "collection_week").distinct().count()
+
+
+def test_validation_quarantine_negative_rows(spark, store):
+    """F1: rows with negative bed metrics (post-sentinel-replace) are
+    quarantined, and no negative metric survives into the store."""
+    s, r1, _, _ = store
+    beds = s.read(spark, "hospital_beds")
+    from team_aragon_spark.schemas import HHS_BED_METRIC_COLS
+
+    for c in HHS_BED_METRIC_COLS:
+        assert beds.filter(F.col(c) < 0).count() == 0, c
+    # sentinel values must be NULL, not -999999
+    assert beds.filter(F.col("total_icu_beds_7_day_avg") == -999999).count() == 0
+
+
+def test_quality_not_available_becomes_zero(spark, store):
+    s, _, _, q1 = store
+    assert q1.inserted > 5000
+    quality = s.read(spark, "hospital_quality")
+    # the reference maps 'Not Available' → 0.0 (load_quality.py:103); the
+    # rating-0 group must exist and no rating is NULL or negative
+    assert quality.filter(F.col("hospital_overall_rating") == 0.0).count() > 0
+    assert quality.filter(F.col("hospital_overall_rating") < 0).count() == 0
+    assert quality.filter(F.col("emergency_services").isNull()).count() == 0
+
+
+def test_quality_reload_is_full_duplicate(spark, store):
+    s, _, _, _ = store
+    r = load_quality_batch(spark, "2021-07-01", CMS_1, s)
+    assert r.inserted == 0
+    assert r.duplicates > 5000
+
+
+def test_all_seven_reports_run(spark, store):
+    s, *_ = store
+    week = "2022-09-23"
+    assert reports.records_loaded_per_week(spark, s, week).count() >= 1
+    assert reports.beds_summary_for_week(spark, s, week).count() == 1
+    assert reports.beds_summary_recent_weeks(spark, s).count() <= 4
+    frac = reports.fraction_beds_in_use_by_rating(spark, s, week)
+    rows = frac.collect()
+    assert len(rows) > 0
+    assert {r.hospital_overall_rating for r in rows} >= {0.0}  # the quirk group
+    assert reports.hospital_cases_by_week(spark, s, week).count() >= 1
+    top20 = reports.emergency_services_by_state(spark, s).collect()
+    assert 0 < len(top20) <= 20
+    own = reports.beds_in_use_by_ownership(spark, s, "Proprietary")
+    assert own.count() >= 1
+    top, bottom = reports.top_and_bottom_rated_states(spark, s, "2021-07-01")
+    t, b = top.collect(), bottom.collect()
+    assert len(t) == 10 and len(b) == 10
+    assert t[0].avg_rating >= b[0].avg_rating

@@ -1,0 +1,63 @@
+"""Streaming twins must agree with their batch counterparts once the
+stream is fully drained (availableNow + watermark-closed windows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from team_aragon_spark.sources.catalog import read_table
+from team_aragon_spark.streaming import events_stream as es
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-encode the ns-timestamp events parquet as µs for the file source."""
+    out = tmp_path_factory.mktemp("events_us")
+    read_table(spark, "events", SF_SMOKE).coalesce(2).write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def test_hourly_stream_matches_batch(spark, events_dir, tmp_path_factory):
+    stream = es.read_events_stream(spark, events_dir)
+    result = es.run_to_completion(
+        es.hourly_event_stats_stream(stream),
+        "hourly_out",
+        str(tmp_path_factory.mktemp("ckpt1")),
+    )
+    batch = (
+        read_table(spark, "events", SF_SMOKE)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    s = {tuple(r) for r in result.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # append-mode emits only watermark-closed windows; every emitted
+    # window must match batch exactly, and most windows must be emitted.
+    assert s <= b
+    assert len(s) >= len(b) - 24  # at most the tail beyond the watermark is open
+
+
+def test_session_stream_runs(spark, events_dir, tmp_path_factory):
+    stream = es.read_events_stream(spark, events_dir)
+    result = es.run_to_completion(
+        es.user_sessions_stream(stream),
+        "sessions_out",
+        str(tmp_path_factory.mktemp("ckpt2")),
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_sliding_stream_runs(spark, events_dir, tmp_path_factory):
+    stream = es.read_events_stream(spark, events_dir)
+    result = es.run_to_completion(
+        es.sliding_value_stream(stream),
+        "sliding_out",
+        str(tmp_path_factory.mktemp("ckpt3")),
+    )
+    assert result.count() > 0
