@@ -1,0 +1,64 @@
+"""Scalar / expression function library.
+
+All helpers return JVM-side column expressions (or SQL fragments for
+the expression-string builders) — nothing here executes Python per
+row.  The reference's entire scalar surface is ROUND + arithmetic
+(SURVEY.md §2.G); everything beyond that is north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from team_aragon_spark.operators.similarity import cosine_expr
+from team_aragon_spark.operators.text_dedup import shingle_expr
+
+# GPT-2-ish pretokenizer approximation: leading-space word pieces,
+# numbers split per digit, punctuation runs.  A deterministic,
+# regex-only stand-in for BPE pretokenization (the merge table itself
+# is model-specific); counts correlate with BPE token counts.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: str) -> Column:
+    """Approximate BPE token count via the pretokenizer regex.
+
+    Spark's SQL string parser consumes one level of backslash escaping
+    (unlike ANSI/DuckDB string literals), so the pattern is re-escaped
+    before embedding.
+    """
+    pattern = BPE_ISH_PATTERN.replace("\\", "\\\\")
+    return F.size(F.expr(f"regexp_extract_all({col}, '{pattern}', 0)")).cast("long")
+
+
+def ratio_of_sums(num: Column, den: Column, digits: int = 6) -> Column:
+    """SUM(expr)/SUM(expr) with NULL-propagating terms (A5 semantics:
+    a row with a NULL term drops out of that SUM, exactly as in SQL)."""
+    return F.round(F.sum(num) / F.sum(den), digits)
+
+
+def rolling_hash_fingerprints(col: str, window: int = 8, keep_every: int = 16) -> Column:
+    """Winnowing-style document fingerprint set.
+
+    Polynomial rolling hash over ``window``-token char-joined grams via
+    xxhash64, keeping hashes ≡ 0 (mod keep_every) — a deterministic
+    ~1/keep_every sample of positions, robust to local edits (the
+    classic MOSS/winnowing trick, computed as one array expression).
+    """
+    tok = rf"split(trim({col}), '\\s+')"
+    grams = (
+        f"transform(sequence(1, greatest(size({tok}) - {window - 1}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice({tok}, i, {window}))))"
+    )
+    return F.expr(f"array_sort(array_distinct(filter({grams}, h -> pmod(h, {keep_every}) = 0)))")
+
+
+__all__ = [
+    "BPE_ISH_PATTERN",
+    "bpe_ish_token_count",
+    "cosine_expr",
+    "ratio_of_sums",
+    "rolling_hash_fingerprints",
+    "shingle_expr",
+]

@@ -320,7 +320,7 @@ def q11_top20_part_types(spark, sf_dir):
     "q12_first_line_per_order",
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
          SELECT *, row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_linenumber, l_partkey) AS rn
+                                      ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
          FROM lineitem) WHERE rn = 1""",
     ops=("D1",),
     doc="Deterministic first-wins dedup by key — replaces the reference's "
@@ -328,7 +328,7 @@ def q11_top20_part_types(spark, sf_dir):
 )
 def q12_first_line_per_order(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return dedup.first_wins_dedup(li, ["l_orderkey"], ["l_linenumber", "l_partkey"]).select(
+    return dedup.first_wins_dedup(li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"]).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
 
@@ -839,6 +839,73 @@ def q36_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs)
     return multimodal.fake_decode_meta(payload)
+
+
+
+@register(
+    "q37_embedding_neardup_pairs",
+    """
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(
+           list_sum(list_transform(range(1, len(a.e) + 1),
+                    i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+                    i -> CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+                    i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))))), 4) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT a, b, cosine FROM pairs WHERE cosine >= 0.95""",
+    ops=("ext-dedup-embedding",),
+    doc="Embedding-cosine near-dup pairs (semantic dedup): all-pairs at "
+    "test scale; the 100 TB path reuses the IVF cell assignment as the "
+    "blocking key (pairs only form within a cell).",
+)
+def q37_embedding_neardup_pairs(spark, sf_dir):
+    from team_aragon_spark.session import ensure_parallelism
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding"))
+    a = ensure_parallelism(emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("__ea")))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("__eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(F.expr(similarity.cosine_expr("__ea", "__eb")), 4))
+        .filter(F.col("cosine") >= 0.95)
+        .select("a", "b", "cosine")
+    )
+
+
+@register(
+    "q38_bpe_ish_token_counts",
+    r"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents""",
+    ops=("ext-text-bpe",),
+    doc="BPE-ish token counting: GPT-2-style pretokenizer regex "
+    "(words / per-digit numbers / punct runs), JVM-side regexp_extract_all.",
+)
+def q38_bpe_ish_token_counts(spark, sf_dir):
+    from team_aragon_spark.functions import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
+    "q39_winnowing_fingerprints",
+    None,  # xxhash64-based; overlap behavior tested in pytest.
+    ops=("ext-text-winnowing",),
+    doc="Winnowing/rolling-hash fingerprint sets (MOSS-style): 8-token "
+    "grams, keep hashes = 0 mod 16 - partial-overlap detection that "
+    "md5/simhash whole-doc fingerprints cannot do.",
+)
+def q39_winnowing_fingerprints(spark, sf_dir):
+    from team_aragon_spark.functions import rolling_hash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash_fingerprints("text").alias("fingerprints"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -152,3 +152,21 @@ def test_multimodal_real_decode_is_stubbed(spark):
     payload = multimodal.attach_binary_payload(df)
     with pytest.raises(Exception, match="NotImplementedError|codecs unavailable|PythonException"):
         multimodal.real_decode_meta(payload).collect()
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    """Shared paragraph between otherwise-different docs → shared
+    fingerprints; disjoint docs → no overlap."""
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    doc_a = para + " rho sigma tau upsilon phi chi psi omega one two three four five six"
+    doc_b = "totally different opening words here " + para
+    doc_c = "nothing in common with the others at all whatsoever in any position tonight"
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b), (2, doc_c)], ["doc_id", "text"])
+    from team_aragon_spark.functions import rolling_hash_fingerprints
+
+    fp = {
+        r.doc_id: set(r.f)
+        for r in df.select("doc_id", rolling_hash_fingerprints("text", keep_every=4).alias("f")).collect()
+    }
+    assert fp[0] & fp[1], "shared paragraph must share fingerprints"
+    assert not (fp[0] & fp[2]) and not (fp[1] & fp[2])
