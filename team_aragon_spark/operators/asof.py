@@ -1,0 +1,92 @@
+"""As-of (temporal) join — an operator Spark lacks natively.
+
+The reference has no as-of join (SURVEY.md §2.C: inner equi-joins
+only); this is a north-star extension for time-series enrichment
+("for each left row, the most recent right row at or before its
+timestamp, per key").
+
+Design — union-merge, not probe: tag both sides, union them, shuffle
+ONCE on the join key, sort within partitions by (ts, side), and carry
+right-side values forward with ``last(ignorenulls)`` over an
+unbounded-preceding window.  This is the distributed analogue of the
+classic merge as-of:
+
+- one Exchange total (hashpartitioning on the key) — same cost as a
+  sort-merge join, with no range-condition nested loop;
+- state per partition is a single running value per carried column —
+  no interval explosion, no skew amplification beyond the key's own
+  skew (salt the key upstream if one entity dominates);
+- scales linearly in rows: at 100 TB both sides stream through the
+  sorted partition exactly once.
+
+Semantics match DuckDB/`pandas.merge_asof` ``direction='backward'``:
+right rows with ``right_ts <= left_ts`` are eligible, latest wins;
+ties on (key, ts) between sides resolve right-before-left so an
+exactly-simultaneous right row IS visible to the left row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"  # 0 = right (values), 1 = left (probes)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row, enriched with
+    ``value_cols`` from the latest ``right`` row with
+    ``right_ts <= left_ts`` on the same ``on`` key (NULL if none).
+
+    ``tiebreak`` orders right rows sharing (key, ts) deterministically
+    (last in tiebreak order wins), since Spark has no row order.
+    """
+    carried = [f"__asof_{c}" for c in value_cols]
+
+    l_tag = left.withColumn(_SIDE, F.lit(1)).withColumn("__asof_ts", F.col(left_ts))
+    for c, cc in zip(value_cols, carried):
+        l_tag = l_tag.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        *([F.col(tiebreak).alias("__asof_tb")] if tiebreak else []),
+    )
+    l_cols = left.columns
+    l_tag = l_tag.select(
+        *on,
+        "__asof_ts",
+        _SIDE,
+        *carried,
+        *([F.lit(None).cast(right.schema[tiebreak].dataType).alias("__asof_tb")] if tiebreak else []),
+        *[F.col(c) for c in l_cols if c not in on],
+    )
+    r_full = r_tag
+    for c in l_cols:
+        if c not in on:
+            r_full = r_full.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    order = [F.col("__asof_ts").asc(), F.col(_SIDE).asc()] + (
+        [F.col("__asof_tb").asc_nulls_first()] if tiebreak else []
+    )
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    unioned = l_tag.unionByName(r_full.select(*l_tag.columns))
+    for cc in carried:
+        unioned = unioned.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+
+    out = unioned.filter(F.col(_SIDE) == 1)
+    return out.select(
+        *on,
+        *[F.col(c) for c in l_cols if c not in on],
+        *[F.col(cc).alias(c) for c, cc in zip(value_cols, carried)],
+    )

@@ -908,6 +908,58 @@ def q39_winnowing_fingerprints(spark, sf_dir):
     return docs.select("doc_id", rolling_hash_fingerprints("text").alias("fingerprints"))
 
 
+@register(
+    "q40_asof_last_click_before_purchase",
+    """WITH tagged AS (
+         SELECT user_id, ts, 1 AS side, event_id,
+                value AS purchase_value,
+                CAST(NULL AS DOUBLE) AS cval, CAST(NULL AS BIGINT) AS ctb
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, ts, 0 AS side, NULL, NULL,
+                value AS cval, event_id AS ctb
+         FROM events WHERE event_type = 'click'),
+       carried AS (
+         SELECT *, last_value(cval IGNORE NULLS) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts, side, ctb NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS click_value
+         FROM tagged)
+       SELECT user_id, event_id, purchase_value, click_value
+       FROM carried WHERE side = 1""",
+    ops=("ext-asof-join",),
+    doc="Backward as-of join (operators/asof.py): each purchase enriched "
+    "with the user's latest click value at-or-before its timestamp. "
+    "Union-merge plan: ONE shuffle on user_id, running last() per "
+    "partition — no range nested-loop; oracle is the same merge in SQL.",
+)
+def q40_asof_last_click_before_purchase(spark, sf_dir):
+    from team_aragon_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_value"],
+        tiebreak="click_id",
+    ).select("user_id", "event_id", "purchase_value", "click_value")
+    # ts dropped from the output: Spark rounds parquet nano-timestamps to
+    # micros while DuckDB truncates, so raw ts values can differ by 1us.
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERY_REGISTRY.items()}
 

@@ -170,3 +170,39 @@ def test_winnowing_detects_partial_overlap(spark):
     }
     assert fp[0] & fp[1], "shared paragraph must share fingerprints"
     assert not (fp[0] & fp[2]) and not (fp[1] & fp[2])
+
+
+def test_asof_join_backward_semantics(spark):
+    """Backward as-of: latest right row with ts <= left ts wins; exact
+    timestamp ties are visible; no prior right row -> NULL; ties among
+    right rows at the same ts resolved by tiebreak (last wins)."""
+    from datetime import datetime
+
+    from team_aragon_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:00:00"), "p1"),  # after q1 -> 10.0
+            (1, t("2024-01-01 12:00:00"), "p2"),  # tie with q2 -> visible, 20.0
+            (1, t("2024-01-01 09:00:00"), "p0"),  # before any quote -> NULL
+            (2, t("2024-01-01 10:00:00"), "p3"),  # tie at ts: tiebreak picks qid 7
+        ],
+        ["k", "ts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 09:30:00"), 10.0, 1),
+            (1, t("2024-01-01 12:00:00"), 20.0, 2),
+            (2, t("2024-01-01 10:00:00"), 30.0, 6),
+            (2, t("2024-01-01 10:00:00"), 40.0, 7),
+        ],
+        ["k", "qts", "qv", "qid"],
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="qts",
+        value_cols=["qv"], tiebreak="qid",
+    )
+    got = {r.pid: r.qv for r in out.collect()}
+    assert got == {"p1": 10.0, "p2": 20.0, "p0": None, "p3": 40.0}
+    assert out.count() == left.count()
