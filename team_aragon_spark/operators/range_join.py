@@ -1,0 +1,74 @@
+"""Range (interval) join — points matched to time intervals at scale.
+
+The reference has only inner equi-joins (SURVEY.md §2.C); a range join
+(``p.ts BETWEEN i.start AND i.end``) is a north-star extension for
+event/window attribution.  Naively this is a theta-join: Spark falls
+back to BroadcastNestedLoopJoin (O(|P|·|I|) comparisons) or, with an
+equi key, sort-merge followed by a per-key cross filter that explodes
+on hot keys.
+
+Design — **bucketed range join** (the same trick Databricks' range-join
+optimization and ZetaSQL interval joins use):
+
+- quantize time into fixed-width buckets of ``bucket_width`` seconds;
+- each point lands in exactly ONE bucket (no point duplication);
+- each interval is exploded to the buckets it covers
+  (``sequence(floor(start/w), floor(end/w))`` — short intervals hit
+  1-2 buckets);
+- equi-join on ``(equi_keys…, bucket)``, then apply the exact
+  ``BETWEEN`` as a post-filter.
+
+The shuffle is a plain hash-partition equi-join — AQE handles skew,
+cost is linear in points + interval-coverage, and no pair outside a
+shared bucket is ever materialized.  Each matching (point, interval)
+pair is produced exactly once because the point's single bucket is the
+only bucket where both sides meet.
+
+Pick ``bucket_width`` ≈ the typical interval length: too small
+explodes intervals into many buckets; too large puts unrelated rows in
+one bucket and shifts work to the post-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__rj_bucket"
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    equi_keys: list[str] | None = None,
+    bucket_width: int = 300,
+) -> DataFrame:
+    """Inner join: every (point, interval) pair with
+    ``start_ts <= point_ts <= end_ts`` (and equal ``equi_keys``).
+
+    Output columns: equi keys, then the remaining point columns, then
+    the remaining interval columns (names must not collide — alias
+    upstream).  Both bounds inclusive, matching SQL ``BETWEEN``.
+    """
+    equi_keys = equi_keys or []
+    w = int(bucket_width)
+
+    p = points.withColumn(_BUCKET, (F.unix_timestamp(F.col(point_ts)) / w).cast("long"))
+    i = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_ts)) / w).cast("long"),
+                (F.unix_timestamp(F.col(end_ts)) / w).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, on=equi_keys + [_BUCKET]).filter(
+        F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
+    )
+    p_rest = [c for c in points.columns if c not in equi_keys]
+    i_rest = [c for c in intervals.columns if c not in equi_keys]
+    return joined.select(*equi_keys, *p_rest, *i_rest)

@@ -166,3 +166,92 @@ def ivf_topk(
         .filter(F.col("__rk") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 42):
+    """Deterministic Gaussian hyperplanes, one set of n_bits per table."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, n_bits, dim)
+
+
+def srp_signatures(
+    df: DataFrame,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection (cosine) LSH signatures.
+
+    Adds ``(table, sig)`` rows per input row: for each of ``n_tables``
+    hash tables, the sign bits of ``n_bits`` Gaussian projections packed
+    into one integer bucket key.  Vectors with cosine angle θ agree on
+    one bit w.p. 1 - θ/π, so near-parallel vectors collide in some
+    table with high probability while random pairs almost never do.
+
+    The hyperplanes ship as a plan literal (n_tables·n_bits·dim doubles
+    — a few KB); the whole signature is a JVM-side expression: no UDF,
+    no shuffle, linear scan.
+    """
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+    tables_lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join("array(" + ", ".join(repr(float(v)) for v in bits) + ")" for bits in tbl)
+            + ")"
+            for tbl in planes
+        )
+        + ")"
+    )
+    dot = (
+        f"aggregate(zip_with(h, {vec_col}, (x, y) -> x * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    sig = (
+        f"transform({tables_lit}, tbl -> aggregate(transform(tbl, h -> {dot}), "
+        "(0L, 0), (acc, d) -> (acc.col1 + IF(d > 0.0, shiftleft(1L, acc.col2), 0L), acc.col2 + 1)).col1)"
+    )
+    return df.withColumn("__sigs", F.expr(sig)).select(
+        "*", F.posexplode("__sigs").alias("table", "sig")
+    ).drop("__sigs")
+
+
+def srp_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH blocking + exact verify.
+
+    The 100 TB path for q37's all-pairs cosine: candidates only form
+    inside shared (table, sig) buckets — shuffle on bucket keys, never
+    O(n²) — then exact cosine filters false positives, so precision is
+    1.0 and recall ≈ 1 - (1 - p^n_bits)^n_tables for bit-agreement
+    probability p = 1 - θ/π (≈ 0.996 at cosine 0.9 with 16×8 defaults).
+    Output matches q37: (a, b, cosine), a < b, cosine >= threshold.
+    """
+    sigs = srp_signatures(
+        df.select(F.col(id_col), F.col(vec_col)), n_tables, n_bits, dim, vec_col
+    )
+    left = sigs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__ea"), "table", "sig")
+    right = sigs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__eb"), "table", "sig")
+    cands = (
+        left.join(right, on=["table", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "__ea", "__eb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("cosine", F.round(F.expr(cosine_expr("__ea", "__eb")), round_digits))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("a", "b", "cosine")
+    )

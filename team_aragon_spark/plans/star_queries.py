@@ -926,7 +926,7 @@ def q39_winnowing_fingerprints(spark, sf_dir):
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS click_value
          FROM tagged)
-       SELECT user_id, event_id, purchase_value, click_value
+       SELECT user_id, event_id, ts, purchase_value, click_value
        FROM carried WHERE side = 1""",
     ops=("ext-asof-join",),
     doc="Backward as-of join (operators/asof.py): each purchase enriched "
@@ -955,9 +955,62 @@ def q40_asof_last_click_before_purchase(spark, sf_dir):
         right_ts="ts",
         value_cols=["click_value"],
         tiebreak="click_id",
-    ).select("user_id", "event_id", "purchase_value", "click_value")
-    # ts dropped from the output: Spark rounds parquet nano-timestamps to
-    # micros while DuckDB truncates, so raw ts values can differ by 1us.
+    ).select("user_id", "event_id", "ts", "purchase_value", "click_value")
+
+
+@register(
+    "q41_clicks_within_day_of_error",
+    """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id, c.ts AS click_ts
+       FROM events e JOIN events c ON c.user_id = e.user_id
+       WHERE e.event_type = 'error' AND c.event_type = 'click'
+         AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 1 DAY""",
+    ops=("ext-range-join",),
+    doc="Range (interval) join (operators/range_join.py): every click "
+    "within 24h after an error by the same user.  Bucketed plan: both "
+    "sides quantized to day-wide buckets, plain equi-join on "
+    "(user_id, bucket) + exact BETWEEN post-filter — no nested-loop, "
+    "no per-key cross explosion; AQE-skew-safe at 100 TB.",
+)
+def q41_clicks_within_day_of_error(spark, sf_dir):
+    from team_aragon_spark.operators.range_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return interval_join(
+        clicks,
+        errors,
+        point_ts="click_ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        equi_keys=["user_id"],
+        bucket_width=86_400,
+    ).select("user_id", "error_id", "click_id", "click_ts")
+
+
+@register(
+    "q42_srp_lsh_neardup_pairs",
+    None,  # approximate (LSH recall < 1 by design); recall on planted
+    # near-dups is asserted in pytest against exact all-pairs cosine.
+    ops=("ext-dedup-embedding-lsh",),
+    doc="Embedding near-dup via signed-random-projection LSH "
+    "(operators/similarity.py srp_neardup_pairs): the 100 TB path for "
+    "q37 — candidates form only inside shared (table, signature) "
+    "buckets (shuffle on bucket keys, never all-pairs), then exact "
+    "cosine verify.  Note: this table's embeddings are uniform-random "
+    "(max pairwise cosine ~0.5-0.6), so thresholds are set low here to "
+    "exercise the path; recall semantics are tested on planted dups.",
+)
+def q42_srp_lsh_neardup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.srp_neardup_pairs(emb, threshold=0.45, n_tables=16, n_bits=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -32,8 +32,13 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        # Integer `div`, not `/`: epoch nanos (~1.7e18) overflow a
+        # double's 53-bit mantissa, so float division corrupts the low
+        # microseconds.  Floor division also matches how DuckDB reads
+        # TIMESTAMP(NANOS) (truncation), keeping ts values bit-identical
+        # between the engine and the oracle.
         return df.withColumns(
-            {c: F.timestamp_micros((F.col(c) / 1000).cast("long")) for c in ns_cols}
+            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
         )
     return spark.read.parquet(path)
 

@@ -206,3 +206,53 @@ def test_asof_join_backward_semantics(spark):
     got = {r.pid: r.qv for r in out.collect()}
     assert got == {"p1": 10.0, "p2": 20.0, "p0": None, "p3": 40.0}
     assert out.count() == left.count()
+
+
+def test_interval_join_bucket_boundaries(spark):
+    """Bucketed range join: inclusive bounds, intervals straddling
+    bucket boundaries, and exactly-once output per matching pair."""
+    from datetime import datetime
+
+    from team_aragon_spark.operators.range_join import interval_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    points = spark.createDataFrame(
+        [
+            (1, "p_start", t("2024-01-01 10:00:00")),  # == start (inclusive)
+            (1, "p_end", t("2024-01-01 10:10:00")),    # == end (inclusive)
+            (1, "p_in", t("2024-01-01 10:09:59")),     # interior, later bucket
+            (1, "p_out", t("2024-01-01 10:10:01")),    # 1s past end
+            (2, "p_wrong_key", t("2024-01-01 10:05:00")),  # right time, wrong key
+        ],
+        ["k", "pid", "pts"],
+    )
+    intervals = spark.createDataFrame(
+        # 10-min interval with 5-min buckets -> explodes to 3 buckets;
+        # interior points must still match exactly once.
+        [(1, "i1", t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"))],
+        ["k", "iid", "istart", "iend"],
+    )
+    out = interval_join(
+        points, intervals, "pts", "istart", "iend", equi_keys=["k"], bucket_width=300
+    ).collect()
+    assert sorted(r.pid for r in out) == ["p_end", "p_in", "p_start"]
+    assert all(r.iid == "i1" for r in out)
+
+
+def test_srp_lsh_finds_planted_neardups(spark):
+    """SRP-LSH near-dup must recover planted high-cosine pairs with no
+    false positives (exact verify) on a corpus of random + planted."""
+    import numpy as np
+
+    from team_aragon_spark.operators.similarity import srp_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant 5 near-dups: id 100+i is id i plus small noise (cosine ~0.99)
+    for i in range(5):
+        rows.append((100 + i, (base[i] + 0.05 * rng.randn(64)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = srp_neardup_pairs(df, threshold=0.9, dim=64).collect()
+    assert {(r.a, r.b) for r in got} == {(i, 100 + i) for i in range(5)}
+    assert all(r.cosine >= 0.9 for r in got)

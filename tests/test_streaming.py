@@ -61,3 +61,38 @@ def test_sliding_stream_runs(spark, events_dir, tmp_path_factory):
         str(tmp_path_factory.mktemp("ckpt3")),
     )
     assert result.count() > 0
+
+
+def test_stateful_running_totals_match_batch(spark, events_dir, tmp_path_factory):
+    """applyInPandasWithState lifetime totals: after draining the whole
+    stream, the LAST emit per user must equal the batch groupBy —
+    regardless of how availableNow split the input into micro-batches."""
+    from team_aragon_spark.streaming.stateful import running_user_totals_stream
+
+    stream = es.read_events_stream(spark, events_dir)
+    q = (
+        running_user_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt4")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM user_totals").collect()
+    last = {}  # memory sink appends in emit order; later rows overwrite
+    for r in emitted:
+        last[r.user_id] = (r.n_events, r.total_value, r.max_value)
+    batch = {
+        r.user_id: (r.n, round(r.tot, 2), r.mx)
+        for r in read_table(spark, "events", SF_SMOKE)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tot"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert last == batch
