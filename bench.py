@@ -38,6 +38,9 @@ HEADLINE = [
     "q29_user_sessions",             # sessionization (2 window passes)
     "q33_distinct_users_by_type",    # exact distinct agg
     "q36_multimodal_meta",           # mapInPandas plumbing
+    "q40_asof_last_click_before_purchase",  # as-of join (union-merge)
+    "q41_clicks_within_day_of_error",       # range join (bucketed)
+    "q42_srp_lsh_neardup_pairs",            # cosine-LSH near-dup
 ]
 
 
@@ -47,8 +50,17 @@ def main() -> None:
     spark = get_spark("team-aragon-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/session so startup cost is not attributed to q1.
+    # Warm the JVM/session so startup cost is not attributed to q1, and
+    # the Python UDF workers (pandas import, Arrow channel) so q36
+    # measures the decode plumbing rather than interpreter startup.
     spark.range(1).count()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(64).repartition(8).mapInPandas(_noop, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
