@@ -1013,6 +1013,73 @@ def q42_srp_lsh_neardup_pairs(spark, sf_dir):
     return similarity.srp_neardup_pairs(emb, threshold=0.45, n_tables=16, n_bits=8)
 
 
+@register(
+    "q43_multigrain_revenue_rollup",
+    """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+              CASE WHEN grouping(date_trunc('day', o_orderdate)) = 0
+                   THEN 'day' ELSE 'month' END AS grain,
+              round(sum(o_totalprice), 2) AS revenue,
+              count(*) AS n_orders
+       FROM orders
+       GROUP BY GROUPING SETS ((date_trunc('day', o_orderdate)),
+                               (date_trunc('month', o_orderdate)))""",
+    ops=("ext-grouping-sets",),
+    doc="Hypertable-style multi-resolution rollup: daily AND monthly "
+    "revenue in ONE pass via GROUPING SETS — a single shuffle feeds "
+    "both grains (the continuous-aggregate pattern); at 100 TB this "
+    "replaces two full scans with one.",
+)
+def q43_multigrain_revenue_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__q43_orders")
+    return spark.sql(
+        """SELECT date_trunc('day', o_orderdate) AS day,
+                  date_trunc('month', o_orderdate) AS month,
+                  CASE WHEN grouping(date_trunc('day', o_orderdate)) = 0
+                       THEN 'day' ELSE 'month' END AS grain,
+                  round(sum(o_totalprice), 2) AS revenue,
+                  count(*) AS n_orders
+           FROM __q43_orders
+           GROUP BY GROUPING SETS ((date_trunc('day', o_orderdate)),
+                                   (date_trunc('month', o_orderdate)))"""
+    )
+
+
+@register(
+    "q44_approx_distinct_users",
+    None,  # HLL estimates differ between engines by construction; the
+    # error bound vs exact distinct is asserted in pytest.
+    ops=("ext-approx-count-distinct",),
+    doc="HyperLogLog++ distinct estimation (approx_count_distinct): the "
+    "100 TB variant of q33 — single pass, fixed-size mergeable sketch "
+    "per group, no two-phase distinct expand/shuffle.",
+)
+def q44_approx_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q45_clickers_who_purchased",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    ops=("ext-set-intersect",),
+    doc="Set intersection (INTERSECT = distinct + semi-join shuffle on "
+    "the key); complements q34's anti-join EXCEPT semantics.",
+)
+def q45_clickers_who_purchased(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERY_REGISTRY.items()}
 

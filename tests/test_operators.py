@@ -256,3 +256,30 @@ def test_srp_lsh_finds_planted_neardups(spark):
     got = srp_neardup_pairs(df, threshold=0.9, dim=64).collect()
     assert {(r.a, r.b) for r in got} == {(i, 100 + i) for i in range(5)}
     assert all(r.cosine >= 0.9 for r in got)
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """HLL++ estimate must stay within 3x the configured rsd of the
+    exact distinct count per group (rsd=2% -> assert within 6%)."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERY_REGISTRY["q44_approx_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    from pyspark.sql import functions as F2
+
+    from team_aragon_spark.sources.catalog import read_table
+
+    exact = {
+        r.event_type: r.n
+        for r in read_table(spark, "events", SF_SMOKE)
+        .groupBy("event_type")
+        .agg(F2.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.06 * n), (et, approx[et], n)
