@@ -1,0 +1,68 @@
+"""Scale-posture proofs: salting preserves join semantics; bucketed
+tables co-locate joins (no shuffle Exchange in the plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_aragon_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be semantically identical to the plain join on
+    a skewed input (one key owns 90% of the big side)."""
+    big = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 1000 + k) for k in range(2, 12)],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (99, "unmatched")], ["k", "label"]
+    )
+    plain = {(r.k, r.payload, r.label) for r in big.join(small, on="k").collect()}
+    salted = {
+        (r.k, r.payload, r.label)
+        for r in salted_join(big, small, on=["k"], n_salts=4).collect()
+    }
+    assert salted == plain
+    assert len(plain) == 902  # 900 hot + k=2 + k=3
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "x"), (7, "y")], ["k", "v"])
+    small = spark.createDataFrame([(1, "m")], ["k", "label"])
+    rows = {
+        (r.k, r.v, r.label)
+        for r in salted_join(big, small, on=["k"], n_salts=3, how="left").collect()
+    }
+    assert rows == {(1, "x", "m"), (7, "y", None)}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join without any
+    shuffle Exchange — the co-located join that replaces the fact-fact
+    shuffle at 100 TB (PLANS.md)."""
+    n_buckets = 4
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dims = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    spark.sql("DROP TABLE IF EXISTS bj_facts")
+    spark.sql("DROP TABLE IF EXISTS bj_dims")
+    facts.write.bucketBy(n_buckets, "k").sortBy("k").mode("overwrite").saveAsTable("bj_facts")
+    dims.write.bucketBy(n_buckets, "k").sortBy("k").mode("overwrite").saveAsTable("bj_dims")
+    try:
+        # Disable broadcast so the planner must choose a non-broadcast
+        # join — with matching bucketing it needs no Exchange at all.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bj_facts").join(spark.table("bj_dims"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bj_facts")
+        spark.sql("DROP TABLE IF EXISTS bj_dims")
