@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from team_aragon_spark.operators import dedup, multimodal, similarity, text, text_dedup, windows
@@ -1078,6 +1078,79 @@ def q45_clickers_who_purchased(spark, sf_dir):
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.intersect(buyers)
+
+
+def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the events table as a µs-timestamp parquet directory (file
+    streaming source stand-in for a Kafka topic) + a fresh checkpoint
+    dir.  Temp dirs, one per invocation — streaming checkpoints are
+    not reusable across query definitions."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="aragon_stream_")
+    src = os.path.join(base, "src")
+    read_table(spark, "events", sf_dir).coalesce(4).write.mode("overwrite").parquet(src)
+    return src, os.path.join(base, "ckpt")
+
+
+@register(
+    "q46_streaming_hourly_stats",
+    None,  # streaming: append-mode emits watermark-closed windows only;
+    # equality with the batch twin (q27) on closed windows is asserted
+    # in tests/test_streaming.py.
+    ops=("ext-streaming-window",),
+    doc="Structured Streaming twin of q27: tumbling 1-hour windowed "
+    "aggregation with a 2-hour watermark, drained via availableNow "
+    "(streaming/events_stream.py).  Rows-only by nature: the open "
+    "tail beyond the watermark is not emitted.",
+)
+def q46_streaming_hourly_stats(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    return es.run_to_completion(
+        es.hourly_event_stats_stream(stream), f"q46_out_{uuid.uuid4().hex[:8]}", ckpt
+    )
+
+
+@register(
+    "q47_streaming_user_totals",
+    None,  # custom stateful op (applyInPandasWithState); convergence to
+    # the batch groupBy is asserted in tests/test_streaming.py.
+    ops=("ext-streaming-stateful",),
+    doc="Custom stateful streaming operator (streaming/stateful.py): "
+    "per-user lifetime (count, sum, max) via applyInPandasWithState, "
+    "state carried across micro-batches in the checkpointed store.",
+)
+def q47_streaming_user_totals(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+    from team_aragon_spark.streaming.stateful import running_user_totals_stream
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    name = f"q47_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Latest emit per user = the converged lifetime totals.
+    out = spark.sql(f"SELECT * FROM {name}")
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return out.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

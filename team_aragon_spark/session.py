@@ -19,6 +19,13 @@ from pyspark.sql import SparkSession
 
 # Conf that is safe to (re)apply on an existing session at runtime.
 RUNTIME_CONF = {
+    # Runtime-settable, so tune() can fix it on an externally-built
+    # session too: Spark's default of 200 shuffle partitions means 200
+    # scheduled tasks per shuffle regardless of data size — pure
+    # overhead at local scale.  AQE coalescing trims further at runtime.
+    "spark.sql.shuffle.partitions": str(
+        int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
