@@ -1080,6 +1080,29 @@ def q45_clickers_who_purchased(spark, sf_dir):
     return clickers.intersect(buyers)
 
 
+@register(
+    "q48_stratified_doc_sample",
+    """SELECT lang, doc_id FROM (
+         SELECT lang, doc_id,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(text), doc_id) AS rn
+         FROM documents) WHERE rn <= 3""",
+    ops=("ext-stratified-sample",),
+    doc="Deterministic stratified sampling (training-data construction): "
+    "up to k docs per class, ordered by md5(text) — a seedless, "
+    "engine-independent shuffle both engines agree on bit-for-bit.  "
+    "Per-partition TakeOrdered within each class; no global sort.",
+)
+def q48_stratified_doc_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id")
+    )
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint
