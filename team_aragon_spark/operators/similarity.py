@@ -16,6 +16,12 @@ Two tiers:
   (narrow); queries probe only ``nprobe`` nearest cells, so the
   candidate set shrinks by ~ncells/nprobe.  Approximate — recall
   depends on nprobe; verified against brute force in tests.
+
+- ``srp_*`` — signed-random-projection (cosine) LSH: Charikar (STOC
+  2002) hyperplane rounding; bit-agreement probability 1 - θ/π.  IVF
+  coarse quantization follows the inverted-file design popularized by
+  Sivic/Zisserman "Video Google" (ICCV 2003) and Jégou et al. (PAMI
+  2011).
 """
 
 from __future__ import annotations

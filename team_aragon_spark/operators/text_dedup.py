@@ -27,6 +27,15 @@ Three families, all expressed with JVM-side array/hash expressions
 Hash base is Spark's ``xxhash64`` (seed 42, deterministic across
 runs/partitions); MinHash permutations are universal hashes
 ``(a_i * x + b_i) mod p`` with constants derived from a fixed seed.
+
+Algorithms (public literature): MinHash resemblance — Broder, "On the
+resemblance and containment of documents" (1997); LSH band/bucket
+analysis — Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3;
+SimHash — Charikar, "Similarity estimation techniques from rounding
+algorithms" (STOC 2002), Hamming-chunk blocking per Manku et al.,
+"Detecting near-duplicates for web crawling" (WWW 2007); winnowing
+fingerprints (functions/) — Schleimer/Wilkerson/Aiken, "Winnowing:
+local algorithms for document fingerprinting" (SIGMOD 2003).
 """
 
 from __future__ import annotations

@@ -54,6 +54,45 @@ class ParquetStore:
         writer.parquet(self.path(table))
 
 
+def compact_table(
+    spark: SparkSession,
+    store: "ParquetStore",
+    table: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a table into ~``target_file_mb``-sized files.
+
+    Weekly appends leave one small file tree per load; at 100 TB the
+    accumulated small files tax every scan (driver listing, task
+    scheduling, no intra-file parallelism).  Compaction reads the
+    table, repartitions to ceil(bytes / target), and atomically swaps
+    directories (write to ``<path>.__compact``, rename over the old
+    tree) — readers see either the old or the new complete tree.
+
+    Partitioned tables keep their partition column on rewrite, so
+    pruning survives compaction.  Returns the new partition count.
+    """
+    import math
+    import pathlib
+    import shutil
+
+    path = store.path(table)
+    size = sum(f.stat().st_size for f in pathlib.Path(path).rglob("*") if f.is_file())
+    n = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path + ".__compact"
+    writer = df.repartition(n).write.mode("overwrite")
+    part_col = store.PARTITIONED.get(table)
+    if part_col:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(tmp)
+    old = path + ".__old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
 def jdbc_append(df: DataFrame, url: str, table: str, properties: dict | None = None, batchsize: int = 500) -> None:
     """RDBMS sink (K1/K2).  ``batchsize`` mirrors load_quality.py:130."""
     props = {"batchsize": str(batchsize)}

@@ -79,6 +79,48 @@ def user_sessions_stream(events: DataFrame, gap: str = "30 minutes", watermark: 
     )
 
 
+def clicks_after_errors_stream(
+    events: DataFrame, horizon: str = "1 day", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: every click within ``horizon`` after an
+    error by the same user — the streaming twin of the batch bucketed
+    range join (q41, operators/range_join.py).
+
+    Both sides carry watermarks and the join has a time-range
+    condition, so the state store retains each side only for
+    (watermark + horizon): bounded state, exactly the interval the
+    join can still match.  Inner joins emit as soon as a match
+    arrives; a full availableNow drain therefore yields exactly the
+    batch result (asserted in tests).
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return errors.join(
+        clicks,
+        F.expr(
+            f"""e_user = c_user AND
+                click_ts >= error_ts AND
+                click_ts <= error_ts + INTERVAL {horizon}"""
+        ),
+    ).select(F.col("e_user").alias("user_id"), "error_id", "click_id", "click_ts")
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
     """Drain all available input through the streaming query into an
     in-memory sink and return the result as a batch DataFrame

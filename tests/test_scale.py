@@ -94,3 +94,34 @@ def test_store_date_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "collection_week" in m.group(1), plan
     assert [r.hospital_fk for r in got.collect()] == ["h2"]
+
+
+def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
+    """compact_table must reduce the file count and leave content and
+    partition layout (pruning) intact."""
+    from datetime import date
+
+    from team_aragon_spark.pipeline.sinks import ParquetStore, compact_table
+
+    store = ParquetStore(str(tmp_path))
+    rows = [(f"h{i}", date(2022, 9, 23 + 7 * (i % 2)), float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["hospital_fk", "collection_week", "beds"])
+    # simulate many tiny appends -> fragmented tree
+    for chunk in range(10):
+        store.append(df.filter(F.col("beds") % 10 == chunk).repartition(4), "hospital_beds")
+    import pathlib
+
+    n_before = len(list(pathlib.Path(store.path("hospital_beds")).rglob("*.parquet")))
+    before = {tuple(r) for r in store.read(spark, "hospital_beds").collect()}
+    compact_table(spark, store, "hospital_beds")
+    n_after = len(list(pathlib.Path(store.path("hospital_beds")).rglob("*.parquet")))
+    after = {tuple(r) for r in store.read(spark, "hospital_beds").collect()}
+    assert after == before
+    assert n_after < n_before
+    # partition layout survives -> pruning still works
+    plan = (
+        store.read(spark, "hospital_beds")
+        .filter(F.col("collection_week") == date(2022, 9, 23))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan

@@ -96,3 +96,37 @@ def test_stateful_running_totals_match_batch(spark, events_dir, tmp_path_factory
         .collect()
     }
     assert last == batch
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, events_dir, tmp_path_factory):
+    """The watermarked stream-stream join must emit exactly the pairs
+    the batch bucketed range join (q41's operator) produces."""
+    from team_aragon_spark.operators.range_join import interval_join
+
+    stream = es.read_events_stream(spark, events_dir)
+    result = es.run_to_completion(
+        es.clicks_after_errors_stream(stream),
+        "ss_join_out",
+        str(tmp_path_factory.mktemp("ckpt5")),
+    )
+    got = {(r.user_id, r.error_id, r.click_id) for r in result.collect()}
+
+    ev = read_table(spark, "events", SF_SMOKE)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    expect = {
+        (r.user_id, r.error_id, r.click_id)
+        for r in interval_join(
+            clicks, errors, "click_ts", "w_start", "w_end",
+            equi_keys=["user_id"], bucket_width=86_400,
+        ).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
