@@ -23,6 +23,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1100,6 +1102,42 @@ def q48_stratified_doc_sample(spark, sf_dir):
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("lang", "doc_id")
+    )
+
+
+@register(
+    "q49_value_mad_by_type",
+    """SELECT event_type,
+              round(CAST(mad(value) AS DOUBLE), 4) AS value_mad,
+              count(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    ops=("ext-custom-udaf",),
+    doc="Custom aggregate (UDAF) via a grouped-agg Pandas UDF: median "
+    "absolute deviation of value per event_type.  Arrow moves each "
+    "group into pandas once; MAD is selection-based (no accumulation "
+    "order), so the result matches DuckDB's mad() exactly.  At scale "
+    "prefer sketchable aggregates; MAD-like statistics are the case "
+    "where a custom UDAF is genuinely needed.",
+)
+def q49_value_mad_by_type(spark, sf_dir):
+    @F.pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        return float((v - v.median()).abs().median())
+
+    # A grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() — the count rides along as a second pandas aggregate.
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(mad("value"), 4).alias("value_mad"),
+            n_rows("value").alias("n"),
+        )
+        .orderBy("event_type")
     )
 
 

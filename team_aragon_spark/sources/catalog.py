@@ -46,3 +46,12 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 def load_star_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """All star tables as a dict of lazy DataFrames."""
     return {name: read_table(spark, name, sf_dir) for name in STAR_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every star table as a temp view so users can
+    ``spark.sql(...)`` directly — the SQL front door to the engine.
+    Views are lazy scans; all Catalyst pushdown/pruning applies to
+    queries written against them."""
+    for name, df in load_star_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -283,3 +283,22 @@ def test_approx_distinct_within_error_bound(spark):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.06 * n), (et, approx[et], n)
+
+
+def test_sql_front_door(spark):
+    """register_views exposes the star schema to raw spark.sql, with
+    pushdown intact."""
+    from team_aragon_spark.sources.catalog import register_views
+
+    from tests.conftest import SF_SMOKE
+
+    register_views(spark, SF_SMOKE)
+    out = spark.sql(
+        """SELECT c_mktsegment, count(*) AS n
+           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    )
+    rows = out.collect()
+    assert len(rows) >= 3 and all(r.n > 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "ReadSchema" in plan
