@@ -1141,6 +1141,27 @@ def q49_value_mad_by_type(spark, sf_dir):
     )
 
 
+@register(
+    "q50_corpus_dedup_canonical",
+    None,  # iterative (connected components) — not expressible as one
+    # ANSI query; cluster/canonical semantics proven in pytest on
+    # planted chain/triangle/pair graphs.
+    ops=("ext-dedup-clustering",),
+    doc="End-to-end corpus dedup (operators/graph.py): MinHash-LSH "
+    "near-dup pairs → connected components (iterative min-label "
+    "propagation, one shuffle per round) → keep the min-id canonical "
+    "per cluster plus all untouched docs.  The transitive-closure "
+    "step every pairwise dedup needs before it can actually drop "
+    "rows.",
+)
+def q50_corpus_dedup_canonical(spark, sf_dir):
+    from team_aragon_spark.operators.graph import canonical_per_cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text_dedup.minhash_neardup_pairs(docs).select("a", "b")
+    return canonical_per_cluster(docs.select("doc_id", "lang", "source"), pairs)
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint

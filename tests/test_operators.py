@@ -302,3 +302,29 @@ def test_sql_front_door(spark):
     assert len(rows) >= 3 and all(r.n > 0 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "ReadSchema" in plan
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    """CC must label a 4-chain, a triangle, and leave separate pairs
+    apart; canonical keeps min id per cluster + untouched rows."""
+    from team_aragon_spark.operators.graph import (
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4; triangle 10-11-12; pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["a", "b"],
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {comp[n] for n in (1, 2, 3, 4)} == {1}
+    assert {comp[n] for n in (10, 11, 12)} == {10}
+    assert {comp[n] for n in (20, 21)} == {20}
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in canonical_per_cluster(docs, edges).collect()}
+    assert kept == {1, 10, 20, 99}  # cluster minima + untouched 99
