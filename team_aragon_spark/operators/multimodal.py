@@ -91,6 +91,54 @@ def real_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=META_SCHEMA)
 
 
+def fake_resize(df: DataFrame, out_w: int = 224, out_h: int = 224, payload_col: str = "payload") -> DataFrame:
+    """Resize stage (stand-in): deterministic payload rewrite + target
+    dims.  The real kernel decodes, resizes (PIL/opencv), re-encodes —
+    same mapInPandas contract; batch shape and schema are what's being
+    exercised.  Output payload here is a truncated/padded byte slice so
+    downstream size-based stages remain deterministic."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = out[payload_col].map(
+                lambda b: bytes(b[: out_w * out_h // 1024].ljust(out_w * out_h // 1024, b"\0"))
+            )
+            out["width"] = out_w
+            out["height"] = out_h
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", width int, height int"
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def fake_embed_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 16
+) -> DataFrame:
+    """Feature-extraction stage (stand-in): payload → fixed-dim float
+    vector.  Deterministic: byte-sum histogram over ``dim`` buckets,
+    L1-normalized — the real kernel runs a vision/audio encoder over
+    the same Arrow batches and returns the same (id, array<float>)
+    shape, ready for the similarity operators (q22/q26/q42)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=f"doc_id bigint, features array<double>"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling stage: keep metadata rows whose frame index grid
     subsamples by ``every_n`` (arithmetic stand-in for video frame

@@ -1162,6 +1162,41 @@ def q50_corpus_dedup_canonical(spark, sf_dir):
     return canonical_per_cluster(docs.select("doc_id", "lang", "source"), pairs)
 
 
+@register(
+    "q51_sentence_explode_udtf",
+    r"""SELECT doc_id, trim(s) AS sentence
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\.\s+')) AS s
+              FROM documents)
+        WHERE trim(s) <> ''""",
+    ops=("ext-python-udtf",),
+    doc="Python UDTF (table function): one row per sentence per doc via "
+    "a lateral join — the row-generating escape hatch for parse/"
+    "tokenize operators that emit a variable number of rows.  Split "
+    "pattern is RE2-compatible so the DuckDB oracle computes the "
+    "identical segmentation.",
+)
+def q51_sentence_explode_udtf(spark, sf_dir):
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for s in re.split(r"\.\s+", text or ""):
+                if s.strip():
+                    yield (s.strip(),)
+
+    docs = _t(spark, sf_dir, "documents")
+    spark.udtf.register("split_sentences_q51", SplitSentences)
+    docs.createOrReplaceTempView("__q51_docs")
+    return spark.sql(
+        """SELECT d.doc_id, s.sentence
+           FROM __q51_docs d, LATERAL split_sentences_q51(d.text) s"""
+    )
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint

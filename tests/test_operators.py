@@ -328,3 +328,31 @@ def test_connected_components_chain_triangle_singleton(spark):
     )
     kept = {r.doc_id for r in canonical_per_cluster(docs, edges).collect()}
     assert kept == {1, 10, 20, 99}  # cluster minima + untouched 99
+
+
+def test_multimodal_resize_and_features_pipeline(spark):
+    """The full multimodal chain — attach payload → resize → feature
+    extract — must preserve row identity, produce the declared shapes,
+    and feed the similarity operators (normalized fixed-dim vectors)."""
+    from team_aragon_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_embed_features,
+        fake_resize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta")],
+        ["doc_id", "text"],
+    )
+    with_payload = attach_binary_payload(docs)
+    resized = fake_resize(with_payload, out_w=32, out_h=32)
+    rows = resized.collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+    assert all(r.width == 32 and r.height == 32 for r in rows)
+    assert len({len(bytes(r.payload)) for r in rows}) == 1  # uniform resize
+
+    feats = fake_embed_features(resized, dim=8).collect()
+    assert {r.doc_id for r in feats} == {1, 2, 3}
+    for r in feats:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-9  # L1-normalized
