@@ -62,22 +62,33 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    times: dict[str, float] = {}
+    # Two passes per query: pass 1 includes one-time costs (codegen
+    # compile, file listing, JIT); pass 2 is the steady-state plan
+    # execution.  `value` is the steady-state total (what a resident
+    # engine process costs per query); `cold_total` records the
+    # first-run total for transparency.
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERY_REGISTRY[name].fn
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
-        print(f"  {name}: {times[name]}s", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+        cold[name] = round(runs[0], 3)
+        steady[name] = round(min(runs), 3)
+        print(f"  {name}: cold {cold[name]}s steady {steady[name]}s", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(steady.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_steady",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": steady,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

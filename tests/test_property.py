@@ -125,3 +125,34 @@ def test_operators_total_on_empty_inputs(spark):
     assert minhash_neardup_pairs(empty_docs).count() == 0
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert srp_neardup_pairs(empty_emb, dim=64).count() == 0
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Property: the fraction of matching MinHash components is an
+    unbiased estimator of Jaccard similarity — with k=96 hashes the
+    estimate must sit within ~4 standard errors of the exact value."""
+    from team_aragon_spark.operators.text_dedup import (
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    docs = [
+        (0, " ".join(words)),               # base
+        (1, " ".join(words[:40] + ["x"])),  # high overlap
+        (2, " ".join(words[30:] + ["y", "z"])),  # partial overlap
+        (3, "completely different tokens only here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(df).collect()}
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.0).collect()
+    }
+    import itertools
+
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / len(sigs[a])
+        j = exact.get((a, b), exact.get((b, a), 0.0))
+        se = (j * (1 - j) / len(sigs[a])) ** 0.5
+        assert abs(est - j) <= max(4 * se, 0.06), (a, b, est, j)
