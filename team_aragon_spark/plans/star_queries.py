@@ -1197,6 +1197,101 @@ def q51_sentence_explode_udtf(spark, sf_dir):
     )
 
 
+@register(
+    "q52_status_priority_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+              grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    ops=("ext-cube",),
+    doc="CUBE: all four grouping-set combinations in one shuffle, with "
+    "grouping() disambiguating real NULLs from subtotal rows.",
+)
+def q52_status_priority_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
+    )
+
+
+@register(
+    "q53_big_spenders_having",
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n_orders
+       FROM orders GROUP BY o_custkey
+       HAVING sum(o_totalprice) > 1000000 AND count(*) >= 5""",
+    ops=("ext-having",),
+    doc="Post-aggregation filter (HAVING): Catalyst plans it as a "
+    "Filter above the final HashAggregate — no second shuffle.",
+)
+def q53_big_spenders_having(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter((F.col("spend") > 1_000_000) & (F.col("n_orders") >= 5))
+    )
+
+
+@register(
+    "q54_conditional_agg_returns",
+    """SELECT l_linestatus,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+              round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+                AS returned_value,
+              count(*) AS n
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    ops=("ext-conditional-agg",),
+    doc="Conditional aggregation (CASE inside SUM): multiple filtered "
+    "metrics in ONE scan+shuffle instead of one job per predicate.",
+)
+def q54_conditional_agg_returns(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(returned, 1).otherwise(0)).alias("n_returned"),
+            F.round(F.sum(F.when(returned, F.col("l_extendedprice")).otherwise(0.0)), 2).alias(
+                "returned_value"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q55_union_all_activity",
+    """SELECT user_id, ts, 'purchase' AS kind, value FROM events WHERE event_type = 'purchase'
+       UNION ALL
+       SELECT user_id, ts, 'refund' AS kind, -value AS value FROM events
+       WHERE event_type = 'error' AND value > 90""",
+    ops=("ext-union-all",),
+    doc="UNION ALL of two filtered projections — no shuffle at all "
+    "(both branches stay narrow; dedup-free concatenation).",
+)
+def q55_union_all_activity(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit("purchase").alias("kind"), "value"
+    )
+    refunds = ev.filter((F.col("event_type") == "error") & (F.col("value") > 90)).select(
+        "user_id", "ts", F.lit("refund").alias("kind"), (-F.col("value")).alias("value")
+    )
+    return purchases.unionAll(refunds)
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint
