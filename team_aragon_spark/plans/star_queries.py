@@ -1292,6 +1292,117 @@ def q55_union_all_activity(spark, sf_dir):
     return purchases.unionAll(refunds)
 
 
+@register(
+    "q56_customer_order_counts_left",
+    """SELECT c.c_custkey, c.c_name,
+              CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+              round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey, c.c_name""",
+    ops=("ext-left-join",),
+    doc="LEFT OUTER join + aggregate: customers with zero orders "
+    "survive with n_orders = 0 (count over the null-extended side) — "
+    "the outer-join family the reference never needed but an engine "
+    "user will.",
+)
+def q56_customer_order_counts_left(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "q57_click_purchase_full_outer",
+    """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+                  WHERE event_type = 'click' GROUP BY user_id),
+          p AS (SELECT user_id, count(*) AS n_purchases FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT coalesce(c.user_id, p.user_id) AS user_id,
+              CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+              CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases
+       FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""",
+    ops=("ext-full-outer-join",),
+    doc="FULL OUTER join of two aggregated sides — users appearing on "
+    "either side survive with zero-filled counts.",
+)
+def q57_click_purchase_full_outer(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        c.join(p, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+@register(
+    "q58_running_user_value",
+    """SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_value
+       FROM events WHERE event_type = 'purchase'""",
+    ops=("ext-window-running",),
+    doc="Running total per key (unbounded-preceding frame): one "
+    "shuffle on user_id, single ordered pass per partition — the "
+    "cumulative-metric window frame.",
+)
+def q58_running_user_value(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+@register(
+    "q59_moving_avg_value",
+    """SELECT user_id, event_id,
+              round(avg(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                AS moving_avg
+       FROM events WHERE event_type = 'purchase'""",
+    ops=("ext-window-moving",),
+    doc="Bounded sliding frame (2 preceding + current): constant state "
+    "per partition regardless of history length.",
+)
+def q59_moving_avg_value(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
+    )
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint

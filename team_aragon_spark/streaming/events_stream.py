@@ -121,6 +121,21 @@ def clicks_after_errors_stream(
     ).select(F.col("e_user").alias("user_id"), "error_id", "click_id", "click_ts")
 
 
+def deduped_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup on event_id.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+    only until the watermark passes the key's event time — bounded
+    state, unlike plain dropDuplicates on a stream (which retains
+    every key forever).  The streaming twin of the batch first-wins
+    dedup (operators/dedup.py): at-least-once sources (Kafka replays,
+    file redelivery) become exactly-once downstream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
     """Drain all available input through the streaming query into an
     in-memory sink and return the result as a batch DataFrame

@@ -130,3 +130,22 @@ def test_stream_stream_join_matches_batch_range_join(spark, events_dir, tmp_path
     }
     assert got == expect
     assert len(expect) > 0
+
+
+def test_streaming_dedup_removes_redelivered_events(spark, tmp_path_factory):
+    """A source directory containing every event TWICE (simulated
+    redelivery) must dedup to exactly the distinct event ids."""
+    src = tmp_path_factory.mktemp("dup_src")
+    base = read_table(spark, "events", SF_SMOKE).coalesce(1)
+    base.write.mode("append").parquet(str(src))
+    base.write.mode("append").parquet(str(src))  # redelivery
+    n_distinct = base.select("event_id").distinct().count()
+
+    stream = es.read_events_stream(spark, str(src))
+    result = es.run_to_completion(
+        es.deduped_events_stream(stream),
+        "dedup_out",
+        str(tmp_path_factory.mktemp("ckpt6")),
+    )
+    assert result.count() == n_distinct
+    assert result.select("event_id").distinct().count() == n_distinct
