@@ -1403,6 +1403,41 @@ def q59_moving_avg_value(spark, sf_dir):
     )
 
 
+@register(
+    "q60_order_scalar_features",
+    """SELECT o_orderkey,
+              CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+              CAST(date_part('month', o_orderdate) AS INTEGER) AS mth,
+              CAST(date_part('day', o_orderdate) AS INTEGER) AS dom,
+              upper(substr(o_orderpriority, 1, 1)) || '-' || o_orderstatus AS tag,
+              CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+              round(o_totalprice / 1000.0, 3) AS price_k,
+              CAST(abs(o_orderkey % 10) AS BIGINT) AS bucket
+       FROM orders WHERE date_part('year', o_orderdate) = 1997""",
+    ops=("ext-scalar-functions",),
+    doc="Scalar-function cocktail (date extraction, string slice/case/"
+    "concat, arithmetic, modulo) — the §2.G families the reference "
+    "lacked, all JVM-side inside one whole-stage-codegen projection; "
+    "the year predicate still pushes into the scan as a ts range.",
+)
+def q60_order_scalar_features(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.concat(
+            F.upper(F.substring("o_orderpriority", 1, 1)),
+            F.lit("-"),
+            F.col("o_orderstatus"),
+        ).alias("tag"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        F.abs(F.col("o_orderkey") % 10).alias("bucket"),
+    )
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint
