@@ -281,9 +281,13 @@ def srp_neardup_pairs(
         den = np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
         return pd.Series(num / den)
 
+    # The vector table is dimension-sized relative to the candidate
+    # pairs — broadcast it so neither verify join shuffles the pair
+    # set.  (At corpus scales beyond broadcast range, drop the hint
+    # and AQE picks shuffle-hash on the pair ids.)
     return (
-        cands.join(emb_a, on="a")
-        .join(emb_b, on="b")
+        cands.join(F.broadcast(emb_a), on="a")
+        .join(F.broadcast(emb_b), on="b")
         .withColumn("cosine", F.round(_cos("__ea", "__eb"), round_digits))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("a", "b", "cosine")

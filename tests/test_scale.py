@@ -125,3 +125,36 @@ def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The as-of join plan must contain exactly ONE hash-partition
+    Exchange (on the join key) and no nested-loop/cartesian node."""
+    from datetime import datetime
+
+    from team_aragon_spark.operators.asof import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, "p")], ["k", "ts", "pid"])
+    right = spark.createDataFrame([(1, t, 1.0)], ["k", "rts", "rv"])
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", value_cols=["rv"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    """The bucketed range join must plan as an equi-join — never
+    BroadcastNestedLoopJoin/CartesianProduct (the naive theta-join
+    physical fallback)."""
+    from datetime import datetime
+
+    from team_aragon_spark.operators.range_join import interval_join
+
+    t = datetime(2024, 1, 1)
+    points = spark.createDataFrame([(1, t, "p")], ["k", "pts", "pid"])
+    intervals = spark.createDataFrame([(1, t, t, "i")], ["k", "istart", "iend", "iid"])
+    out = interval_join(points, intervals, "pts", "istart", "iend", equi_keys=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
