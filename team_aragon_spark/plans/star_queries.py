@@ -862,7 +862,11 @@ SELECT a, b, cosine FROM pairs WHERE cosine >= 0.95""",
     ops=("ext-dedup-embedding",),
     doc="Embedding-cosine near-dup pairs (semantic dedup): all-pairs at "
     "test scale; the 100 TB path reuses the IVF cell assignment as the "
-    "blocking key (pairs only form within a cell).",
+    "blocking key (pairs only form within a cell).  NB: the testdata "
+    "embeddings are uniform-random (max pairwise cosine ~0.6), so this "
+    "query returns 0 rows at test SFs and the oracle match is trivial; "
+    "the threshold semantics are proven on planted near-dups in "
+    "tests/test_operators.py (test_srp_lsh_finds_planted_neardups).",
 )
 def q37_embedding_neardup_pairs(spark, sf_dir):
     from team_aragon_spark.session import ensure_parallelism
@@ -1435,6 +1439,51 @@ def q60_order_scalar_features(spark, sf_dir):
         F.length("o_orderpriority").alias("prio_len"),
         F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
         F.abs(F.col("o_orderkey") % 10).alias("bucket"),
+    )
+
+
+@register(
+    "q61_json_struct_parse",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
+              count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events
+       WHERE json_extract_string(props, '$.k') IS NOT NULL
+       GROUP BY k_bucket""",
+    ops=("ext-json-struct",),
+    doc="Bulk JSON parsing with a declared schema (from_json → typed "
+    "struct, ONE parse per row) feeding an aggregation — the idiomatic "
+    "path vs per-field get_json_object (q28), which re-parses the "
+    "document per extracted field.",
+)
+def q61_json_struct_parse(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.withColumn("__p", F.from_json("props", schema))
+    return (
+        parsed.filter(F.col("__p.k").isNotNull())
+        .groupBy((F.col("__p.k") % 7).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "q62_user_event_type_sets",
+    """SELECT user_id,
+              list_sort(list(DISTINCT event_type)) AS event_types,
+              count(DISTINCT event_type) AS n_types
+       FROM events GROUP BY user_id""",
+    ops=("ext-array-agg",),
+    doc="Array-valued aggregation: the distinct set of event types per "
+    "user as a sorted array (collect_set + sort_array for a "
+    "deterministic, oracle-comparable nested result).",
+)
+def q62_user_event_type_sets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
     )
 
 
