@@ -47,9 +47,12 @@ def rolling_hash_fingerprints(col: str, window: int = 8, keep_every: int = 16) -
     classic MOSS/winnowing trick, computed as one array expression).
     """
     tok = rf"split(trim({col}), '\\s+')"
+    # if-guard: texts shorter than the window yield an empty gram set
+    # (sequence(1, 0) is descending [1, 0] in Spark; slice at 0 throws).
     grams = (
-        f"transform(sequence(1, greatest(size({tok}) - {window - 1}, 0)), "
-        f"i -> xxhash64(concat_ws(' ', slice({tok}, i, {window}))))"
+        f"if(size({tok}) < {window}, array(), "
+        f"transform(sequence(1, size({tok}) - {window - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice({tok}, i, {window})))))"
     )
     return F.expr(f"array_sort(array_distinct(filter({grams}, h -> pmod(h, {keep_every}) = 0)))")
 

@@ -49,11 +49,17 @@ MERSENNE31 = 2_147_483_647
 
 
 def shingle_expr(text_col: str, n: int = 3) -> str:
-    """Word n-gram (shingle) array, distinct, as a SQL expression."""
+    """Word n-gram (shingle) array, distinct, as a SQL expression.
+
+    Texts with fewer than ``n`` tokens yield an EMPTY array — the
+    ``if`` guard matters because ``sequence(1, 0)`` is DESCENDING
+    ``[1, 0]`` in Spark, and ``slice(..., 0, n)`` throws.
+    """
     tok = rf"split(trim({text_col}), '\\s+')"
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({tok}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({tok}, i, {n}))))"
+        f"if(size({tok}) < {n}, array(), "
+        f"array_distinct(transform(sequence(1, size({tok}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({tok}, i, {n})))))"
     )
 
 
@@ -151,7 +157,8 @@ def jaccard_pairs(
     else:
         pairs = left.join(right, F.col("a") < F.col("b"))
     jac = F.expr(
-        "CAST(size(array_intersect(__sha, __shb)) AS DOUBLE) / CAST(size(array_union(__sha, __shb)) AS DOUBLE)"
+        "try_divide(CAST(size(array_intersect(__sha, __shb)) AS DOUBLE), "
+        "CAST(size(array_union(__sha, __shb)) AS DOUBLE))"  # NULL (not 0/0 error) for two empty shingle sets
     )
     return (
         pairs.withColumn("jaccard", F.round(jac, round_digits))
@@ -191,7 +198,8 @@ def minhash_neardup_pairs(
     right = sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
     pairs = cands.join(left, on="a").join(right, on="b")
     jac = F.expr(
-        "CAST(size(array_intersect(__sha, __shb)) AS DOUBLE) / CAST(size(array_union(__sha, __shb)) AS DOUBLE)"
+        "try_divide(CAST(size(array_intersect(__sha, __shb)) AS DOUBLE), "
+        "CAST(size(array_union(__sha, __shb)) AS DOUBLE))"  # NULL (not 0/0 error) for two empty shingle sets
     )
     return (
         pairs.withColumn("jaccard", F.round(jac, 6))

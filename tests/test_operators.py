@@ -356,3 +356,26 @@ def test_multimodal_resize_and_features_pipeline(spark):
     for r in feats:
         assert len(r.features) == 8
         assert abs(sum(r.features) - 1.0) < 1e-9  # L1-normalized
+
+
+def test_shingles_and_fingerprints_total_on_short_texts(spark):
+    """Texts shorter than the shingle/window size must yield empty
+    arrays, not crash (sequence(1,0) is descending in Spark)."""
+    from pyspark.sql import functions as F2
+
+    from team_aragon_spark.functions import rolling_hash_fingerprints
+    from team_aragon_spark.operators.text_dedup import (
+        minhash_neardup_pairs,
+        shingle_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, ""), (4, "  "), (5, "w1 w2 w3 w4")],
+        ["doc_id", "text"],
+    )
+    sh = {r.doc_id: r.s for r in df.select("doc_id", F2.expr(shingle_expr("text", 3)).alias("s")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == [] and sh[4] == []
+    assert len(sh[5]) == 2
+    fp = df.select(rolling_hash_fingerprints("text").alias("f")).collect()
+    assert all(isinstance(r.f, list) for r in fp)
+    assert minhash_neardup_pairs(df).count() == 0  # no crash, no bogus pairs
