@@ -34,8 +34,10 @@ def bpe_ish_token_count(col: str) -> Column:
 
 def ratio_of_sums(num: Column, den: Column, digits: int = 6) -> Column:
     """SUM(expr)/SUM(expr) with NULL-propagating terms (A5 semantics:
-    a row with a NULL term drops out of that SUM, exactly as in SQL)."""
-    return F.round(F.sum(num) / F.sum(den), digits)
+    a row with a NULL term drops out of that SUM, exactly as in SQL).
+    try_divide: a zero/NULL denominator group yields NULL, matching
+    ANSI SQL, instead of raising under Spark 4's ANSI mode."""
+    return F.round(F.try_divide(F.sum(num), F.sum(den)), digits)
 
 
 def rolling_hash_fingerprints(col: str, window: int = 8, keep_every: int = 16) -> Column:

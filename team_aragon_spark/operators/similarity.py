@@ -48,7 +48,9 @@ def _norm_expr(col: str) -> str:
 
 
 def cosine_expr(a: str, b: str) -> str:
-    return f"({_DOT.format(a=a, b=b)} / ({_norm_expr(a)} * {_norm_expr(b)}))"
+    # try_divide: a zero-norm vector yields NULL cosine (row drops out
+    # of any >= threshold filter) instead of an ANSI 0/0 error.
+    return f"try_divide({_DOT.format(a=a, b=b)}, ({_norm_expr(a)} * {_norm_expr(b)}))"
 
 
 def cosine_topk_bruteforce(

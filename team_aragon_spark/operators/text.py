@@ -73,12 +73,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     stop = stopword_hits_expr(text_col, EN_STOPWORDS)
+    # try_divide throughout: n_chars is 0 for empty text, and ANSI mode
+    # (Spark 4 default) raises on 0/0 where DuckDB yields NULL —
+    # try_divide matches the oracle's NULL exactly.
     df = (
         df.withColumn("n_tokens", n_tok)
         .withColumn("n_chars_m", n_chars)
-        .withColumn("avg_token_len", F.round((n_chars - n_tok + 1) / n_tok, 4))
-        .withColumn("punct_ratio", F.round(punct / n_chars, 6))
-        .withColumn("stopword_ratio", F.round(stop / n_tok, 6))
+        .withColumn("avg_token_len", F.round(F.try_divide(n_chars - n_tok + 1, n_tok), 4))
+        .withColumn("punct_ratio", F.round(F.try_divide(punct, n_chars), 6))
+        .withColumn("stopword_ratio", F.round(F.try_divide(stop, n_tok), 6))
     )
     score = (
         F.when(F.col("n_tokens") < 5, 0.0)

@@ -74,7 +74,7 @@ def fraction_beds_in_use_by_rating(spark: SparkSession, store: ParquetStore, wee
     return (
         beds.join(F.broadcast(quality), beds.hospital_fk == quality.facility_id)
         .groupBy("hospital_overall_rating")
-        .agg(F.round(F.sum(used) / F.sum(avail), 6).alias("fraction_of_beds_in_use"))
+        .agg(F.round(F.try_divide(F.sum(used), F.sum(avail)), 6).alias("fraction_of_beds_in_use"))
         .orderBy("hospital_overall_rating")
     )
 
@@ -124,7 +124,7 @@ def beds_in_use_by_ownership(spark: SparkSession, store: ParquetStore, ownership
     return (
         beds.join(F.broadcast(quality), beds.hospital_fk == quality.facility_id)
         .groupBy("hospital_ownership", "collection_week")
-        .agg(F.round(F.sum(used) / F.sum(avail), 6).alias("fraction_in_use"))
+        .agg(F.round(F.try_divide(F.sum(used), F.sum(avail)), 6).alias("fraction_in_use"))
         .orderBy("hospital_ownership", "collection_week")
     )
 

@@ -178,7 +178,7 @@ def q05_revenue_ratio_by_segment(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(net) / F.sum("l_extendedprice"), 6).alias("revenue_ratio"),
+            F.round(F.try_divide(F.sum(net), F.sum("l_extendedprice")), 6).alias("revenue_ratio"),
             F.round(F.sum(net), 2).alias("net_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -255,7 +255,7 @@ def q08_priority_month_ratio(spark, sf_dir):
         li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
-            F.round(F.sum(net) / F.sum("l_extendedprice"), 6).alias("net_ratio"),
+            F.round(F.try_divide(F.sum(net), F.sum("l_extendedprice")), 6).alias("net_ratio"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("o_orderpriority", "month")

@@ -379,3 +379,33 @@ def test_shingles_and_fingerprints_total_on_short_texts(spark):
     fp = df.select(rolling_hash_fingerprints("text").alias("f")).collect()
     assert all(isinstance(r.f, list) for r in fp)
     assert minhash_neardup_pairs(df).count() == 0  # no crash, no bogus pairs
+
+
+def test_ratio_and_cosine_total_on_degenerate_inputs(spark):
+    """Zero denominators (empty text, zero-norm vectors, all-zero sum
+    groups) must yield NULL, not an ANSI division error."""
+    from pyspark.sql import functions as F2
+
+    from team_aragon_spark.functions import ratio_of_sums
+    from team_aragon_spark.operators.similarity import cosine_expr
+    from team_aragon_spark.operators.text import quality_features
+
+    qf = quality_features(
+        spark.createDataFrame([(1, ""), (2, "the cat sat on a mat")], ["doc_id", "text"])
+    ).collect()
+    empty = next(r for r in qf if r.doc_id == 1)
+    assert empty.punct_ratio is None and empty.quality_score == 0.0
+
+    ratios = (
+        spark.createDataFrame([("g", 1.0, 0.0), ("g", 2.0, 0.0)], ["g", "n", "d"])
+        .groupBy("g")
+        .agg(ratio_of_sums(F2.col("n"), F2.col("d")).alias("r"))
+        .collect()
+    )
+    assert ratios[0].r is None
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0])], ["id", "za", "zb"]
+    )
+    got = vecs.select(F2.expr(cosine_expr("za", "zb")).alias("c")).collect()
+    assert got[0].c is None
