@@ -94,6 +94,8 @@ def train_centroids(corpus: DataFrame, n_cells: int, vec_col: str = "embedding",
     import numpy as np
 
     rows = corpus.select(vec_col).limit(sample).collect()
+    if not rows:
+        return []
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(42)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
@@ -142,6 +144,10 @@ def ivf_topk(
     candidate volume by ~``n_cells / nprobe``.
     """
     centroids = train_centroids(corpus, n_cells, vec_col)
+    if not centroids:  # empty corpus: empty result, correct schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     c = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")), centroids, "__cv"
     )

@@ -156,3 +156,12 @@ def test_minhash_signature_estimates_jaccard(spark):
         j = exact.get((a, b), exact.get((b, a), 0.0))
         se = (j * (1 - j) / len(sigs[a])) ** 0.5
         assert abs(est - j) <= max(4 * se, 0.06), (a, b, est, j)
+
+
+def test_ivf_total_on_empty_corpus(spark):
+    from team_aragon_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = ivf_topk(empty, empty, k=3, n_cells=4)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
