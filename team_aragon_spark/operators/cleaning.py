@@ -58,13 +58,18 @@ def cast_columns(df: DataFrame, types: Mapping[str, str]) -> DataFrame:
     silently left 95/127 columns untyped) and pandas
     ``to_numeric(errors='coerce')`` (``Reporting.py:256``, P10) with
     one deliberate behavior: declared type, NULL on error.
+    ``try_cast``, not ``cast``: Spark 4's default ANSI mode makes a
+    plain cast RAISE on malformed input, which would abort a whole
+    load batch on one bad cell.
     """
-    return df.withColumns({c: F.col(c).cast(t) for c, t in types.items()})
+    return df.withColumns({c: F.col(c).try_cast(t) for c, t in types.items()})
 
 
 def parse_dates(df: DataFrame, cols: Iterable[str], fmt: str = "yyyy-MM-dd") -> DataFrame:
-    """String → DateType.  Reference: ``load_hhs.py:53`` (P11)."""
-    return df.withColumns({c: F.to_date(F.col(c), fmt) for c in cols})
+    """String → DateType, NULL on unparseable input (try_to_date; a
+    plain to_date raises under ANSI mode).  Reference:
+    ``load_hhs.py:53`` (P11)."""
+    return df.withColumns({c: F.try_to_date(F.col(c), fmt) for c in cols})
 
 
 def add_literal_column(df: DataFrame, name: str, value, dtype: str | None = None) -> DataFrame:

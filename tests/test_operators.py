@@ -409,3 +409,17 @@ def test_ratio_and_cosine_total_on_degenerate_inputs(spark):
     )
     got = vecs.select(F2.expr(cosine_expr("za", "zb")).alias("c")).collect()
     assert got[0].c is None
+
+
+def test_casts_coerce_malformed_to_null_under_ansi(spark):
+    """P8/P10/P11 semantics: malformed numerics/dates become NULL —
+    a plain cast would raise under Spark 4's default ANSI mode and
+    abort the whole load batch on one bad cell."""
+    from team_aragon_spark.operators.cleaning import cast_columns, parse_dates
+
+    df = spark.createDataFrame(
+        [("abc", "not-a-date"), ("1.5", "2022-01-02")], ["x", "d"]
+    )
+    out = {r.x: r.d for r in parse_dates(cast_columns(df, {"x": "double"}), ["d"]).collect()}
+    assert out[None] is None  # "abc" -> NULL, "not-a-date" -> NULL
+    assert out[1.5] is not None
