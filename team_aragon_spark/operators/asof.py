@@ -48,18 +48,29 @@ def asof_join(
 
     ``tiebreak`` orders right rows sharing (key, ts) deterministically
     (last in tiebreak order wins), since Spark has no row order.
-    """
-    carried = [f"__asof_{c}" for c in value_cols]
 
-    l_tag = left.withColumn(_SIDE, F.lit(1)).withColumn("__asof_ts", F.col(left_ts))
-    for c, cc in zip(value_cols, carried):
-        l_tag = l_tag.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+    All ``value_cols`` travel as ONE struct with a single
+    ``last(ignorenulls)`` — so the output always reflects exactly the
+    latest eligible right ROW: a NULL value in that row stays NULL
+    (it is not papered over by an older non-null), and multiple value
+    columns can never mix values from different right rows.
+    """
+    from pyspark.sql import types as T
+
+    payload_t = T.StructType([right.schema[c] for c in value_cols])
+    payload = "__asof_payload"
+
+    l_tag = (
+        left.withColumn(_SIDE, F.lit(1))
+        .withColumn("__asof_ts", F.col(left_ts))
+        .withColumn(payload, F.lit(None).cast(payload_t))
+    )
 
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(payload),
         *([F.col(tiebreak).alias("__asof_tb")] if tiebreak else []),
     )
     l_cols = left.columns
@@ -67,7 +78,7 @@ def asof_join(
         *on,
         "__asof_ts",
         _SIDE,
-        *carried,
+        payload,
         *([F.lit(None).cast(right.schema[tiebreak].dataType).alias("__asof_tb")] if tiebreak else []),
         *[F.col(c) for c in l_cols if c not in on],
     )
@@ -81,12 +92,11 @@ def asof_join(
     )
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     unioned = l_tag.unionByName(r_full.select(*l_tag.columns))
-    for cc in carried:
-        unioned = unioned.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+    unioned = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
 
     out = unioned.filter(F.col(_SIDE) == 1)
     return out.select(
         *on,
         *[F.col(c) for c in l_cols if c not in on],
-        *[F.col(cc).alias(c) for c, cc in zip(value_cols, carried)],
+        *[F.col(f"{payload}.{c}").alias(c) for c in value_cols],
     )

@@ -85,46 +85,64 @@ def cosine_topk_bruteforce(
 
 
 def train_centroids(corpus: DataFrame, n_cells: int, vec_col: str = "embedding", sample: int = 2048, iters: int = 5):
-    """Driver-side k-means on a bounded sample → list of centroid lists.
+    """Driver-side SPHERICAL k-means on a bounded sample → unit centroids.
+
+    The downstream metric is cosine, so clustering happens on the unit
+    sphere: sample vectors are L2-normalized, assignment is argmax dot
+    product, and each centroid is re-normalized after the mean step —
+    plain Euclidean k-means on raw vectors mis-bins long/short vectors
+    that point the same way, which costs IVF recall.
 
     The sample is capped (default 2048 vectors) so driver memory is
     constant regardless of corpus size; at 100 TB you train on an
     equivalent sample, never the full data.
+
+    Sampling is by xxhash64 order, not ``limit()``: a bare limit takes
+    whole partitions in order, a badly biased sample on sorted or
+    clustered inputs.  Ordering by the vector's hash gives a
+    deterministic pseudo-random draw, and ``orderBy().limit(k)`` plans
+    as TakeOrderedAndProject — a per-partition k-heap, not a full sort.
     """
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample).collect()
+    rows = corpus.select(vec_col).orderBy(F.xxhash64(vec_col)).limit(sample).collect()
     if not rows:
         return []
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0.0, 1.0, norms)
     rng = np.random.RandomState(42)
-    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        assign = (x @ cent.T).argmax(1)
         for j in range(len(cent)):
             pts = x[assign == j]
             if len(pts):
-                cent[j] = pts.mean(0)
+                m = pts.mean(0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
     return [c.tolist() for c in cent]
 
 
 def assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
-    """Nearest-centroid assignment as a pure column expression.
+    """Nearest-centroid (max-cosine) assignment as a pure expression.
 
+    Centroids are unit vectors, so per row the argmax DOT PRODUCT is
+    the argmax cosine (the row's own norm is a constant factor).
     Centroids ship inside the plan as an array literal (they are tiny);
-    the argmin is a JVM-side loop over ``n_cells`` dot products — no
+    the argmax is a JVM-side loop over ``n_cells`` dot products — no
     shuffle, no UDF.
     """
     cent_lit = (
         "array(" + ", ".join("array(" + ", ".join(repr(v) for v in c) + ")" for c in centroids) + ")"
     )
-    dist = (
+    dot = (
         f"transform({cent_lit}, c -> aggregate(zip_with(c, {vec_col}, "
-        "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
+        "(x, y) -> x * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
     )
-    return df.withColumn("__d", F.expr(dist)).withColumn(
-        out_col, F.expr("array_position(__d, array_min(__d)) - 1").cast("int")
+    return df.withColumn("__d", F.expr(dot)).withColumn(
+        out_col, F.expr("array_position(__d, array_max(__d)) - 1").cast("int")
     ).drop("__d")
 
 
@@ -158,17 +176,19 @@ def ivf_topk(
     cent_lit = (
         "array(" + ", ".join("array(" + ", ".join(repr(v) for v in c0) + ")" for c0 in centroids) + ")"
     )
-    dists = (
+    # nprobe cells with the LARGEST dot product (centroids are unit, so
+    # argmax dot = argmax cosine); negate for ascending array_sort.
+    dots = (
         f"transform({cent_lit}, c -> aggregate(zip_with(c, __qv, "
-        "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
+        "(x, y) -> x * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
     )
     q = (
-        q.withColumn("__dists", F.expr(dists))
+        q.withColumn("__dots", F.expr(dots))
         .withColumn(
             "cell",
             F.explode(
                 F.expr(
-                    f"slice(array_sort(transform(__dists, (d, i) -> struct(d, i))).i, 1, {nprobe})"
+                    f"slice(array_sort(transform(__dots, (d, i) -> struct(-d AS d, i))).i, 1, {nprobe})"
                 )
             ),
         )

@@ -188,10 +188,19 @@ def minhash_neardup_pairs(
     times — measured ~2x on the full pipeline at sf0.1.  The cache is
     shingle arrays only (ids + hashed word grams), far smaller than
     the corpus text; at 100 TB persist() spills to executor disk.
+
+    Docs with EMPTY shingle sets (fewer than ``shingle_n`` tokens) are
+    dropped up front: they can never reach any Jaccard threshold, but
+    if banded they'd all share the identical sentinel signature and
+    collide in EVERY band — degrading candidate generation to O(n²)
+    pairs on corpora with many short/empty docs (a real 100 TB hazard).
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), F.expr(shingle_expr(text_col, shingle_n)).alias("__sh")
-    ).persist()
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.expr(shingle_expr(text_col, shingle_n)).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .persist()
+    )
     sigs = sh.select(F.col(id_col), F.expr(_signature_expr("__sh", n_hashes)).alias("signature"))
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     left = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from team_aragon_spark.operators.dedup import first_wins_dedup, split_new_vs_existing
+from team_aragon_spark.pipeline.obs import logger, timed_load
 from team_aragon_spark.operators.validation import (
     non_negative_rules,
     validation_split,
@@ -40,11 +41,14 @@ from team_aragon_spark.sources.readers import clean_hhs, read_hhs_csv
 
 @dataclass
 class LoadReport:
-    """O1 parity: the counters the reference prints (load_hhs.py:157-161)."""
+    """O1/O2 parity: the counters the reference prints
+    (load_hhs.py:157-161) plus the batch wall-clock seconds
+    (load_hhs.py:65,149-150)."""
 
     table_rows: dict[str, int]
     quarantined_invalid: int
     quarantined_duplicate: dict[str, int]
+    wall_s: float = 0.0
 
 
 HOSPITALS_COLS = ("hospital_pk", "hospital_name")
@@ -62,6 +66,17 @@ BEDS_COLS = ("hospital_pk", "collection_week", *HHS_BED_METRIC_COLS)
 
 def load_hhs_batch(spark: SparkSession, csv_path: str, store: ParquetStore, quarantine_dir: str | None = None) -> LoadReport:
     """Load one weekly HHS file into the 3 HHS-side tables."""
+    with timed_load(f"hhs_load[{csv_path}]") as t:
+        report = _load_hhs_batch(spark, csv_path, store, quarantine_dir)
+    report.wall_s = t["wall_s"]
+    logger.info(
+        "hhs_load[%s]: rows=%s invalid=%d duplicates=%s",
+        csv_path, report.table_rows, report.quarantined_invalid, report.quarantined_duplicate,
+    )
+    return report
+
+
+def _load_hhs_batch(spark: SparkSession, csv_path: str, store: ParquetStore, quarantine_dir: str | None) -> LoadReport:
     cleaned = clean_hhs(read_hhs_csv(spark, csv_path)).persist(StorageLevel.MEMORY_AND_DISK)
 
     rules = non_negative_rules(HHS_BED_METRIC_COLS)
@@ -131,6 +146,9 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit(2)
     csv_path, store_dir = args[0], args[1]
     quarantine = args[2] if len(args) > 2 else None
+    from team_aragon_spark.pipeline.obs import setup_logging
+
+    setup_logging()  # O3 parity: reference scripts log to log_output.txt
     spark = get_spark("hhs-load")
     report = load_hhs_batch(spark, csv_path, ParquetStore(store_dir), quarantine)
     print(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from team_aragon_spark.operators.dedup import first_wins_dedup, split_new_vs_existing
 from team_aragon_spark.operators.validation import write_quarantine
+from team_aragon_spark.pipeline.obs import logger, timed_load
 from team_aragon_spark.pipeline.sinks import ParquetStore
 from team_aragon_spark.sources.readers import clean_cms, read_cms_csv
 
@@ -29,12 +30,25 @@ from team_aragon_spark.sources.readers import clean_cms, read_cms_csv
 class QualityLoadReport:
     inserted: int
     duplicates: int
+    wall_s: float = 0.0  # O2 parity (load timing)
 
 
 def load_quality_batch(
     spark: SparkSession, data_date: str, csv_path: str, store: ParquetStore, quarantine_dir: str | None = None
 ) -> QualityLoadReport:
     """Load one CMS snapshot (keyed by CLI-supplied ``data_date``)."""
+    with timed_load(f"quality_load[{data_date}]") as t:
+        report = _load_quality_batch(spark, data_date, csv_path, store, quarantine_dir)
+    report.wall_s = t["wall_s"]
+    logger.info(
+        "quality_load[%s]: inserted=%d duplicates=%d", data_date, report.inserted, report.duplicates
+    )
+    return report
+
+
+def _load_quality_batch(
+    spark: SparkSession, data_date: str, csv_path: str, store: ParquetStore, quarantine_dir: str | None
+) -> QualityLoadReport:
     batch = clean_cms(read_cms_csv(spark, csv_path), data_date)
     batch = first_wins_dedup(batch, ["facility_id", "data_date"], ["hospital_type"])
 
@@ -70,6 +84,9 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit(2)
     date, csv_path, store_dir = args[0], args[1], args[2]
     quarantine = args[3] if len(args) > 3 else None
+    from team_aragon_spark.pipeline.obs import setup_logging
+
+    setup_logging()  # O3 parity: reference scripts log to log_output.txt
     spark = get_spark("quality-load")
     report = load_quality_batch(spark, date, csv_path, ParquetStore(store_dir), quarantine)
     print(f"inserted: {report.inserted} | duplicates: {report.duplicates}")

@@ -903,15 +903,20 @@ def q38_bpe_ish_token_counts(spark, sf_dir):
     "q39_winnowing_fingerprints",
     None,  # xxhash64-based; overlap behavior tested in pytest.
     ops=("ext-text-winnowing",),
-    doc="Winnowing/rolling-hash fingerprint sets (MOSS-style): 8-token "
+    doc="Winnowing/rolling-hash fingerprints (MOSS-style): 8-token "
     "grams, keep hashes = 0 mod 16 - partial-overlap detection that "
-    "md5/simhash whole-doc fingerprints cannot do.",
+    "md5/simhash whole-doc fingerprints cannot do.  Emitted as scalar "
+    "(doc_id, fingerprint) rows — the relational shape the downstream "
+    "overlap self-join consumes directly (and the shape the driver's "
+    "canonicalizer can hash; raw array columns crashed it in r01).",
 )
 def q39_winnowing_fingerprints(spark, sf_dir):
     from team_aragon_spark.functions import rolling_hash_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", rolling_hash_fingerprints("text").alias("fingerprints"))
+    return docs.select(
+        "doc_id", F.explode(rolling_hash_fingerprints("text")).alias("fingerprint")
+    )
 
 
 @register(
@@ -1237,13 +1242,16 @@ def q52_status_priority_cube(spark, sf_dir):
 )
 def q53_big_spenders_having(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
+    # HAVING compares the RAW aggregate (like the oracle) — filtering on
+    # the rounded alias would diverge for sums in (1e6, 1e6 + 0.005).
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("__spend_raw"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .filter((F.col("spend") > 1_000_000) & (F.col("n_orders") >= 5))
+        .filter((F.col("__spend_raw") > 1_000_000) & (F.col("n_orders") >= 5))
+        .select("o_custkey", F.round("__spend_raw", 2).alias("spend"), "n_orders")
     )
 
 
@@ -1471,18 +1479,19 @@ def q61_json_struct_parse(spark, sf_dir):
 @register(
     "q62_user_event_type_sets",
     """SELECT user_id,
-              list_sort(list(DISTINCT event_type)) AS event_types,
+              array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
               count(DISTINCT event_type) AS n_types
        FROM events GROUP BY user_id""",
     ops=("ext-array-agg",),
     doc="Array-valued aggregation: the distinct set of event types per "
-    "user as a sorted array (collect_set + sort_array for a "
-    "deterministic, oracle-comparable nested result).",
+    "user via collect_set + sort_array, serialized to a ','-joined "
+    "string for a deterministic, canonicalizer-safe scalar result "
+    "(raw array columns crash the driver's value-hash canon).",
 )
 def q62_user_event_type_sets(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
