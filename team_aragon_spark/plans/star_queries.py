@@ -1496,6 +1496,90 @@ def q62_user_event_type_sets(spark, sf_dir):
     )
 
 
+_MD5_MINHASH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+  FROM t)
+SELECT doc_id, perm,
+       list_min(list_transform(sh, s -> md5(CAST(perm AS VARCHAR) || ':' || s))) AS minhash
+FROM d, range(8) r(perm)"""
+
+
+@register(
+    "q63_md5_minhash_signatures",
+    _MD5_MINHASH_SQL,
+    ops=("ext-dedup-minhash-oracle",),
+    doc="PORTABLE MinHash: per (doc, permutation) the lexicographic min "
+    "of md5(perm || ':' || shingle) — the same estimator family as q24 "
+    "but built from engine-portable md5 instead of xxhash64, so the "
+    "signature values themselves hash-match a DuckDB oracle (q24's "
+    "verification is recall-vs-exact in pytest; this pins the actual "
+    "min-over-permuted-hash computation).  Scalar rows (doc_id, perm, "
+    "minhash); empty-shingle docs carry a NULL minhash.  Same 100 TB "
+    "posture as q24: one projection, linear, no shuffle.",
+)
+def q63_md5_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(text_dedup.shingle_expr("text", 3)).alias("__sh"))
+        .select("doc_id", F.explode(F.expr("sequence(0L, 7L)")).alias("perm"), "__sh")
+        .select(
+            "doc_id",
+            "perm",
+            F.expr(
+                "array_min(transform(__sh, s -> md5(concat(cast(perm AS string), ':', s))))"
+            ).alias("minhash"),
+        )
+    )
+
+
+_CC_ORACLE_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+sym AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+cc AS (
+  SELECT src AS node, src AS comp FROM sym
+  UNION
+  SELECT s.dst, cc.comp FROM cc JOIN sym s ON s.src = cc.node)
+SELECT node, min(comp) AS component FROM cc GROUP BY node"""
+
+
+@register(
+    "q64_neardup_cluster_labels",
+    _CC_ORACLE_SQL,
+    ops=("ext-dedup-clustering-oracle",),
+    doc="Connected components with a HASH-MATCHED oracle: the exact "
+    "same iterative min-label operator as q50 (operators/graph.py), "
+    "but over the deterministic exact-Jaccard pair relation (q23) so "
+    "a DuckDB recursive CTE can reproduce every (node, component) "
+    "label.  q50's xxhash64-LSH edge set stays rows-only by nature; "
+    "this pins the transitive-closure machinery itself.",
+)
+def q64_neardup_cluster_labels(spark, sf_dir):
+    from team_aragon_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text_dedup.jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    return connected_components(pairs)
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint
