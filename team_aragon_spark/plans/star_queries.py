@@ -1580,6 +1580,38 @@ def q64_neardup_cluster_labels(spark, sf_dir):
     return connected_components(pairs)
 
 
+@register(
+    "q65_partitioned_month_revenue",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_mon, c_mktsegment,
+              round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+       GROUP BY o_mon, c_mktsegment""",
+    ops=("F4", "J1", "A2", "ext-partition-pruning"),
+    doc="Partition-pruned star aggregation: the orders fact staged "
+    "hive-partitioned by month (sources/partitioned.py), so the month "
+    "equality prunes at PLANNING time — non-matching months are never "
+    "opened (PartitionFilters in the scan; asserted in tests/"
+    "test_scale.py::test_partitioned_orders_month_pruning).  The "
+    "layout the F2-F4 date filters rely on at 100 TB, proven on the "
+    "star schema end-to-end (the hospital store proves it for the "
+    "reference schema).",
+)
+def q65_partitioned_month_revenue(spark, sf_dir):
+    from team_aragon_spark.sources.partitioned import staged_orders_by_month
+
+    orders = staged_orders_by_month(spark, sf_dir).filter(F.col("o_mon") == "1995-03")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_mon", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint

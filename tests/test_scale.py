@@ -158,3 +158,24 @@ def test_interval_join_no_nested_loop_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_partitioned_orders_month_pruning(spark):
+    """q65's staged star fact must prune months at planning time: the
+    o_mon equality appears in PartitionFilters (metadata skip, zero
+    non-matching files opened) and never in the data filters."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+    from team_aragon_spark.sources.partitioned import staged_orders_by_month
+
+    sf = "/root/testdata/sf0.001"
+    got = staged_orders_by_month(spark, sf).filter(F.col("o_mon") == "1995-03")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "o_mon" in m.group(1), plan
+
+    # and the full q65 star aggregation still returns real rows
+    df = QUERY_REGISTRY["q65_partitioned_month_revenue"].fn(spark, sf)
+    rows = df.collect()
+    assert rows and all(r.o_mon == "1995-03" for r in rows)
