@@ -1,0 +1,152 @@
+"""Corpus-statistics operators for LLM training-data pipelines.
+
+TF-IDF term scoring, vocabulary building, fixed-size token chunking,
+and PII redaction — the text-side staples between raw crawl and
+tokenizer that the reference (a hospital-reporting ETL) has no
+analogue for (north-star extensions; SURVEY.md §2 ext family).
+
+All JVM-side expression/aggregation pipelines — no Python in any hot
+path — and every operator here is deterministic, so each has a
+DuckDB-oracle-checked query in plans/star_queries.py (q66-q69).
+
+Scale posture (100 TB corpus):
+- ``term_frequencies`` / ``vocab_top_terms``: explode-then-aggregate
+  with map-side partial aggregation; the shuffle carries (term, count)
+  partials, never raw token streams.  Top-k is TakeOrderedAndProject
+  (per-partition heaps), not a global sort.
+- ``tfidf_top_terms``: document frequencies are vocabulary-sized —
+  broadcast to the term-frequency side, so the only big shuffle is
+  the tf aggregation itself.  Skewed head terms (stopwords) are
+  bounded by the per-(doc, term) pre-aggregation.
+- ``token_chunks``: pure per-row array expression, linear, no shuffle.
+- ``redact_pii``: per-row regexp_replace chain, linear, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKENIZE = r"split(trim({col}), '\\s+')"
+
+# RE2-compatible (works in both Spark and DuckDB — no lookbehind):
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}"
+SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def _tok(text_col: str) -> str:
+    return TOKENIZE.format(col=text_col)
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, term, tf): whitespace-token counts per document."""
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed tf-idf.
+
+    idf = ln((N + 1) / (df + 1)) + 1 (sklearn-style smoothing: never
+    zero, never divides by zero).  Ties break by term ascending so the
+    result is fully deterministic and oracle-hashable.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), on="term").select(
+        id_col, "term", F.round(F.col("tf") * F.col("idf"), round_digits).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, "term", "tfidf", F.col("__rk").cast("long").alias("rank"))
+    )
+
+
+def vocab_top_terms(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Global vocabulary head: top-``k`` terms by corpus count
+    (count desc, term asc — deterministic)."""
+    return (
+        df.select(F.explode(F.expr(_tok(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token windows with overlap — the chunking step that
+    feeds context-window-bounded training/embedding.
+
+    Chunk ``i`` covers tokens ``[1 + i*stride, 1 + i*stride +
+    chunk_tokens)``; the final chunk may be short.  One array
+    expression per row: starts via stepped ``sequence``, chunks via
+    ``slice`` + ``concat_ws`` — linear, no shuffle, no UDF.
+    """
+    tok = _tok(text_col)
+    starts = f"if(size({tok}) = 0, array(), sequence(1, size({tok}), {stride}))"
+    chunks = (
+        f"transform({starts}, s -> struct("
+        f"CAST((s - 1) div {stride} AS BIGINT) AS chunk_idx, "
+        f"concat_ws(' ', slice({tok}, s, {chunk_tokens})) AS chunk_text, "
+        f"size(slice({tok}, s, {chunk_tokens})) AS n_tokens))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(chunks)).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_text", F.col("c.n_tokens").cast("long").alias("n_tokens"))
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted", count_col: str = "n_redactions"
+) -> DataFrame:
+    """Mask email / phone / SSN-shaped spans with typed placeholders
+    and count the replacements.
+
+    Patterns are RE2-compatible so the DuckDB oracle runs the SAME
+    regexes (DuckDB is RE2; no lookbehind anywhere).  The testdata
+    corpus contains no PII — the oracle parity run proves the regex
+    semantics match engine-to-engine; positive behavior is pinned on
+    planted PII in tests/test_operators.py.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), SSN_RE, "<SSN>"),
+            EMAIL_RE,
+            "<EMAIL>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    df = df.withColumn(out_col, redacted)
+    # count placeholders in the FINAL text — replacement order (SSN →
+    # email → phone) means earlier redactions can't be re-counted by a
+    # later overlapping pattern, and the count always equals the number
+    # of substitutions actually made.
+    n = F.size(F.expr(f"regexp_extract_all({out_col}, '<SSN>|<EMAIL>|<PHONE>', 0)"))
+    return df.withColumn(count_col, n.cast("long"))

@@ -204,6 +204,43 @@ def ivf_topk(
     )
 
 
+def ivf_blocked_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF cell — the scale path
+    q37's all-pairs baseline documents (pairs only form WITHIN a cell).
+
+    Spherical-k-means cell assignment (one projection), then a
+    self-equi-join on ``cell``: candidate volume drops from O(n²) to
+    sum of per-cell squares (~n²/n_cells for balanced cells), and the
+    shuffle key is the cell id, not vector pairs.  Near-dup vectors
+    (cosine ≥ ~0.9) sit closer to each other than to any centroid
+    boundary in practice; recall on planted near-dups is pinned in
+    tests/test_operators.py.  Approximate by design (a pair straddling
+    a cell boundary is missed — raise n_cells for precision vs recall).
+    """
+    centroids = train_centroids(corpus, n_cells, vec_col)
+    if not centroids:
+        return corpus.sparkSession.createDataFrame([], "a long, b long, cosine double")
+    cells = assign_cells(
+        ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col))), centroids, vec_col
+    )
+    left = cells.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__ea"), "cell")
+    right = cells.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__eb"), "cell")
+    return (
+        left.join(right, on="cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(F.expr(cosine_expr("__ea", "__eb")), round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 42):
     """Deterministic Gaussian hyperplanes, one set of n_bits per table."""
     import numpy as np

@@ -1612,6 +1612,136 @@ def q65_partitioned_month_revenue(spark, sf_dir):
     )
 
 
+_TFIDF_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term, ln((n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM tf, n GROUP BY term, n_docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (term)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3"""
+
+
+@register(
+    "q66_tfidf_top_terms",
+    _TFIDF_SQL,
+    ops=("ext-text-tfidf",),
+    doc="Per-document top-3 terms by smoothed tf-idf "
+    "(operators/corpus.py): tf via explode+partial-agg, df/idf is "
+    "vocabulary-sized and broadcast back, rank via one window.  The "
+    "only big shuffle is the (doc, term) tf aggregation.",
+)
+def q66_tfidf_top_terms(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+def _pii_sql() -> str:
+    from team_aragon_spark.operators.corpus import EMAIL_RE, PHONE_RE, SSN_RE
+
+    return f"""SELECT doc_id, redacted,
+              CAST(len(regexp_extract_all(redacted, '<SSN>|<EMAIL>|<PHONE>')) AS BIGINT)
+                AS n_redactions
+       FROM (SELECT doc_id,
+                    regexp_replace(regexp_replace(regexp_replace(text,
+                      '{SSN_RE}', '<SSN>', 'g'),
+                      '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+             FROM documents)"""
+
+
+@register(
+    "q67_pii_redaction",
+    _pii_sql(),
+    ops=("ext-text-pii",),
+    doc="PII redaction (emails / phones / SSNs → typed placeholders, "
+    "operators/corpus.py): per-row regexp_replace chain, RE2-safe so "
+    "the DuckDB oracle runs the SAME patterns.  The synthetic corpus "
+    "contains no PII (counts are 0 — the parity run pins regex "
+    "semantics engine-to-engine); positive redaction behavior is "
+    "pinned on planted PII in tests/test_operators.py.",
+)
+def q67_pii_redaction(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    return redact_pii(docs).select("doc_id", "redacted", "n_redactions")
+
+
+_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS s FROM t)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[s : least(s + 63, len(toks))], ' ') AS chunk_text,
+       CAST(least(s + 63, len(toks)) - s + 1 AS BIGINT) AS n_tokens
+FROM c"""
+
+
+@register(
+    "q68_doc_token_chunks",
+    _CHUNKS_SQL,
+    ops=("ext-text-chunking",),
+    doc="Context-window chunking (operators/corpus.py): 64-token "
+    "windows at stride 48 (16-token overlap), one array expression "
+    "per row — linear, no shuffle, the doc→training-sample step of "
+    "an LLM data pipeline.",
+)
+def q68_doc_token_chunks(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import token_chunks
+
+    return token_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q69_vocab_top_terms",
+    r"""SELECT term, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""",
+    ops=("ext-text-vocab",),
+    doc="Vocabulary head: global top-50 terms by corpus count "
+    "(operators/corpus.py) — map-side partial agg on exploded tokens, "
+    "TakeOrderedAndProject top-k (per-partition heaps, no global "
+    "sort); deterministic tiebreak (count desc, term asc).",
+)
+def q69_vocab_top_terms(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import vocab_top_terms
+
+    return vocab_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q70_ivf_blocked_embedding_neardup",
+    None,  # sampled-k-means cell assignment is not SQL-expressible;
+    # planted-pair recall pinned in tests/test_operators.py.
+    ops=("ext-dedup-embedding-ivf",),
+    doc="Embedding near-dup pairs blocked by IVF cell "
+    "(operators/similarity.py) — the scale path q37's O(n²) baseline "
+    "documents: pairs only form within a cell, candidate volume "
+    "~n²/n_cells, shuffle key is the cell id.  0 rows on the "
+    "uniform-random testdata embeddings (max pairwise cosine ~0.6, "
+    "same honest caveat as q37); recall proven on planted near-dups "
+    "in pytest.",
+)
+def q70_ivf_blocked_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_blocked_neardup_pairs(emb, threshold=0.95)
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint

@@ -470,3 +470,86 @@ def test_casts_coerce_malformed_to_null_under_ansi(spark):
     out = {r.x: r.d for r in parse_dates(cast_columns(df, {"x": "double"}), ["d"]).collect()}
     assert out[None] is None  # "abc" -> NULL, "not-a-date" -> NULL
     assert out[1.5] is not None
+
+
+def test_redact_pii_planted(spark):
+    """Planted emails/phones/SSNs are masked and counted; clean text
+    passes through untouched (the corpus itself has no PII, so the
+    oracle run only pins regex parity — this pins behavior)."""
+    from team_aragon_spark.operators.corpus import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk for details"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "ssn 123-45-6789 on file"),
+            (4, "nothing sensitive here"),
+            (5, "two hits: a@b.io and c.d@e.org ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.redacted, r.n_redactions) for r in redact_pii(df).collect()}
+    assert out[1] == ("contact <EMAIL> for details", 1)
+    assert out[2] == ("call <PHONE> today", 1)
+    assert out[3] == ("ssn <SSN> on file", 1)
+    assert out[4] == ("nothing sensitive here", 0)
+    assert out[5] == ("two hits: <EMAIL> and <EMAIL> ok", 2)
+
+
+def test_token_chunks_edges(spark):
+    """Chunk windows: stride/overlap arithmetic, short docs (one
+    chunk), and the ragged final chunk."""
+    from team_aragon_spark.operators.corpus import token_chunks
+
+    long_text = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, long_text), (2, "a b c")], ["doc_id", "text"])
+    rows = token_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # starts at tokens 1, 49, 97 → chunks of 64, 52, 4 tokens
+    assert [r.n_tokens for r in c1] == [64, 52, 4]
+    assert c1[0].chunk_text.startswith("t0 ") and c1[1].chunk_text.startswith("t48 ")
+    assert c1[2].chunk_text == "t96 t97 t98 t99"
+    # 16-token overlap between consecutive chunks
+    assert c1[0].chunk_text.split()[-16:] == c1[1].chunk_text.split()[:16]
+    assert [ (r.chunk_idx, r.n_tokens) for r in by_doc[2] ] == [(0, 3)]
+
+
+def test_ivf_blocked_neardup_planted(spark):
+    """Planted near-dup embedding pairs (cosine ≥ 0.95) are recovered
+    by the IVF-cell-blocked join; random pairs are not emitted."""
+    import numpy as np
+
+    from team_aragon_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    rows = []
+    expected = set()
+    vid = 0
+    for _ in range(40):  # 40 base vectors, each with a tight twin
+        v = rng.randn(16)
+        v /= np.linalg.norm(v)
+        w = v + 0.01 * rng.randn(16)
+        w /= np.linalg.norm(w)
+        rows.append((vid, [float(t) for t in v]))
+        rows.append((vid + 1, [float(t) for t in w]))
+        expected.add((vid, vid + 1))
+        vid += 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.a, r.b)
+        for r in similarity.ivf_blocked_neardup_pairs(emb, threshold=0.95, n_cells=4).collect()
+    }
+    assert expected <= got, f"missed {expected - got}"
+    # no false positives: every emitted pair's TRUE cosine is >= 0.95
+    x = np.array([r[1] for r in rows])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    truth = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if float(xn[i] @ xn[j]) >= 0.95
+    }
+    assert got <= truth, f"spurious {got - truth}"
