@@ -62,7 +62,10 @@ def tfidf_top_terms(
     zero, never divides by zero).  Ties break by term ascending so the
     result is fully deterministic and oracle-hashable.
     """
-    tf = term_frequencies(df, text_col, id_col)
+    # tf feeds BOTH the scoring join and the document-frequency agg;
+    # persist the (doc, term, tf) partial so the token explode+shuffle
+    # runs once, not twice (it is the only corpus-sized stage here).
+    tf = term_frequencies(df, text_col, id_col).persist()
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(

@@ -23,6 +23,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BATCH_COL = "__batch"
 
 
 class ParquetStore:
@@ -44,7 +47,10 @@ class ParquetStore:
         return os.path.isdir(p) and any(not f.startswith(("_", ".")) for f in os.listdir(p))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self.path(table))
+        df = spark.read.parquet(self.path(table))
+        if BATCH_COL in df.columns:  # lineage partition, not table schema
+            df = df.drop(BATCH_COL)
+        return df
 
     def append(self, df: DataFrame, table: str) -> None:
         writer = df.write.mode("append")
@@ -52,6 +58,37 @@ class ParquetStore:
         if part_col:
             writer = writer.partitionBy(part_col)
         writer.parquet(self.path(table))
+
+    def append_batch(self, df: DataFrame, table: str, batch_id: str) -> None:
+        """Idempotent, replay-safe append (O5 upgrade).
+
+        Each batch lands in its own hive partition (``__batch=<id>``)
+        via DYNAMIC partition overwrite: re-running the same batch —
+        after a crash mid-write, a retry, or an orchestrator replay —
+        overwrites exactly its own partition and nothing else, so a
+        batch can never be half-applied or double-applied.  This is
+        the Spark-native equivalent of the reference's per-file
+        transaction + rollback (``load_hhs.py:147-155``): commit is
+        the atomic partition swap, rollback is simply re-running.
+
+        The lineage column is stripped by :meth:`read`; ``compact_table``
+        folds old batch partitions back into plain files.  One
+        directory per batch: fine for file-per-week cadence, and the
+        compactor bounds the accumulation.
+        """
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        parts = [BATCH_COL] + ([self.PARTITIONED[table]] if table in self.PARTITIONED else [])
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.withColumn(BATCH_COL, F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy(*parts)
+                .parquet(self.path(table))
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def compact_table(

@@ -179,3 +179,30 @@ def test_partitioned_orders_month_pruning(spark):
     df = QUERY_REGISTRY["q65_partitioned_month_revenue"].fn(spark, sf)
     rows = df.collect()
     assert rows and all(r.o_mon == "1995-03" for r in rows)
+
+
+def test_append_batch_replay_idempotent(spark, tmp_path):
+    """O5: re-running a batch (crash retry / orchestrator replay)
+    overwrites exactly its own partition — never duplicates, never
+    touches other batches; the lineage column stays internal."""
+    from team_aragon_spark.pipeline.sinks import ParquetStore
+
+    store = ParquetStore(str(tmp_path))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    b2 = spark.createDataFrame([(3, "c")], ["id", "v"])
+
+    store.append_batch(b1, "t", "2022-09-23")
+    store.append_batch(b2, "t", "2022-09-30")
+    assert store.read(spark, "t").count() == 3
+
+    # replay batch 1 (e.g. retry after a partial failure) → no dupes
+    store.append_batch(b1, "t", "2022-09-23")
+    got = store.read(spark, "t")
+    assert got.count() == 3
+    assert set(got.columns) == {"id", "v"}  # __batch never leaks
+
+    # a corrected re-run of a batch REPLACES that batch only
+    b1_fixed = spark.createDataFrame([(1, "a2")], ["id", "v"])
+    store.append_batch(b1_fixed, "t", "2022-09-23")
+    rows = {(r.id, r.v) for r in store.read(spark, "t").collect()}
+    assert rows == {(1, "a2"), (3, "c")}
