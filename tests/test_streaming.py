@@ -149,3 +149,44 @@ def test_streaming_dedup_removes_redelivered_events(spark, tmp_path_factory):
     )
     assert result.count() == n_distinct
     assert result.select("event_id").distinct().count() == n_distinct
+
+
+def test_exactly_once_sink_epoch_replay(spark, events_dir, tmp_path_factory):
+    """foreachBatch + append_batch: the drained stream lands every
+    event exactly once across multiple micro-batches, and a REPLAYED
+    epoch (same batch_id, as after a checkpoint-recovery) overwrites
+    its own partition instead of duplicating."""
+    from team_aragon_spark.pipeline.sinks import ParquetStore
+    from team_aragon_spark.streaming.sink import write_stream_exactly_once
+
+    store = ParquetStore(str(tmp_path_factory.mktemp("land")))
+    # several source files + maxFilesPerTrigger=1 → several epochs
+    multi = str(tmp_path_factory.mktemp("events_multi"))
+    spark.read.parquet(events_dir).repartition(3).write.mode("overwrite").parquet(multi)
+    events_dir = multi
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = write_stream_exactly_once(
+        stream, store, "events_landed", str(tmp_path_factory.mktemp("ckpt_eo"))
+    )
+    q.awaitTermination()
+
+    src = spark.read.parquet(events_dir)
+    landed = store.read(spark, "events_landed")
+    assert landed.count() == src.count()
+    assert landed.select("event_id").distinct().count() == src.count()
+
+    raw = spark.read.parquet(store.path("events_landed"))
+    n_epochs = raw.select("__batch").distinct().count()
+    assert n_epochs > 1  # maxFilesPerTrigger=1 really produced several epochs
+    n_epoch0_before = raw.filter(F.col("__batch") == "epoch0").count()
+
+    # simulate the failure-recovery replay of epoch 0: same id, 50 rows
+    store.append_batch(src.limit(50), "events_landed", "epoch0")
+    raw_after = spark.read.parquet(store.path("events_landed"))
+    # epoch0's partition was REPLACED, no other epoch touched
+    assert raw_after.filter(F.col("__batch") == "epoch0").count() == 50
+    assert raw_after.count() == src.count() - n_epoch0_before + 50
