@@ -242,6 +242,43 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out
     )
 
 
+def md5_simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PORTABLE SimHash, emitted as (id, k, bit) scalar rows.
+
+    Same sign-of-weighted-votes construction as :func:`simhash64`, but
+    the per-token hash is the LOWER 8 BYTES OF MD5 READ LITTLE-ENDIAN —
+    exactly DuckDB's ``md5_number_lower`` — so every one of the 64
+    output bits can be hash-matched by a SQL oracle (q25's xxhash64
+    fingerprint is Spark-only and can only be property-tested).
+    Bit ``k`` lives in hex chars ``17 + 2*(k div 8)`` (byte ``k div 8``
+    of the lower half, least-significant byte first), bit ``k % 8``
+    within the byte.
+
+    The production path is :func:`simhash64` (one xxhash64 per token);
+    this variant pays 64 interpreted substr/conv evaluations per token
+    and exists to pin the vote/sign semantics engine-to-engine.
+    """
+    tok = rf"split(trim({text_col}), '\\s+')"
+    hx = f"transform({tok}, t -> md5(t))"
+    bit_of = (
+        "((cast(conv(substr(h, 17 + 2 * (k div 8), 2), 16, 10) AS BIGINT) >> (k % 8)) & 1)"
+    )
+    votes = (
+        f"aggregate({hx}, transform(sequence(0, 63), k -> 0L), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(0, 63), k -> "
+        f"IF({bit_of} = 1, 1L, -1L)), (a, v) -> a + v))"
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.posexplode(F.expr(votes)).alias("k", "__vote"))
+        .select(
+            id_col,
+            F.col("k").cast("long").alias("k"),
+            F.when(F.col("__vote") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("bit"),
+        )
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1742,6 +1742,28 @@ def q70_ivf_blocked_embedding_neardup(spark, sf_dir):
     return similarity.ivf_blocked_neardup_pairs(emb, threshold=0.95)
 
 
+@register(
+    "q71_md5_simhash_bits",
+    r"""WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        v AS (
+          SELECT doc_id, k,
+                 sum(CASE WHEN ((md5_number_lower(tok) >> k) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+          FROM t, range(64) r(k) GROUP BY doc_id, k)
+        SELECT doc_id, k, CAST(CASE WHEN vote > 0 THEN 1 ELSE 0 END AS BIGINT) AS bit
+        FROM v""",
+    ops=("ext-dedup-simhash-oracle",),
+    doc="PORTABLE SimHash (operators/text_dedup.md5_simhash_bits): the "
+    "q25 vote/sign construction rebuilt on md5's little-endian lower "
+    "half = DuckDB's md5_number_lower, so all 64 fingerprint bits per "
+    "doc hash-match a SQL oracle.  q25 (xxhash64, one hash per token) "
+    "remains the production path; this pins its semantics.",
+)
+def q71_md5_simhash_bits(spark, sf_dir):
+    return text_dedup.md5_simhash_bits(_t(spark, sf_dir, "documents"))
+
+
 def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint
