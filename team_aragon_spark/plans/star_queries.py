@@ -1743,6 +1743,33 @@ def q70_ivf_blocked_embedding_neardup(spark, sf_dir):
 
 
 @register(
+    "q72_order_value_analytics",
+    """SELECT o_orderkey, o_orderpriority,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pr,
+              round(o_totalprice - lag(o_totalprice) OVER w, 2) AS prev_gap
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+    ops=("ext-window-analytics",),
+    doc="Ranking-function cocktail (ntile / percent_rank / lag delta) "
+    "over one shared window — ONE Exchange + one sort serves all three "
+    "(Catalyst collapses same-spec window functions into a single "
+    "Window operator).  Tie-broken by o_orderkey so ntile/percent_rank "
+    "are deterministic and oracle-hashable.",
+)
+def q72_order_value_analytics(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("prev_gap"),
+    )
+
+
+@register(
     "q71_md5_simhash_bits",
     r"""WITH t AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
