@@ -206,3 +206,38 @@ def test_append_batch_replay_idempotent(spark, tmp_path):
     store.append_batch(b1_fixed, "t", "2022-09-23")
     rows = {(r.id, r.v) for r in store.read(spark, "t").collect()}
     assert rows == {(1, "a2"), (3, "c")}
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """100 TB posture: with broadcast off (both sides too big), a
+    selective filter on one join side injects a runtime BLOOM FILTER
+    into the other side's scan, pre-filtering the shuffle.  Size
+    thresholds are production-tuned (10 GB app side) so the test
+    lowers them to fire at test scale — asserting the MECHANISM, which
+    session.py leaves enabled for the real deployment."""
+    from team_aragon_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.01"
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, "lineitem", sf)
+        orders = read_table(spark, "orders", sf).filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
