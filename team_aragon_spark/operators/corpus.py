@@ -125,6 +125,84 @@ def token_chunks(
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rules):
+
+    - ``ttr``: type-token ratio (distinct / total tokens) — low means
+      the doc repeats itself;
+    - ``top_bigram_frac``: share of all bigram occurrences taken by
+      the single most frequent bigram (NULL when < 2 tokens) — high
+      means looping/boilerplate text.
+
+    The ttr is a pure projection; the bigram mode needs one shuffle on
+    (doc, bigram) — same partial-agg shape as term_frequencies.
+    """
+    tok = _tok(text_col)
+    bigrams = (
+        f"if(size({tok}) < 2, array(), "
+        f"transform(sequence(1, size({tok}) - 1), i -> concat_ws(' ', slice({tok}, i, 2))))"
+    )
+    ttr_side = df.select(
+        F.col(id_col),
+        F.round(
+            F.expr(f"try_divide(CAST(size(array_distinct({tok})) AS DOUBLE), CAST(size({tok}) AS DOUBLE))"),
+            6,
+        ).alias("ttr"),
+    )
+    big_stats = (
+        df.select(F.col(id_col), F.explode(F.expr(bigrams)).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.try_divide(F.max("c").cast("double"), F.sum("c").cast("double")), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return ttr_side.join(big_stats, on=id_col, how="left")
+
+
+def shared_gram_counts(
+    df: DataFrame,
+    benchmark_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per candidate document, how many
+    DISTINCT ``gram_n``-token grams it shares with the benchmark set
+    (rows only for contaminated docs).
+
+    Grams travel as md5 digests — 16-byte shuffle keys instead of raw
+    n-gram text, and portable (the DuckDB oracle computes identical
+    digests).  Shape: explode both sides' distinct gram sets, equi-join
+    on the digest, count distinct per candidate — the shuffle carries
+    (digest, doc_id), never document bodies, and the benchmark side of
+    the join is benchmark-corpus-sized (broadcastable when the
+    benchmark is the usual few-GB eval suite).
+    """
+    tok = _tok(text_col)
+    grams = (
+        f"if(size({tok}) < {gram_n}, array(), array_distinct("
+        f"transform(sequence(1, size({tok}) - {gram_n - 1}), "
+        f"i -> md5(concat_ws(' ', slice({tok}, i, {gram_n}))))))"
+    )
+    bench = (
+        df.filter(benchmark_filter)
+        .select(F.explode(F.expr(grams)).alias("g"))
+        .distinct()
+    )
+    cand = df.filter(~benchmark_filter).select(
+        F.col(id_col), F.explode(F.expr(grams)).alias("g")
+    )
+    return (
+        cand.join(F.broadcast(bench), on="g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))  # cand grams are distinct per doc
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted", count_col: str = "n_redactions"
 ) -> DataFrame:

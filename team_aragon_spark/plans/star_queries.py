@@ -1742,6 +1742,74 @@ def q70_ivf_blocked_embedding_neardup(spark, sf_dir):
     return similarity.ivf_blocked_neardup_pairs(emb, threshold=0.95)
 
 
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+ttr AS (
+  SELECT doc_id,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS ttr
+  FROM t),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+stats AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+  FROM bgc GROUP BY doc_id)
+SELECT ttr.doc_id, ttr.ttr, stats.top_bigram_frac
+FROM ttr LEFT JOIN stats ON ttr.doc_id = stats.doc_id"""
+
+
+@register(
+    "q73_doc_repetition",
+    _REPETITION_SQL,
+    ops=("ext-text-repetition",),
+    doc="Within-doc repetition metrics (operators/corpus.py): "
+    "type-token ratio + top-bigram occupancy — the Gopher-style "
+    "repetition filters that catch looping/boilerplate text.  ttr is "
+    "a projection; the bigram mode is one (doc, bigram) partial-agg "
+    "shuffle.",
+)
+def q73_doc_repetition(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+_CONTAMINATION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 7, 0) + 1),
+           i -> md5(array_to_string(toks[i : i + 7], ' '))))) AS g
+  FROM t),
+bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+SELECT g.doc_id, count(*) AS n_shared_grams
+FROM g JOIN bench USING (g)
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id"""
+
+
+@register(
+    "q74_benchmark_contamination",
+    _CONTAMINATION_SQL,
+    ops=("ext-text-decontamination",),
+    doc="Benchmark decontamination (operators/corpus.py): candidate "
+    "docs sharing any 8-token gram with the benchmark partition "
+    "(source='src0' as the stand-in eval suite), with the count of "
+    "shared distinct grams.  Grams travel as md5 digests (16-byte "
+    "shuffle keys, oracle-portable); the benchmark gram set is "
+    "broadcast — the standard pre-training decontamination join.",
+)
+def q74_benchmark_contamination(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import shared_gram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_gram_counts(docs, F.col("source") == "src0")
+
+
 @register(
     "q72_order_value_analytics",
     """SELECT o_orderkey, o_orderpriority,
