@@ -203,6 +203,35 @@ def shared_gram_counts(
     )
 
 
+def unigram_logprob_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    token distribution — a perplexity-proxy quality score (documents
+    full of globally-rare tokens score low, like an LM filter's tail).
+
+    Two passes over the exploded tokens: (1) vocabulary counts +
+    grand total, (2) per-doc token → broadcast-joined vocab →
+    avg(ln(n / total)).  The exploded-token shuffle is the only
+    corpus-sized stage and is persisted across the two passes; the
+    vocab side is vocabulary-sized (broadcastable).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.expr(_tok(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .persist()
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("t"))
+    scored = (
+        toks.join(F.broadcast(vocab), on="term")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.log(F.col("n").cast("double") / F.col("t").cast("double")).alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted", count_col: str = "n_redactions"
 ) -> DataFrame:

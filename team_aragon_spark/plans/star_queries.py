@@ -1811,6 +1811,68 @@ def q74_benchmark_contamination(spark, sf_dir):
 
 
 @register(
+    "q75_variant_event_props",
+    """SELECT event_type, count(*) AS n,
+              min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_avg
+       FROM events
+       WHERE json_extract_string(props, '$.k') IS NOT NULL
+       GROUP BY event_type""",
+    ops=("ext-variant",),
+    doc="Spark 4 VARIANT ingestion: parse_json(props) ONCE into the "
+    "binary variant encoding, then variant_get typed extraction — the "
+    "semi-structured path that replaces per-field JSON re-parsing "
+    "(and unlike from_json needs no declared schema up front).  "
+    "Oracle reads the same values via DuckDB json_extract.",
+)
+def q75_variant_event_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+    )
+
+
+_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS n FROM tok2 GROUP BY term),
+total AS (SELECT sum(n) AS t FROM vocab)
+SELECT doc_id,
+       round(avg(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))), 6) AS avg_logprob,
+       count(*) AS n_tokens
+FROM tok2 JOIN vocab USING (term), total
+GROUP BY doc_id"""
+
+
+@register(
+    "q76_unigram_logprob_score",
+    _LOGPROB_SQL,
+    ops=("ext-text-logprob",),
+    doc="Perplexity-proxy quality score (operators/corpus.py): mean "
+    "unigram log-probability per document under the corpus's own "
+    "token distribution — the cheap statistical cousin of an LM "
+    "perplexity filter.  Two passes over the exploded tokens (vocab "
+    "build, then score) with the vocabulary-sized side broadcast.",
+)
+def q76_unigram_logprob_score(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "q72_order_value_analytics",
     """SELECT o_orderkey, o_orderpriority,
               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
