@@ -1873,6 +1873,66 @@ def q76_unigram_logprob_score(spark, sf_dir):
 
 
 @register(
+    "q77_grouping_sets_revenue",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    ops=("ext-grouping-sets",),
+    doc="Explicit GROUPING SETS (the generalization rollup/cube — q43/"
+    "q52 — specialize): three disjoint grains in ONE scan + one "
+    "Expand+shuffle instead of a job per grain (DataFrame "
+    "groupingSets API, Spark 4).",
+)
+def q77_grouping_sets_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q78_exists_correlated_subquery",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderdate >= DATE '1995-01-01'
+                       AND o.o_orderdate < DATE '1996-01-01')
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F'
+                           AND o.o_orderdate >= DATE '1995-01-01'
+                           AND o.o_orderdate < DATE '1996-01-01')""",
+    ops=("ext-exists-subquery",),
+    doc="Correlated EXISTS / NOT EXISTS through the SQL front door "
+    "(sources/catalog.register_views): Catalyst decorrelates both into "
+    "semi/anti joins — same physical plan family as q13/q14's "
+    "DataFrame anti/semi joins, proving the SQL surface end-to-end.",
+)
+def q78_exists_correlated_subquery(spark, sf_dir):
+    from team_aragon_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT c_custkey, c_mktsegment FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= DATE '1995-01-01'
+                           AND o.o_orderdate < DATE '1996-01-01')
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderstatus = 'F'
+                               AND o.o_orderdate >= DATE '1995-01-01'
+                               AND o.o_orderdate < DATE '1996-01-01')"""
+    )
+
+
+@register(
     "q72_order_value_analytics",
     """SELECT o_orderkey, o_orderpriority,
               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
