@@ -241,3 +241,58 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """100 TB posture: AQE's skew-join handling must split a hot key's
+    oversized shuffle partition at runtime (the join's shuffle read is
+    marked skew=true) — the no-code-change complement to the explicit
+    salted_join operator.  Thresholds are lowered so a test-scale hot
+    key trips the production mechanism; the hot side carries an
+    incompressible md5 payload because skew detection sees COMPRESSED
+    shuffle bytes (an all-constant column compresses to nothing and
+    never looks skewed)."""
+    import re
+
+    big_path = str(tmp_path / "skew_big")
+    small_path = str(tmp_path / "skew_small")
+    (
+        spark.range(300_000)
+        .select(F.lit(1).alias("k"), F.md5(F.col("id").cast("string")).alias("pad"))
+        .union(
+            spark.range(32).select(
+                (F.col("id") + 2).alias("k"), F.md5(F.col("id").cast("string"))
+            )
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(big_path)
+    )
+    spark.range(40).selectExpr("id + 1 AS k", "concat('d', id) AS label").write.mode(
+        "overwrite"
+    ).parquet(small_path)
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        big = spark.read.parquet(big_path)
+        small = spark.read.parquet(small_path)
+        res = big.join(small, on="k").select("pad", "label")
+        assert len(res.collect()) == 300_032  # AQE finalizes at execution
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"skew=true", plan), plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
