@@ -1932,6 +1932,37 @@ def q78_exists_correlated_subquery(spark, sf_dir):
     )
 
 
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t ON true"""
+
+
+@register(
+    "q79_top_order_per_customer_lateral",
+    _LATERAL_SQL,
+    ops=("ext-lateral-join",),
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(each customer's single most expensive order) through the SQL "
+    "front door — Catalyst decorrelates it into the same "
+    "window/top-1 plan family as q30's DataFrame row_number, the "
+    "per-group top-k surface SQL users actually write.",
+)
+def q79_top_order_per_customer_lateral(spark, sf_dir):
+    from team_aragon_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           FROM customer c JOIN LATERAL (
+             SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t"""
+    )
+
+
 @register(
     "q72_order_value_analytics",
     """SELECT o_orderkey, o_orderpriority,
