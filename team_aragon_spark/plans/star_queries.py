@@ -1964,6 +1964,31 @@ def q79_top_order_per_customer_lateral(spark, sf_dir):
 
 
 @register(
+    "q80_user_event_histogram",
+    """SELECT user_id,
+              string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS histogram
+       FROM (SELECT user_id, event_type, count(*) AS n
+             FROM events GROUP BY user_id, event_type)
+       GROUP BY user_id""",
+    ops=("ext-map-histogram",),
+    doc="Per-user event-type histogram as a canonical sorted string "
+    "('click:12,purchase:3,...') — the map-valued aggregation shape "
+    "(pivot without a fixed column set) serialized scalar so the "
+    "value hash is oracle-comparable (maps, like arrays, crash the "
+    "driver canon).  Two-level aggregation: partial (user, type) "
+    "counts, then an ordered string fold per user.",
+)
+def q80_user_event_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    entry = F.concat_ws(":", "event_type", "n")
+    return (
+        counts.groupBy("user_id")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list(entry))).alias("histogram"))
+    )
+
+
+@register(
     "q72_order_value_analytics",
     """SELECT o_orderkey, o_orderpriority,
               CAST(ntile(4) OVER w AS BIGINT) AS quartile,

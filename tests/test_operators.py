@@ -553,3 +553,43 @@ def test_ivf_blocked_neardup_planted(spark):
         if float(xn[i] @ xn[j]) >= 0.95
     }
     assert got <= truth, f"spurious {got - truth}"
+
+
+def test_sql_sketch_family(spark):
+    """Sketch aggregates beyond HLL (q44): KLL quantiles, theta distinct
+    counting, and count-min heavy-hitter estimation — all single-pass,
+    MERGEABLE summaries (the per-partition sketches combine on the
+    reduce side), which is what makes them the percentile/distinct/
+    frequency machinery at 100 TB."""
+    from team_aragon_spark.sources.catalog import read_table
+
+    ev = read_table(spark, "events", "/root/testdata/sf0.001")
+
+    # KLL quantile sketch vs exact percentile
+    row = ev.select(
+        F.expr("kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)").alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.05 * (abs(row.exact) + 1), row
+
+    # theta sketch distinct vs exact (also supports set ops at merge time)
+    row = ev.select(
+        F.expr("theta_sketch_estimate(theta_sketch_agg(user_id))").alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= max(2, 0.05 * row.exact), row
+
+    # count-min sketch: deserialize and check heavy-hitter overestimates
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    terms = docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS term").filter("term <> ''")
+    blob = terms.select(
+        F.expr("count_min_sketch(term, 0.001d, 0.99d, 42)").alias("s")
+    ).collect()[0].s
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(blob))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    exact = {r.term: r["count"] for r in terms.groupBy("term").count().collect()}
+    total = sum(exact.values())
+    for t, n in sorted(exact.items(), key=lambda kv: -kv[1])[:10]:
+        est = cms.estimateCount(t)
+        assert n <= est <= n + int(0.001 * total) + 1, (t, n, est)
