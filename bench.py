@@ -43,6 +43,16 @@ HEADLINE = [
     "q42_srp_lsh_neardup_pairs",            # cosine-LSH near-dup
 ]
 
+# Round-2 families, reported under "extra" (not in the headline total):
+EXTRA = [
+    "q63_md5_minhash_signatures",   # portable MinHash
+    "q65_partitioned_month_revenue",  # partition-pruned star agg
+    "q66_tfidf_top_terms",          # tf-idf
+    "q68_doc_token_chunks",         # context-window chunking
+    "q74_benchmark_contamination",  # decontamination join
+    "q76_unigram_logprob_score",    # perplexity-proxy scoring
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +90,19 @@ def main() -> None:
         steady[name] = round(min(runs), 3)
         print(f"  {name}: cold {cold[name]}s steady {steady[name]}s", file=sys.stderr)
 
+    # Round-2 operator families, timed separately so the headline total
+    # stays directly comparable round-over-round.
+    extra_steady: dict[str, float] = {}
+    for name in EXTRA:
+        fn = QUERY_REGISTRY[name].fn
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+        extra_steady[name] = round(min(runs), 3)
+        print(f"  {name}: steady {extra_steady[name]}s", file=sys.stderr)
+
     total = round(sum(steady.values()), 3)
     print(
         json.dumps(
@@ -89,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": steady,
                 "cold_total": round(sum(cold.values()), 3),
+                "extra": extra_steady,
                 "sf": sf,
             }
         )

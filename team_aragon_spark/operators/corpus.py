@@ -182,18 +182,21 @@ def shared_gram_counts(
     the join is benchmark-corpus-sized (broadcastable when the
     benchmark is the usual few-GB eval suite).
     """
-    tok = _tok(text_col)
+    # Materialize the token array once per row — inlining the split
+    # into the gram lambda re-evaluates it per reference (size, slice)
+    # because higher-order lambdas are interpreted, not codegen'd.
     grams = (
-        f"if(size({tok}) < {gram_n}, array(), array_distinct("
-        f"transform(sequence(1, size({tok}) - {gram_n - 1}), "
-        f"i -> md5(concat_ws(' ', slice({tok}, i, {gram_n}))))))"
+        f"if(size(__tok) < {gram_n}, array(), array_distinct("
+        f"transform(sequence(1, size(__tok) - {gram_n - 1}), "
+        f"i -> md5(concat_ws(' ', slice(__tok, i, {gram_n}))))))"
     )
+    toked = df.withColumn("__tok", F.expr(_tok(text_col)))
     bench = (
-        df.filter(benchmark_filter)
+        toked.filter(benchmark_filter)
         .select(F.explode(F.expr(grams)).alias("g"))
         .distinct()
     )
-    cand = df.filter(~benchmark_filter).select(
+    cand = toked.filter(~benchmark_filter).select(
         F.col(id_col), F.explode(F.expr(grams)).alias("g")
     )
     return (

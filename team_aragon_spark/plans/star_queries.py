@@ -1525,15 +1525,23 @@ FROM d, range(8) r(perm)"""
 )
 def q63_md5_minhash_signatures(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
+    # ONE fold over the shingle array computes all 8 running mins at
+    # once ('~' sorts above every hex digest, so it is the +inf
+    # sentinel; empty shingle sets surface as NULL) — then posexplode.
+    # The exploded-perm formulation re-evaluated the shingle split per
+    # (doc, perm) row: measured 4x slower at sf0.1.
+    fold = (
+        "aggregate(__sh, array_repeat('~', 8), (acc, s) -> "
+        "zip_with(acc, sequence(0, 7), (m, i) -> "
+        "least(m, md5(concat(cast(i AS string), ':', s)))))"
+    )
     return (
         docs.select("doc_id", F.expr(text_dedup.shingle_expr("text", 3)).alias("__sh"))
-        .select("doc_id", F.explode(F.expr("sequence(0L, 7L)")).alias("perm"), "__sh")
+        .select("doc_id", F.posexplode(F.expr(fold)).alias("perm", "__m"))
         .select(
             "doc_id",
-            "perm",
-            F.expr(
-                "array_min(transform(__sh, s -> md5(concat(cast(perm AS string), ':', s))))"
-            ).alias("minhash"),
+            F.col("perm").cast("long").alias("perm"),
+            F.when(F.col("__m") == "~", F.lit(None)).otherwise(F.col("__m")).alias("minhash"),
         )
     )
 
