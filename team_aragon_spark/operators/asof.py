@@ -19,10 +19,13 @@ classic merge as-of:
 - scales linearly in rows: at 100 TB both sides stream through the
   sorted partition exactly once.
 
-Semantics match DuckDB/`pandas.merge_asof` ``direction='backward'``:
-right rows with ``right_ts <= left_ts`` are eligible, latest wins;
-ties on (key, ts) between sides resolve right-before-left so an
-exactly-simultaneous right row IS visible to the left row.
+Semantics match DuckDB/`pandas.merge_asof`: ``direction='backward'``
+takes the latest right row with ``right_ts <= left_ts``; ``'forward'``
+the earliest with ``right_ts >= left_ts`` (the same single-pass carry
+over the reversed sort order); ``tolerance`` bounds the staleness and
+NULLs the carried values beyond it.  Ties on (key, ts) between sides
+resolve right-before-left so an exactly-simultaneous right row IS
+visible to the left row in both directions.
 """
 
 from __future__ import annotations
@@ -41,23 +44,37 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row, enriched with
-    ``value_cols`` from the latest ``right`` row with
-    ``right_ts <= left_ts`` on the same ``on`` key (NULL if none).
+    """As-of join: every ``left`` row, enriched with ``value_cols``
+    from the matching ``right`` row on the same ``on`` key (NULL if
+    none) — ``direction='backward'``: latest row with
+    ``right_ts <= left_ts``; ``'forward'``: earliest row with
+    ``right_ts >= left_ts``.
+
+    ``tolerance`` is a SQL expression string bounding the time gap
+    (e.g. ``"INTERVAL '1' HOUR"`` for timestamps, ``"10"`` for numeric
+    ts): matches farther away than that yield NULLs, mirroring
+    ``pandas.merge_asof(tolerance=...)``.
 
     ``tiebreak`` orders right rows sharing (key, ts) deterministically
     (last in tiebreak order wins), since Spark has no row order.
 
-    All ``value_cols`` travel as ONE struct with a single
-    ``last(ignorenulls)`` — so the output always reflects exactly the
-    latest eligible right ROW: a NULL value in that row stays NULL
-    (it is not papered over by an older non-null), and multiple value
-    columns can never mix values from different right rows.
+    All ``value_cols`` (plus the matched right timestamp) travel as
+    ONE struct with a single ``last(ignorenulls)`` — so the output
+    always reflects exactly the matched right ROW: a NULL value in
+    that row stays NULL (it is not papered over by an older non-null),
+    and multiple value columns can never mix values from different
+    right rows.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     from pyspark.sql import types as T
 
-    payload_t = T.StructType([right.schema[c] for c in value_cols])
+    payload_t = T.StructType(
+        [right.schema[c] for c in value_cols] + [T.StructField("__rts", right.schema[right_ts].dataType)]
+    )
     payload = "__asof_payload"
 
     l_tag = (
@@ -70,7 +87,10 @@ def asof_join(
         *on,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_SIDE),
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(payload),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias(payload),
         *([F.col(tiebreak).alias("__asof_tb")] if tiebreak else []),
     )
     l_cols = left.columns
@@ -87,7 +107,12 @@ def asof_join(
         if c not in on:
             r_full = r_full.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    order = [F.col("__asof_ts").asc(), F.col(_SIDE).asc()] + (
+    # backward scans time ascending (carry = latest earlier right row);
+    # forward scans time DESCENDING, so the same carry yields the
+    # earliest later right row.  Side asc in both: an equal-ts right
+    # row is scanned before the left row and is therefore visible.
+    ts_order = F.col("__asof_ts").asc() if direction == "backward" else F.col("__asof_ts").desc()
+    order = [ts_order, F.col(_SIDE).asc()] + (
         [F.col("__asof_tb").asc_nulls_first()] if tiebreak else []
     )
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -95,6 +120,18 @@ def asof_join(
     unioned = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
 
     out = unioned.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        gap = (
+            f"__asof_ts - {payload}.__rts"
+            if direction == "backward"
+            else f"{payload}.__rts - __asof_ts"
+        )
+        out = out.withColumn(
+            payload,
+            F.when(F.expr(f"({gap}) <= ({tolerance})"), F.col(payload)).otherwise(
+                F.lit(None).cast(payload_t)
+            ),
+        )
     return out.select(
         *on,
         *[F.col(c) for c in l_cols if c not in on],

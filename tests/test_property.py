@@ -38,18 +38,25 @@ right_rows = st.lists(
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(left=left_rows, right=right_rows)
-def test_asof_join_agrees_with_pandas_merge_asof(spark, left, right):
+@given(
+    left=left_rows,
+    right=right_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tol_s=st.sampled_from([None, 0, 30, 200]),
+)
+def test_asof_join_agrees_with_pandas_merge_asof(spark, left, right, direction, tol_s):
     ldf = spark.createDataFrame(
         [(k, _ts(s), i) for i, (k, s) in enumerate(left)], ["k", "ts", "lid"]
     )
     rdf = spark.createDataFrame(
         [(k, _ts(s), float(s)) for k, s in right], ["k", "rts", "rv"]
     )
+    tolerance = None if tol_s is None else f"INTERVAL '{tol_s}' SECOND"
     got = {
         r.lid: r.rv
         for r in asof_join(
-            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts", value_cols=["rv"]
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts", value_cols=["rv"],
+            direction=direction, tolerance=tolerance,
         ).collect()
     }
     lp = pd.DataFrame(
@@ -61,8 +68,9 @@ def test_asof_join_agrees_with_pandas_merge_asof(spark, left, right):
          "rv": [float(s) for _, s in right]}
     ).sort_values("rts", kind="stable")
     expect_df = pd.merge_asof(
-        lp, rp, left_on="ts", right_on="rts", by="k", direction="backward",
+        lp, rp, left_on="ts", right_on="rts", by="k", direction=direction,
         allow_exact_matches=True,
+        tolerance=None if tol_s is None else timedelta(seconds=tol_s),
     )
     expect = {
         int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
