@@ -1940,6 +1940,58 @@ def q78_exists_correlated_subquery(spark, sf_dir):
     )
 
 
+@register(
+    "q81_asof_next_purchase_after_error",
+    """WITH tagged AS (
+         SELECT user_id, ts, 1 AS side, event_id,
+                value AS error_value,
+                CAST(NULL AS DOUBLE) AS pval, CAST(NULL AS BIGINT) AS ptb
+         FROM events WHERE event_type = 'error'
+         UNION ALL
+         SELECT user_id, ts, 0 AS side, NULL, NULL,
+                value AS pval, event_id AS ptb
+         FROM events WHERE event_type = 'purchase'),
+       carried AS (
+         SELECT *, last_value(pval IGNORE NULLS) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts DESC, side, ptb NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS next_purchase_value
+         FROM tagged)
+       SELECT user_id, event_id, ts, error_value, next_purchase_value
+       FROM carried WHERE side = 1""",
+    ops=("ext-asof-forward",),
+    doc="FORWARD as-of join (operators/asof.py direction='forward'): "
+    "each error enriched with the user's next purchase value at-or-"
+    "after its timestamp — q40's mirror, proving the reversed-scan "
+    "carry at the driver gate (tolerance semantics are property-"
+    "tested against pandas merge_asof).",
+)
+def q81_asof_next_purchase_after_error(spark, sf_dir):
+    from team_aragon_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts", F.col("value").alias("error_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("next_purchase_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_purchase_value"],
+        tiebreak="purchase_id",
+        direction="forward",
+    )
+
+
 _LATERAL_SQL = """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c JOIN LATERAL (
