@@ -1992,6 +1992,39 @@ def q81_asof_next_purchase_after_error(spark, sf_dir):
     )
 
 
+@register(
+    "q82_trailing_hour_purchase_sum",
+    """SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts)
+                                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+                AS trailing_1h_sum
+       FROM events WHERE event_type = 'purchase'""",
+    ops=("ext-window-time-range",),
+    doc="TIME-RANGE window frame (q59's ROWS sibling): each purchase's "
+    "trailing-1-hour spend per user — the frame is bounded by the "
+    "ORDER-BY VALUE (epoch microseconds), not a row count, so bursts "
+    "aggregate all their rows and quiet hours aggregate few.  Peer "
+    "rows (equal ts) share the frame, so the result needs no "
+    "tiebreak to be deterministic.",
+)
+def q82_trailing_hour_purchase_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("trailing_1h_sum"),
+        )
+    )
+
+
 _LATERAL_SQL = """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c JOIN LATERAL (
