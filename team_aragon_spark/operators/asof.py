@@ -22,8 +22,10 @@ classic merge as-of:
 Semantics match DuckDB/`pandas.merge_asof`: ``direction='backward'``
 takes the latest right row with ``right_ts <= left_ts``; ``'forward'``
 the earliest with ``right_ts >= left_ts`` (the same single-pass carry
-over the reversed sort order); ``tolerance`` bounds the staleness and
-NULLs the carried values beyond it.  Ties on (key, ts) between sides
+over the reversed sort order); ``'nearest'`` whichever of the two is
+closer (both carries over one Exchange, ties prefer backward);
+``tolerance`` bounds the staleness and NULLs the carried values
+beyond it.  Ties on (key, ts) between sides
 resolve right-before-left so an exactly-simultaneous right row IS
 visible to the left row in both directions.
 """
@@ -68,8 +70,10 @@ def asof_join(
     and multiple value columns can never mix values from different
     right rows.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     from pyspark.sql import types as T
 
     payload_t = T.StructType(
@@ -111,16 +115,52 @@ def asof_join(
     # forward scans time DESCENDING, so the same carry yields the
     # earliest later right row.  Side asc in both: an equal-ts right
     # row is scanned before the left row and is therefore visible.
-    ts_order = F.col("__asof_ts").asc() if direction == "backward" else F.col("__asof_ts").desc()
-    order = [ts_order, F.col(_SIDE).asc()] + (
-        [F.col("__asof_tb").asc_nulls_first()] if tiebreak else []
+    # 'nearest' computes BOTH carries over the same union — the two
+    # windows share the hash partitioning, so it still costs one
+    # Exchange (plus a second in-partition sort) — and keeps the
+    # closer side per row.
+    tb = [F.col("__asof_tb").asc_nulls_first()] if tiebreak else []
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__asof_ts").asc(), F.col(_SIDE).asc(), *tb)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__asof_ts").desc(), F.col(_SIDE).asc(), *tb)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     unioned = l_tag.unionByName(r_full.select(*l_tag.columns))
-    unioned = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    if direction == "backward":
+        unioned = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        unioned = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w_fwd))
+    else:
+        unioned = unioned.withColumn("__pb", F.last(payload, ignorenulls=True).over(w_back))
+        unioned = unioned.withColumn("__pf", F.last(payload, ignorenulls=True).over(w_fwd))
 
     out = unioned.filter(F.col(_SIDE) == 1)
-    if tolerance is not None:
+
+    def _within(p: str, gap: str) -> str:
+        return f"({p}.__rts IS NOT NULL AND ({gap}) <= ({tolerance}))"
+
+    if direction == "nearest":
+        gb, gf = "__asof_ts - __pb.__rts", "__pf.__rts - __asof_ts"
+        if tolerance is not None:
+            out = out.withColumn(
+                "__pb", F.when(F.expr(_within("__pb", gb)), F.col("__pb")).otherwise(F.lit(None).cast(payload_t))
+            ).withColumn(
+                "__pf", F.when(F.expr(_within("__pf", gf)), F.col("__pf")).otherwise(F.lit(None).cast(payload_t))
+            )
+        # closer side wins; exact-distance ties prefer backward
+        # (pandas.merge_asof 'nearest' keeps the earlier row on ties).
+        pick = (
+            "CASE WHEN __pb.__rts IS NULL THEN __pf "
+            "WHEN __pf.__rts IS NULL THEN __pb "
+            f"WHEN ({gb}) <= ({gf}) THEN __pb ELSE __pf END"
+        )
+        out = out.withColumn(payload, F.expr(pick)).drop("__pb", "__pf")
+    elif tolerance is not None:
         gap = (
             f"__asof_ts - {payload}.__rts"
             if direction == "backward"

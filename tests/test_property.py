@@ -41,7 +41,7 @@ right_rows = st.lists(
 @given(
     left=left_rows,
     right=right_rows,
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
     tol_s=st.sampled_from([None, 0, 30, 200]),
 )
 def test_asof_join_agrees_with_pandas_merge_asof(spark, left, right, direction, tol_s):
