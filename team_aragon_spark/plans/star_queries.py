@@ -2025,6 +2025,42 @@ def q82_trailing_hour_purchase_sum(spark, sf_dir):
     )
 
 
+@register(
+    "q83_neardup_edit_distance",
+    _JACCARD_SQL.replace(
+        "SELECT a.doc_id AS a, b.doc_id AS b,",
+        "SELECT a.doc_id AS a, b.doc_id AS b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,",
+    )
+    .replace(
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id",
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+        "JOIN documents ta ON ta.doc_id = a.doc_id "
+        "JOIN documents tb ON tb.doc_id = b.doc_id",
+    ),
+    ops=("ext-fuzzy-string",),
+    doc="Character-level verification of the shingle-level candidates: "
+    "exact Levenshtein distance on each near-dup pair (q23's "
+    "candidate set) — the expensive edit-distance metric positioned "
+    "where it belongs at scale: AFTER set-similarity blocking has cut "
+    "the pair space, never pairwise over the corpus.",
+)
+def q83_neardup_edit_distance(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = text_dedup.jaccard_pairs(docs, threshold=0.5)
+    ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(ta, on="a")
+        .join(tb, on="b")
+        .select(
+            "a",
+            "b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("edit_dist"),
+            "jaccard",
+        )
+    )
+
+
 _LATERAL_SQL = """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c JOIN LATERAL (
