@@ -88,6 +88,10 @@ def main() -> None:
             runs.append(time.monotonic() - t0)
         cold[name] = round(runs[0], 3)
         steady[name] = round(min(runs), 3)
+        # queries that persist() intermediates (LSH shingles, tf) manage
+        # lifetime per-invocation via the caller: drop cached blocks so
+        # repeated queries can't accumulate executor-storage pressure
+        spark.catalog.clearCache()
         print(f"  {name}: cold {cold[name]}s steady {steady[name]}s", file=sys.stderr)
 
     # Round-2 operator families, timed separately so the headline total
@@ -101,6 +105,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.monotonic() - t0)
         extra_steady[name] = round(min(runs), 3)
+        spark.catalog.clearCache()
         print(f"  {name}: steady {extra_steady[name]}s", file=sys.stderr)
 
     total = round(sum(steady.values()), 3)

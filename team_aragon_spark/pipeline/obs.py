@@ -36,13 +36,21 @@ def setup_logging(log_file: str = "log_output.txt", level: int = logging.DEBUG) 
     Idempotent per path: an existing handler for the same file is
     reused, so repeated pipeline invocations in one process don't
     multiply log lines.  Returns the package logger.
+
+    The DEBUG level is applied to the *package* logger only — the root
+    logger stays at WARNING.  The reference sets root to DEBUG, but it
+    is a one-shot script; in a long-running Spark process a DEBUG root
+    would flood the file with py4j/urllib3 chatter on every JVM call.
     """
+    logger.setLevel(level)
     root = logging.getLogger()
-    root.setLevel(level)
+    if root.level == logging.NOTSET or root.level < logging.WARNING:
+        root.setLevel(logging.WARNING)
     target = os.path.abspath(log_file)
-    for h in root.handlers:
-        if isinstance(h, RotatingFileHandler) and getattr(h, "baseFilename", None) == target:
-            return logger
+    for lg in (root, logger):
+        for h in lg.handlers:
+            if isinstance(h, RotatingFileHandler) and getattr(h, "baseFilename", None) == target:
+                return logger
     handler = RotatingFileHandler(target, mode="w", encoding="utf-8")
     handler.setLevel(level)
     handler.setFormatter(logging.Formatter(LOG_FORMAT))

@@ -33,8 +33,17 @@ PART_COL = "o_mon"
 
 
 def _stage_root(sf_dir: str) -> str:
+    """Stage key = sf name + source-content fingerprint (mtime+size of
+    the source parquet), so regenerated testdata can never silently
+    reuse a stale staged copy."""
     sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), "aragon_partitioned", sf)
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{sf}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        fp = sf
+    return os.path.join(tempfile.gettempdir(), "aragon_partitioned", fp)
 
 
 def staged_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,6 +64,12 @@ def staged_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
             os.rename(tmp, path)
-        except OSError:  # lost a concurrent race: another writer finished first
-            shutil.rmtree(tmp, ignore_errors=True)
+        except OSError:
+            # Only treat this as a lost concurrency race if the winner's
+            # complete copy is actually there; a genuine rename failure
+            # (EXDEV, permissions) must NOT destroy the only copy.
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
     return spark.read.parquet(path)

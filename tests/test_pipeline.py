@@ -128,12 +128,17 @@ def test_load_timing_and_log_lines(spark, store, tmp_path):
     setup_logging(str(log_file))
     r = load_quality_batch(spark, "2021-07-01", CMS_1, s)  # cheap full-dup reload
     assert r.wall_s > 0.0
+    # third-party DEBUG chatter (py4j fires on every JVM call) must NOT
+    # reach the file: DEBUG is scoped to the package logger, root stays
+    # at WARNING (ADVICE round-2 fix)
+    logging.getLogger("py4j.java_gateway").debug("py4j-noise-sentinel")
     for h in logging.getLogger().handlers:
         h.flush()
     text = log_file.read_text()
     assert "quality_load[2021-07-01]: load started" in text
     assert "load finished in" in text
     assert "inserted=0" in text
+    assert "py4j-noise-sentinel" not in text
 
 
 def test_jdbc_sink_roundtrip_derby(spark, store, tmp_path):

@@ -208,6 +208,93 @@ def test_append_batch_replay_idempotent(spark, tmp_path):
     assert rows == {(1, "a2"), (3, "c")}
 
 
+def test_compact_then_replay_keeps_all_batches(spark, tmp_path):
+    """ADVICE (high): compaction must preserve the __batch partition so
+    a replayed epoch (crash retry / checkpoint recovery) after
+    compaction overwrites only its own partition — the pre-fix repro
+    was: append e0+e1 (3 rows), compact, replay e0 -> e1's data
+    silently deleted by the dynamic overwrite."""
+    from team_aragon_spark.pipeline.sinks import ParquetStore, compact_table
+
+    store = ParquetStore(str(tmp_path))
+    e0 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    e1 = spark.createDataFrame([(3, "c")], ["id", "v"])
+    store.append_batch(e0, "t", "e0")
+    store.append_batch(e1, "t", "e1")
+
+    compact_table(spark, store, "t")
+    assert store.read(spark, "t").count() == 3
+
+    # replay e0 after compaction: e1's rows must survive
+    store.append_batch(e0, "t", "e0")
+    rows = {(r.id, r.v) for r in store.read(spark, "t").collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+
+    # corrected replay still replaces exactly its own epoch
+    e0_fixed = spark.createDataFrame([(1, "a2")], ["id", "v"])
+    store.append_batch(e0_fixed, "t", "e0")
+    rows = {(r.id, r.v) for r in store.read(spark, "t").collect()}
+    assert rows == {(1, "a2"), (3, "c")}
+
+
+def test_compact_crash_windows_leave_table_readable(spark, tmp_path, monkeypatch):
+    """Crash-safety of the versioned-pointer swap: a crash BEFORE the
+    pointer replace leaves readers on the complete old tree; a crash
+    AFTER the swap (before GC) leaves them on the complete new tree.
+    The pre-fix double-shutil.move had a window where the table was
+    simply absent."""
+    import os
+
+    from team_aragon_spark.pipeline import sinks
+    from team_aragon_spark.pipeline.sinks import ParquetStore, compact_table
+
+    store = ParquetStore(str(tmp_path))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["id", "v"])
+    for i in range(4):
+        store.append(df.filter(F.col("id") % 4 == i), "t")
+    before = {(r.id, r.v) for r in store.read(spark, "t").collect()}
+
+    # crash window 1: new tree written, pointer swap never happens
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("injected crash before pointer swap")
+
+    monkeypatch.setattr(sinks.os, "replace", boom)
+    try:
+        compact_table(spark, store, "t")
+    except OSError:
+        pass
+    assert {(r.id, r.v) for r in store.read(spark, "t").collect()} == before
+
+    # crash window 2: pointer swapped, GC never runs
+    monkeypatch.setattr(sinks.os, "replace", real_replace)
+    import shutil as _shutil
+
+    real_rmtree = _shutil.rmtree
+
+    def boom_rmtree(path, **kw):
+        raise OSError("injected crash before GC")
+
+    monkeypatch.setattr("shutil.rmtree", boom_rmtree)
+    try:
+        compact_table(spark, store, "t")
+    except OSError:
+        pass
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+    assert {(r.id, r.v) for r in store.read(spark, "t").collect()} == before
+
+    # recovery: the next successful compact GCs every stray tree
+    compact_table(spark, store, "t")
+    assert {(r.id, r.v) for r in store.read(spark, "t").collect()} == before
+    strays = [
+        n
+        for n in os.listdir(tmp_path)
+        if n.startswith("t") and os.path.isdir(os.path.join(tmp_path, n))
+    ]
+    assert len(strays) == 1, strays  # exactly the current version dir
+
+
 def test_runtime_bloom_filter_injection(spark):
     """100 TB posture: with broadcast off (both sides too big), a
     selective filter on one join side injects a runtime BLOOM FILTER
