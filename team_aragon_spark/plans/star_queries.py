@@ -1578,13 +1578,19 @@ SELECT node, min(comp) AS component FROM cc GROUP BY node"""
     "but over the deterministic exact-Jaccard pair relation (q23) so "
     "a DuckDB recursive CTE can reproduce every (node, component) "
     "label.  q50's xxhash64-LSH edge set stays rows-only by nature; "
-    "this pins the transitive-closure machinery itself.",
+    "this pins the transitive-closure machinery itself.  Pair "
+    "formation is LSH-BLOCKED (sign → band → bucket-join), never "
+    "all-pairs: the Jaccard verify runs only on bucket collisions; "
+    "tests/test_operators.py::test_lsh_blocking_covers_exact_pairs "
+    "pins blocked == exact at oracle scale, which is what keeps the "
+    "DuckDB all-pairs oracle valid.",
 )
 def q64_neardup_cluster_labels(spark, sf_dir):
     from team_aragon_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = text_dedup.jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    pairs = text_dedup.jaccard_pairs(docs, candidates=cands, threshold=0.5).select("a", "b")
     return connected_components(pairs)
 
 
@@ -2039,14 +2045,19 @@ def q82_trailing_hour_purchase_sum(spark, sf_dir):
     ),
     ops=("ext-fuzzy-string",),
     doc="Character-level verification of the shingle-level candidates: "
-    "exact Levenshtein distance on each near-dup pair (q23's "
-    "candidate set) — the expensive edit-distance metric positioned "
-    "where it belongs at scale: AFTER set-similarity blocking has cut "
-    "the pair space, never pairwise over the corpus.",
+    "exact Levenshtein distance on each near-dup pair — the expensive "
+    "edit-distance metric positioned where it belongs at scale: AFTER "
+    "MinHash-LSH blocking has cut the pair space (sign → band → "
+    "bucket-join → Jaccard verify → Levenshtein), never pairwise over "
+    "the corpus.  tests/test_operators.py::"
+    "test_lsh_blocking_covers_exact_pairs pins blocked == exact at "
+    "oracle scale, which is what keeps the DuckDB all-pairs oracle "
+    "valid.",
 )
 def q83_neardup_edit_distance(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = text_dedup.jaccard_pairs(docs, threshold=0.5)
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    pairs = text_dedup.jaccard_pairs(docs, candidates=cands, threshold=0.5)
     ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("__ta"))
     tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("__tb"))
     return (

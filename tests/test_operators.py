@@ -103,6 +103,26 @@ def test_minhash_lsh_matches_exact(spark, dup_corpus):
     assert lsh == exact
 
 
+def test_lsh_blocking_covers_exact_pairs(spark):
+    """q64/q83 run exact Jaccard only over LSH bucket collisions; this
+    pins that the blocked candidate set covers EVERY exact pair at
+    oracle scale (testdata near-dups have jaccard >= 0.88, so a band
+    miss at 96 hashes / 32 bands has probability ~1e-12) — the
+    invariant that keeps the DuckDB all-pairs oracle valid for the
+    blocked plans."""
+    from team_aragon_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001").select("doc_id", "text")
+    exact = {(r.a, r.b) for r in text_dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    blocked = {
+        (r.a, r.b)
+        for r in text_dedup.jaccard_pairs(docs, candidates=cands, threshold=0.5).collect()
+    }
+    assert exact  # corpus actually contains planted near-dups
+    assert blocked == exact
+
+
 def test_simhash_exact_dup_zero_hamming(spark, dup_corpus):
     pairs = {(r.a, r.b): r.hamming for r in text_dedup.simhash_neardup_pairs(dup_corpus, max_hamming=3).collect()}
     assert pairs.get((0, 3)) == 0  # identical text → identical fingerprint
