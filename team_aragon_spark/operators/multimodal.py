@@ -10,8 +10,11 @@ environment, so the decode kernel is pluggable:
 
 - ``fake_decode_meta`` — deterministic arithmetic stand-in used by
   tests and the DuckDB oracle (real Spark plumbing, fake pixels);
-- ``real_decode_meta`` — raises ``NotImplementedError`` with the
-  intended contract, to be swapped in where codecs exist.
+- ``real_decode_meta`` — real PIL-backed image decode behind an
+  import guard: fails fast driver-side with a clear error where
+  Pillow is absent (this container), decodes for real where it is
+  installed (``tests/test_operators.py::test_real_decode_meta_pil``
+  runs there, skip-marked here).
 
 Scale notes: media batches are large — keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` small (e.g. 64) for
@@ -77,18 +80,74 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     )
 
 
-def real_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Real decode contract (PIL/ffmpeg): same output schema as
-    ``fake_decode_meta``; swap in where codec libraries exist."""
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; "
-            "plug PIL.Image.open / av.open into this kernel — the Spark-side "
-            "schema, batching, and partitioning contract is identical to fake_decode_meta"
+        return True
+    except ImportError:
+        return False
+
+
+def real_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Real image decode (Pillow): same output schema, batching, and
+    partitioning contract as ``fake_decode_meta``.
+
+    Import-guarded at CALL time on the driver — where Pillow is absent
+    the caller gets one clear ``ModuleNotFoundError`` up front, not a
+    per-task executor crash mid-job.  Undecodable payloads yield NULL
+    dims with ``modality='unknown'`` (quarantine-style: the batch
+    never fails on one corrupt blob — at 100 TB some blobs WILL be
+    corrupt).  ``n_frames`` comes from the image when the container is
+    multi-frame (GIF/TIFF), else 1.  Audio/video need an av/ffmpeg
+    kernel with this same contract.
+    """
+    if not pil_available():
+        raise ModuleNotFoundError(
+            "real_decode_meta needs Pillow, which this environment does not ship; "
+            "use fake_decode_meta for plumbing tests (same schema/batch contract) "
+            "or install Pillow where real pixels matter"
         )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=META_SCHEMA)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ws: list[int | None] = []
+            hs: list[int | None] = []
+            nf: list[int | None] = []
+            mods: list[str] = []
+            for b in pdf[payload_col]:
+                try:
+                    with Image.open(io.BytesIO(bytes(b))) as img:
+                        ws.append(int(img.width))
+                        hs.append(int(img.height))
+                        nf.append(int(getattr(img, "n_frames", 1)))
+                        mods.append("image")
+                except Exception:
+                    ws.append(None)
+                    hs.append(None)
+                    nf.append(None)
+                    mods.append("unknown")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": pdf[payload_col].map(len).astype("int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "modality": pd.Series(mods, dtype="object"),
+                }
+            )
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col, payload_col), width).mapInPandas(
+        kernel, schema=META_SCHEMA
+    )
 
 
 def fake_resize(df: DataFrame, out_w: int = 224, out_h: int = 224, payload_col: str = "payload") -> DataFrame:

@@ -212,13 +212,39 @@ def test_ivf_recall_clustered_sorted_corpus(spark):
     assert recall >= 0.9, f"IVF recall on clustered corpus {recall}"
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_guard_without_pil(spark):
+    """Where Pillow is absent, real_decode_meta must fail fast on the
+    DRIVER with one clear error — never ship a kernel that crashes
+    per-task on the executors."""
     from team_aragon_spark.operators import multimodal
 
+    if multimodal.pil_available():
+        pytest.skip("Pillow installed here; covered by test_real_decode_meta_pil")
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     payload = multimodal.attach_binary_payload(df)
-    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable|PythonException"):
-        multimodal.real_decode_meta(payload).collect()
+    with pytest.raises(ModuleNotFoundError, match="Pillow"):
+        multimodal.real_decode_meta(payload)  # raises before any job starts
+
+
+def test_real_decode_meta_pil(spark):
+    """Real PIL decode (runs only where Pillow exists): a generated
+    PNG decodes to its true dims; a corrupt payload degrades to NULL
+    dims + modality='unknown' instead of failing the batch."""
+    from team_aragon_spark.operators import multimodal
+
+    if not multimodal.pil_available():
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (13, 7)).save(buf, format="PNG")
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not-an-image"))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in multimodal.real_decode_meta(df).collect()}
+    assert (got[1].width, got[1].height, got[1].modality) == (13, 7, "image")
+    assert got[2].width is None and got[2].modality == "unknown"
 
 
 def test_winnowing_detects_partial_overlap(spark):
