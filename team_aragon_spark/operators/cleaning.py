@@ -72,6 +72,36 @@ def parse_dates(df: DataFrame, cols: Iterable[str], fmt: str = "yyyy-MM-dd") -> 
     return df.withColumns({c: F.try_to_date(F.col(c), fmt) for c in cols})
 
 
+_WKT_POINT = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)\s*$"
+
+
+def parse_wkt_point(
+    df: DataFrame,
+    col: str = "geocoded_hospital_address",
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+) -> DataFrame:
+    """Extract lon/lat doubles from a WKT ``POINT (lon lat)`` string.
+
+    The reference stores ``geocoded_hospital_address`` as the raw WKT
+    text and nothing ever reads it back (``load_hhs.py:90-91`` inserts
+    it; no report queries it) — the coordinates are dead on arrival.
+    Here the point is parsed at load time into two double columns, so
+    geo filters/joins are plain numeric predicates that Catalyst can
+    push into the parquet scan.  Malformed or NULL WKT yields NULL
+    coordinates (one regexp pass, ``try_cast`` for the numeric edge);
+    the raw string column is preserved for parity.
+    """
+    lon = F.regexp_extract(F.col(col), _WKT_POINT, 1)
+    lat = F.regexp_extract(F.col(col), _WKT_POINT, 2)
+    return df.withColumns(
+        {
+            lon_col: F.when(lon != "", lon).try_cast("double"),
+            lat_col: F.when(lat != "", lat).try_cast("double"),
+        }
+    )
+
+
 def add_literal_column(df: DataFrame, name: str, value, dtype: str | None = None) -> DataFrame:
     """Broadcast a constant to all rows (e.g. the CLI-supplied batch date).
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from team_aragon_spark.operators.cleaning import parse_wkt_point
 from team_aragon_spark.operators.dedup import first_wins_dedup, split_new_vs_existing
 from team_aragon_spark.pipeline.obs import logger, timed_load
 from team_aragon_spark.operators.validation import (
@@ -103,6 +104,10 @@ def _load_hhs_batch(spark: SparkSession, csv_path: str, store: ParquetStore, qua
             new, dups = batch, batch.limit(0)
         for old, newname in rename.items():
             new = new.withColumnRenamed(old, newname)
+        if table == "hospital_locations":
+            # WKT POINT -> (longitude, latitude) doubles; the raw
+            # string rides along for reference parity.
+            new = parse_wkt_point(new)
         n_new, n_dup = new.count(), dups.count()
         store.append(new, table)
         table_rows[table] = n_new

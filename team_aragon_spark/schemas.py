@@ -192,6 +192,11 @@ HOSPITAL_LOCATIONS_SCHEMA = T.StructType(
         T.StructField("zip", T.StringType()),
         T.StructField("fips_code", T.StringType()),
         T.StructField("geocoded_hospital_address", T.StringType()),
+        # Parsed from the WKT POINT at load time (operators/cleaning.py
+        # parse_wkt_point); the reference stores only the raw string
+        # (load_hhs.py:90-91) and can never filter on coordinates.
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("latitude", T.DoubleType()),
     ]
 )
 

@@ -10,7 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from team_aragon_spark.operators import text_dedup, windows
-from team_aragon_spark.operators.cleaning import remap_values, sentinel_to_null
+from team_aragon_spark.operators.cleaning import (
+    parse_wkt_point,
+    remap_values,
+    sentinel_to_null,
+)
 from team_aragon_spark.operators.dedup import first_wins_dedup, split_new_vs_existing
 from team_aragon_spark.operators.validation import (
     RangeRule,
@@ -62,6 +66,27 @@ def test_split_new_vs_existing(spark):
     new, dups = split_new_vs_existing(batch, existing, ["k"])
     assert {r.k for r in new.collect()} == {"a", "c"}
     assert {r.k for r in dups.collect()} == {"b"}
+
+
+def test_parse_wkt_point(spark):
+    """WKT POINT -> lon/lat doubles; malformed/NULL -> NULL coords with
+    the raw string preserved (the reference stores the string unparsed,
+    load_hhs.py:90-91)."""
+    df = spark.createDataFrame(
+        [
+            ("a", "POINT (-80.15278 40.41806)"),
+            ("b", "POINT(2.35 48.85)"),  # no space after POINT
+            ("c", "not a point"),
+            ("d", None),
+        ],
+        ["id", "geocoded_hospital_address"],
+    )
+    out = {r.id: (r.longitude, r.latitude) for r in parse_wkt_point(df).collect()}
+    assert out["a"] == (-80.15278, 40.41806)
+    assert out["b"] == (2.35, 48.85)
+    assert out["c"] == (None, None)
+    assert out["d"] == (None, None)
+    assert "geocoded_hospital_address" in parse_wkt_point(df).columns
 
 
 def test_remap_not_available_quirk(spark):
