@@ -271,3 +271,50 @@ def redact_pii(
     # of substitutions actually made.
     n = F.size(F.expr(f"regexp_extract_all({out_col}, '<SSN>|<EMAIL>|<PHONE>', 0)"))
     return df.withColumn(count_col, n.cast("long"))
+
+
+def gram_docfreq_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+    boilerplate_df: int = 3,
+) -> DataFrame:
+    """Cross-document n-gram document frequency: per document, the
+    highest number of DISTINCT documents any of its ``gram_n``-token
+    grams appears in — the C4/RefinedWeb-style boilerplate signal
+    (templated text shows up as grams with corpus-wide doc frequency).
+
+    Same md5-digest gram keys as ``shared_gram_counts`` (16-byte
+    shuffle keys, oracle-portable), but the join is corpus-to-itself
+    THROUGH the aggregated gram relation: explode distinct grams per
+    doc, partial-agg to (gram, doc_freq) — vocabulary-sized, the only
+    corpus-scale shuffle — then one shuffle join back to the exploded
+    side and a per-doc max.  Never doc-to-doc pairwise.
+    """
+    grams = (
+        f"if(size(__tok) < {gram_n}, array(), array_distinct("
+        f"transform(sequence(1, size(__tok) - {gram_n - 1}), "
+        f"i -> md5(concat_ws(' ', slice(__tok, i, {gram_n}))))))"
+    )
+    # Persisted so the corpus-sized explode feeds both the docfreq agg
+    # and the join side without a second scan; cache lifetime is
+    # caller-managed (see ``tfidf_top_terms``).
+    per_doc = (
+        df.withColumn("__tok", F.expr(_tok(text_col)))
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("g"))
+        .persist()
+    )
+    docfreq = per_doc.groupBy("g").agg(F.count(F.lit(1)).alias("df"))  # grams distinct per doc
+    return (
+        per_doc.join(docfreq, on="g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.max("df").alias("max_gram_docfreq"),
+        )
+        .withColumn(
+            "is_boilerplate",
+            (F.col("max_gram_docfreq") >= F.lit(boilerplate_df)).cast("int"),
+        )
+    )

@@ -357,3 +357,82 @@ def srp_neardup_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("a", "b", "cosine")
     )
+
+
+def int8_quant_stats(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction stats.
+
+    The storage-side half of a 100 TB vector corpus: symmetric int8
+    quantization (scale = max|x| / 127) shrinks a float32 embedding
+    column 4x before it ever hits the shuffle or the object store,
+    and this operator reports exactly what that costs — per-vector
+    max absolute reconstruction error and the cosine between the
+    original and the dequantized vector.
+
+    Everything is JVM-side array expressions (transform / zip_with /
+    aggregate in DOUBLE, summed left-to-right) — no Python boundary,
+    bit-stable, oracle-comparable.  Narrow per-row work: no shuffle,
+    scales linearly with the corpus.
+    """
+    dq = "transform(__dv, x -> round(x / __scale) * __scale)"
+    return (
+        emb.withColumn("__dv", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+        .withColumn("__scale", F.expr("array_max(transform(__dv, x -> abs(x))) / 127.0"))
+        .withColumn("__dq", F.expr(dq))
+        .select(
+            F.col(id_col),
+            F.round(F.col("__scale"), 9).alias("scale"),
+            F.round(
+                F.expr("array_max(zip_with(__dv, __dq, (a, b) -> abs(a - b)))"), 9
+            ).alias("max_abs_err"),
+            F.round(F.expr(cosine_expr("__dv", "__dq")), 6).alias("cos_dequant"),
+        )
+    )
+
+
+def label_centroid_cosines(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids.
+
+    The distributed building block of k-means / cluster diagnostics:
+    centroids come from ONE partial-aggregated shuffle over
+    (label, position) — posexplode is narrow, the avg combines
+    map-side, and the reduce state is |labels| x dim cells, tiny no
+    matter the corpus size.  The pairwise stage then runs on the
+    |labels| x dim table (label a < label b equi-joined on position),
+    never touching corpus rows again — at 100 TB the corpus is read
+    once, and everything downstream is KB-sized.
+
+    Centroid components are rounded to 6 digits BEFORE the cosine so
+    cross-engine accumulation-order ulps in the avg cannot leak into
+    the pairwise stage.
+    """
+    comp = (
+        emb.select(label_col, F.posexplode(vec_col).alias("i", "__x"))
+        .groupBy(label_col, "i")
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("c"))
+    )
+    a = comp.select(
+        F.col(label_col).alias("label_a"), F.col("i"), F.col("c").alias("ca")
+    )
+    b = comp.select(
+        F.col(label_col).alias("label_b"), F.col("i"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, on="i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("__dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("__na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("__nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.try_divide(F.col("__dot"), F.sqrt("__na") * F.sqrt("__nb")), 6
+            ).alias("centroid_cos"),
+        )
+    )

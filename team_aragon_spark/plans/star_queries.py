@@ -2251,6 +2251,303 @@ def q47_streaming_user_totals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: corpus curation + embedding-storage operators
+# ---------------------------------------------------------------------------
+
+_SOURCE_QUALITY_SQL = r"""
+WITH feats AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x IN ({stop}))) AS ns
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         round(np / nc, 6) AS punct_ratio,
+         round(ns / n_tokens, 6) AS stopword_ratio
+  FROM feats),
+scored AS (
+  SELECT source, n_tokens,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE least(1.0, stopword_ratio * 2 + 0.5)
+                         - least(0.5, punct_ratio * 5) END, 6) AS quality_score
+  FROM r)
+SELECT source, count(*) AS n_docs,
+       round(avg(quality_score), 4) AS avg_quality,
+       round(avg(n_tokens), 2) AS avg_tokens,
+       CAST(round(avg(quality_score), 4) >= 0.5 AS INT) AS keep_source
+FROM scored GROUP BY source""".format(
+    stop=", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+)
+
+
+@register(
+    "q84_source_quality_filter",
+    _SOURCE_QUALITY_SQL,
+    ops=("ext-corpus-source-filter",),
+    doc="Domain/source-level quality gating — the web-corpus move of "
+    "dropping whole domains whose AGGREGATE quality is bad (RefinedWeb/"
+    "C4 curation), not doc-by-doc: per-doc quality features (same "
+    "column expressions as q20) partial-agg'd to source granularity, "
+    "keep flag off the rounded mean.  One corpus scan, one "
+    "source-keyed shuffle whose reduce state is |sources| rows.",
+)
+def q84_source_quality_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    qf = text.quality_features(docs)
+    agg = qf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"),
+    )
+    return agg.withColumn("keep_source", (F.col("avg_quality") >= 0.5).cast("int"))
+
+
+@register(
+    "q85_langid_confusion",
+    f"""SELECT lang, predicted_lang, count(*) AS n_docs FROM (
+          SELECT lang, {_LANG_CASE_SQL} AS predicted_lang FROM (
+            SELECT doc_id, lang,
+                   {', '.join(f'{e} AS s_{l}' for l, e in _LANG_SCORE_SQL.items())},
+                   greatest({', '.join(_LANG_SCORE_SQL.values())}) AS mx
+            FROM documents))
+        GROUP BY lang, predicted_lang""",
+    ops=("ext-text-langid-eval",),
+    doc="Language-ID confusion matrix: q19's stopword-marker classifier "
+    "grouped (actual, predicted) — the evaluation view a corpus "
+    "pipeline keeps next to any heuristic filter.  Classifier columns "
+    "fold into the partial agg; reduce state is |langs|².",
+)
+def q85_langid_confusion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.language_id(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_INT8_QUANT_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+s AS (SELECT vec_id, dv,
+             list_aggregate(list_transform(dv, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, dv, scale,
+             list_transform(dv, x -> round(x / scale) * scale) AS dq
+      FROM s)
+SELECT vec_id, round(scale, 9) AS scale,
+       round(list_aggregate(list_transform(range(1, len(dv) + 1),
+             i -> abs(dv[i] - dq[i])), 'max'), 9) AS max_abs_err,
+       round(list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * dq[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(dv) + 1), i -> dv[i] * dv[i])))
+                * sqrt(list_sum(list_transform(range(1, len(dq) + 1), i -> dq[i] * dq[i])))),
+             6) AS cos_dequant
+FROM q"""
+
+
+@register(
+    "q86_embedding_int8_quant",
+    _INT8_QUANT_SQL,
+    ops=("ext-embedding-quantization",),
+    doc="Symmetric int8 scalar quantization of the embedding column "
+    "(scale = max|x|/127) with per-vector reconstruction audit: max "
+    "absolute error + original-vs-dequantized cosine.  The 4x "
+    "storage/shuffle shrink a 100 TB vector corpus takes before "
+    "anything else touches it — all JVM-side array expressions, "
+    "narrow, no shuffle (operators/similarity.py:int8_quant_stats).",
+)
+def q86_embedding_int8_quant(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.int8_quant_stats(emb)
+
+
+_CENTROID_COS_SQL = """
+WITH c AS (
+  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY label, i),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.c * b.c) AS dot, sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT label_a, label_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS centroid_cos
+FROM p"""
+
+
+@register(
+    "q87_label_centroids",
+    _CENTROID_COS_SQL,
+    ops=("ext-embedding-centroids",),
+    doc="Per-label centroid computation + pairwise centroid cosines — "
+    "the distributed k-means building block (and cluster-separation "
+    "diagnostic) with a HASH-MATCHED oracle: posexplode → (label, "
+    "position) partial-avg (reduce state |labels|x dim, corpus read "
+    "once), centroids rounded BEFORE the pairwise stage so "
+    "accumulation-order ulps cannot cross engines "
+    "(operators/similarity.py:label_centroid_cosines).",
+)
+def q87_label_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_cosines(emb)
+
+
+@register(
+    "q88_engaged_user_set_ops",
+    """SELECT user_id FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+       ) ORDER BY user_id""",
+    ops=("ext-set-ops",),
+    doc="INTERSECT / EXCEPT set operators (distinct semantics): users "
+    "who both clicked and purchased but never errored.  Completes the "
+    "set-op surface next to q55's UNION ALL; Catalyst plans both as "
+    "aggregates over a shared shuffle on user_id.",
+)
+def q88_engaged_user_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    return (
+        users("click")
+        .intersect(users("purchase"))
+        .subtract(users("error"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q89_doc_length_histogram",
+    """SELECT CAST(floor(log2(n_chars)) AS INT) AS bucket,
+              count(*) AS n_docs,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              round(avg(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)), 2)
+                AS avg_tokens
+       FROM documents GROUP BY bucket""",
+    ops=("ext-corpus-length-histogram",),
+    doc="Log2-bucketed document-length histogram with per-bucket token "
+    "stats — the pretraining-mix length profile.  Pure partial agg on "
+    "a derived bucket key; reduce state is O(log(max_len)) rows no "
+    "matter the corpus size.",
+)
+def q89_doc_length_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", F.floor(F.log2("n_chars")).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg(text.token_count(F.col("text")).cast("double")), 2).alias(
+                "avg_tokens"
+            ),
+        )
+    )
+
+
+_GRAM_DOCFREQ_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 7, 0) + 1),
+           i -> md5(array_to_string(toks[i : i + 7], ' '))))) AS g
+  FROM t),
+df AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+SELECT g.doc_id, count(*) AS n_grams, max(df.df) AS max_gram_docfreq,
+       CAST(max(df.df) >= 3 AS INT) AS is_boilerplate
+FROM g JOIN df USING (g)
+GROUP BY g.doc_id"""
+
+
+@register(
+    "q90_crossdoc_boilerplate",
+    _GRAM_DOCFREQ_SQL,
+    ops=("ext-corpus-boilerplate",),
+    doc="Cross-document boilerplate detection: per doc, the max corpus "
+    "document-frequency over its distinct 8-token grams (templated "
+    "text = grams shared by many docs — the C4/RefinedWeb boilerplate "
+    "signal).  Never doc-to-doc pairwise: explode md5 gram digests, "
+    "partial-agg to (gram, docfreq) — the one corpus-sized shuffle — "
+    "then join back and per-doc max "
+    "(operators/corpus.py:gram_docfreq_stats).",
+)
+def q90_crossdoc_boilerplate(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import gram_docfreq_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return gram_docfreq_stats(docs)
+
+
+_CLUSTER_REP_SQL = (
+    _CC_ORACLE_SQL.replace("SELECT node, min(comp) AS component FROM cc GROUP BY node", "")
+    + r""",
+labels AS (SELECT node, min(comp) AS component FROM cc GROUP BY node),
+feats AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x IN ({stop}))) AS ns
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE least(1.0, round(ns / n_tokens, 6) * 2 + 0.5)
+                         - least(0.5, round(np / nc, 6) * 5) END, 6) AS quality_score
+  FROM feats)
+SELECT component, doc_id AS rep_doc_id, quality_score
+FROM (SELECT l.component, l.node AS doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY l.component
+                                ORDER BY q.quality_score DESC, l.node) AS rn
+      FROM labels l JOIN q ON q.doc_id = l.node)
+WHERE rn = 1""".format(stop=", ".join(f"'{w}'" for w in text.EN_STOPWORDS))
+)
+
+
+@register(
+    "q91_cluster_representative",
+    _CLUSTER_REP_SQL,
+    ops=("ext-dedup-representative",),
+    doc="Quality-aware canonical selection: for every near-dup cluster "
+    "(q64's LSH-blocked pairs → connected components), keep the "
+    "highest-quality member (q20's score, doc_id tie-break) — the "
+    "keep-best half of corpus dedup, vs q50's keep-first.  Cluster "
+    "labels are |dup-cluster|-sized; the quality join is one shuffle "
+    "on doc_id; window partitions by component.",
+)
+def q91_cluster_representative(spark, sf_dir):
+    from team_aragon_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    pairs = text_dedup.jaccard_pairs(docs, candidates=cands, threshold=0.5).select("a", "b")
+    labels = connected_components(pairs)
+    quality = text.quality_features(docs).select("doc_id", "quality_score")
+    joined = labels.join(quality, labels.node == quality.doc_id)
+    w = Window.partitionBy("component").orderBy(F.col("quality_score").desc(), F.col("node"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("rep_doc_id"),
+            "quality_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
 # The grading driver writes CORRECTNESS rows for the FIRST 50 entries
@@ -2294,6 +2591,14 @@ STAMP_PRIORITY: list[str] = [
     "q83_neardup_edit_distance",
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
+    "q84_source_quality_filter",
+    "q85_langid_confusion",
+    "q86_embedding_int8_quant",
+    "q87_label_centroids",
+    "q88_engaged_user_set_ops",
+    "q89_doc_length_histogram",
+    "q90_crossdoc_boilerplate",
+    "q91_cluster_representative",
 ]
 
 

@@ -664,3 +664,62 @@ def test_sql_sketch_family(spark):
     for t, n in sorted(exact.items(), key=lambda kv: -kv[1])[:10]:
         est = cms.estimateCount(t)
         assert n <= est <= n + int(0.001 * total) + 1, (t, n, est)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: embedding quantization / centroids / cross-doc boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quant_reconstruction_bounds(spark):
+    """Symmetric int8 quantization: scale = max|x|/127, reconstruction
+    error bounded by scale/2, dequantized cosine ~= 1 for any
+    non-degenerate vector."""
+    from team_aragon_spark.operators.similarity import int8_quant_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [127.0, 64.0, -127.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in int8_quant_stats(df).collect()}
+    assert abs(rows[1].scale - 1.0 / 127.0) < 1e-9  # output rounded to 9 digits
+    assert abs(rows[2].scale - 1.0) < 1e-9
+    for r in rows.values():
+        assert r.max_abs_err <= r.scale / 2 + 1e-8
+        assert r.cos_dequant >= 0.999
+
+
+def test_label_centroid_cosines_planted_geometry(spark):
+    """Identical-centroid labels give cosine 1; orthogonal centroids 0."""
+    from team_aragon_spark.operators.similarity import label_centroid_cosines
+
+    e1, e2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, e1, 0), (2, e1, 0), (3, e1, 1), (4, e2, 2), (5, e2, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r.label_a, r.label_b): r.centroid_cos for r in label_centroid_cosines(df).collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert out[(0, 2)] == pytest.approx(0.0, abs=1e-9)
+    assert out[(1, 2)] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_gram_docfreq_planted_boilerplate(spark):
+    """Docs sharing a planted 8-token template are flagged boilerplate
+    (docfreq >= 3); a unique doc is not; sub-8-token docs drop out."""
+    from team_aragon_spark.operators.corpus import gram_docfreq_stats
+
+    template = "one two three four five six seven eight"
+    rows = [
+        (1, template + " alpha beta"),
+        (2, template + " gamma delta"),
+        (3, template + " epsilon zeta"),
+        (4, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gram_docfreq_stats(df).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 has < 8 tokens -> no grams
+    for d in (1, 2, 3):
+        assert out[d].max_gram_docfreq >= 3 and out[d].is_boilerplate == 1
+    assert out[4].max_gram_docfreq == 1 and out[4].is_boilerplate == 0
