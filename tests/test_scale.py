@@ -383,3 +383,50 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_int8_quant_plan_is_narrow(spark):
+    """int8 quantization must plan as a pure projection: no Exchange,
+    no Python boundary — per-row array expressions only."""
+    from team_aragon_spark.operators.similarity import int8_quant_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0])], "vec_id long, embedding array<float>"
+    )
+    plan = int8_quant_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_gram_docfreq_no_pairwise_join(spark):
+    """Boilerplate detection must route doc-to-doc comparison through
+    the aggregated (gram, docfreq) relation — never a nested-loop or
+    cartesian pairwise plan."""
+    from team_aragon_spark.operators.corpus import gram_docfreq_stats
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    plan = gram_docfreq_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_label_centroids_reads_corpus_once(spark):
+    """Centroid computation reads the corpus exactly once: ONE
+    posexplode feeds the (label, position) partial agg, and the
+    pairwise stage self-joins the |labels| x dim aggregate (a reused
+    exchange), never re-scanning or cross-joining corpus rows."""
+    from team_aragon_spark.operators.similarity import label_centroid_cosines
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = label_centroid_cosines(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # one Generate (posexplode) per corpus scan; the centroid agg's
+    # exchange must be reused by both sides of the pairwise join, not
+    # re-derived from a second corpus scan
+    assert plan.count("Generate posexplode") == 1 or "ReusedExchange" in plan, plan
