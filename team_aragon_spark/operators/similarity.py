@@ -412,7 +412,14 @@ def label_centroid_cosines(
         emb.select(label_col, F.posexplode(vec_col).alias("i", "__x"))
         .groupBy(label_col, "i")
         .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("c"))
-    )
+    ).persist()
+    # The persist is what makes the "read once" contract true: without
+    # it the self-join below re-derives posexplode + avg on BOTH
+    # branches (the a/b projections defeat exchange reuse at plan
+    # time), doubling the most expensive stage.  The cached table is
+    # |labels| x dim rows — KB-sized at any corpus scale — and is
+    # caller-managed like the other tiny broadcast-side caches
+    # (see operators/corpus.py).
     a = comp.select(
         F.col(label_col).alias("label_a"), F.col("i"), F.col("c").alias("ca")
     )

@@ -49,8 +49,12 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_ms = gap_minutes * 60 * 1000
     prev = F.lag(F.col(ts_col)).over(w)
+    # unix_millis rejects TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the NTZ->LTZ cast is value-preserving and works
+    # for either timestamp flavor the source surfaces.
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
     is_new = F.when(
-        prev.isNull() | ((F.unix_millis(F.col(ts_col)) - F.unix_millis(prev)) > gap_ms), F.lit(1)
+        prev.isNull() | ((ms(F.col(ts_col)) - ms(prev)) > gap_ms), F.lit(1)
     ).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("__new", is_new).withColumn("session_id", F.sum("__new").over(running)).drop("__new")

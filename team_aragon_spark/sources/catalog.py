@@ -12,16 +12,21 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from team_aragon_spark.schemas import STAR_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Parquet columns written as TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects outright.  We read them as raw nanosecond longs
-# (legacy.parquet.nanosAsLong) and convert to microsecond timestamps in
-# the plan — a narrow, distributed projection, equivalent to a source
-# adapter; no data is rewritten or collected.
+# Columns that MAY be written as parquet TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects outright.  The shim is
+# schema-adaptive: we enable legacy.parquet.nanosAsLong (harmless for
+# non-nanos files), read the file, and only when the column actually
+# surfaced as a raw nanosecond long do we convert it to a microsecond
+# timestamp in the plan — a narrow, distributed projection, equivalent
+# to a source adapter; no data is rewritten or collected.  Files that
+# already store timestamp[us]/[ms] read through untouched, so the
+# engine survives upstream writers changing timestamp resolution.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -36,10 +41,15 @@ def read_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # double's 53-bit mantissa, so float division corrupts the low
         # microseconds.  Floor division also matches how DuckDB reads
         # TIMESTAMP(NANOS) (truncation), keeping ts values bit-identical
-        # between the engine and the oracle.
-        return df.withColumns(
-            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
-        )
+        # between the engine and the oracle.  Applied ONLY when the
+        # column read back as LongType (i.e. the file really is nanos);
+        # a column already read as a timestamp passes through.
+        shims = {
+            c: F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            for c in ns_cols
+            if isinstance(df.schema[c].dataType, T.LongType)
+        }
+        return df.withColumns(shims) if shims else df
     return spark.read.parquet(path)
 
 

@@ -7,7 +7,7 @@ import pytest
 
 from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle import compare, duck_connection
 
 ORACLE_QUERIES = [(n, qd) for n, qd in QUERY_REGISTRY.items() if qd.oracle is not None]
@@ -42,3 +42,40 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert set(df.columns) == {"c_mktsegment", "revenue_ratio", "net_revenue", "n_items"}
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_q70_empty_is_correct_vs_brute_force(spark):
+    """q70 returned spark_rows=0 in CORRECTNESS_r03 on the regenerated
+    testdata.  Prove that empty is CORRECT, not degenerate: compute the
+    exact all-pairs cosine ground truth with numpy on the real parquet
+    (both sf0.001 and sf0.01) and assert (a) the blocked result is a
+    subset of the exact result at the same threshold — IVF blocking may
+    only MISS pairs, never invent them — and (b) when the exact result
+    is empty the blocked result is too.  Live-computed, so the
+    assertion survives future testdata regenerations either way."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from team_aragon_spark.operators.similarity import ivf_blocked_neardup_pairs
+    from team_aragon_spark.sources.catalog import read_table
+
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id").to_pylist())
+        v = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        u = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sim = u @ u.T
+        iu = np.triu_indices(len(ids), k=1)
+        exact = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(*iu)
+            if round(sim[i, j], 4) >= 0.95
+        }
+        emb = read_table(spark, "embeddings", sf_dir)
+        got = {
+            (r["a"], r["b"])
+            for r in ivf_blocked_neardup_pairs(emb, threshold=0.95).collect()
+        }
+        assert got <= exact, f"{sf_dir}: blocked pairs not in exact ground truth: {got - exact}"
+        if not exact:
+            assert got == set(), f"{sf_dir}: expected empty, got {got}"

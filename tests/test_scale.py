@@ -426,7 +426,15 @@ def test_label_centroids_reads_corpus_once(spark):
     out = label_centroid_cosines(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # one Generate (posexplode) per corpus scan; the centroid agg's
-    # exchange must be reused by both sides of the pairwise join, not
-    # re-derived from a second corpus scan
-    assert plan.count("Generate posexplode") == 1 or "ReusedExchange" in plan, plan
+    # the pairwise join must read the persisted |labels| x dim centroid
+    # table on BOTH branches (InMemoryTableScan), not re-derive
+    # posexplode + avg from a second corpus scan; a single-Generate or
+    # ReusedExchange plan would prove the same contract without cache
+    assert (
+        plan.count("InMemoryTableScan") >= 2
+        or plan.count("Generate posexplode") == 1
+        or "ReusedExchange" in plan
+    ), plan
+    # and the cache actually materializes (runtime single corpus read)
+    assert out.count() == 1
+    df.sparkSession.catalog.clearCache()
