@@ -229,7 +229,13 @@ def ivf_blocked_neardup_pairs(
         return corpus.sparkSession.createDataFrame([], "a long, b long, cosine double")
     cells = assign_cells(
         ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col))), centroids, vec_col
-    )
+    ).persist()
+    # Persisted (MEMORY_AND_DISK default): the cell self-join otherwise
+    # recomputes n_cells dot products per vector on both branches.
+    # Unlike the signature tables this one is corpus-sized (it carries
+    # the vectors), so at extreme scale prefer writing the assignment
+    # to storage once; for a resident engine the spillable cache is the
+    # right default.
     left = cells.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__ea"), "cell")
     right = cells.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__eb"), "cell")
     return (
@@ -314,7 +320,13 @@ def srp_neardup_pairs(
     Output matches q37: (a, b, cosine), a < b, cosine >= threshold.
     """
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    sigs = srp_signatures(vecs, n_tables, n_bits, dim, vec_col)
+    sigs = srp_signatures(vecs, n_tables, n_bits, dim, vec_col).select(
+        F.col(id_col), "table", "sig"
+    ).persist()
+    # Persisted: the bucket self-join otherwise runs the Arrow-batched
+    # projection UDF on both branches (measured — no exchange reuse
+    # forms across the rename).  n_tables rows/vec of (id, table, sig)
+    # longs, much smaller than the embedding column it derives from.
     left = sigs.select(F.col(id_col).alias("a"), "table", "sig")
     right = sigs.select(F.col(id_col).alias("b"), "table", "sig")
     # Dedupe candidate ids BEFORE touching embeddings: the distinct

@@ -120,7 +120,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: in
                 f"size(signature) div {bands}))) AS bhash))"
             )
         ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.bhash")
+    ).select(id_col, "bh.band", "bh.bhash").persist()
+    # Persisted because the self-join below otherwise re-derives the
+    # ENTIRE upstream (text scan → shingles → k-hash MinHash fold →
+    # banding) on both branches — measured: no ReusedExchange forms,
+    # the rename defeats canonicalized exchange matching.  The banded
+    # table is bands rows/doc of (id, band, bhash) ≈ 24 bytes — tiny
+    # next to the corpus text it replaces.  Caller-managed lifetime
+    # (bench.py clears cache per query).
     left = banded.withColumnRenamed(id_col, "a")
     right = banded.withColumnRenamed(id_col, "b")
     return (
@@ -303,7 +310,10 @@ def simhash_neardup_pairs(
                 "(shiftright(simhash, c * 16) & 65535L) AS cval))"
             )
         ).alias("ch"),
-    ).select(id_col, "simhash", "ch.cidx", "ch.cval")
+    ).select(id_col, "simhash", "ch.cidx", "ch.cval").persist()
+    # Persisted for the same reason as lsh_candidate_pairs' banded
+    # table: the self-join recomputes the 64-bit vote aggregate over
+    # every token on both branches otherwise.  4 rows/doc of ~32 bytes.
     left = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("__ha"), "cidx", "cval")
     right = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("__hb"), "cidx", "cval")
     return (
