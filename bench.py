@@ -51,6 +51,11 @@ EXTRA = [
     "q68_doc_token_chunks",         # context-window chunking
     "q74_benchmark_contamination",  # decontamination join
     "q76_unigram_logprob_score",    # perplexity-proxy scoring
+    # round-4 families:
+    "q92_audio_wav_meta",           # real WAV synth+decode round-trip
+    "q93_token_budget_packing",     # sequence packing (window cumsum)
+    "q95_user_last_event_state",    # latest-wins compaction (max_by)
+    "q96_funnel_conversion",        # ordered funnel (2 aggregates)
 ]
 
 

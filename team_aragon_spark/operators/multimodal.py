@@ -205,3 +205,226 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     return df.withColumn(
         "sampled_frames", F.expr(f"CAST(ceil(n_frames / {every_n}) AS INT)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (REAL decode — stdlib `wave`, no external deps) and video
+# (av/ffmpeg contract, import-guarded like the PIL image path)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, sample_rate int, n_channels int, "
+    "sample_width int, n_samples bigint, duration_ms bigint, modality string"
+)
+
+_WAV_RATES = (8000, 16000, 44100)
+
+
+def synth_wav_payload(df: DataFrame, id_col: str = "doc_id", out_col: str = "payload") -> DataFrame:
+    """Deterministic REAL RIFF/WAV payloads, one per row.
+
+    Stands in for ``spark.read.format('binaryFile')`` over an audio
+    bucket: emits a genuine mono 16-bit PCM WAV container whose
+    parameters derive arithmetically from the id —
+    ``sample_rate = _WAV_RATES[id % 3]``, ``n_samples = 64 + id % 256``
+    — so a SQL oracle can pin what a real decoder must recover.
+    The samples are a deterministic sawtooth; the header is written by
+    the stdlib ``wave`` module, i.e. the bytes are decodable by ANY
+    wav reader, not just ours.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                rate = _WAV_RATES[i % len(_WAV_RATES)]
+                n = 64 + i % 256
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(
+                        b"".join(
+                            ((j * 257 + i) % 65536 - 32768).to_bytes(2, "little", signed=True)
+                            for j in range(n)
+                        )
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col), width).mapInPandas(
+        kernel, schema="doc_id bigint, payload binary"
+    )
+
+
+def audio_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL audio metadata decode for WAV containers — stdlib ``wave``.
+
+    The audio sibling of ``real_decode_meta`` (images/PIL): same
+    Arrow-batched ``mapInPandas`` contract, same quarantine semantics —
+    undecodable payloads yield NULL fields with ``modality='unknown'``
+    instead of failing the batch (at 100 TB some blobs WILL be
+    corrupt).  ``duration_ms`` is floor(n_samples * 1000 / rate).
+    Non-WAV audio (mp3/flac/ogg) needs an av/ffmpeg kernel with this
+    exact schema and batching contract — see ``video_decode_meta`` for
+    the guarded pattern.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rates: list[int | None] = []
+            chans: list[int | None] = []
+            widths: list[int | None] = []
+            samples: list[int | None] = []
+            durs: list[int | None] = []
+            mods: list[str] = []
+            for b in pdf[payload_col]:
+                try:
+                    with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                        rate = w.getframerate()
+                        n = w.getnframes()
+                        rates.append(int(rate))
+                        chans.append(int(w.getnchannels()))
+                        widths.append(int(w.getsampwidth()))
+                        samples.append(int(n))
+                        durs.append(int(n * 1000 // rate) if rate else None)
+                        mods.append("audio")
+                except Exception:
+                    rates.append(None)
+                    chans.append(None)
+                    widths.append(None)
+                    samples.append(None)
+                    durs.append(None)
+                    mods.append("unknown")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": pdf[payload_col].map(len).astype("int64"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_channels": pd.array(chans, dtype="Int32"),
+                    "sample_width": pd.array(widths, dtype="Int32"),
+                    "n_samples": pd.array(samples, dtype="Int64"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "modality": pd.Series(mods, dtype="object"),
+                }
+            )
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col, payload_col), width).mapInPandas(
+        kernel, schema=AUDIO_META_SCHEMA
+    )
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, n_frames int, "
+    "fps double, duration_ms bigint, modality string"
+)
+
+
+def av_available() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def video_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Video metadata decode contract (PyAV/ffmpeg) — import-guarded.
+
+    Mirrors ``real_decode_meta``'s guard: where PyAV is absent (this
+    container) the caller gets ONE clear driver-side error, not a
+    per-task executor crash.  Where it is installed, the kernel opens
+    each payload with ``av.open``, reads the first video stream's
+    dimensions / frame count / average_rate, and quarantines
+    undecodable blobs as ``modality='unknown'`` — identical batching,
+    schema, and error semantics to the image and audio kernels above.
+    """
+    if not av_available():
+        raise ModuleNotFoundError(
+            "video_decode_meta needs PyAV (ffmpeg bindings), which this "
+            "environment does not ship; use fake_video_decode_meta for "
+            "plumbing tests (same schema/batch contract) or install av "
+            "where real frames matter"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import av
+
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "n_frames", "fps", "duration_ms", "modality")}
+            for b in pdf[payload_col]:
+                try:
+                    with av.open(io.BytesIO(bytes(b))) as container:
+                        vs = container.streams.video[0]
+                        out["width"].append(int(vs.codec_context.width))
+                        out["height"].append(int(vs.codec_context.height))
+                        out["n_frames"].append(int(vs.frames or 0))
+                        out["fps"].append(float(vs.average_rate) if vs.average_rate else None)
+                        out["duration_ms"].append(
+                            int(container.duration // 1000) if container.duration else None
+                        )
+                        out["modality"].append("video")
+                except Exception:
+                    for k in ("width", "height", "n_frames", "fps", "duration_ms"):
+                        out[k].append(None)
+                    out["modality"].append("unknown")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": pdf[payload_col].map(len).astype("int64"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                    "fps": pd.array(out["fps"], dtype="Float64"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                    "modality": pd.Series(out["modality"], dtype="object"),
+                }
+            )
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col, payload_col), width).mapInPandas(
+        kernel, schema=VIDEO_META_SCHEMA
+    )
+
+
+def fake_video_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in with ``video_decode_meta``'s exact schema
+    (arithmetic on byte length), for plumbing tests where PyAV is
+    absent — the video analogue of ``fake_decode_meta``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blen = pdf[payload_col].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": blen,
+                    "width": (320 + (blen % 4) * 320).astype("int32"),
+                    "height": (240 + (blen % 4) * 240).astype("int32"),
+                    "n_frames": (24 + blen % 240).astype("int32"),
+                    "fps": pd.Series([24.0] * len(pdf)),
+                    "duration_ms": ((24 + blen % 240) * 1000 // 24).astype("int64"),
+                    "modality": pd.Series(["video"] * len(pdf)),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=VIDEO_META_SCHEMA)

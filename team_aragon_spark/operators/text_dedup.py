@@ -104,14 +104,14 @@ def _signature_expr(shingles: str, n_hashes: int) -> str:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: int = 32) -> DataFrame:
-    """Distinct candidate (a, b) pairs (a < b) from LSH band buckets.
+def banded_keys(signatures: DataFrame, id_col: str = "doc_id", bands: int = 32) -> DataFrame:
+    """(id, band, bhash) LSH bucket keys — ``bands`` rows per signature.
 
-    Explode each signature into ``bands`` (band_idx, band_hash) keys;
-    docs sharing any band bucket become candidates via a self-equi-join
-    on the bucket key — the shuffle is on band hashes, never on pairs.
+    The storable form of an LSH index: in an incremental pipeline this
+    relation is what you WRITE once per ingested batch and equi-join
+    new batches against, instead of re-hashing the whole corpus.
     """
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.expr(
@@ -120,7 +120,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: in
                 f"size(signature) div {bands}))) AS bhash))"
             )
         ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.bhash").persist()
+    ).select(id_col, "bh.band", "bh.bhash")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: int = 32) -> DataFrame:
+    """Distinct candidate (a, b) pairs (a < b) from LSH band buckets.
+
+    Explode each signature into ``bands`` (band_idx, band_hash) keys;
+    docs sharing any band bucket become candidates via a self-equi-join
+    on the bucket key — the shuffle is on band hashes, never on pairs.
+    """
+    banded = banded_keys(signatures, id_col, bands).persist()
     # Persisted because the self-join below otherwise re-derives the
     # ENTIRE upstream (text scan → shingles → k-hash MinHash fold →
     # banding) on both branches — measured: no ReusedExchange forms,
@@ -133,6 +143,40 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: in
     return (
         left.join(right, on=["band", "bhash"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def incremental_candidate_pairs(
+    index_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+) -> DataFrame:
+    """Candidate (a, b) pairs between an EXISTING corpus index and a
+    NEW batch only — the incremental-ingest dedup shape.
+
+    ``a`` is an index id, ``b`` a batch id.  Unlike the symmetric
+    self-join, index×index pairs never form: a daily 1 TB batch
+    against a 100 TB corpus costs one equi-join of the batch's bucket
+    keys against the stored index relation (see :func:`banded_keys` —
+    in production the index side is read from storage, not recomputed;
+    here it is derived from signatures for a self-contained operator).
+    Caller contract: the two id sets are disjoint (the ``a != b``
+    guard only protects against accidental overlap, not semantics).
+    """
+    idx = banded_keys(index_sigs, id_col, bands).withColumnRenamed(id_col, "a")
+    new = (
+        banded_keys(batch_sigs, id_col, bands)
+        .withColumnRenamed(id_col, "b")
+        .persist()
+        # the batch side is re-read by the join build; it is the small
+        # side (one ingest batch), so the cache is batch-sized
+    )
+    return (
+        idx.join(new, on=["band", "bhash"])
+        .filter(F.col("a") != F.col("b"))
         .select("a", "b")
         .distinct()
     )

@@ -2549,6 +2549,332 @@ def q91_cluster_representative(spark, sf_dir):
     )
 
 
+_AUDIO_META_SQL = """
+SELECT doc_id,
+       CAST(44 + 2 * (64 + doc_id % 256) AS BIGINT) AS byte_len,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT)
+         AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(2 AS INT) AS sample_width,
+       CAST(64 + doc_id % 256 AS BIGINT) AS n_samples,
+       CAST((64 + doc_id % 256) * 1000
+            // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+            AS BIGINT) AS duration_ms,
+       'audio' AS modality
+FROM documents"""
+
+
+@register(
+    "q92_audio_wav_meta",
+    _AUDIO_META_SQL,
+    ops=("ext-multimodal-audio",),
+    doc="REAL audio decode round-trip: synthesize a genuine RIFF/WAV "
+    "container per doc (stdlib wave writer, params arithmetic in "
+    "doc_id), then decode it back with the stdlib wave reader — both "
+    "as Arrow-batched mapInPandas stages (operators/multimodal.py: "
+    "synth_wav_payload / audio_decode_meta).  The oracle pins the "
+    "arithmetic a correct decoder must recover: byte_len = 44-byte "
+    "header + 2 bytes/sample, duration = floor(n*1000/rate).  Unlike "
+    "q36's image stand-in the decode here is real parsing of a real "
+    "container format — the pattern mp3/flac/video kernels slot into "
+    "(video_decode_meta documents the av/ffmpeg guard).",
+)
+def q92_audio_wav_meta(spark, sf_dir):
+    from team_aragon_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    wav = multimodal.synth_wav_payload(docs)
+    return multimodal.audio_decode_meta(wav)
+
+
+_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST((cum - 1) // 2048 AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens - ((cum - 1) // 2048) * 2048 AS BIGINT) AS pack_offset
+FROM c"""
+
+
+@register(
+    "q93_token_budget_packing",
+    _PACKING_SQL,
+    ops=("ext-corpus-sequence-packing",),
+    doc="Sequence packing for pretraining: assign each doc a pack id "
+    "so concatenated docs fill a 2048-token context budget, packed in "
+    "deterministic doc_id order per source.  One window cumsum per "
+    "source partition — a single shuffle on source, O(1) state per "
+    "row; the pack id is pure arithmetic on the running total, so no "
+    "driver-side bin-packing loop exists at any scale.  Greedy "
+    "boundary-splitting packing (docs may straddle packs; trainers "
+    "that cannot split re-pack the tail locally).",
+)
+def q93_token_budget_packing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    budget = 2048
+    toks = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    # integer `div`, not float `/`: the running total is unbounded at
+    # corpus scale and a double mantissa would corrupt high pack ids
+    pack = F.expr(f"(cum - 1) div {budget}")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("cum") - F.col("n_tokens") - pack * budget).cast("bigint").alias(
+            "pack_offset"
+        ),
+    )
+
+
+_MIX_REBALANCE_SQL = r"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n,
+         least(1.0, round((SELECT min(n) FROM counts) * 1.0 / n, 6)) AS keep_frac
+  FROM counts)
+SELECT d.doc_id, d.source, w.keep_frac
+FROM documents d JOIN w USING (source)
+WHERE pmod(hash(d.doc_id), 1000000) < CAST(w.keep_frac * 1000000 AS BIGINT)
+ORDER BY d.doc_id"""
+
+
+@register(
+    "q94_source_mix_rebalance",
+    None,  # Spark's hash() (Murmur3) and DuckDB's hash differ; rows-only gate,
+    # determinism + mix property pinned in tests/test_operators.py
+    ops=("ext-corpus-mix-rebalance",),
+    doc="Source-mix rebalancing: downsample every source to the size "
+    "of the SMALLEST source via deterministic hash-threshold sampling "
+    "— hash(doc_id) mod 1e6 < keep_frac*1e6 keeps a stable, "
+    "reproducible subset (no rand(), so re-runs and retried tasks "
+    "agree).  The per-source counts aggregate is |sources| rows, "
+    "broadcast back; the filter is a narrow map — one shuffle total. "
+    "The same shape implements any target mix vector (replace min(n) "
+    "with the target weight).",
+)
+def q94_source_mix_rebalance(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    weights = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        F.least(F.lit(1.0), F.round(F.col("m") / F.col("n"), 6)).alias("keep_frac"),
+    )
+    return (
+        docs.join(F.broadcast(weights), on="source")
+        .filter(
+            F.pmod(F.hash("doc_id"), F.lit(1000000))
+            < (F.col("keep_frac") * 1000000).cast("bigint")
+        )
+        .select("doc_id", "source", "keep_frac")
+        .orderBy("doc_id")
+    )
+
+
+_LAST_STATE_SQL = """
+WITH r AS (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+s AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+  FROM events GROUP BY user_id)
+SELECT s.user_id, r.value AS last_value, r.event_type AS last_event_type,
+       s.last_ts, s.n_events
+FROM r JOIN s USING (user_id) WHERE r.rn = 1 ORDER BY user_id"""
+
+
+@register(
+    "q95_user_last_event_state",
+    _LAST_STATE_SQL,
+    ops=("ext-upsert-latest-wins",),
+    doc="Latest-wins state materialization (the batch half of CDC "
+    "upsert): per user, the value/type of their most recent event "
+    "(ts, event_id tiebreak for determinism) plus event count — ONE "
+    "hash aggregate using max_by, no window, no sort, no self-join. "
+    "At 100 TB this is the canonical compaction shape for a changelog "
+    "table: partial max_by state is a single row per key on the map "
+    "side.",
+)
+def q95_user_last_event_state(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max_by("event_type", key).alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_FUNNEL_SQL = """
+WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT
+  count(*) AS n_users,
+  count(t_signup) AS n_signup,
+  count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_then_click,
+  count(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END)
+    AS n_full_funnel
+FROM stage"""
+
+
+@register(
+    "q96_funnel_conversion",
+    _FUNNEL_SQL,
+    ops=("ext-funnel-sequence",),
+    doc="Ordered funnel (signup -> click -> purchase): users counted "
+    "at each stage only if their FIRST occurrence of each step "
+    "happens in order.  One grouped conditional-min aggregate per "
+    "user then a global roll-up — two map-combined aggregations, no "
+    "window, no self-join, no event-sequence explosion; NULL "
+    "comparisons drop non-reaching users from later stages for free.",
+)
+def q96_funnel_conversion(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_signup_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+_INCR_JACCARD_SQL = _JACCARD_SQL.replace(
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id",
+    "FROM d a JOIN d b ON a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4",
+)
+
+
+@register(
+    "q97_incremental_neardup",
+    _INCR_JACCARD_SQL,
+    ops=("ext-dedup-incremental",),
+    doc="Incremental dedup: near-dup pairs between a NEW ingest batch "
+    "(doc_id % 5 = 4 here) and the EXISTING corpus index only — "
+    "index-to-index pairs never form, so a daily batch against a "
+    "100 TB corpus costs one bucket-key equi-join against the stored "
+    "LSH index (text_dedup.incremental_candidate_pairs / "
+    "banded_keys), not a corpus re-hash.  Candidates are verified "
+    "with exact Jaccard, same as the symmetric q24/q64 path; the "
+    "oracle is the exact cross-partition pair set.",
+)
+def q97_incremental_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    idx_sigs = text_dedup.minhash_signatures(docs.filter(~is_new))
+    new_sigs = text_dedup.minhash_signatures(docs.filter(is_new))
+    cands = text_dedup.incremental_candidate_pairs(idx_sigs, new_sigs)
+    return text_dedup.jaccard_pairs(docs, candidates=cands, threshold=0.5)
+
+
+_TRANSCRIPT_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flags)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript,
+       count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+
+@register(
+    "q98_session_transcripts",
+    _TRANSCRIPT_SQL,
+    ops=("ext-session-transcript",),
+    doc="Training-example assembly from event logs: per (user, "
+    "session), the ordered '>'-joined event-type transcript plus "
+    "span stats — the chat-log-to-training-text shape.  Builds on "
+    "q29's gap sessionization (operators/windows.py), then ONE "
+    "grouped aggregate whose ordered concat is array_sort(collect_"
+    "list(struct(ts, event_id, type))) — deterministic without a "
+    "sort-within-partitions step, one shuffle on (user, session).",
+)
+def q98_session_transcripts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = windows.sessionize(ev)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            ordered.alias("__ord"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            F.concat_ws(">", F.expr("transform(__ord, x -> x.event_type)")).alias(
+                "transcript"
+            ),
+            "n_events",
+            "t_start",
+            "t_end",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------

@@ -723,3 +723,103 @@ def test_gram_docfreq_planted_boilerplate(spark):
     for d in (1, 2, 3):
         assert out[d].max_gram_docfreq >= 3 and out[d].is_boilerplate == 1
     assert out[4].max_gram_docfreq == 1 and out[4].is_boilerplate == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: audio/video decode contract + mix rebalancing
+# ---------------------------------------------------------------------------
+
+
+def test_audio_wav_roundtrip_and_quarantine(spark):
+    """audio_decode_meta really parses WAV containers (stdlib wave):
+    a synthesized payload round-trips its parameters, and a corrupt
+    payload is quarantined as modality='unknown' with NULL fields
+    instead of failing the batch."""
+    from pyspark.sql import functions as F
+
+    from team_aragon_spark.operators.multimodal import (
+        audio_decode_meta,
+        synth_wav_payload,
+    )
+
+    ids = spark.createDataFrame([(7,), (8,), (77,)], "doc_id long")
+    wav = synth_wav_payload(ids)
+    good = {r["doc_id"]: r for r in audio_decode_meta(wav).collect()}
+    assert good[7]["sample_rate"] == 16000 and good[7]["n_samples"] == 64 + 7 % 256
+    assert good[8]["sample_rate"] == 44100
+    assert good[77]["byte_len"] == 44 + 2 * (64 + 77 % 256)
+    assert all(r["modality"] == "audio" and r["n_channels"] == 1 for r in good.values())
+    assert good[77]["duration_ms"] == (64 + 77 % 256) * 1000 // 44100
+
+    corrupt = wav.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 8, F.lit(b"not a wav file")).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = {r["doc_id"]: r for r in audio_decode_meta(corrupt).collect()}
+    assert out[8]["modality"] == "unknown" and out[8]["sample_rate"] is None
+    assert out[7]["modality"] == "audio"  # neighbors unaffected
+
+
+def test_video_decode_meta_guard_and_fake_contract(spark):
+    """video_decode_meta fails fast driver-side where PyAV is absent;
+    the fake kernel honors the same schema contract."""
+    import pytest as _pytest
+
+    from team_aragon_spark.operators.multimodal import (
+        VIDEO_META_SCHEMA,
+        attach_binary_payload,
+        av_available,
+        fake_video_decode_meta,
+        video_decode_meta,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame([(1, "some video bytes")], "doc_id long, text string")
+    )
+    if not av_available():
+        with _pytest.raises(ModuleNotFoundError, match="PyAV"):
+            video_decode_meta(df)
+    out = fake_video_decode_meta(df)
+    assert out.schema.simpleString() == spark.createDataFrame(
+        [], VIDEO_META_SCHEMA
+    ).schema.simpleString()
+    row = out.collect()[0]
+    assert row["modality"] == "video" and row["n_frames"] > 0
+
+
+def test_source_mix_rebalance_downsamples_skew(spark):
+    """q94's shape on a SKEWED corpus (the real testdata is perfectly
+    balanced, where rebalancing is a no-op): the dominant source is
+    hash-downsampled toward the smallest source's size, the smallest
+    is kept whole, and the filter is deterministic across runs."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+    import pyspark.sql.functions as F
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    docs.createOrReplaceTempView("__mix_docs")
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    weights = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        F.least(F.lit(1.0), F.round(F.col("m") / F.col("n"), 6)).alias("keep_frac"),
+    )
+    kept = (
+        docs.join(F.broadcast(weights), on="source")
+        .filter(
+            F.pmod(F.hash("doc_id"), F.lit(1000000))
+            < (F.col("keep_frac") * 1000000).cast("bigint")
+        )
+        .select("doc_id", "source")
+    )
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["small"] == 40  # keep_frac 1.0 keeps everything
+    # hash sampling is approximate: expect ~40 of 400, allow wide band
+    assert 15 <= by_src["big"] <= 80, by_src
+    # deterministic: second run selects the identical id set
+    first = {r["doc_id"] for r in kept.collect()}
+    second = {r["doc_id"] for r in kept.collect()}
+    assert first == second
