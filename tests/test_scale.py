@@ -438,3 +438,78 @@ def test_label_centroids_reads_corpus_once(spark):
     # and the cache actually materializes (runtime single corpus read)
     assert out.count() == 1
     df.sparkSession.catalog.clearCache()
+
+
+def test_packing_single_shuffle(spark):
+    """q93 sequence packing must cost exactly one exchange (the window
+    partition on source) — pack ids are arithmetic on the running
+    total, never a driver-side loop or second shuffle."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q93_token_budget_packing"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, plan
+
+
+def test_latest_wins_no_window_no_join(spark):
+    """q95 changelog compaction is ONE max_by hash aggregate — any
+    Window or Join in the plan means the shape regressed to the
+    row_number-and-filter anti-pattern."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q95_user_last_event_state"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan, plan
+    # max_by is a TypedImperativeAggregate -> ObjectHashAggregate node
+    assert "Aggregate" in plan
+
+
+def test_funnel_no_join(spark):
+    """q96 funnel: two chained aggregates, never an event self-join."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q96_funnel_conversion"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_audio_roundtrip_no_shuffle(spark):
+    """q92: synth → decode is a pure mapInPandas chain — no exchange
+    (media payloads must never shuffle for a metadata pass)."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q92_audio_wav_meta"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_incremental_candidates_skip_index_pairs(spark):
+    """q97's blocking operator: two identical docs INSIDE the index
+    never form a candidate (that comparison was paid when they were
+    ingested); an index/batch near-dup does."""
+    from team_aragon_spark.operators.text_dedup import (
+        incremental_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    index = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally unrelated content about spark plans")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame([(100, base + " tail")], "doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"])
+        for r in incremental_candidate_pairs(
+            minhash_signatures(index), minhash_signatures(batch)
+        ).collect()
+    }
+    assert (1, 100) in pairs and (2, 100) in pairs
+    assert all(b == 100 for _, b in pairs), pairs  # no index-side pairs
