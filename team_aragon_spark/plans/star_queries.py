@@ -2875,6 +2875,41 @@ def q98_session_transcripts(spark, sf_dir):
     )
 
 
+@register(
+    "q99_streaming_dedup_replay",
+    "SELECT * FROM events",
+    ops=("ext-streaming-dedup-oracle",),
+    doc="Streaming exactly-once proof with a FULL value oracle: the "
+    "events table is staged TWICE into the file-stream source "
+    "(simulated at-least-once redelivery), drained through "
+    "dropDuplicatesWithinWatermark on event_id "
+    "(streaming/events_stream.deduped_events_stream — bounded state: "
+    "one entry per key only until the watermark passes), and the "
+    "output must hash-match plain `SELECT * FROM events`.  Unlike "
+    "q46/q47 (rows-only by emission semantics) this pins streaming "
+    "correctness to exact batch equality.",
+)
+def q99_streaming_dedup_replay(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    base = tempfile.mkdtemp(prefix="aragon_stream_")
+    src = os.path.join(base, "src")
+    ev = _t(spark, sf_dir, "events")
+    # two identical deliveries of every event — the at-least-once world
+    ev.unionAll(ev).coalesce(4).write.mode("overwrite").parquet(src)
+    stream = es.read_events_stream(spark, src)
+    out = es.run_to_completion(
+        es.deduped_events_stream(stream),
+        f"q99_out_{uuid.uuid4().hex[:8]}",
+        os.path.join(base, "ckpt"),
+    )
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -2922,7 +2957,16 @@ STAMP_PRIORITY: list[str] = [
     "q49_value_mad_by_type",
     # -- suspect row from r03: correct-empty, re-stamp for the record --
     "q70_ivf_blocked_embedding_neardup",
-    # -- 21 singles-stamped (r01/r02 only) queries, oldest stamps first --
+    # -- round-4 additions, never driver-stamped --
+    "q92_audio_wav_meta",
+    "q93_token_budget_packing",
+    "q94_source_mix_rebalance",
+    "q95_user_last_event_state",
+    "q96_funnel_conversion",
+    "q97_incremental_neardup",
+    "q98_session_transcripts",
+    "q99_streaming_dedup_replay",
+    # -- 13 singles-stamped (r01/r02 only) queries, oldest stamps first --
     "q10_bottom10_nations_by_balance",
     "q11_top20_part_types",
     "q12_first_line_per_order",
@@ -2935,15 +2979,7 @@ STAMP_PRIORITY: list[str] = [
     "q19_language_id",
     "q20_quality_scores",
     "q21_doc_fingerprints",
-    "q22_ann_cosine_topk",
     "q23_jaccard_neardup_pairs",
-    "q24_minhash_neardup_pairs",
-    "q25_simhash_fingerprints",
-    "q26_ivf_ann_topk",
-    "q35_status_priority_rollup",
-    "q36_multimodal_meta",
-    "q37_embedding_neardup_pairs",
-    "q38_bpe_ish_token_counts",
 ]
 
 
