@@ -318,3 +318,38 @@ def gram_docfreq_stats(
             (F.col("max_gram_docfreq") >= F.lit(boilerplate_df)).cast("int"),
         )
     )
+
+
+def source_mix_rebalance(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Deterministic source-mix rebalancing: downsample every source to
+    the size of the SMALLEST source via a PORTABLE hash threshold.
+
+    The sampling predicate is ``substr(md5(id), 1, 6) <
+    hex(floor(keep_frac * 16^6))`` — md5 hex is identical across
+    engines (same trick as the q63/q71 portability pins), so the kept
+    set is reproducible anywhere, stable under task retries (no
+    ``rand()``), and SQL-oracle-comparable.  One |sources|-row
+    aggregate broadcast back over the corpus + a narrow filter; the
+    same shape implements any target mix vector (replace ``min(n)``
+    with the target weight).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    weights = counts.crossJoin(F.broadcast(min_n)).select(
+        source_col,
+        F.least(F.lit(1.0), F.round(F.col("m") / F.col("n"), 6)).alias("keep_frac"),
+    )
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(F.col("keep_frac") * (16 ** 6)).cast("bigint"))), 6, "0"
+    )
+    keep = (F.col("keep_frac") >= 1.0) | (
+        F.expr(f"substr(md5(cast({id_col} AS string)), 1, 6)") < thresh
+    )
+    return (
+        df.join(F.broadcast(weights), on=source_col)
+        .filter(keep)
+        .select(id_col, source_col, "keep_frac")
+        .orderBy(id_col)
+    )

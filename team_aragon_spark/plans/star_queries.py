@@ -2648,46 +2648,35 @@ _MIX_REBALANCE_SQL = r"""
 WITH counts AS (
   SELECT source, count(*) AS n FROM documents GROUP BY source),
 w AS (
-  SELECT source, n,
+  SELECT source,
          least(1.0, round((SELECT min(n) FROM counts) * 1.0 / n, 6)) AS keep_frac
   FROM counts)
 SELECT d.doc_id, d.source, w.keep_frac
 FROM documents d JOIN w USING (source)
-WHERE pmod(hash(d.doc_id), 1000000) < CAST(w.keep_frac * 1000000 AS BIGINT)
+WHERE w.keep_frac >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+      < lpad(lower(to_hex(CAST(floor(w.keep_frac * 16777216) AS BIGINT))), 6, '0')
 ORDER BY d.doc_id"""
 
 
 @register(
     "q94_source_mix_rebalance",
-    None,  # Spark's hash() (Murmur3) and DuckDB's hash differ; rows-only gate,
-    # determinism + mix property pinned in tests/test_operators.py
+    _MIX_REBALANCE_SQL,
     ops=("ext-corpus-mix-rebalance",),
     doc="Source-mix rebalancing: downsample every source to the size "
-    "of the SMALLEST source via deterministic hash-threshold sampling "
-    "— hash(doc_id) mod 1e6 < keep_frac*1e6 keeps a stable, "
-    "reproducible subset (no rand(), so re-runs and retried tasks "
-    "agree).  The per-source counts aggregate is |sources| rows, "
-    "broadcast back; the filter is a narrow map — one shuffle total. "
-    "The same shape implements any target mix vector (replace min(n) "
-    "with the target weight).",
+    "of the SMALLEST source via a PORTABLE deterministic hash "
+    "threshold — substr(md5(doc_id), 1, 6) compared against the hex "
+    "of floor(keep_frac * 16^6) keeps a stable, reproducible subset "
+    "(no rand(), so re-runs and retried tasks agree; md5 hex is "
+    "engine-portable like q63/q71, so the kept SET is oracle-"
+    "verified, not just the row count).  |sources| aggregate "
+    "broadcast back; narrow filter; one shuffle total "
+    "(operators/corpus.py:source_mix_rebalance).",
 )
 def q94_source_mix_rebalance(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    min_n = counts.agg(F.min("n").alias("m"))
-    weights = counts.crossJoin(F.broadcast(min_n)).select(
-        "source",
-        F.least(F.lit(1.0), F.round(F.col("m") / F.col("n"), 6)).alias("keep_frac"),
-    )
-    return (
-        docs.join(F.broadcast(weights), on="source")
-        .filter(
-            F.pmod(F.hash("doc_id"), F.lit(1000000))
-            < (F.col("keep_frac") * 1000000).cast("bigint")
-        )
-        .select("doc_id", "source", "keep_frac")
-        .orderBy("doc_id")
-    )
+    from team_aragon_spark.operators.corpus import source_mix_rebalance
+
+    return source_mix_rebalance(_t(spark, sf_dir, "documents"))
 
 
 _LAST_STATE_SQL = """

@@ -794,27 +794,13 @@ def test_source_mix_rebalance_downsamples_skew(spark):
     balanced, where rebalancing is a no-op): the dominant source is
     hash-downsampled toward the smallest source's size, the smallest
     is kept whole, and the filter is deterministic across runs."""
-    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
     import pyspark.sql.functions as F
+
+    from team_aragon_spark.operators.corpus import source_mix_rebalance
 
     rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(40)]
     docs = spark.createDataFrame(rows, "doc_id long, source string")
-    docs.createOrReplaceTempView("__mix_docs")
-
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    min_n = counts.agg(F.min("n").alias("m"))
-    weights = counts.crossJoin(F.broadcast(min_n)).select(
-        "source",
-        F.least(F.lit(1.0), F.round(F.col("m") / F.col("n"), 6)).alias("keep_frac"),
-    )
-    kept = (
-        docs.join(F.broadcast(weights), on="source")
-        .filter(
-            F.pmod(F.hash("doc_id"), F.lit(1000000))
-            < (F.col("keep_frac") * 1000000).cast("bigint")
-        )
-        .select("doc_id", "source")
-    )
+    kept = source_mix_rebalance(docs).select("doc_id", "source")
     by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_src["small"] == 40  # keep_frac 1.0 keeps everything
     # hash sampling is approximate: expect ~40 of 400, allow wide band
