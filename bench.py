@@ -56,6 +56,7 @@ EXTRA = [
     "q93_token_budget_packing",     # sequence packing (window cumsum)
     "q95_user_last_event_state",    # latest-wins compaction (max_by)
     "q96_funnel_conversion",        # ordered funnel (2 aggregates)
+    "q100_hourly_gap_fill",         # dense-grid resampling (sequence+explode)
 ]
 
 

@@ -2899,6 +2899,68 @@ def q99_streaming_dedup_replay(spark, sf_dir):
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+_GAP_FILL_SQL = """
+WITH span AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n, round(sum(value), 4) AS total_value
+  FROM events GROUP BY event_type, hour)
+SELECT g.event_type, g.hour,
+       coalesce(a.n, 0) AS n,
+       coalesce(a.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN actual a USING (event_type, hour)
+ORDER BY g.event_type, g.hour"""
+
+
+@register(
+    "q100_hourly_gap_fill",
+    _GAP_FILL_SQL,
+    ops=("ext-timeseries-gap-fill",),
+    doc="Time-series gap filling / resampling: a dense per-type hourly "
+    "grid over each type's [min, max] span, zero-filled where no "
+    "events landed — what every downstream charting, anomaly, or "
+    "training-curriculum stage wants instead of a sparse aggregate.  "
+    "The grid is sequence() + explode over a |types|-row span "
+    "aggregate — generated, never stored — and the left join back to "
+    "the hourly aggregate shuffles grid-sized (hours x types) keys, "
+    "independent of raw event volume.",
+)
+def q100_hourly_gap_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return (
+        grid.join(actual, on=["event_type", "hour"], how="left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
