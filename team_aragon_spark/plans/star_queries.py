@@ -1150,18 +1150,52 @@ def q49_value_mad_by_type(spark, sf_dir):
     )
 
 
+_CC_ORACLE_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+sym AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+cc AS (
+  SELECT src AS node, src AS comp FROM sym
+  UNION
+  SELECT s.dst, cc.comp FROM cc JOIN sym s ON s.src = cc.node)
+SELECT node, min(comp) AS component FROM cc GROUP BY node"""
+
+
 @register(
     "q50_corpus_dedup_canonical",
-    None,  # iterative (connected components) — not expressible as one
-    # ANSI query; cluster/canonical semantics proven in pytest on
-    # planted chain/triangle/pair graphs.
+    _CC_ORACLE_SQL.replace(
+        "SELECT node, min(comp) AS component FROM cc GROUP BY node", ""
+    )
+    + r""",
+labels AS (SELECT node, min(comp) AS component FROM cc GROUP BY node)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id IN (SELECT node FROM labels WHERE node = component)
+   OR doc_id NOT IN (SELECT node FROM labels)
+ORDER BY doc_id""",
     ops=("ext-dedup-clustering",),
     doc="End-to-end corpus dedup (operators/graph.py): MinHash-LSH "
     "near-dup pairs → connected components (iterative min-label "
     "propagation, one shuffle per round) → keep the min-id canonical "
     "per cluster plus all untouched docs.  The transitive-closure "
     "step every pairwise dedup needs before it can actually drop "
-    "rows.",
+    "rows.  Oracled since r4 via q64's recursive-CTE labels over the "
+    "exact-Jaccard pair relation + min-id survivor selection (the "
+    "iterative operator's fixpoint equals the CTE's closure; LSH "
+    "recall = 1.0 on this corpus is what q64's hash-green stamp "
+    "already proves).",
 )
 def q50_corpus_dedup_canonical(spark, sf_dir):
     from team_aragon_spark.operators.graph import canonical_per_cluster
@@ -1544,29 +1578,6 @@ def q63_md5_minhash_signatures(spark, sf_dir):
             F.when(F.col("__m") == "~", F.lit(None)).otherwise(F.col("__m")).alias("minhash"),
         )
     )
-
-
-_CC_ORACLE_SQL = r"""
-WITH RECURSIVE d AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
-           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
-  FROM documents),
-pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
-sym AS (
-  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-cc AS (
-  SELECT src AS node, src AS comp FROM sym
-  UNION
-  SELECT s.dst, cc.comp FROM cc JOIN sym s ON s.src = cc.node)
-SELECT node, min(comp) AS component FROM cc GROUP BY node"""
 
 
 @register(
