@@ -2972,6 +2972,61 @@ def q100_hourly_gap_fill(spark, sf_dir):
     )
 
 
+@register(
+    "q101_streaming_click_error_join",
+    """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id, c.ts AS click_ts
+       FROM events e JOIN events c ON c.user_id = e.user_id
+       WHERE e.event_type = 'error' AND c.event_type = 'click'
+         AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 1 DAY""",
+    ops=("ext-streaming-stream-join",),
+    doc="Stream-stream range join with a FULL batch oracle (q41's "
+    "SQL): errors joined to clicks within 1 day by the same user, "
+    "both sides watermarked so state retention is bounded by "
+    "(watermark + horizon) per side "
+    "(streaming/events_stream.clicks_after_errors_stream).  Inner "
+    "time-interval joins emit on match, so an availableNow drain "
+    "equals the batch join exactly — value-verified, not rows-only.",
+)
+def q101_streaming_click_error_join(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    return es.run_to_completion(
+        es.clicks_after_errors_stream(stream),
+        f"q101_out_{uuid.uuid4().hex[:8]}",
+        ckpt,
+    )
+
+
+@register(
+    "q102_streaming_user_sessions",
+    None,  # streaming session_window: append mode emits only sessions
+    # closed by the watermark; convergence vs the batch sessionizer on
+    # closed sessions is asserted in tests/test_streaming.py.
+    ops=("ext-streaming-session-window",),
+    doc="Native streaming sessionization (session_window, 30 min gap, "
+    "2 h watermark) — the streaming twin of q29's lag+cumsum batch "
+    "plan; sessions close on gap expiry and finalize at the "
+    "watermark (streaming/events_stream.user_sessions_stream).  "
+    "Rows-only by emission semantics, same as q46.",
+)
+def q102_streaming_user_sessions(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    return es.run_to_completion(
+        es.user_sessions_stream(stream),
+        f"q102_out_{uuid.uuid4().hex[:8]}",
+        ckpt,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
