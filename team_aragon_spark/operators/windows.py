@@ -60,6 +60,87 @@ def sessionize(
     return df.withColumn("__new", is_new).withColumn("session_id", F.sum("__new").over(running)).drop("__new")
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Sequence[str] = (),
+    out_col: str = "cum",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Running sum of ``value_col`` ordered by ``order_col`` within each
+    ``partition_cols`` group — identical answer to a single
+    ``Window.partitionBy(partition_cols).orderBy(order_col)`` cumsum,
+    but computed as a TWO-LEVEL prefix sum so no task ever sorts a
+    whole group.
+
+    Why: a plain per-group window serializes each group onto one task;
+    with a Zipfian group key (e.g. corpus ``source``) one task receives
+    a dominant group's entire data at 100 TB, and AQE cannot split a
+    window partition.  Here each group is cut into ``n_shards`` RANGE
+    shards of ``order_col`` (contiguous ranges — hash shards would NOT
+    reconstruct the global order), so the window partitions are
+    (group, shard) and bounded at ~|group|/n_shards rows:
+
+      1. per-group min/max of ``order_col`` (tiny agg, broadcast back);
+      2. ``shard = floor((o - min) * n / (max - min + 1))`` — monotone
+         in ``o``, so every row in shard i orders before shard i+1;
+      3. local cumsum per (group, shard) — the only data-volume
+         shuffle, now skew-bounded;
+      4. per-shard totals (map-side-combined agg, |groups|*n rows),
+         exclusive-prefix-summed per group and broadcast back;
+      5. global cum = local cum + own shard's exclusive offset.
+
+    Requirements: ``order_col`` numeric; unique per group for a fully
+    deterministic result (same caveat as the plain window); balance
+    assumes ids are roughly dense per group (range shards on a dense id
+    space split near-evenly — asserted on an adversarial-skew fixture
+    in tests/test_scale.py).  |groups| * n_shards must be
+    broadcast-small; raise ``n_shards`` (e.g. 1024) for cluster scale.
+
+    The input projection is persisted here (it feeds the bounds agg,
+    the local window, and the totals agg); the cache is left for the
+    caller / session to clear — the bench harness clears cache per
+    query.
+    """
+    keys = list(partition_cols)
+    src = df.persist()
+    bounds = src.groupBy(*keys).agg(
+        F.min(order_col).alias("__min_o"), F.max(order_col).alias("__max_o")
+    )
+    if keys:
+        sharded = src.join(F.broadcast(bounds), keys)
+    else:
+        sharded = src.crossJoin(F.broadcast(bounds))
+    o = F.col(order_col).cast("double")
+    span = F.col("__max_o").cast("double") - F.col("__min_o").cast("double") + 1.0
+    shard = F.least(
+        F.lit(n_shards - 1),
+        F.floor((o - F.col("__min_o").cast("double")) * n_shards / span),
+    )
+    sharded = sharded.withColumn("__shard", shard).drop("__min_o", "__max_o")
+    w_local = (
+        Window.partitionBy(*keys, "__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = sharded.withColumn("__lcum", F.sum(value_col).over(w_local))
+    totals = sharded.groupBy(*keys, "__shard").agg(F.sum(value_col).alias("__tot"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select(*keys, "__shard", "__off")
+    out = local.join(F.broadcast(offsets), [*keys, "__shard"])
+    return (
+        out.withColumn(out_col, F.col("__lcum") + F.col("__off"))
+        .drop("__shard", "__lcum", "__off")
+    )
+
+
 def session_stats(df: DataFrame, user_col: str = "user_id", **kwargs) -> DataFrame:
     """Per-user session summary: number of sessions and events."""
     s = sessionize(df, user_col=user_col, **kwargs)

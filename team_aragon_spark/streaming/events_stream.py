@@ -37,7 +37,16 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-based streaming source (drop-in stand-in for Kafka)."""
+    """File-based streaming source (drop-in stand-in for Kafka).
+
+    Deliberately sets NO ``maxFilesPerTrigger``: the exact-equality
+    oracles (q99 dedup replay, q101 stream-stream join) rely on an
+    availableNow drain pulling every staged file into one micro-batch,
+    so duplicate deliveries are deduplicated in-batch even when their
+    event time trails the advanced watermark.  A capped trigger would
+    let ``dropDuplicatesWithinWatermark`` re-emit late redeliveries in
+    a later batch and break the batch-equality contract.
+    """
     return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
 
 

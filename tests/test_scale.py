@@ -440,20 +440,84 @@ def test_label_centroids_reads_corpus_once(spark):
     df.sparkSession.catalog.clearCache()
 
 
-def test_packing_single_shuffle(spark):
-    """q93 sequence packing must cost exactly one exchange (the window
-    partition on source) — pack ids are arithmetic on the running
-    total, never a driver-side loop or second shuffle."""
+def test_packing_window_is_sharded(spark):
+    """q93's data-volume window (the one ordered by doc_id) must be
+    partitioned by (source, __shard), never by source alone — a
+    source-only window would serialize a dominant source onto one task
+    at 100 TB and AQE cannot split a window partition.  The only
+    source-only window allowed is the exclusive-offset pass over the
+    |sources| x n_shards totals."""
+    import re
+
     from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
 
     df = QUERY_REGISTRY["q93_token_budget_packing"].fn(
         spark, "/root/testdata/sf0.001"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    import re
+    doc_windows = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bWindow\b", ln) and "doc_id" in ln
+    ]
+    assert doc_windows, plan
+    for ln in doc_windows:
+        assert "__shard" in ln, ln
+    spark.catalog.clearCache()
 
-    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_exchange == 1, plan
+
+def test_packing_prefix_sum_matches_naive_on_skew(spark):
+    """Adversarial skew fixture: one source owns 90% of the docs.  The
+    two-level prefix sum must (a) return exactly the naive per-source
+    window cumsum answer, and (b) bound every window partition to
+    ~|source|/n_shards rows so the dominant source cannot land on one
+    task."""
+    from pyspark.sql import Window
+
+    from team_aragon_spark.operators.windows import distributed_prefix_sum
+
+    n_hot, n_shards = 1800, 16
+    rows = [(i, "commoncrawl", (i * 7) % 13 + 1) for i in range(n_hot)]
+    rows += [(10_000 + i, "wiki", (i % 5) + 1) for i in range(150)]
+    rows += [(20_000 + i, "books", 3) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    got = distributed_prefix_sum(
+        df, "n_tokens", "doc_id", partition_cols=("source",), n_shards=n_shards
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("n_tokens").over(w))
+    key = lambda r: (r.source, r.doc_id)  # noqa: E731
+    assert sorted(
+        ((r.source, r.doc_id, r.cum) for r in got.collect())
+    ) == sorted((r.source, r.doc_id, r.cum) for r in want.collect())
+
+    # balance: dense per-source ids -> range shards split near-evenly;
+    # the hot source's largest shard must be ~n_hot/n_shards, far below
+    # the whole-source partition the naive window would create.
+    bounds = df.groupBy("source").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    shard = F.least(
+        F.lit(n_shards - 1),
+        F.floor(
+            (F.col("doc_id") - F.col("mn")).cast("double")
+            * n_shards
+            / (F.col("mx") - F.col("mn") + 1).cast("double")
+        ),
+    )
+    sizes = (
+        df.join(F.broadcast(bounds), "source")
+        .withColumn("sh", shard)
+        .groupBy("source", "sh")
+        .count()
+    )
+    hot_max = max(r["count"] for r in sizes.filter("source = 'commoncrawl'").collect())
+    assert hot_max <= 2 * (n_hot // n_shards), hot_max
+    spark.catalog.clearCache()
 
 
 def test_latest_wins_no_window_no_join(spark):

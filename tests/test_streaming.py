@@ -53,6 +53,51 @@ def test_session_stream_runs(spark, events_dir, tmp_path_factory):
     assert all(r.n_events >= 1 for r in rows)
 
 
+def test_session_stream_converges_to_batch_on_closed_sessions(
+    spark, events_dir, tmp_path_factory
+):
+    """q102's value contract, not just liveness: stage the events plus
+    ONE sentinel event 10 days later (single fake user), so the final
+    watermark passes every real session's close — session_window must
+    then emit exactly the batch lag+cumsum sessionizer's answer
+    (user_id, session_start=min ts, n_events) for every real user."""
+    import datetime
+
+    from team_aragon_spark.operators import windows as W
+
+    ev = read_table(spark, "events", SF_SMOKE)
+    mx = ev.agg(F.max("ts").cast("timestamp")).collect()[0][0]
+    src = tmp_path_factory.mktemp("sess_conv_src")
+    spark.read.parquet(events_dir).write.mode("append").parquet(str(src))
+    sentinel = spark.createDataFrame(
+        [(10**9, mx + datetime.timedelta(days=10), -1, "flush", 0.0, "{}")],
+        es.EVENTS_STREAM_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(src))
+
+    result = es.run_to_completion(
+        es.user_sessions_stream(es.read_events_stream(spark, str(src))),
+        "sessions_conv_out",
+        str(tmp_path_factory.mktemp("ckpt_sc")),
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in result.collect()
+        if r.user_id != -1
+    }
+    batch = (
+        W.sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("timestamp")).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    expect = {(r.user_id, r.session_start, r.n_events) for r in batch.collect()}
+    assert got == expect
+    assert len(expect) > 0
+
+
 def test_sliding_stream_runs(spark, events_dir, tmp_path_factory):
     stream = es.read_events_stream(spark, events_dir)
     result = es.run_to_completion(
