@@ -57,12 +57,21 @@ EXTRA = [
     "q95_user_last_event_state",    # latest-wins compaction (max_by)
     "q96_funnel_conversion",        # ordered funnel (2 aggregates)
     "q100_hourly_gap_fill",         # dense-grid resampling (sequence+explode)
+    # round-5 families:
+    "q97_incremental_neardup",      # batch-vs-index LSH dedup
+    "q98_session_transcripts",      # sessionize + array_sort transcript
+    "q103_video_mp4_meta",          # real MP4 synth+box-parse round-trip
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # Comma-separated query names to skip — for manual scaled runs only
+    # (e.g. q63, the deliberately-linear portable-oracle pin, at 100x).
+    # The driver never sets this; skipping a HEADLINE query breaks
+    # round-over-round comparability of `value`.
+    skip = set(filter(None, os.environ.get("SPARK_GRAFT_SKIP", "").split(",")))
     spark = get_spark("team-aragon-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,6 +95,8 @@ def main() -> None:
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
+        if name in skip:
+            continue
         fn = QUERY_REGISTRY[name].fn
         runs = []
         for _ in range(2):
@@ -104,6 +115,8 @@ def main() -> None:
     # stays directly comparable round-over-round.
     extra_steady: dict[str, float] = {}
     for name in EXTRA:
+        if name in skip:
+            continue
         fn = QUERY_REGISTRY[name].fn
         runs = []
         for _ in range(2):

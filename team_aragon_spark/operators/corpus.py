@@ -341,6 +341,58 @@ def source_mix_rebalance(
         source_col,
         F.least(F.lit(1.0), F.round(F.col("m") / F.col("n"), 6)).alias("keep_frac"),
     )
+    return _keep_by_hash_threshold(df, weights, id_col, source_col)
+
+
+def temperature_source_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixing: downsample so source shares
+    follow ``p_s ∝ n_s^alpha`` — the multilingual/multi-corpus
+    sampling rule of T5/mT5 ("exponentially smoothed" mixing; Raffel
+    et al. 2020 §2.3, Xue et al. 2021 §3.2), expressed as a
+    deterministic filter.
+
+    ``alpha = 1`` keeps the natural mix (every keep_frac 1.0);
+    ``alpha = 0`` equalizes all sources (= :func:`source_mix_rebalance`);
+    between, head sources are damped and tail sources kept whole.
+    Downsample-only: the scale constant ``C = min_t n_t^(1-alpha)``
+    makes the largest implied keep_frac exactly 1, so no source needs
+    upsampling, and ``keep_frac_s = round(C * n_s^(alpha-1), 6)``.
+
+    Same portable-hash keep predicate (and the same scale posture) as
+    :func:`source_mix_rebalance`: one |sources| aggregate broadcast
+    back, narrow filter, no rand(), SQL-oracle-comparable.  pow() is
+    IEEE-double on both engines and keep_frac is rounded to 6 digits
+    before thresholding, so cross-engine ulps cannot flip a keep bit
+    unless a value lands exactly on a rounding boundary.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    c_min = counts.agg(
+        F.min(F.pow(F.col("n").cast("double"), F.lit(1.0 - alpha))).alias("c")
+    )
+    weights = counts.crossJoin(F.broadcast(c_min)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.col("c") * F.pow(F.col("n").cast("double"), F.lit(alpha - 1.0)), 6
+            ),
+        ).alias("keep_frac"),
+    )
+    return _keep_by_hash_threshold(df, weights, id_col, source_col)
+
+
+def _keep_by_hash_threshold(
+    df: DataFrame, weights: DataFrame, id_col: str, source_col: str
+) -> DataFrame:
+    """Shared keep-predicate of the mix operators: broadcast the
+    per-source ``keep_frac`` table and keep rows whose first 6 md5 hex
+    digits fall under ``floor(keep_frac * 16^6)`` — portable,
+    deterministic, retry-stable."""
     thresh = F.lpad(
         F.lower(F.hex(F.floor(F.col("keep_frac") * (16 ** 6)).cast("bigint"))), 6, "0"
     )

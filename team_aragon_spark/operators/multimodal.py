@@ -406,6 +406,241 @@ def video_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
     )
 
 
+# -- MP4 (REAL stdlib decode — ISO BMFF box tree, no external deps) --------
+#
+# The same synth-then-decode pattern as the WAV path above: synthesize a
+# genuine ISO base-media container (ftyp + moov{mvhd, trak{tkhd,
+# mdia{mdhd, minf{stbl{stts}}}}}) with stdlib ``struct``, then recover
+# the metadata by walking the box tree — real parsing of the real
+# container format, verifiable in an environment with no PyAV/ffmpeg.
+# Codec payloads (mdat) are out of scope here; ``video_decode_meta``
+# above remains the guarded full-decode kernel.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_MOVIE_TIMESCALE = 1000
+_MP4_MEDIA_TIMESCALE = 12288  # divisible by 24/32/48 fps -> exact deltas
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _synth_mp4_bytes(i: int) -> bytes:
+    """One deterministic, structurally valid MP4 for id ``i``.
+
+    Arithmetic contract (pinned by q103's oracle):
+    width = 320 + (i%4)*160, height = 240 + (i%3)*120,
+    duration_ms = 1000 + (i%500)*40, fps = (24, 32, 48)[i%3],
+    n_frames = 24 + i%96.
+    """
+    import struct
+
+    w = 320 + (i % 4) * 160
+    h = 240 + (i % 3) * 120
+    dur_ms = 1000 + (i % 500) * 40
+    fps = (24, 32, 48)[i % 3]
+    n_frames = 24 + i % 96
+    delta = _MP4_MEDIA_TIMESCALE // fps
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(
+            ">B3x II II I 2s 10x 36s 24x I",
+            0,  # version 0 (+3 flag bytes via 3x)
+            0, 0,  # creation / modification
+            _MP4_MOVIE_TIMESCALE,
+            dur_ms * _MP4_MOVIE_TIMESCALE // 1000,
+            0x00010000,  # rate 1.0 (16.16)
+            struct.pack(">H", 0x0100),  # volume 1.0 (8.8)
+            struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+            2,  # next track id
+        ),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(
+            ">B3B II I 4x I 8x hhh 2x 36s II",
+            0, 0, 0, 7,  # version 0, flags = enabled|in-movie|in-preview
+            0, 0,  # creation / modification
+            1,  # track id
+            dur_ms * _MP4_MOVIE_TIMESCALE // 1000,
+            0, 0, 0,  # layer, alternate group, volume (video: 0)
+            struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+            w << 16, h << 16,  # 16.16 fixed point
+        ),
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        struct.pack(
+            ">B3x II I I Hxx",
+            0, 0, 0,
+            _MP4_MEDIA_TIMESCALE,
+            n_frames * delta,
+            0x55C4,  # language 'und'
+        ),
+    )
+    hdlr = _mp4_box(b"hdlr", struct.pack(">B3x 4x 4s 12x", 0, b"vide") + b"vide\0")
+    vmhd = _mp4_box(b"vmhd", struct.pack(">B3B 4H", 0, 0, 0, 1, 0, 0, 0, 0))
+    stts = _mp4_box(b"stts", struct.pack(">B3x I II", 0, 1, n_frames, delta))
+    stbl = _mp4_box(b"stbl", stts)
+    minf = _mp4_box(b"minf", vmhd + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov + _mp4_box(b"mdat", b"\0" * 16)
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in a span."""
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", data, off)[0]
+        typ = data[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", data, off + 8)[0]
+            body = off + 16
+        elif size == 0:  # box extends to end of file
+            size = end - off
+        if size < 8 or off + size > end:
+            raise ValueError("malformed box")
+        yield typ, body, off + size
+        off += size
+
+
+def _parse_mp4_meta(data: bytes) -> dict:
+    """Recover (width, height, n_frames, fps, duration_ms) from the box
+    tree.  Raises on anything structurally invalid (caller quarantines)."""
+    import struct
+
+    out: dict = {}
+    media_timescale = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal media_timescale
+        for typ, b, e in _walk_mp4_boxes(data, start, end):
+            if typ in _MP4_CONTAINERS:
+                walk(b, e)
+            elif typ == b"mvhd":
+                ver = data[b]
+                if ver == 0:
+                    ts, dur = struct.unpack_from(">II", data, b + 12)
+                else:  # version 1: 64-bit times
+                    ts = struct.unpack_from(">I", data, b + 20)[0]
+                    dur = struct.unpack_from(">Q", data, b + 24)[0]
+                out["duration_ms"] = dur * 1000 // ts
+            elif typ == b"tkhd":
+                ver = data[b]
+                base = b + (32 if ver == 0 else 44)  # up to layer field
+                # layer(2)+alt_group(2)+volume(2)+reserved(2)+matrix(36)=44
+                out["width"] = struct.unpack_from(">I", data, base + 44)[0] >> 16
+                out["height"] = struct.unpack_from(">I", data, base + 48)[0] >> 16
+            elif typ == b"mdhd":
+                ver = data[b]
+                media_timescale = struct.unpack_from(
+                    ">I", data, b + (12 if ver == 0 else 20)
+                )[0]
+            elif typ == b"stts":
+                n_entries = struct.unpack_from(">I", data, b + 4)[0]
+                counts, deltas = [], []
+                for k in range(n_entries):
+                    c, d = struct.unpack_from(">II", data, b + 8 + 8 * k)
+                    counts.append(c)
+                    deltas.append(d)
+                out["n_frames"] = sum(counts)
+                if len(deltas) == 1 and deltas[0] and media_timescale:
+                    out["fps"] = media_timescale / deltas[0]
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    walk(0, len(data))
+    if "width" not in out or "duration_ms" not in out:
+        raise ValueError("no video track metadata")
+    return out
+
+
+def synth_mp4_payload(df: DataFrame, id_col: str = "doc_id", out_col: str = "payload") -> DataFrame:
+    """Deterministic REAL ISO-BMFF/MP4 payloads, one per row — the
+    video sibling of ``synth_wav_payload``: a genuine box tree any
+    MP4 demuxer can walk, parameters arithmetic in the id so a SQL
+    oracle can pin what a correct parser must recover."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    out_col: [_synth_mp4_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col), width).mapInPandas(
+        kernel, schema=f"doc_id bigint, {out_col} binary"
+    )
+
+
+def mp4_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL video-metadata decode for MP4/ISO-BMFF containers — stdlib
+    ``struct`` box-tree walk, no PyAV needed.
+
+    Recovers width/height from ``tkhd`` (16.16 fixed point), duration
+    from ``mvhd`` (movie timescale), frame count and nominal fps from
+    ``stts`` + ``mdhd`` — i.e. the demuxer-metadata half of
+    ``video_decode_meta``, executable and verifiable in this
+    environment.  Same contract as every kernel in this module:
+    Arrow-batched ``mapInPandas``, corrupt payloads quarantine per-row
+    as ``modality='unknown'`` with NULL fields, never failing the
+    batch.  Codec-level truths (actual decoded frames) still need the
+    PyAV kernel above.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in ("width", "height", "n_frames", "fps", "duration_ms", "modality")
+            }
+            for b in pdf[payload_col]:
+                try:
+                    meta = _parse_mp4_meta(bytes(b))
+                    cols["width"].append(meta.get("width"))
+                    cols["height"].append(meta.get("height"))
+                    cols["n_frames"].append(meta.get("n_frames"))
+                    cols["fps"].append(meta.get("fps"))
+                    cols["duration_ms"].append(meta.get("duration_ms"))
+                    cols["modality"].append("video")
+                except Exception:
+                    for k in ("width", "height", "n_frames", "fps", "duration_ms"):
+                        cols[k].append(None)
+                    cols["modality"].append("unknown")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": pdf[payload_col].map(len).astype("int64"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                    "fps": pd.array(cols["fps"], dtype="Float64"),
+                    "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                    "modality": pd.Series(cols["modality"], dtype="object"),
+                }
+            )
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col, payload_col), width).mapInPandas(
+        kernel, schema=VIDEO_META_SCHEMA
+    )
+
+
 def fake_video_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Deterministic stand-in with ``video_decode_meta``'s exact schema
     (arithmetic on byte length), for plumbing tests where PyAV is

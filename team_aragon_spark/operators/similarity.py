@@ -318,6 +318,9 @@ def srp_neardup_pairs(
     1.0 and recall ≈ 1 - (1 - p^n_bits)^n_tables for bit-agreement
     probability p = 1 - θ/π (≈ 0.996 at cosine 0.9 with 16×8 defaults).
     Output matches q37: (a, b, cosine), a < b, cosine >= threshold.
+    Cache contract: persists the signature table for the bucket
+    self-join; lifetime caller-managed (clear after materializing),
+    same as text_dedup.lsh_candidate_pairs.
     """
     vecs = df.select(F.col(id_col), F.col(vec_col))
     sigs = srp_signatures(vecs, n_tables, n_bits, dim, vec_col).select(

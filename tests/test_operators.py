@@ -403,6 +403,33 @@ def test_approx_distinct_within_error_bound(spark):
         assert abs(approx[et] - n) <= max(1, 0.06 * n), (et, approx[et], n)
 
 
+def test_hll_sparse_exact_at_gate_scale(spark):
+    """q44's hash oracle (exact count DISTINCT) is valid only while
+    HLL++ stays in its sparse exact representation at the driver's
+    gate scale (sf0.01).  If a testdata regeneration ever pushes the
+    per-type user cardinality past the sparse threshold, THIS test
+    names the failure — the driver row would otherwise just go red."""
+    from pyspark.sql import functions as F2
+
+    from team_aragon_spark.sources.catalog import read_table
+
+    ev = read_table(spark, "events", "/root/testdata/sf0.01")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F2.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            F2.countDistinct("user_id").alias("e"),
+        )
+        .collect()
+    )
+    for r in both:
+        assert r.a == r.e, (
+            f"{r.event_type}: HLL estimate {r.a} != exact {r.e} at sf0.01 — "
+            "sparse-exact assumption broken; q44's oracle must revert to "
+            "tolerance-only (see q44 registration comment)"
+        )
+
+
 def test_sql_front_door(spark):
     """register_views exposes the star schema to raw spark.sql, with
     pushdown intact."""
@@ -760,6 +787,45 @@ def test_audio_wav_roundtrip_and_quarantine(spark):
     out = {r["doc_id"]: r for r in audio_decode_meta(corrupt).collect()}
     assert out[8]["modality"] == "unknown" and out[8]["sample_rate"] is None
     assert out[7]["modality"] == "audio"  # neighbors unaffected
+
+
+def test_mp4_roundtrip_and_quarantine(spark):
+    """mp4_decode_meta really walks an ISO-BMFF box tree (stdlib
+    struct): a synthesized MP4 round-trips width/height (tkhd 16.16),
+    duration (mvhd), frame count and fps (stts+mdhd); corrupt payloads
+    quarantine per-row as modality='unknown' with NULL fields."""
+    from pyspark.sql import functions as F
+
+    from team_aragon_spark.operators.multimodal import (
+        mp4_decode_meta,
+        synth_mp4_payload,
+    )
+
+    ids = spark.createDataFrame([(0,), (5,), (1234,)], "doc_id long")
+    mp4 = synth_mp4_payload(ids)
+    good = {r["doc_id"]: r for r in mp4_decode_meta(mp4).collect()}
+    assert good[0]["width"] == 320 and good[0]["height"] == 240
+    assert good[5]["width"] == 480 and good[5]["height"] == 480
+    assert good[5]["fps"] == 48.0 and good[5]["n_frames"] == 24 + 5 % 96
+    assert good[1234]["duration_ms"] == 1000 + (1234 % 500) * 40
+    assert all(r["modality"] == "video" for r in good.values())
+
+    corrupt = mp4.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 5, F.lit(b"not an mp4 at all")).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = {r["doc_id"]: r for r in mp4_decode_meta(corrupt).collect()}
+    assert out[5]["modality"] == "unknown" and out[5]["width"] is None
+    assert out[0]["modality"] == "video"  # neighbors unaffected
+    # truncated box tree (valid ftyp, torn moov) must also quarantine
+    torn = mp4.withColumn(
+        "payload", F.expr("CASE WHEN doc_id = 0 THEN substring(payload, 1, 60) "
+                          "ELSE payload END")
+    )
+    out2 = {r["doc_id"]: r for r in mp4_decode_meta(torn).collect()}
+    assert out2[0]["modality"] == "unknown"
 
 
 def test_video_decode_meta_guard_and_fake_contract(spark):

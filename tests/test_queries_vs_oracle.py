@@ -44,6 +44,49 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_lsh_recall_is_total_on_current_corpus(spark):
+    """q24/q50/q91/q97's full-value oracles pin the EXACT Jaccard pair
+    set while the engine side verifies only MinHash-LSH candidates —
+    that is sound iff LSH recall is 1.0 on the corpus at hand
+    (expected ~0.986 per pair at t=0.5 with k=96/b=32, so a borderline
+    pair in regenerated testdata COULD slip a band).  This test names
+    the assumption per round: every exact >=0.5 pair must surface as an
+    LSH candidate, in both the symmetric (q24/q50) and the incremental
+    index-vs-batch (q97) blocking."""
+    from pyspark.sql import functions as F
+
+    from team_aragon_spark.operators.text_dedup import (
+        incremental_candidate_pairs,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from team_aragon_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", SF_ORACLE)
+    exact = {(r.a, r.b) for r in jaccard_pairs(docs).collect()}  # all-pairs truth
+    assert exact, "corpus regenerated with no near-dup pairs; oracle is vacuous"
+
+    sym = {(r.a, r.b) for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()}
+    assert exact <= sym, f"symmetric LSH missed exact pairs: {exact - sym}"
+
+    is_new = F.col("doc_id") % 5 == 4  # q97's index/batch split
+    inc = {
+        (r.a, r.b)
+        for r in incremental_candidate_pairs(
+            minhash_signatures(docs.filter(~is_new)),
+            minhash_signatures(docs.filter(is_new)),
+        ).collect()
+    }
+    cross = {  # oriented (index_id, batch_id), exactly one endpoint in batch
+        (a, b) if b % 5 == 4 else (b, a)
+        for a, b in exact
+        if (a % 5 == 4) != (b % 5 == 4)
+    }
+    assert cross <= inc, f"incremental LSH missed cross pairs: {cross - inc}"
+    spark.catalog.clearCache()
+
+
 def test_q70_empty_is_correct_vs_brute_force(spark):
     """q70 returned spark_rows=0 in CORRECTNESS_r03 on the regenerated
     testdata.  Prove that empty is CORRECT, not degenerate: compute the
@@ -79,3 +122,28 @@ def test_q70_empty_is_correct_vs_brute_force(spark):
         assert got <= exact, f"{sf_dir}: blocked pairs not in exact ground truth: {got - exact}"
         if not exact:
             assert got == set(), f"{sf_dir}: expected empty, got {got}"
+        else:
+            # Recall floor, so planted near-dups in regenerated testdata
+            # can't silently vanish: IVF blocking may only miss pairs
+            # that STRADDLE a cell boundary; any exact pair whose
+            # endpoints land in the same (deterministic) cell MUST be
+            # found.  Centroid training is deterministic (hash-ordered
+            # sample + fixed RandomState), so the test can recompute
+            # the assignment the operator used.
+            from team_aragon_spark.operators.similarity import (
+                assign_cells,
+                train_centroids,
+            )
+
+            centroids = train_centroids(emb, 16)
+            cell_of = {
+                r[0]: r["cell"]
+                for r in assign_cells(emb, centroids).select("vec_id", "cell").collect()
+            }
+            same_cell = {
+                (a, b) for a, b in exact if cell_of[a] == cell_of[b]
+            }
+            assert same_cell <= got, (
+                f"{sf_dir}: IVF blocking missed same-cell exact pairs: "
+                f"{same_cell - got}"
+            )

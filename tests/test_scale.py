@@ -554,6 +554,17 @@ def test_audio_roundtrip_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_mp4_roundtrip_no_shuffle(spark):
+    """q103: MP4 synth → box-parse is a pure mapInPandas chain — no
+    exchange (same contract as the audio path: media payloads never
+    shuffle for a metadata pass)."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q103_video_mp4_meta"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
 def test_incremental_candidates_skip_index_pairs(spark):
     """q97's blocking operator: two identical docs INSIDE the index
     never form a candidate (that comparison was paid when they were
