@@ -304,11 +304,12 @@ def srp_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     n_tables: int = 16,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    target_bucket: int = 16,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP-LSH blocking + exact verify.
 
@@ -316,13 +317,32 @@ def srp_neardup_pairs(
     inside shared (table, sig) buckets — shuffle on bucket keys, never
     O(n²) — then exact cosine filters false positives, so precision is
     1.0 and recall ≈ 1 - (1 - p^n_bits)^n_tables for bit-agreement
-    probability p = 1 - θ/π (≈ 0.996 at cosine 0.9 with 16×8 defaults).
+    probability p = 1 - θ/π (≈ 0.996 at cosine 0.9 with 16×8).
     Output matches q37: (a, b, cosine), a < b, cosine >= threshold.
+
+    ``n_bits=None`` (the default) ADAPTS bucket count to corpus size:
+    ``n_bits = clamp(ceil(log2(n / target_bucket)), 8, 20)``, keeping
+    expected bucket occupancy ~``target_bucket`` rows.  This is the
+    load-bearing scale knob: with FIXED n_bits the per-bucket count
+    grows linearly in n and the candidate joins grows n² — the r5
+    100x posture run (200k vectors, 256 buckets/table → ~780/bucket →
+    ~1.2e9 candidate pairs) OOMed the JVM exactly this way.  Adaptive
+    sizing costs one ``count()`` (metadata-fast on parquet sources)
+    and leaves behavior at gate scale unchanged (n=2000 → floor 8
+    bits).  Raising n_bits trades tail recall at LOW thresholds; for
+    near-dup thresholds (>= 0.9, p >= 0.9) recall stays >= 0.98 up to
+    14 bits.
+
     Cache contract: persists the signature table for the bucket
     self-join; lifetime caller-managed (clear after materializing),
     same as text_dedup.lsh_candidate_pairs.
     """
     vecs = df.select(F.col(id_col), F.col(vec_col))
+    if n_bits is None:
+        import math
+
+        n = vecs.count()
+        n_bits = max(8, min(20, math.ceil(math.log2(max(n, 1) / target_bucket))))
     sigs = srp_signatures(vecs, n_tables, n_bits, dim, vec_col).select(
         F.col(id_col), "table", "sig"
     ).persist()

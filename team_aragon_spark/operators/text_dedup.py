@@ -177,7 +177,16 @@ def incremental_candidate_pairs(
     small side); lifetime is caller-managed as in
     :func:`lsh_candidate_pairs` — clear after materializing.
     """
-    idx = banded_keys(index_sigs, id_col, bands).withColumnRenamed(id_col, "a")
+    idx = (
+        banded_keys(index_sigs, id_col, bands)
+        .withColumnRenamed(id_col, "a")
+        .persist()
+        # In production this relation IS the stored LSH index (written
+        # once at ingest, read per batch); persisting it here mirrors
+        # that — repeated batches against the same session never re-run
+        # the index-side MinHash fold.  bands rows/doc of three longs,
+        # spillable, tiny next to the corpus text.
+    )
     new = (
         banded_keys(batch_sigs, id_col, bands)
         .withColumnRenamed(id_col, "b")
@@ -281,6 +290,63 @@ def minhash_neardup_pairs(
     )
 
 
+def incremental_neardup_pairs(
+    df: DataFrame,
+    batch_predicate,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 96,
+    bands: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Batch-vs-index near-dup pipeline with ONE shingle pass.
+
+    ``batch_predicate`` (a Column) marks the NEW ingest rows; the rest
+    of ``df`` is the stored index.  Composes the same stages as
+    :func:`minhash_neardup_pairs` but with
+    :func:`incremental_candidate_pairs` in the middle, and — the point
+    — shares a single persisted shingle relation across the index
+    signatures, the batch signatures, and both verify branches.  The
+    naive composition (sign index, sign batch, verify from raw text)
+    re-runs the interpreted shingling up to 4x over the corpus; the r5
+    100x posture run measured that at 81 s vs ~15 s for the symmetric
+    q24 pipeline on the same data, all of it redundant shingling.
+
+    In production the index half of the candidates comes from the
+    STORED banded-key/signature relations (see :func:`banded_keys`),
+    so the per-ingest cost is shingling the batch only; this operator
+    derives both sides for a self-contained harness, paying one full
+    pass.  Cache lifetime caller-managed, as everywhere in this module.
+    """
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            batch_predicate.alias("__is_new"),
+            F.expr(shingle_expr(text_col, shingle_n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .persist()
+    )
+    sig = F.expr(_signature_expr("__sh", n_hashes)).alias("signature")
+    idx_sigs = sh.filter(~F.col("__is_new")).select(F.col(id_col), sig)
+    new_sigs = sh.filter(F.col("__is_new")).select(F.col(id_col), sig)
+    cands = incremental_candidate_pairs(idx_sigs, new_sigs, id_col, bands)
+    left = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
+    right = sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
+    pairs = cands.join(left, on="a").join(right, on="b")
+    jac = F.expr(
+        "try_divide(CAST(size(array_intersect(__sha, __shb)) AS DOUBLE), "
+        "CAST(size(array_union(__sha, __shb)) AS DOUBLE))"
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash fingerprint (token-frequency weighted bit votes).
 
@@ -359,6 +425,15 @@ def simhash_neardup_pairs(
     Cache contract: the chunk table is persisted for the self-join;
     lifetime caller-managed (clear after materializing), as in
     :func:`lsh_candidate_pairs`.
+
+    Scale bound: the bucket space is FIXED at 4 x 2^16, so expected
+    bucket occupancy is n/65536 and candidate volume grows n²/65536 —
+    fine to ~10M docs, quadratic beyond (the same failure mode the
+    SRP operator's adaptive n_bits fixes; see similarity.py).  Past
+    that, the standard remedies are a wider fingerprint (128-bit
+    SimHash, 8 chunks) or Manku-style multi-table permuted prefixes;
+    MinHash-LSH (value-keyed buckets, occupancy set by the dup rate
+    rather than corpus size) is this package's default at that scale.
     """
     sh = simhash64(df, text_col, id_col)
     chunks = sh.select(

@@ -1031,7 +1031,9 @@ def q41_clicks_within_day_of_error(spark, sf_dir):
 )
 def q42_srp_lsh_neardup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.srp_neardup_pairs(emb, threshold=0.45, n_tables=16, n_bits=8)
+    # n_bits left adaptive (corpus-sized bucket count) — the fixed
+    # 8-bit variant melts at 100x vectors; see srp_neardup_pairs.
+    return similarity.srp_neardup_pairs(emb, threshold=0.45, n_tables=16)
 
 
 @register(
@@ -2895,15 +2897,17 @@ _INCR_JACCARD_SQL = _JACCARD_SQL.replace(
     "LSH index (text_dedup.incremental_candidate_pairs / "
     "banded_keys), not a corpus re-hash.  Candidates are verified "
     "with exact Jaccard, same as the symmetric q24/q64 path; the "
-    "oracle is the exact cross-partition pair set.",
+    "oracle is the exact cross-partition pair set.  Uses the "
+    "single-shingle-pass composition (incremental_neardup_pairs) — "
+    "the naive sign-index/sign-batch/verify-from-text pipeline paid "
+    "4 interpreted shingle passes (81 s vs 15 s at the 100x posture "
+    "run).",
 )
 def q97_incremental_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % 5 == 4
-    idx_sigs = text_dedup.minhash_signatures(docs.filter(~is_new))
-    new_sigs = text_dedup.minhash_signatures(docs.filter(is_new))
-    cands = text_dedup.incremental_candidate_pairs(idx_sigs, new_sigs)
-    return text_dedup.jaccard_pairs(docs, candidates=cands, threshold=0.5)
+    return text_dedup.incremental_neardup_pairs(
+        docs, F.col("doc_id") % 5 == 4, threshold=0.5
+    )
 
 
 _TRANSCRIPT_SQL = """

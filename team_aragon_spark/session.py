@@ -45,7 +45,12 @@ def get_spark(app_name: str = "team-aragon-spark", shuffle_partitions: int | Non
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs driver + all executor threads in ONE JVM, so
+        # this heap is the entire engine's memory; 8g starved 32
+        # concurrent tasks on scaled (100x) inputs into GC-locker OOM.
+        # Sized for the 128 GiB box; on a real cluster executor memory
+        # is set by the deploy config, not here.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
