@@ -326,12 +326,20 @@ def q11_top20_part_types(spark, sf_dir):
          FROM lineitem) WHERE rn = 1""",
     ops=("D1",),
     doc="Deterministic first-wins dedup by key — replaces the reference's "
-    "insertion-order dedup (load_hhs.py:23-29) with an explicit tie-break.",
+    "insertion-order dedup (load_hhs.py:23-29) with an explicit tie-break.  "
+    "Since r5 a single min_by hash aggregate (dedup.first_wins_dedup_agg), "
+    "not a row_number window: map-side-combinable, no partition sort, "
+    "immune to hot-key window blowup; ~30% faster at the 100x posture "
+    "scale.  Tiebreak columns are non-null lineitem keys, satisfying "
+    "the agg variant's contract.",
 )
 def q12_first_line_per_order(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return dedup.first_wins_dedup(li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"]).select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    return dedup.first_wins_dedup_agg(
+        li,
+        ["l_orderkey"],
+        ["l_linenumber", "l_partkey", "l_suppkey"],
+        payload=["l_linenumber", "l_partkey", "l_quantity"],
     )
 
 
@@ -3133,6 +3141,52 @@ def q102_streaming_user_sessions(spark, sf_dir):
     )
 
 
+@register(
+    "q106_streaming_sliding_stats",
+    # FULL value oracle, same closure argument as q46: append mode
+    # emits exactly the sliding windows with end <= max(ts) - 2h
+    # (boundary equality included; window ends sit on the 15-min grid
+    # so the ms-vs-us watermark residue cannot flip the comparison).
+    # Each event belongs to exactly 4 overlapping (1 h, 15 min)
+    # windows: win_start = bucket15(ts) - k*15min, k = 0..3.
+    # count + round(sum, 2), not avg: see sliding_value_stream — fixed-
+    # precision event values make avg round-boundary ties common, and
+    # accumulation order would flip the 4th decimal between engines.
+    """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+       e AS (
+         SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+                  - k.k * INTERVAL 15 MINUTES AS win_start,
+                value
+         FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k)
+       SELECT win_start, count(*) AS n_events,
+              round(sum(value), 2) AS total_value
+       FROM e
+       GROUP BY win_start
+       HAVING win_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+       ORDER BY win_start""",
+    ops=("ext-streaming-sliding-window",),
+    doc="Streaming sliding-window aggregate (1 h length, 15 min "
+    "slide, 2 h watermark): each event lands in 4 overlapping "
+    "windows, state is 4x the tumbling case and still watermark-"
+    "bounded (streaming/events_stream.sliding_value_stream).  Full "
+    "value oracle: the batch expansion of each event into its 4 "
+    "grid windows, restricted to watermark-closed windows — the "
+    "sliding sibling of q46's tumbling oracle.",
+)
+def q106_streaming_sliding_stats(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    return es.run_to_completion(
+        es.sliding_value_stream(stream),
+        f"q106_out_{uuid.uuid4().hex[:8]}",
+        ckpt,
+    )
+
+
 _VIDEO_MP4_SQL = """
 SELECT doc_id,
        CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
@@ -3247,16 +3301,17 @@ def q105_streaming_enriched_purchases(spark, sf_dir):
 #   1. q100-q102 — registered after the r4 stamp run, never graded;
 #      q103 — new this round (MP4 decode round-trip).
 #   2. q46/q47/q44 — upgraded from no_oracle to full oracles this
-#      round; q99/q93 — bodies changed this round (bounded replay /
-#      two-level prefix sum), re-prove.
+#      round; q99/q93/q12 — bodies changed this round (bounded
+#      replay / two-level prefix sum / min_by dedup), re-prove.
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 24 of the 34 r03-stamped queries, §2 star core first.  The
-#      ten left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
-#      shapes, lowest drift risk, plus q90/q91 which yielded their
-#      slots to the new q104/q105) carry r03 stamps, exactly 2
-#      rounds old at r05; rotate them first next round.
+#   4. 21 of the 34 r03-stamped queries, §2 star core first.  The
+#      thirteen left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
+#      shapes, lowest drift risk, plus q85/q86/q90/q91 which yielded
+#      their slots to the new q104-q106 and the re-proofs) carry r03
+#      stamps, exactly 2 rounds old at r05; rotate them first next
+#      round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
@@ -3268,12 +3323,14 @@ STAMP_PRIORITY: list[str] = [
     "q103_video_mp4_meta",
     "q104_temperature_source_mix",
     "q105_streaming_enriched_purchases",
+    "q106_streaming_sliding_stats",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
     "q44_approx_distinct_users",
     "q99_streaming_dedup_replay",
     "q93_token_budget_packing",
+    "q12_first_line_per_order",
     # -- latest stamp r02: approximate family first --
     "q24_minhash_neardup_pairs",
     "q25_simhash_fingerprints",
@@ -3314,8 +3371,6 @@ STAMP_PRIORITY: list[str] = [
     "q76_unigram_logprob_score",
     "q83_neardup_edit_distance",
     "q84_source_quality_filter",
-    "q85_langid_confusion",
-    "q86_embedding_int8_quant",
 ]
 
 

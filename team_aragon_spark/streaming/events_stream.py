@@ -67,12 +67,24 @@ def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> 
 def sliding_value_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Sliding windows (1 h length, 15 min slide) — each event lands in 4
     overlapping windows; state is 4× the tumbling case, still
-    watermark-bounded."""
+    watermark-bounded.
+
+    Emits (count, rounded sum), not avg: event values carry fixed
+    decimal precision, so window averages tie at the rounding digit
+    (sum/n landing exactly on ...5) often enough that IEEE
+    accumulation order decides the rounded direction and cross-engine
+    value oracles flip — measured 3 boundary flips in ~2900 windows at
+    round(avg, 4).  count+sum is the q46 contract and division-free;
+    callers derive avg when they need it.
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("win.start").alias("win_start"), "avg_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "total_value")
     )
 
 

@@ -520,6 +520,48 @@ def test_packing_prefix_sum_matches_naive_on_skew(spark):
     spark.catalog.clearCache()
 
 
+def test_first_wins_dedup_aggregates_map_side(spark):
+    """q12 first-wins dedup is a min_by AGGREGATE, not a row_number
+    window.  The load-bearing property at 100 TB: a partial_min_by
+    below the exchange means the shuffle carries ONE row per key per
+    mapper, so a hot order key cannot land its raw rows on one task —
+    the window shape ships and sorts every row of the hot key on a
+    single partition.  (Struct-typed buffers make Spark pick
+    SortAggregate over hash agg; its sorts are map-partition-sized and
+    skew-immune, so Sort itself is fine — Window is the regression.)"""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q12_first_line_per_order"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
+
+
+def test_first_wins_dedup_agg_matches_window(spark):
+    """The agg variant must return exactly the window variant's rows
+    on non-null tiebreaks, including multi-row keys and ties beyond
+    the first tiebreak column."""
+    from team_aragon_spark.operators.dedup import (
+        first_wins_dedup,
+        first_wins_dedup_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 9, "b"), (1, 1, 5, "a"), (1, 1, 3, "c"), (2, 7, 1, "d")],
+        "k long, t1 long, t2 long, v string",
+    )
+    a = {tuple(r) for r in first_wins_dedup(df, ["k"], ["t1", "t2"]).collect()}
+    b = {
+        tuple(r)
+        for r in first_wins_dedup_agg(df, ["k"], ["t1", "t2"]).select(
+            "k", "t1", "t2", "v"
+        ).collect()
+    }
+    assert a == b == {(1, 1, 3, "c"), (2, 7, 1, "d")}
+
+
 def test_latest_wins_no_window_no_join(spark):
     """q95 changelog compaction is ONE max_by hash aggregate — any
     Window or Join in the plan means the shape regressed to the
