@@ -405,3 +405,50 @@ def _keep_by_hash_threshold(
         .select(id_col, source_col, "keep_frac")
         .orderBy(id_col)
     )
+
+
+def epoch_shard_plan(
+    df: DataFrame,
+    epoch: int = 0,
+    hex_chars: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-shuffle shard plan: assign every document a
+    shard and an in-shard position for one training epoch, with no
+    rand() and no global sort.
+
+    A 100 TB corpus cannot be globally shuffled per epoch; the
+    standard trick (T5 / Megatron data loaders) is a seeded hash
+    order: ``key = md5(epoch || id)`` gives each epoch an independent
+    pseudorandom permutation, the first ``hex_chars`` hex digits pick
+    one of ``16^hex_chars`` shards, and documents are laid out within
+    a shard in key order.  Re-runs, retried tasks, and resumed jobs
+    all agree on the layout (md5 is engine-portable, so the full plan
+    is oracle-verified value-for-value, like q94's kept set).
+
+    Scale shape: one narrow projection computes keys; the only
+    shuffle is the per-shard row_number window, whose partition size
+    is ``|corpus| / 16^hex_chars`` — hex_chars is the scale knob
+    (2 → 256 shards for tests; 4 → 65 536 shards keeps shards in the
+    1–2 GB range at 100 TB so no window partition outgrows a task).
+    A production writer would follow with
+    ``repartitionByRange(shard).sortWithinPartitions(skey)`` and a
+    per-shard file sink; the plan itself is the contract.
+    """
+    hexmap = "0123456789abcdef"
+    skey = F.md5(F.concat(F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string")))
+    shard_expr = F.lit(0)
+    for i in range(1, hex_chars + 1):
+        shard_expr = shard_expr * 16 + (
+            F.instr(F.lit(hexmap), F.substring(F.col("skey"), i, 1)) - 1
+        )
+    keyed = df.select(F.col(id_col), skey.alias("skey"))
+    w = Window.partitionBy(F.substring("skey", 1, hex_chars)).orderBy("skey", id_col)
+    return (
+        keyed.select(
+            id_col,
+            shard_expr.cast("int").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("ord"),
+        )
+        .orderBy("shard", "ord")
+    )

@@ -458,3 +458,65 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def passage_dedup_reassemble(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Passage-level exact dedup with document reassembly: split every
+    document into consecutive ``window``-token passages, keep only the
+    FIRST corpus-wide occurrence of each distinct passage (min
+    (doc_id, pos)), and rebuild each document's text from its
+    surviving passages in order.
+
+    This is the practical midpoint between document-level exact dedup
+    (q15) and exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    ExactSubstr dedup removes 50-token repeats): boilerplate passages
+    that recur across documents (headers, footers, license blurbs)
+    are dropped from every copy after the first, while unique prose
+    survives, without materializing suffix arrays.
+
+    Scale shape: one narrow pass explodes docs into passages
+    (``|tokens| / window`` rows per doc, each carrying ~window
+    tokens), one hash-aggregate shuffle keyed by passage text picks
+    winners via a partial-combinable ``min(struct(doc_id, pos))`` —
+    the same skew-immune shape as first_wins_dedup_agg (a passage
+    repeated a million times sends ONE row per mapper, not a window
+    partition), and one shuffle by doc_id reassembles survivors with
+    array_sort(collect_list) (bounded by document length, the q98
+    transcript shape).  No window functions, no joins, no driver
+    state; passage keys could be digested (md5) to cut shuffle bytes
+    at 100 TB — left as raw text here so the oracle stays readable.
+    """
+    toks = f"split({text_col}, ' ')"
+    passages = (
+        f"CASE WHEN size({toks}) = 0 THEN array() "
+        f"ELSE transform(sequence(0, int(ceil(size({toks}) / {window}.0)) - 1), "
+        f"i -> struct(i AS pos, "
+        f"array_join(slice({toks}, i * {window} + 1, {window}), ' ') AS passage)) END"
+    )
+    p = df.select(F.col(id_col), F.explode(F.expr(passages)).alias("p")).select(
+        id_col, F.col("p.pos").alias("pos"), F.col("p.passage").alias("passage")
+    )
+    kept = (
+        p.groupBy("passage")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .select(
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.pos").alias("pos"),
+            "passage",
+        )
+    )
+    ordered = F.expr("transform(array_sort(collect_list(struct(pos, passage))), x -> x.passage)")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(ordered, " ").alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy(id_col)
+    )

@@ -3187,6 +3187,188 @@ def q106_streaming_sliding_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q107_user_type_counts_unpivot",
+    """SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       FROM (SELECT DISTINCT user_id FROM events) u
+       CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+       LEFT JOIN (SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY user_id, event_type) c
+         ON u.user_id = c.user_id AND t.event_type = c.event_type
+       ORDER BY u.user_id, t.event_type""",
+    ops=("ext-unpivot",),
+    doc="UNPIVOT (melt): the wide per-user event-type count matrix "
+    "(q31's pivot shape, explicit value list so no distinct-scan "
+    "job) melted back to dense long form with DataFrame.unpivot — "
+    "the inverse operator completing the reshape pair.  Unpivot is "
+    "a narrow 1-row-to-k-rows map (no shuffle beyond the pivot "
+    "aggregate); the oracle builds the same dense grid relationally "
+    "since DuckDB's UNPIVOT would need the same wide intermediate.",
+)
+def q107_user_type_counts_unpivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    filled = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES],
+    )
+    return filled.unpivot(
+        ["user_id"], list(_EVENT_TYPES), "event_type", "n"
+    ).orderBy("user_id", "event_type")
+
+
+@register(
+    "q108_token_hof_stats",
+    """SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '),
+                                   t -> length(t) > 4)) AS BIGINT) AS n_long_tokens,
+              CAST(coalesce(list_sum(list_transform(
+                       list_filter(string_split(text, ' '), t -> length(t) > 4),
+                       t -> length(t))), 0) AS BIGINT) AS long_token_chars,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                  AS n_distinct_tokens
+       FROM documents ORDER BY doc_id""",
+    ops=("ext-higher-order-functions",),
+    doc="Higher-order array functions in the hot path: filter / "
+    "transform / aggregate lambdas over the token array, entirely "
+    "inside whole-stage codegen — the JVM-side alternative to a "
+    "Python UDF for per-document token statistics.  Narrow map, no "
+    "shuffle; the oracle uses DuckDB's list_* twins of the same "
+    "lambdas.",
+)
+def q108_token_hof_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    long_toks = F.filter(toks, lambda t: F.length(t) > 4)
+    chars_long = F.aggregate(
+        F.transform(long_toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(long_toks).cast("bigint").alias("n_long_tokens"),
+        chars_long.alias("long_token_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+_RECURSIVE_SPANS_SQL = """
+WITH RECURSIVE spans AS (
+  SELECT doc_id, 0 AS chunk_id, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id, chunk_id + 1, n_chars FROM spans
+  WHERE (chunk_id + 1) * 128 < n_chars
+)
+SELECT doc_id, chunk_id,
+       least(128, n_chars - chunk_id * 128) AS chunk_len
+FROM spans ORDER BY doc_id, chunk_id"""
+
+
+@register(
+    "q109_recursive_chunk_spans",
+    _RECURSIVE_SPANS_SQL,
+    ops=("ext-recursive-cte",),
+    doc="Native WITH RECURSIVE (new in Spark 4): per-document "
+    "128-char chunk spans derived by iteration — the IDENTICAL "
+    "recursive SQL runs on both engines, value-for-value.  Each "
+    "recursion level is one distributed pass over the surviving "
+    "frontier, so depth is bounded by max(n_chars)/128 (~5 here) "
+    "and the frontier SHRINKS monotonically (docs drop out when "
+    "exhausted) — the shape recursion is right for.  When depth is "
+    "data-dependent-large, the single-pass sequence()+explode "
+    "expansion (q68's chunker) is the scale path; this query is the "
+    "SQL-surface twin proving the iterative front door.",
+)
+def q109_recursive_chunk_spans(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__q109_documents")
+    return spark.sql(_RECURSIVE_SPANS_SQL.replace("FROM documents", "FROM __q109_documents"))
+
+
+_PASSAGE_DEDUP_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id,
+             unnest(list_transform(
+                 range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                 i -> struct_pack(pos := i,
+                                  passage := array_to_string(
+                                      toks[i * 8 + 1 : i * 8 + 8], ' ')))) AS p
+      FROM t),
+p AS (SELECT doc_id, CAST(p.pos AS INT) AS pos, p.passage AS passage FROM e),
+k AS (SELECT passage, doc_id, pos,
+             row_number() OVER (PARTITION BY passage
+                                ORDER BY doc_id, pos) AS rn
+      FROM p)
+SELECT doc_id,
+       string_agg(passage, ' ' ORDER BY pos) AS clean_text,
+       count(*) AS n_kept
+FROM k WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+@register(
+    "q110_passage_dedup_reassembly",
+    _PASSAGE_DEDUP_SQL,
+    ops=("ext-passage-dedup",),
+    doc="Passage-level exact dedup + reassembly (text_dedup."
+    "passage_dedup_reassemble): every 8-token passage is kept only "
+    "at its first corpus-wide occurrence (min (doc_id, pos)) and "
+    "documents are rebuilt from their surviving passages — the "
+    "practical midpoint between doc-level dedup (q15) and Lee et "
+    "al. 2022 suffix-array ExactSubstr dedup, catching cross-doc "
+    "boilerplate.  Winner selection is a partial-combinable "
+    "min(struct) hash aggregate (a million-fold repeated passage "
+    "sends one row per mapper, never a window partition); "
+    "reassembly is the q98 array_sort(collect_list) shape bounded "
+    "by doc length.",
+)
+def q110_passage_dedup_reassembly(spark, sf_dir):
+    return text_dedup.passage_dedup_reassemble(
+        _t(spark, sf_dir, "documents"), window=8
+    )
+
+
+_EPOCH_SHARD_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         md5(concat('epoch0:', CAST(doc_id AS VARCHAR))) AS skey
+  FROM documents
+)
+SELECT doc_id,
+       CAST(16 * (strpos('0123456789abcdef', substr(skey, 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1) AS INT)
+           AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(skey, 1, 2)
+                               ORDER BY skey, doc_id) AS BIGINT) AS ord
+FROM k ORDER BY shard, ord"""
+
+
+@register(
+    "q111_epoch_shard_plan",
+    _EPOCH_SHARD_SQL,
+    ops=("ext-epoch-shuffle",),
+    doc="Deterministic epoch-shuffle shard plan (corpus."
+    "epoch_shard_plan): md5(epoch || doc_id) gives each training "
+    "epoch an independent pseudorandom permutation with no rand() "
+    "and no global sort — the T5/Megatron data-loader layout trick. "
+    "First 2 hex digits pick one of 256 shards (hex_chars is the "
+    "scale knob: 4 → 65 536 shards keeps window partitions ~1–2 GB "
+    "at 100 TB); in-shard order is key order, so re-runs, retries "
+    "and resumes agree.  md5 is engine-portable, so the ENTIRE "
+    "layout is value-verified against the oracle, like q94's kept "
+    "set.",
+)
+def q111_epoch_shard_plan(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import epoch_shard_plan
+
+    return epoch_shard_plan(_t(spark, sf_dir, "documents"), epoch=0, hex_chars=2)
+
+
 _VIDEO_MP4_SQL = """
 SELECT doc_id,
        CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
@@ -3306,12 +3488,12 @@ def q105_streaming_enriched_purchases(spark, sf_dir):
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 21 of the 34 r03-stamped queries, §2 star core first.  The
-#      thirteen left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
-#      shapes, lowest drift risk, plus q85/q86/q90/q91 which yielded
-#      their slots to the new q104-q106 and the re-proofs) carry r03
-#      stamps, exactly 2 rounds old at r05; rotate them first next
-#      round.
+#   4. 16 of the 34 r03-stamped queries, §2 star core first.  The
+#      eighteen left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
+#      shapes, lowest drift risk, plus q73/q74/q76/q83/q84/q85/q86/
+#      q90/q91 which yielded their slots to the new q104-q111 and
+#      the re-proofs) carry r03 stamps, exactly 2 rounds old at r05;
+#      rotate them first next round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
@@ -3324,6 +3506,11 @@ STAMP_PRIORITY: list[str] = [
     "q104_temperature_source_mix",
     "q105_streaming_enriched_purchases",
     "q106_streaming_sliding_stats",
+    "q107_user_type_counts_unpivot",
+    "q108_token_hof_stats",
+    "q109_recursive_chunk_spans",
+    "q110_passage_dedup_reassembly",
+    "q111_epoch_shard_plan",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3366,11 +3553,6 @@ STAMP_PRIORITY: list[str] = [
     "q68_doc_token_chunks",
     "q69_vocab_top_terms",
     "q71_md5_simhash_bits",
-    "q73_doc_repetition",
-    "q74_benchmark_contamination",
-    "q76_unigram_logprob_score",
-    "q83_neardup_edit_distance",
-    "q84_source_quality_filter",
 ]
 
 

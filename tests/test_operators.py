@@ -875,3 +875,54 @@ def test_source_mix_rebalance_downsamples_skew(spark):
     first = {r["doc_id"] for r in kept.collect()}
     second = {r["doc_id"] for r in kept.collect()}
     assert first == second
+
+
+def test_passage_dedup_drops_cross_doc_boilerplate(spark):
+    """A boilerplate passage shared by two docs survives only in the
+    first (min doc_id); unique passages survive everywhere; a doc
+    that is entirely boilerplate disappears from the output."""
+    from team_aragon_spark.operators.text_dedup import passage_dedup_reassemble
+
+    # exactly 8 tokens, so it is a single passage at window=8
+    boiler = "copyright acme corp all rights reserved no copy"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " " + "one two three four five six seven eight"),
+            (3, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_kept) for r in
+           passage_dedup_reassemble(docs, window=8).collect()}
+    assert out[1] == (boiler + " alpha beta gamma delta epsilon zeta eta theta", 2)
+    assert out[2] == ("one two three four five six seven eight", 1)
+    assert 3 not in out
+
+
+def test_passage_dedup_within_doc_repeat(spark):
+    """A passage repeated INSIDE one doc is kept only at its first
+    position — pos is part of the winner key."""
+    from team_aragon_spark.operators.text_dedup import passage_dedup_reassemble
+
+    p = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(7, p + " " + p + " x y z w v u t s")], "doc_id long, text string"
+    )
+    out = passage_dedup_reassemble(docs, window=8).collect()
+    assert len(out) == 1
+    assert out[0].clean_text == p + " x y z w v u t s"
+    assert out[0].n_kept == 2
+
+
+def test_passage_dedup_ragged_tail(spark):
+    """Docs whose token count is not a multiple of the window keep a
+    short final passage; nothing is silently truncated."""
+    from team_aragon_spark.operators.text_dedup import passage_dedup_reassemble
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    out = passage_dedup_reassemble(docs, window=8).collect()
+    assert out[0].clean_text == "a b c d e f g h i j"
+    assert out[0].n_kept == 2

@@ -630,3 +630,61 @@ def test_incremental_candidates_skip_index_pairs(spark):
     }
     assert (1, 100) in pairs and (2, 100) in pairs
     assert all(b == 100 for _, b in pairs), pairs  # no index-side pairs
+
+
+def test_passage_dedup_winner_is_aggregate_not_window(spark):
+    """q110's corpus-wide passage winner selection must be a
+    partial-combinable min(struct) hash aggregate: a passage repeated
+    a million times across the corpus then sends ONE candidate row
+    per mapper through the shuffle.  A row_number window keyed by
+    passage would ship and sort every occurrence of a hot passage
+    (license boilerplate!) on one task."""
+    from team_aragon_spark.operators.text_dedup import passage_dedup_reassemble
+    from team_aragon_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    plan = (
+        passage_dedup_reassemble(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_token_hof_stats_is_narrow(spark):
+    """q108's per-doc token statistics are higher-order-function
+    lambdas inside the scan projection — no Exchange, no Python
+    runner in the plan."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q108_token_hof_stats"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("TakeOrderedAndProject")[-1] if "TakeOrderedAndProject" in plan else plan
+    # the only exchange allowed is the final presentation orderBy
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_epoch_shard_plan_properties(spark):
+    """Epoch-shard layout invariants: deterministic across runs,
+    every doc appears exactly once, shard ids live in [0, 256), ord
+    is dense 1..n per shard, and different epochs give genuinely
+    different permutations (the per-epoch reshuffle property)."""
+    from team_aragon_spark.operators.corpus import epoch_shard_plan
+    from team_aragon_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    a = epoch_shard_plan(docs, epoch=0).collect()
+    b = epoch_shard_plan(docs, epoch=0).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    n_docs = docs.count()
+    assert len(a) == n_docs
+    assert len({r.doc_id for r in a}) == n_docs
+    assert all(0 <= r.shard < 256 for r in a)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.ord)
+    for ords in by_shard.values():
+        assert sorted(ords) == list(range(1, len(ords) + 1))
+    e1 = {r.doc_id: (r.shard, r.ord) for r in epoch_shard_plan(docs, epoch=1).collect()}
+    moved = sum(1 for r in a if e1[r.doc_id] != (r.shard, r.ord))
+    assert moved > n_docs * 0.9, f"epoch 1 moved only {moved}/{n_docs}"
