@@ -452,3 +452,32 @@ def epoch_shard_plan(
         )
         .orderBy("shard", "ord")
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    fracs: tuple[float, float] = (0.90, 0.05),
+    salt: str = "split0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment via the portable md5
+    threshold idiom (q94): ``md5(salt || id)``'s first 6 hex digits
+    against fixed hex cut points give every document a stable split
+    that survives re-runs, retried tasks, corpus growth (a doc's
+    split never changes when other docs are added), and engine moves.
+
+    ``fracs = (train, val)`` — test takes the remainder.  Cut points
+    are computed once in Python and inlined as hex literals, so the
+    filter is a narrow projection: no shuffle, no rand() (which
+    breaks on task retry), no sampleBy (which is seeded but not
+    stable under repartitioning).  Uniformity of md5 makes each
+    source's own mix converge to the same fractions, so the split is
+    stratified in expectation without a per-source pass.
+    """
+    t_train = format(int(fracs[0] * 16**6), "06x")
+    t_val = format(int((fracs[0] + fracs[1]) * 16**6), "06x")
+    h = F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 6)
+    return df.withColumn(
+        "split",
+        F.when(h < t_train, "train").when(h < t_val, "val").otherwise("test"),
+    )

@@ -3369,6 +3369,54 @@ def q111_epoch_shard_plan(spark, sf_dir):
     return epoch_shard_plan(_t(spark, sf_dir, "documents"), epoch=0, hex_chars=2)
 
 
+@register(
+    "q112_train_val_test_split",
+    """SELECT doc_id, source,
+              CASE WHEN substr(md5(concat('split0:', CAST(doc_id AS VARCHAR))), 1, 6)
+                        < 'e66666' THEN 'train'
+                   WHEN substr(md5(concat('split0:', CAST(doc_id AS VARCHAR))), 1, 6)
+                        < 'f33333' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id""",
+    ops=("ext-train-split",),
+    doc="Deterministic train/val/test split (corpus."
+    "deterministic_split): md5(salt || doc_id) hex against fixed cut "
+    "points (90/5/5) — stable under re-runs, task retries, "
+    "repartitioning, and corpus growth (a doc's split never changes "
+    "when other docs arrive), unlike rand() or sampleBy.  Narrow "
+    "projection, no shuffle; md5 portability makes the ENTIRE "
+    "assignment value-verified.",
+)
+def q112_train_val_test_split(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import deterministic_split
+
+    return deterministic_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q113_pq_codes",
+    None,
+    ops=("ext-product-quantization",),
+    doc="Product quantization (Jégou et al. 2011) of the embedding "
+    "column: 8 subspaces x 16 centroids trained on a driver-bounded "
+    "xxhash64-order sample (similarity.pq_train, the IVF training "
+    "discipline), then every vector encoded to 8 sub-codes + total "
+    "squared reconstruction error as pure JVM expressions "
+    "(similarity.pq_assign — codebooks inlined as array literals, "
+    "argmin inside whole-stage codegen, narrow map, no UDF).  32x "
+    "storage compression vs float32 at dim=64/m=8, the memory-bound "
+    "complement of q86's int8 scalar quantization and q26's IVF "
+    "routing.  No SQL oracle (codebooks come from sampled k-means); "
+    "code-range/determinism/error-monotonicity pinned in pytest.",
+)
+def q113_pq_codes(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=8, ks=16)
+    return similarity.pq_assign(emb, books).orderBy("vec_id")
+
+
 _VIDEO_MP4_SQL = """
 SELECT doc_id,
        CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
@@ -3488,12 +3536,12 @@ def q105_streaming_enriched_purchases(spark, sf_dir):
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 16 of the 34 r03-stamped queries, §2 star core first.  The
-#      eighteen left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
-#      shapes, lowest drift risk, plus q73/q74/q76/q83/q84/q85/q86/
-#      q90/q91 which yielded their slots to the new q104-q111 and
-#      the re-proofs) carry r03 stamps, exactly 2 rounds old at r05;
-#      rotate them first next round.
+#   4. 14 of the 34 r03-stamped queries, §2 star core first.  The
+#      twenty left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
+#      shapes, lowest drift risk, plus q69/q71/q73/q74/q76/q83/q84/
+#      q85/q86/q90/q91 which yielded their slots to the new
+#      q104-q113 and the re-proofs) carry r03 stamps, exactly
+#      2 rounds old at r05; rotate them first next round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
@@ -3511,6 +3559,8 @@ STAMP_PRIORITY: list[str] = [
     "q109_recursive_chunk_spans",
     "q110_passage_dedup_reassembly",
     "q111_epoch_shard_plan",
+    "q112_train_val_test_split",
+    "q113_pq_codes",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3551,8 +3601,6 @@ STAMP_PRIORITY: list[str] = [
     "q66_tfidf_top_terms",
     "q67_pii_redaction",
     "q68_doc_token_chunks",
-    "q69_vocab_top_terms",
-    "q71_md5_simhash_bits",
 ]
 
 

@@ -926,3 +926,49 @@ def test_passage_dedup_ragged_tail(spark):
     out = passage_dedup_reassemble(docs, window=8).collect()
     assert out[0].clean_text == "a b c d e f g h i j"
     assert out[0].n_kept == 2
+
+
+def test_deterministic_split_is_subset_invariant(spark):
+    """A document's split assignment must not change when OTHER
+    documents are added or removed — the property rand()/sampleBy
+    splits lack, and the reason this split survives corpus growth."""
+    from team_aragon_spark.operators.corpus import deterministic_split
+    from team_aragon_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "source"
+    )
+    full = {r.doc_id: r.split for r in deterministic_split(docs).collect()}
+    half = {
+        r.doc_id: r.split
+        for r in deterministic_split(docs.filter("doc_id % 2 = 0")).collect()
+    }
+    assert half == {k: v for k, v in full.items() if k % 2 == 0}
+    from collections import Counter
+
+    mix = Counter(full.values())
+    n = sum(mix.values())
+    assert 0.85 <= mix["train"] / n <= 0.95, mix
+
+
+def test_pq_codes_deterministic_and_better_than_mean(spark):
+    """PQ pins: (a) codebooks and codes are identical across runs
+    (seeded sample + seeded init); (b) every vector gets m codes in
+    [0, ks); (c) quantization with ks=16 sub-centroids reconstructs
+    strictly better than the ks=1 codebook (= subspace means), the
+    variance baseline any useful quantizer must beat."""
+    from team_aragon_spark.operators.similarity import pq_assign, pq_train
+    from team_aragon_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", "/root/testdata/sf0.001")
+    b1 = pq_train(emb, m=8, ks=16)
+    b2 = pq_train(emb, m=8, ks=16)
+    assert b1 == b2
+    rows = pq_assign(emb, b1).collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in rows)
+    again = pq_assign(emb, b2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    mean16 = sum(r.sq_err for r in rows) / len(rows)
+    baseline = pq_train(emb, m=8, ks=1)
+    mean1 = sum(r.sq_err for r in pq_assign(emb, baseline).collect()) / len(rows)
+    assert mean16 < mean1 * 0.8, (mean16, mean1)

@@ -688,3 +688,31 @@ def test_epoch_shard_plan_properties(spark):
     e1 = {r.doc_id: (r.shard, r.ord) for r in epoch_shard_plan(docs, epoch=1).collect()}
     moved = sum(1 for r in a if e1[r.doc_id] != (r.shard, r.ord))
     assert moved > n_docs * 0.9, f"epoch 1 moved only {moved}/{n_docs}"
+
+
+def test_pq_assign_is_narrow_jvm_map(spark):
+    """q113's encode stage must stay a narrow JVM projection: the
+    codebooks ride in the plan as literals and the per-row argmin runs
+    in whole-stage codegen — no Exchange, no Python runner, so encode
+    throughput scales with mappers and nothing ships to Python."""
+    from team_aragon_spark.operators.similarity import pq_assign, pq_train
+    from team_aragon_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", "/root/testdata/sf0.001")
+    books = pq_train(emb, m=8, ks=16)
+    plan = pq_assign(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_split_is_narrow(spark):
+    """q112's split assignment is a pure narrow projection — no
+    shuffle at any volume."""
+    from team_aragon_spark.operators.corpus import deterministic_split
+    from team_aragon_spark.sources.catalog import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "source"
+    )
+    plan = deterministic_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
