@@ -61,6 +61,9 @@ EXTRA = [
     "q97_incremental_neardup",      # batch-vs-index LSH dedup
     "q98_session_transcripts",      # sessionize + array_sort transcript
     "q103_video_mp4_meta",          # real MP4 synth+box-parse round-trip
+    "q110_passage_dedup_reassembly",  # passage-level dedup + reassembly
+    "q111_epoch_shard_plan",        # deterministic epoch-shuffle layout
+    "q113_pq_codes",                # product-quantization encode
 ]
 
 

@@ -3285,6 +3285,12 @@ FROM spans ORDER BY doc_id, chunk_id"""
     "SQL-surface twin proving the iterative front door.",
 )
 def q109_recursive_chunk_spans(spark, sf_dir):
+    # The recursion ROW limit is a safety valve sized for interactive
+    # use (default 1e6 rows ACROSS all levels) — total recursive
+    # output grows with |docs|, so at 100x it trips even though depth
+    # stays ~5.  Raise the row valve and keep the LEVEL limit (100)
+    # as the real semantic bound; found by the 100x posture run.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     docs = _t(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__q109_documents")
     return spark.sql(_RECURSIVE_SPANS_SQL.replace("FROM documents", "FROM __q109_documents"))
