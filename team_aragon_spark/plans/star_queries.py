@@ -3423,6 +3423,59 @@ def q113_pq_codes(spark, sf_dir):
     return similarity.pq_assign(emb, books).orderBy("vec_id")
 
 
+@register(
+    "q114_streaming_latest_wins_state",
+    # FULL value oracle: the state merge is a semilattice join
+    # (max over (ts, event_id)-keyed structs), so ANY partition of
+    # the input into micro-batches — here a real 4-batch drain via
+    # maxFilesPerTrigger=1 — converges to the batch answer.
+    """WITH r AS (
+         SELECT user_id, value, event_type, ts,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, value AS last_value, event_type AS last_event_type,
+              ts AS last_ts
+       FROM r WHERE rn = 1 ORDER BY user_id""",
+    ops=("ext-streaming-upsert-state",),
+    doc="Streaming latest-wins keyed state (streaming/sink."
+    "latest_wins_state_stream): the incremental CDC-compaction twin "
+    "of q95, maintained by foreachBatch upserts into a hash-bucketed "
+    "per-epoch state table.  The merge is max(struct(ts, event_id, "
+    "...)) — a semilattice join, so epoch replay and at-least-once "
+    "duplicates converge with no transactional bookkeeping; each "
+    "batch rewrites only the buckets it touches (O(touched-bucket "
+    "volume) per batch, never O(|state|)).  Drained with "
+    "maxFilesPerTrigger=1 so the oracle proves REAL multi-batch "
+    "incremental merging, not a single-batch degenerate case.",
+)
+def q114_streaming_latest_wins_state(spark, sf_dir):
+    import os
+    import tempfile
+
+    from team_aragon_spark.streaming.sink import latest_wins_state_stream
+
+    base = tempfile.mkdtemp(prefix="aragon_lw_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    state_dir = os.path.join(base, "state")
+    ev = read_table(spark, "events", sf_dir)
+    # Two staged deliveries + two drains (shared checkpoint): the
+    # second drain ingests only the new files into a NEW epoch, so
+    # the oracle proves genuine multi-epoch incremental merging.
+    ev.filter(F.expr("pmod(event_id, 2) = 0")).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    latest_wins_state_stream(spark, src, state_dir, ckpt)
+    ev.filter(F.expr("pmod(event_id, 2) = 1")).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    final = latest_wins_state_stream(spark, src, state_dir, ckpt)
+    return final.select(
+        "user_id", "last_value", "last_event_type", "last_ts"
+    ).orderBy("user_id")
+
+
 _VIDEO_MP4_SQL = """
 SELECT doc_id,
        CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
@@ -3542,11 +3595,11 @@ def q105_streaming_enriched_purchases(spark, sf_dir):
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 14 of the 34 r03-stamped queries, §2 star core first.  The
-#      twenty left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-SQL
-#      shapes, lowest drift risk, plus q69/q71/q73/q74/q76/q83/q84/
-#      q85/q86/q90/q91 which yielded their slots to the new
-#      q104-q113 and the re-proofs) carry r03 stamps, exactly
+#   4. 13 of the 34 r03-stamped queries, §2 star core first.  The
+#      twenty-one left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
+#      SQL shapes, lowest drift risk, plus q68/q69/q71/q73/q74/q76/
+#      q83/q84/q85/q86/q90/q91 which yielded their slots to the new
+#      q104-q114 and the re-proofs) carry r03 stamps, exactly
 #      2 rounds old at r05; rotate them first next round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
@@ -3567,6 +3620,7 @@ STAMP_PRIORITY: list[str] = [
     "q111_epoch_shard_plan",
     "q112_train_val_test_split",
     "q113_pq_codes",
+    "q114_streaming_latest_wins_state",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3606,7 +3660,6 @@ STAMP_PRIORITY: list[str] = [
     "q64_neardup_cluster_labels",
     "q66_tfidf_top_terms",
     "q67_pii_redaction",
-    "q68_doc_token_chunks",
 ]
 
 

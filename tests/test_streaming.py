@@ -235,3 +235,79 @@ def test_exactly_once_sink_epoch_replay(spark, events_dir, tmp_path_factory):
     # epoch0's partition was REPLACED, no other epoch touched
     assert raw_after.filter(F.col("__batch") == "epoch0").count() == 50
     assert raw_after.count() == src.count() - n_epoch0_before + 50
+
+
+def test_latest_wins_state_converges_and_is_bucket_scoped(
+    spark, events_dir, tmp_path_factory
+):
+    """The multi-batch latest-wins drain must equal the batch q95
+    aggregate value-for-value, and a micro-batch touching one user
+    must rewrite ONLY that user's bucket."""
+    import os
+
+    from team_aragon_spark.streaming.sink import (
+        apply_latest_wins_batch,
+        latest_wins_state_stream,
+    )
+
+    state = str(tmp_path_factory.mktemp("lw_state"))
+    ckpt = str(tmp_path_factory.mktemp("lw_ckpt"))
+    staged = str(tmp_path_factory.mktemp("lw_src"))
+    ev = spark.read.parquet(events_dir)
+    # two deliveries + two drains over a shared checkpoint → two epochs
+    ev.filter("pmod(event_id, 2) = 0").coalesce(1).write.mode("overwrite").parquet(staged)
+    latest_wins_state_stream(spark, staged, state, ckpt)
+    ev.filter("pmod(event_id, 2) = 1").coalesce(1).write.mode("append").parquet(staged)
+    final = latest_wins_state_stream(spark, staged, state, ckpt)
+    src = spark.read.parquet(staged)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    batch = src.groupBy("user_id").agg(
+        F.max_by("value", ordk).alias("last_value"),
+        F.max_by("event_type", ordk).alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+    )
+    got = {
+        r.user_id: (r.last_value, r.last_event_type, r.last_ts)
+        for r in final.collect()
+    }
+    want = {
+        r.user_id: (r.last_value, r.last_event_type, r.last_ts)
+        for r in batch.collect()
+    }
+    assert got == want
+    # multiple real epochs were merged (maxFilesPerTrigger=1)
+    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    assert len(epochs) > 1, epochs
+    # bucket-scoped write: a batch with one user touches one bucket
+    one_user = src.orderBy("event_id").limit(1)
+    next_ep = max(int(e.split("=")[1]) for e in epochs) + 1
+    apply_latest_wins_batch(one_user, next_ep, state)
+    new_buckets = os.listdir(os.path.join(state, f"epoch={next_ep}"))
+    assert len([d for d in new_buckets if d.startswith("bucket=")]) == 1
+
+
+def test_latest_wins_state_replay_is_idempotent(spark, events_dir, tmp_path_factory):
+    """Re-applying an epoch with the SAME batch_id (the foreachBatch
+    crash-replay contract) must leave the state byte-identical: the
+    merge is a semilattice join and the epoch overwrites its own
+    snapshot."""
+    from team_aragon_spark.streaming.sink import (
+        apply_latest_wins_batch,
+        read_latest_state,
+    )
+
+    state = str(tmp_path_factory.mktemp("lw_replay"))
+    src = spark.read.parquet(events_dir)
+    first = src.filter("event_id % 2 = 0")
+    second = src.filter("event_id % 2 = 1")
+    apply_latest_wins_batch(first, 0, state)
+    apply_latest_wins_batch(second, 1, state)
+    before = {tuple(r) for r in read_latest_state(spark, state).collect()}
+    # crash between epoch-1 write and checkpoint commit: epoch 1 replays
+    apply_latest_wins_batch(second, 1, state)
+    after = {tuple(r) for r in read_latest_state(spark, state).collect()}
+    assert after == before
+    # and a duplicate DELIVERY (same rows, new epoch) also converges
+    apply_latest_wins_batch(second, 2, state)
+    again = {tuple(r) for r in read_latest_state(spark, state).collect()}
+    assert again == before
