@@ -663,3 +663,199 @@ def fake_video_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: s
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=VIDEO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image: REAL PNG synth + decode round-trip (stdlib struct + zlib)
+# ---------------------------------------------------------------------------
+
+IMAGE_PNG_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, bit_depth int, "
+    "color_type int, n_pixels bigint, pixel_sum bigint, modality string"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _synth_png_bytes(i: int) -> bytes:
+    """A genuine 8-bit grayscale PNG whose geometry and pixels derive
+    arithmetically from the id: width = 16 + i%32, height = 8 + i%16,
+    pixel(x, y) = (7x + 13y + i) % 256, filter byte 0 per scanline.
+    Decodable by ANY png reader (PIL, browsers), not just ours."""
+    import struct
+    import zlib
+
+    w, h = 16 + i % 32, 8 + i % 16
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(
+        b"\x00" + bytes((7 * x + 13 * y + i) % 256 for x in range(w))
+        for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(raw: bytes, w: int, h: int, bpp: int = 1) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth) for an 8-bit grayscale image — a REAL decoder, not a
+    filter-0 shortcut, so foreign PNGs decode too."""
+    stride = w * bpp
+    out = bytearray(stride * h)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        base = y * stride
+        for x in range(stride):
+            a = out[base + x - bpp] if x >= bpp else 0
+            b = out[base + x - stride] if y > 0 else 0
+            c = out[base + x - stride - bpp] if (y > 0 and x >= bpp) else 0
+            v = line[x]
+            if f == 0:
+                r = v
+            elif f == 1:
+                r = v + a
+            elif f == 2:
+                r = v + b
+            elif f == 3:
+                r = v + (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = v + pred
+            else:
+                raise ValueError(f"bad filter {f}")
+            out[base + x] = r & 0xFF
+    return out
+
+
+def _parse_png_meta(data: bytes) -> dict:
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError("torn chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError("crc mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("no IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype != 0 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported png flavor")
+    px = _unfilter_scanlines(zlib.decompress(idat), w, h)
+    if len(px) != w * h:
+        raise ValueError("pixel count mismatch")
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": ctype,
+        "n_pixels": w * h,
+        "pixel_sum": sum(px),
+    }
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id", out_col: str = "payload") -> DataFrame:
+    """Deterministic REAL PNG payloads, one per row — the image leg of
+    the synth-then-decode family (WAV: synth_wav_payload, MP4:
+    synth_mp4_payload).  Stands in for binaryFile over an image
+    bucket; geometry and pixels are id-arithmetic so a SQL oracle can
+    pin what a real decoder must recover, including the PIXEL SUM
+    after zlib inflate + scanline unfiltering."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [_synth_png_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col), width).mapInPandas(
+        kernel, schema="doc_id bigint, payload binary"
+    )
+
+
+def png_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL PNG decode — signature + chunk walk with CRC verification,
+    zlib IDAT inflate, full five-filter scanline reconstruction (spec
+    §9), pixel aggregation.  Same Arrow mapInPandas + per-row
+    quarantine contract as audio_decode_meta/mp4_decode_meta: corrupt
+    or torn payloads yield NULL fields with modality='unknown', never
+    a failed batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "width": [], "height": [], "bit_depth": [], "color_type": [],
+                "n_pixels": [], "pixel_sum": [], "modality": [],
+            }
+            for b in pdf[payload_col]:
+                try:
+                    m = _parse_png_meta(bytes(b))
+                    for k in ("width", "height", "bit_depth", "color_type",
+                              "n_pixels", "pixel_sum"):
+                        cols[k].append(m[k])
+                    cols["modality"].append("image")
+                except Exception:
+                    for k in ("width", "height", "bit_depth", "color_type",
+                              "n_pixels", "pixel_sum"):
+                        cols[k].append(None)
+                    cols["modality"].append("unknown")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": pdf[payload_col].map(len).astype("int64"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "bit_depth": pd.array(cols["bit_depth"], dtype="Int32"),
+                    "color_type": pd.array(cols["color_type"], dtype="Int32"),
+                    "n_pixels": pd.array(cols["n_pixels"], dtype="Int64"),
+                    "pixel_sum": pd.array(cols["pixel_sum"], dtype="Int64"),
+                    "modality": pd.Series(cols["modality"], dtype="object"),
+                }
+            )
+
+    from team_aragon_spark.session import default_parallelism
+
+    width = min(8, default_parallelism())
+    return ensure_parallelism(df.select(id_col, payload_col), width).mapInPandas(
+        kernel, schema=IMAGE_PNG_META_SCHEMA
+    )

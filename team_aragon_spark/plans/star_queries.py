@@ -3476,6 +3476,50 @@ def q114_streaming_latest_wins_state(spark, sf_dir):
     ).orderBy("user_id")
 
 
+_IMAGE_PNG_SQL = """
+SELECT doc_id,
+       CAST(16 + doc_id % 32 AS INT) AS width,
+       CAST(8 + doc_id % 16 AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(0 AS INT) AS color_type,
+       CAST((16 + doc_id % 32) * (8 + doc_id % 16) AS BIGINT) AS n_pixels,
+       CAST(list_sum(flatten(list_transform(range(8 + doc_id % 16), y ->
+            list_transform(range(16 + doc_id % 32), x ->
+                (7 * x + 13 * y + doc_id) % 256)))) AS BIGINT) AS pixel_sum,
+       'image' AS modality
+FROM documents ORDER BY doc_id"""
+
+
+@register(
+    "q115_image_png_meta",
+    _IMAGE_PNG_SQL,
+    ops=("ext-multimodal-image-real",),
+    doc="REAL image decode round-trip, no external deps — the image "
+    "leg of the synth-then-decode family (q92 WAV, q103 MP4): "
+    "synthesize a genuine 8-bit grayscale PNG per doc (stdlib "
+    "struct + zlib: IHDR/IDAT/IEND with valid CRCs, filtered "
+    "scanlines) and decode it back with a real parser — chunk walk "
+    "with CRC verification, zlib inflate, full five-filter scanline "
+    "reconstruction (PNG spec §9) — recovering geometry AND the "
+    "pixel sum (multimodal.synth_png_payload/png_decode_meta).  The "
+    "oracle recomputes every field arithmetically including "
+    "pixel_sum over the generated w x h grid, so the round-trip is "
+    "pinned down to pixel VALUES, not just headers.  Arrow "
+    "mapInPandas both ways; corrupt payloads quarantine per-row.",
+)
+def q115_image_png_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = multimodal.synth_png_payload(docs)
+    return (
+        multimodal.png_decode_meta(payloads)
+        .select(
+            "doc_id", "width", "height", "bit_depth", "color_type",
+            "n_pixels", "pixel_sum", "modality",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _VIDEO_MP4_SQL = """
 SELECT doc_id,
        CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
@@ -3595,11 +3639,11 @@ def q105_streaming_enriched_purchases(spark, sf_dir):
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 13 of the 34 r03-stamped queries, §2 star core first.  The
-#      twenty-one left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
-#      SQL shapes, lowest drift risk, plus q68/q69/q71/q73/q74/q76/
-#      q83/q84/q85/q86/q90/q91 which yielded their slots to the new
-#      q104-q114 and the re-proofs) carry r03 stamps, exactly
+#   4. 12 of the 34 r03-stamped queries, §2 star core first.  The
+#      twenty-two left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
+#      SQL shapes, lowest drift risk, plus q67/q68/q69/q71/q73/q74/
+#      q76/q83/q84/q85/q86/q90/q91 which yielded their slots to the
+#      new q104-q115 and the re-proofs) carry r03 stamps, exactly
 #      2 rounds old at r05; rotate them first next round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
@@ -3621,6 +3665,7 @@ STAMP_PRIORITY: list[str] = [
     "q112_train_val_test_split",
     "q113_pq_codes",
     "q114_streaming_latest_wins_state",
+    "q115_image_png_meta",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3659,7 +3704,6 @@ STAMP_PRIORITY: list[str] = [
     "q87_label_centroids",
     "q64_neardup_cluster_labels",
     "q66_tfidf_top_terms",
-    "q67_pii_redaction",
 ]
 
 

@@ -972,3 +972,84 @@ def test_pq_codes_deterministic_and_better_than_mean(spark):
     baseline = pq_train(emb, m=8, ks=1)
     mean1 = sum(r.sq_err for r in pq_assign(emb, baseline).collect()) / len(rows)
     assert mean16 < mean1 * 0.8, (mean16, mean1)
+
+
+def test_png_roundtrip_quarantine_and_foreign_filters(spark):
+    """png_decode_meta is a REAL decoder: (a) round-trips our synth
+    payloads; (b) quarantines corrupt and CRC-broken payloads per row;
+    (c) decodes a PNG written with the OTHER scanline filters
+    (Sub/Up/Average/Paeth) that our synthesizer never emits — proving
+    the five-filter reconstruction, not a filter-0 shortcut."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from team_aragon_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        png_decode_meta,
+        synth_png_payload,
+    )
+
+    ids = spark.range(8).withColumnRenamed("id", "doc_id")
+    png = synth_png_payload(ids)
+    good = {r["doc_id"]: r for r in png_decode_meta(png).collect()}
+    assert all(r["modality"] == "image" for r in good.values())
+    assert good[3]["width"] == 16 + 3 % 32 and good[3]["height"] == 8 + 3 % 16
+
+    corrupt = png.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 2, F.lit(b"not a png")).otherwise(F.col("payload")),
+    )
+    out = {r["doc_id"]: r for r in png_decode_meta(corrupt).collect()}
+    assert out[2]["modality"] == "unknown" and out[2]["pixel_sum"] is None
+    assert out[1]["modality"] == "image"  # neighbors unaffected
+
+    # flip one IDAT byte → CRC check must quarantine, not mis-decode
+    raw = bytes(good and synth_png_payload(spark.range(1).withColumnRenamed("id", "doc_id"))
+                .collect()[0]["payload"])
+    broken = raw[:60] + bytes([raw[60] ^ 0xFF]) + raw[61:]
+    df = spark.createDataFrame([(9, bytearray(broken))], "doc_id long, payload binary")
+    assert png_decode_meta(df).collect()[0]["modality"] == "unknown"
+
+    # hand-build a 4x5 gray PNG using filters 1..4 (one per scanline)
+    w, h = 4, 5
+    px = [[(3 * x + 11 * y) % 256 for x in range(w)] for y in range(h)]
+    lines = bytearray()
+    prev = [0] * w
+    for y in range(h):
+        f = [0, 1, 2, 3, 4][y]
+        cur = px[y]
+        lines.append(f)
+        for x in range(w):
+            a = cur[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            lines.append(v & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    foreign = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    fdf = spark.createDataFrame([(42, bytearray(foreign))], "doc_id long, payload binary")
+    got = png_decode_meta(fdf).collect()[0]
+    assert got["modality"] == "image"
+    assert got["width"] == w and got["height"] == h
+    assert got["pixel_sum"] == sum(sum(row) for row in px)

@@ -716,3 +716,14 @@ def test_split_is_narrow(spark):
     )
     plan = deterministic_split(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_png_roundtrip_no_shuffle(spark):
+    """q115: PNG synth → decode is a pure mapInPandas chain — media
+    payloads never shuffle for a metadata pass (the q92/q103
+    contract)."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q115_image_png_meta"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
