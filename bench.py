@@ -64,6 +64,7 @@ EXTRA = [
     "q110_passage_dedup_reassembly",  # passage-level dedup + reassembly
     "q111_epoch_shard_plan",        # deterministic epoch-shuffle layout
     "q113_pq_codes",                # product-quantization encode
+    "q116_bm25_search",             # BM25 retrieval top-k
 ]
 
 

@@ -481,3 +481,140 @@ def deterministic_split(
         "split",
         F.when(h < t_train, "train").when(h < t_val, "val").otherwise("test"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """BM25 document ranking (Robertson & Zaragoza 2009, the Okapi
+    probabilistic relevance function): top-``k`` documents per query,
+    the retrieval step of RAG / data-curation-by-search pipelines.
+
+    ``query_terms`` is a small ``[(qid, term), ...]`` list — it is
+    broadcast, so term matching never shuffles the corpus-sized token
+    stream.  idf uses the standard +1-smoothed form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive).
+
+    Oracle-exactness: each (doc, term) contribution is scaled to a
+    BIGINT (``round(x * 1e6)``) before summing, so the per-doc score
+    is an EXACT integer sum — immune to float accumulation order —
+    and ranking ties break on doc_id.
+
+    Scale posture (100 TB): the per-query top-k is computed in TWO
+    window passes — a local pass partitioned by (qid, pmod(hash(doc),
+    ``salt_buckets``)) that keeps k rows per salt bucket, then a final
+    pass over the surviving ``salt_buckets * k`` rows per qid.  A
+    single ``partitionBy(qid)`` window would serialize every matching
+    document of a query (potentially the whole corpus) through one
+    task; the salted pass bounds any task's input to ~|matches| /
+    salt_buckets rows and the final pass is constant-sized.
+    """
+    spark = df.sparkSession
+    q = spark.createDataFrame(query_terms, "qid INT, term STRING")
+    # tf feeds scoring AND document frequencies: persist the one
+    # corpus-sized explode (cache lifetime caller-managed, as in
+    # tfidf_top_terms).
+    tf = term_frequencies(df, text_col, id_col).persist()
+    # Document length as a narrow projection (same tokenizer, empties
+    # dropped) — avoids re-aggregating tf per doc.
+    dl = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.expr(_tok(text_col)), lambda x: x != "")).cast("bigint").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = (
+        tf.join(F.broadcast(q.select("term").distinct()), on="term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(1 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)).alias("idf"),
+        "avgdl",
+    )
+    contrib = (
+        tf.join(F.broadcast(q), on="term")
+        .join(dl, on=id_col)
+        .join(F.broadcast(idf), on="term")
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("qid", id_col).agg(F.sum("c").alias("s"))
+    # Two-phase top-k (see docstring): local per-salt-bucket heads,
+    # then the true head among salt_buckets * k survivors.
+    salted = scored.withColumn("__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets)))
+    w_local = Window.partitionBy("qid", "__salt").orderBy(F.col("s").desc(), F.col(id_col).asc())
+    w_final = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col(id_col).asc())
+    return (
+        salted.withColumn("__rk", F.row_number().over(w_local))
+        .filter(F.col("__rk") <= k)
+        .withColumn("rank", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            id_col,
+            (F.col("s") / F.lit(1000000.0)).alias("score"),
+            "rank",
+        )
+    )
+
+
+def percentile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row to a quantile bucket (1..``n_buckets``) of
+    ``value_col`` — curriculum-ordering / length-grouped-batching
+    buckets without ``ntile``'s scale hazard.
+
+    ``ntile(n) OVER (ORDER BY v)`` funnels the ENTIRE table through
+    one unpartitioned window task.  Instead: one small aggregate
+    computes the n-1 interpolated boundaries (exact ``percentile``
+    here; swap to ``percentile_approx`` — t-digest, mergeable, single
+    pass — at 100 TB, same shape as q32's note), broadcast back, and
+    the assignment is a narrow comparison chain — no shuffle of the
+    big side at all.  Boundaries are rounded to 4 digits on both
+    engines so the bucket edges are oracle-portable.  Delta vs ntile:
+    equal values always land in the SAME bucket (ntile splits ties by
+    position), which is what curriculum grouping wants.
+    """
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        *[
+            F.round(F.expr(f"percentile({value_col}, {p})"), 4).alias(f"b{i}")
+            for i, p in enumerate(ps, start=1)
+        ]
+    )
+    gt = sum(
+        (F.col(value_col) > F.col(f"b{i}")).cast("int") for i in range(1, len(ps) + 1)
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            F.col(value_col),
+            (F.lit(1) + gt).cast("bigint").alias("bucket"),
+        )
+    )

@@ -3625,6 +3625,106 @@ def q105_streaming_enriched_purchases(spark, sf_dir):
     )
 
 
+BM25_QUERY_TERMS: list[tuple[int, str]] = [
+    (1, "spark"),
+    (1, "join"),
+    (2, "vector"),
+    (2, "stream"),
+    (2, "window"),
+]
+
+_BM25_SQL = r"""
+WITH q(qid, term) AS (
+  SELECT * FROM (VALUES (1, 'spark'), (1, 'join'),
+                        (2, 'vector'), (2, 'stream'), (2, 'window')) v(qid, term)),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS dl
+  FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(round(ln(1 + (st.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+              * 1e6) AS BIGINT) AS c
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+sc AS (SELECT qid, doc_id, sum(c) AS s FROM contrib GROUP BY qid, doc_id),
+rk AS (SELECT qid, doc_id, s,
+              row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+       FROM sc)
+SELECT qid, doc_id, CAST(s AS BIGINT) / 1000000.0 AS score, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 10"""
+
+
+@register(
+    "q116_bm25_search",
+    _BM25_SQL,
+    ops=("ext-ir-bm25",),
+    doc="BM25 retrieval (Robertson & Zaragoza 2009): top-10 documents "
+    "for each of two keyword queries (corpus.bm25_topk) — the search/"
+    "RAG-curation surface over the documents table.  Query terms are "
+    "broadcast; the only corpus-sized shuffles are the tf aggregation "
+    "and one doc-keyed join; per-(doc,term) contributions are scaled "
+    "to BIGINT before summing so scores are exact integer sums (no "
+    "float-accumulation-order drift engine-to-engine), and top-k runs "
+    "as a salted two-phase window so no single task ever sorts a "
+    "whole query's match set (a bare partitionBy(qid) would).",
+)
+def q116_bm25_search(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=10)
+
+
+def _decile_sql() -> str:
+    bounds = ",\n         ".join(
+        f"round(quantile_cont(n_chars, {i / 10}), 4) AS b{i}" for i in range(1, 10)
+    )
+    cases = " + ".join(
+        f"(CASE WHEN n_chars > b{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    return f"""
+WITH b AS (
+  SELECT {bounds}
+  FROM documents)
+SELECT doc_id, n_chars, CAST(1 + {cases} AS BIGINT) AS bucket
+FROM documents CROSS JOIN b"""
+
+
+@register(
+    "q117_curriculum_deciles",
+    _decile_sql(),
+    ops=("ext-curriculum-buckets",),
+    doc="Curriculum / length-grouped-batching deciles "
+    "(corpus.percentile_buckets): every document assigned to a length "
+    "decile WITHOUT ntile's scale hazard — ntile(10) OVER (ORDER BY "
+    "n_chars) funnels the whole corpus through ONE window task; here "
+    "a 9-value interpolated-percentile aggregate (exact percentile(); "
+    "swap to percentile_approx's mergeable t-digest at 100 TB, q32's "
+    "note) is broadcast back and assignment is a narrow comparison "
+    "chain — zero corpus shuffle.  Spark percentile() and DuckDB "
+    "quantile_cont share the (n-1)*p linear-interpolation definition; "
+    "boundaries are rounded to 4 digits on both engines.",
+)
+def q117_curriculum_deciles(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import percentile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return percentile_buckets(docs, "n_chars", n_buckets=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -3632,19 +3732,21 @@ def q105_streaming_enriched_purchases(spark, sf_dir):
 # of queries() in iteration order.  Round-5 rotation (all 46 r04
 # oracle rows were hash-green, so the r04 window can yield):
 #   1. q100-q102 — registered after the r4 stamp run, never graded;
-#      q103 — new this round (MP4 decode round-trip).
+#      q103-q117 — new this round (MP4/PNG decode, temperature mix,
+#      streaming joins/state, unpivot/HOF/recursive-CTE, passage
+#      dedup, shard plan, split, PQ, BM25, curriculum deciles).
 #   2. q46/q47/q44 — upgraded from no_oracle to full oracles this
 #      round; q99/q93/q12 — bodies changed this round (bounded
 #      replay / two-level prefix sum / min_by dedup), re-prove.
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 12 of the 34 r03-stamped queries, §2 star core first.  The
-#      twenty-two left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
-#      SQL shapes, lowest drift risk, plus q67/q68/q69/q71/q73/q74/
-#      q76/q83/q84/q85/q86/q90/q91 which yielded their slots to the
-#      new q104-q115 and the re-proofs) carry r03 stamps, exactly
-#      2 rounds old at r05; rotate them first next round.
+#   4. 11 of the 34 r03-stamped queries, §2 star core first.  The
+#      twenty-four left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
+#      SQL shapes, lowest drift risk, plus q64/q66/q67/q68/q69/q71/
+#      q73/q74/q76/q83/q84/q85/q86/q90/q91 which yielded their slots
+#      to the new q104-q117 and the re-proofs) carry r03 stamps,
+#      exactly 2 rounds old at r05; rotate them first next round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
@@ -3666,6 +3768,8 @@ STAMP_PRIORITY: list[str] = [
     "q113_pq_codes",
     "q114_streaming_latest_wins_state",
     "q115_image_png_meta",
+    "q116_bm25_search",
+    "q117_curriculum_deciles",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3702,8 +3806,6 @@ STAMP_PRIORITY: list[str] = [
     "q09_top10_nations_by_balance",
     "q63_md5_minhash_signatures",
     "q87_label_centroids",
-    "q64_neardup_cluster_labels",
-    "q66_tfidf_top_terms",
 ]
 
 

@@ -1053,3 +1053,97 @@ def test_png_roundtrip_quarantine_and_foreign_filters(spark):
     assert got["modality"] == "image"
     assert got["width"] == w and got["height"] == h
     assert got["pixel_sum"] == sum(sum(row) for row in px)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval + percentile bucketing (q116/q117 operators)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_higher_tf_first(spark):
+    """With equal document lengths, more occurrences of the query term
+    must score higher (tf monotonicity of the saturation term)."""
+    from team_aragon_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat cat dog dog"),
+            (3, "cat dog dog dog"),
+            (4, "bird bird bird bird"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = bm25_topk(docs, [(1, "cat")], k=10).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [1, 2, 3]  # doc 4 never matches
+    assert got[0].score > got[1].score > got[2].score
+
+
+def test_bm25_length_normalization(spark):
+    """At equal tf, the shorter document wins (b > 0 penalizes length)."""
+    from team_aragon_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog"),
+            (2, "cat dog bird fish mouse horse goat sheep"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = bm25_topk(docs, [(7, "cat")], k=5).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [1, 2]
+    assert got[0].score > got[1].score
+    assert got[0].qid == 7
+
+
+def test_bm25_two_phase_topk_equals_single_window(spark):
+    """The salted two-phase top-k must return EXACTLY the rows a naive
+    partitionBy(qid) window would — the salting is a physical-plan
+    change only.  Verified against an independent driver-side sort of
+    the full scored relation (small fixture, so exact)."""
+    from team_aragon_spark.operators.corpus import bm25_topk
+
+    rows = [(i, " ".join(["cat"] * (1 + i % 7) + ["filler"] * (i % 11))) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 10
+    got = bm25_topk(docs, [(1, "cat")], k=k, salt_buckets=4).orderBy("rank").collect()
+    full = bm25_topk(docs, [(1, "cat")], k=10**6, salt_buckets=1).collect()
+    want = sorted(full, key=lambda r: (-r.score, r.doc_id))[:k]
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert [r.score for r in got] == [r.score for r in want]
+    assert [r.rank for r in got] == list(range(1, k + 1))
+
+
+def test_percentile_buckets_ties_land_together(spark):
+    """Equal values must land in the same bucket (the deliberate delta
+    vs ntile, which splits ties by position), and buckets must be
+    monotone in the value."""
+    from team_aragon_spark.operators.corpus import percentile_buckets
+
+    rows = [(i, v) for i, v in enumerate([10] * 5 + [20] * 5 + [30] * 5 + [40] * 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = percentile_buckets(df, "n_chars", n_buckets=4).collect()
+    by_val = {}
+    for r in got:
+        by_val.setdefault(r.n_chars, set()).add(r.bucket)
+    assert all(len(s) == 1 for s in by_val.values()), by_val
+    vals = sorted(by_val)
+    buckets = [next(iter(by_val[v])) for v in vals]
+    assert buckets == sorted(buckets)
+    assert buckets[0] == 1 and buckets[-1] <= 4
+
+
+def test_percentile_buckets_no_corpus_shuffle(spark):
+    """The assignment side must be shuffle-free: the only Exchange in
+    the plan feeds the 9-row boundary aggregate (broadcast back), never
+    the documents relation itself — the reason this shape survives
+    100 TB where ntile does not."""
+    from team_aragon_spark.operators.corpus import percentile_buckets
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_chars")
+    )
+    plan = percentile_buckets(df, "n_chars")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # No sort-based window over the full relation:
+    assert "Window" not in plan
