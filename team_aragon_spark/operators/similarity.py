@@ -548,6 +548,17 @@ def pq_assign(
     per subspace inside whole-stage codegen, and the plan is a narrow
     map — no UDF, no shuffle, no Python in the hot path.
 
+    Each subspace's argmin is ONE expression: ``array_min`` over
+    (err, idx) structs, whose lexicographic ordering picks the lowest
+    index on err ties — and each lands in its own named column so the
+    big centroid-literal subtree appears exactly once in the plan.
+    (A previous formulation inlined the distance array 6x per
+    subspace; Catalyst analysis alone then cost ~14 s per run at any
+    data size — expression-tree size is driver-side plan cost, flat
+    in rows but paid per query.  This shape runs the same plan in
+    ~3 s; CollapseProject keeps the named subtrees single because
+    they are non-cheap and multiply referenced.)
+
     Output: ``(id_col, codes array<int>, sq_err double)``.  Storage
     story: m bytes/vector (codes) vs 4*dim float bytes — 32x for
     dim=64/m=8 — with ``sq_err`` the per-row audit the int8 operator
@@ -555,7 +566,7 @@ def pq_assign(
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    per_sub = []
+    out = df.select(id_col, vec_col)
     for s in range(m):
         cents = (
             "array("
@@ -565,20 +576,13 @@ def pq_assign(
             + ")"
         )
         sl = f"slice({vec_col}, {s * sub + 1}, {sub})"
-        d2 = (
-            f"transform({cents}, c -> aggregate(zip_with(c, {sl}, "
+        best = (
+            f"array_min(zip_with({cents}, sequence(0, {len(codebooks[s]) - 1}), "
+            f"(c, i) -> named_struct('err', aggregate(zip_with(c, {sl}, "
             "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), "
-            "CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v), 'i', i)))"
         )
-        per_sub.append(
-            f"named_struct('code', CAST(array_position({d2}, array_min({d2})) - 1 AS INT), "
-            f"'err', array_min({d2}))"
-        )
-    packed = "array(" + ", ".join(per_sub) + ")"
-    return df.select(
-        F.col(id_col),
-        F.expr(f"transform({packed}, p -> p.code)").alias("codes"),
-        F.expr(f"aggregate({packed}, CAST(0.0 AS DOUBLE), (a, p) -> a + p.err)").alias(
-            "sq_err"
-        ),
-    )
+        out = out.withColumn(f"__b_{s}", F.expr(best))
+    codes = F.array(*[F.col(f"__b_{s}.i").cast("int") for s in range(m)]).alias("codes")
+    err = sum(F.col(f"__b_{s}.err") for s in range(m)).alias("sq_err")
+    return out.select(F.col(id_col), codes, err)

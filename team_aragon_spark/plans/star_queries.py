@@ -3725,6 +3725,40 @@ def q117_curriculum_deciles(spark, sf_dir):
     return percentile_buckets(docs, "n_chars", n_buckets=10)
 
 
+@register(
+    "q118_user_value_scd2",
+    """SELECT user_id,
+              value,
+              ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+       FROM events WHERE event_type = 'purchase'""",
+    ops=("ext-scd2-history",),
+    doc="SCD type-2 history build: each user's purchase stream becomes "
+    "validity intervals [valid_from, valid_to) via lead() over the "
+    "user partition, NULL-terminated current row flagged — the "
+    "changelog→dimension-history step that completes the CDC family "
+    "(q95 latest-wins snapshot, q114 streaming upsert state, q40/q81 "
+    "as-of point-in-time reads against exactly such intervals).  "
+    "Window key is user_id (high cardinality) so no task ever sees "
+    "more than one user's history — safe at 100 TB, unlike a "
+    "time-ordered global window; (ts, event_id) ordering makes "
+    "same-timestamp updates deterministic.",
+)
+def q118_user_value_scd2(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -3741,12 +3775,13 @@ def q117_curriculum_deciles(spark, sf_dir):
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 11 of the 34 r03-stamped queries, §2 star core first.  The
-#      twenty-four left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
+#   4. 10 of the 34 r03-stamped queries, §2 star core first.  The
+#      twenty-five left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
 #      SQL shapes, lowest drift risk, plus q64/q66/q67/q68/q69/q71/
-#      q73/q74/q76/q83/q84/q85/q86/q90/q91 which yielded their slots
-#      to the new q104-q117 and the re-proofs) carry r03 stamps,
-#      exactly 2 rounds old at r05; rotate them first next round.
+#      q73/q74/q76/q83/q84/q85/q86/q87/q90/q91 which yielded their
+#      slots to the new q104-q118 and the re-proofs) carry r03
+#      stamps, exactly 2 rounds old at r05; rotate them first next
+#      round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
@@ -3770,6 +3805,7 @@ STAMP_PRIORITY: list[str] = [
     "q115_image_png_meta",
     "q116_bm25_search",
     "q117_curriculum_deciles",
+    "q118_user_value_scd2",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3805,7 +3841,6 @@ STAMP_PRIORITY: list[str] = [
     "q08_priority_month_ratio",
     "q09_top10_nations_by_balance",
     "q63_md5_minhash_signatures",
-    "q87_label_centroids",
 ]
 
 

@@ -1147,3 +1147,38 @@ def test_percentile_buckets_no_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # No sort-based window over the full relation:
     assert "Window" not in plan
+
+
+def test_scd2_intervals_chain_and_terminate(spark):
+    """q118 semantics on a planted changelog: intervals per user chain
+    gaplessly (valid_to == next valid_from), exactly one NULL-terminated
+    current row per user, and same-timestamp updates order by event_id
+    so the history is deterministic."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 7, "purchase", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 10), 7, "purchase", 20.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 10), 7, "purchase", 30.0, "{}"),  # same ts as id 2
+        (4, dt.datetime(2024, 1, 1, 9), 8, "purchase", 5.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 9), 8, "click", 99.0, "{}"),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = sorted(
+            QUERY_REGISTRY["q118_user_value_scd2"].fn(spark, d).collect(),
+            key=lambda r: (r.user_id, r.valid_from, r.value),
+        )
+    u7 = [r for r in got if r.user_id == 7]
+    assert [r.value for r in u7] == [10.0, 20.0, 30.0]  # event_id breaks the ts tie
+    assert u7[0].valid_to == u7[1].valid_from
+    assert u7[1].valid_to == u7[2].valid_from  # same-ts rows still chain
+    assert [r.is_current for r in u7] == [0, 0, 1]
+    u8 = [r for r in got if r.user_id == 8]
+    assert len(u8) == 1 and u8[0].is_current == 1 and u8[0].valid_to is None
