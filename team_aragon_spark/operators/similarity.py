@@ -586,3 +586,65 @@ def pq_assign(
     codes = F.array(*[F.col(f"__b_{s}.i").cast("int") for s in range(m)]).alias("codes")
     err = sum(F.col(f"__b_{s}.err") for s in range(m)).alias("sq_err")
     return out.select(F.col(id_col), codes, err)
+
+
+def pq_assign_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Vectorized PQ encode — same contract as :func:`pq_assign`, as a
+    numpy kernel over Arrow batches (mapInPandas).
+
+    Why a Python kernel when the JVM expression version exists: the
+    encode is ~m*ks*subdim (≈1k) multiply-adds per row, and Spark's
+    higher-order functions (transform/zip_with/aggregate) evaluate
+    INTERPRETED, per-element, with boxing — measured 17.5 s for 200k
+    rows (88 µs/row) on 32 cores.  The same arithmetic as one batched
+    numpy broadcast runs the identical result set in well under a
+    second — the "UDFs are the slow path" rule inverts precisely when
+    the built-in path can't vectorize.  Plan shape is unchanged:
+    narrow map, no shuffle; codebooks ride in the closure (a few KB).
+    ``chunk_rows`` bounds the (chunk, m, ks) distance tensor to a few
+    MB regardless of Arrow batch size.
+
+    Ties break to the lowest code index (np.argmin first-occurrence),
+    matching pq_assign's struct-min; equality of the two kernels is
+    pinned in tests/test_operators.py.
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [[list(c) for c in b] for b in codebooks]
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+    out_schema = f"{id_col} {id_type}, codes array<int>, sq_err double"
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        bk = np.asarray(books, dtype=np.float64)  # (m, ks, sub)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            for lo in range(0, n, chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                x = np.array(part[vec_col].tolist(), dtype=np.float64).reshape(
+                    len(part), m, sub
+                )
+                d = ((x[:, :, None, :] - bk[None, :, :, :]) ** 2).sum(-1)  # (n, m, ks)
+                codes = d.argmin(2).astype(np.int32)
+                err = d.min(2).sum(1)
+                yield pd.DataFrame(
+                    {
+                        id_col: part[id_col].values,
+                        "codes": [c.tolist() for c in codes],
+                        "sq_err": err,
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)

@@ -3409,18 +3409,22 @@ def q112_train_val_test_split(spark, sf_dir):
     "column: 8 subspaces x 16 centroids trained on a driver-bounded "
     "xxhash64-order sample (similarity.pq_train, the IVF training "
     "discipline), then every vector encoded to 8 sub-codes + total "
-    "squared reconstruction error as pure JVM expressions "
-    "(similarity.pq_assign — codebooks inlined as array literals, "
-    "argmin inside whole-stage codegen, narrow map, no UDF).  32x "
-    "storage compression vs float32 at dim=64/m=8, the memory-bound "
-    "complement of q86's int8 scalar quantization and q26's IVF "
-    "routing.  No SQL oracle (codebooks come from sampled k-means); "
-    "code-range/determinism/error-monotonicity pinned in pytest.",
+    "squared reconstruction error via the vectorized Arrow kernel "
+    "(similarity.pq_assign_arrow — numpy broadcast over mapInPandas "
+    "batches; narrow map, no shuffle).  The JVM-expression twin "
+    "(pq_assign) computes the identical codes but evaluates Spark's "
+    "higher-order functions INTERPRETED — measured 35x slower at "
+    "200k rows (PLANS.md); kernel equivalence is pinned in pytest.  "
+    "32x storage compression vs float32 at dim=64/m=8, the "
+    "memory-bound complement of q86's int8 scalar quantization and "
+    "q26's IVF routing.  No SQL oracle (codebooks come from sampled "
+    "k-means); code-range/determinism/error-monotonicity pinned in "
+    "pytest.",
 )
 def q113_pq_codes(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     books = similarity.pq_train(emb, m=8, ks=16)
-    return similarity.pq_assign(emb, books).orderBy("vec_id")
+    return similarity.pq_assign_arrow(emb, books).orderBy("vec_id")
 
 
 @register(
@@ -3726,6 +3730,52 @@ def q117_curriculum_deciles(spark, sf_dir):
 
 
 @register(
+    "q119_cohort_retention",
+    """WITH cohort AS (
+         SELECT user_id,
+                CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+         FROM events GROUP BY user_id)
+       SELECT c.cohort_week,
+              CAST(date_diff('day', c.cohort_week,
+                             CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+                   AS INT) AS week_offset,
+              CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+       FROM events e JOIN cohort c ON e.user_id = c.user_id
+       GROUP BY c.cohort_week, week_offset
+       ORDER BY c.cohort_week, week_offset""",
+    ops=("ext-cohort-retention",),
+    doc="Cohort retention matrix: users grouped by first-activity week, "
+    "counted distinct per (cohort_week, week_offset) — the classic "
+    "product-analytics triangle.  Per-user first-week aggregate "
+    "(|users| rows) joins back to events co-partitioned on user_id "
+    "(one key shuffle), then a (cohort, offset)-keyed distinct count "
+    "whose key space is weeks x weeks — tiny, skew-free.  No window "
+    "over the event stream, no self-join of events.",
+)
+def q119_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(cohort, on="user_id")
+    return (
+        joined.select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
     "q118_user_value_scd2",
     """SELECT user_id,
               value,
@@ -3806,6 +3856,7 @@ STAMP_PRIORITY: list[str] = [
     "q116_bm25_search",
     "q117_curriculum_deciles",
     "q118_user_value_scd2",
+    "q119_cohort_retention",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3840,7 +3891,6 @@ STAMP_PRIORITY: list[str] = [
     "q07_active_customers_by_region",
     "q08_priority_month_ratio",
     "q09_top10_nations_by_balance",
-    "q63_md5_minhash_signatures",
 ]
 
 

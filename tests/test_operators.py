@@ -1182,3 +1182,35 @@ def test_scd2_intervals_chain_and_terminate(spark):
     assert [r.is_current for r in u7] == [0, 0, 1]
     u8 = [r for r in got if r.user_id == 8]
     assert len(u8) == 1 and u8[0].is_current == 1 and u8[0].valid_to is None
+
+
+def test_cohort_retention_semantics(spark):
+    """q119 on a planted two-cohort fixture: offsets count from each
+    user's own first week, week-0 cell covers every cohort member, and
+    a user active in two weeks appears in both offsets."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+    import datetime as dt
+
+    # Mondays: 2024-01-01 and 2024-01-08
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "click", 1.0, "{}"),   # cohort w0
+        (2, dt.datetime(2024, 1, 10, 9), 1, "click", 1.0, "{}"),  # back in w1
+        (3, dt.datetime(2024, 1, 2, 9), 2, "click", 1.0, "{}"),   # cohort w0, only w0
+        (4, dt.datetime(2024, 1, 8, 9), 3, "click", 1.0, "{}"),   # cohort w1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.cohort_week.date().isoformat(), r.week_offset): r.n_active_users
+            for r in QUERY_REGISTRY["q119_cohort_retention"].fn(spark, d).collect()
+        }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1 and 2 in their first week
+        ("2024-01-01", 1): 1,  # user 1 retained into week 1
+        ("2024-01-08", 0): 1,  # user 3's own cohort starts at offset 0
+    }

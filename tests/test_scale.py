@@ -727,3 +727,28 @@ def test_png_roundtrip_no_shuffle(spark):
     df = QUERY_REGISTRY["q115_image_png_meta"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pq_arrow_kernel_is_narrow_and_matches_jvm(spark):
+    """q113's production encode (pq_assign_arrow): (a) plan stays a
+    narrow map — no Exchange, the Python stage is the Arrow runner by
+    design (interpreted HOF evaluation measured 35x slower, PLANS.md);
+    (b) kernel equivalence with the JVM-expression twin — identical
+    codes everywhere, sq_err within float-summation-order ulps."""
+    from team_aragon_spark.operators.similarity import (
+        pq_assign,
+        pq_assign_arrow,
+        pq_train,
+    )
+    from team_aragon_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "embeddings", "/root/testdata/sf0.001")
+    books = pq_train(emb, m=8, ks=16)
+    df = pq_assign_arrow(emb, books)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    a = {r[0]: (tuple(r[1]), r[2]) for r in pq_assign(emb, books).collect()}
+    b = {r[0]: (tuple(r[1]), r[2]) for r in df.collect()}
+    assert set(a) == set(b)
+    assert all(a[k][0] == b[k][0] for k in a), "codes must match exactly"
+    assert all(abs(a[k][1] - b[k][1]) <= 1e-9 * max(abs(a[k][1]), 1.0) for k in a)
