@@ -747,7 +747,11 @@ def _unfilter_scanlines(raw: bytes, w: int, h: int, bpp: int = 1) -> bytearray:
     return out
 
 
-def _parse_png_meta(data: bytes) -> dict:
+def _png_pixels(data: bytes) -> tuple[int, int, bytearray]:
+    """Decode an 8-bit grayscale PNG to raw pixels: signature + chunk
+    walk with CRC verification, zlib IDAT inflate, five-filter
+    scanline reconstruction.  Shared by the metadata query (q115) and
+    the aHash feature kernel (q120)."""
     import struct
     import zlib
 
@@ -778,11 +782,16 @@ def _parse_png_meta(data: bytes) -> dict:
     px = _unfilter_scanlines(zlib.decompress(idat), w, h)
     if len(px) != w * h:
         raise ValueError("pixel count mismatch")
+    return w, h, px
+
+
+def _parse_png_meta(data: bytes) -> dict:
+    w, h, px = _png_pixels(data)
     return {
         "width": w,
         "height": h,
-        "bit_depth": depth,
-        "color_type": ctype,
+        "bit_depth": 8,
+        "color_type": 0,
         "n_pixels": w * h,
         "pixel_sum": sum(px),
     }
@@ -858,4 +867,73 @@ def png_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     width = min(8, default_parallelism())
     return ensure_parallelism(df.select(id_col, payload_col), width).mapInPandas(
         kernel, schema=IMAGE_PNG_META_SCHEMA
+    )
+
+
+IMAGE_AHASH_SCHEMA = "doc_id bigint, ahash bigint, width int, height int, modality string"
+
+
+def _ahash_of_pixels(w: int, h: int, px: bytearray, grid: int = 8) -> int:
+    """Average hash (aHash): area-mean downsample to a grid x grid
+    thumbnail, threshold each cell at the thumbnail mean, pack the
+    bits row-major.  The canonical cheap perceptual fingerprint
+    (Krawetz's "Looks Like It" aHash family): constant-luminance
+    shifts and resolution changes preserve the bit pattern, so
+    re-encoded / rescaled copies of one image collide."""
+    cells = []
+    for gy in range(grid):
+        y0, y1 = gy * h // grid, max((gy + 1) * h // grid, gy * h // grid + 1)
+        for gx in range(grid):
+            x0, x1 = gx * w // grid, max((gx + 1) * w // grid, gx * w // grid + 1)
+            s = 0
+            for y in range(y0, min(y1, h)):
+                base = y * w
+                for x in range(x0, min(x1, w)):
+                    s += px[base + x]
+            n = max((min(y1, h) - y0) * (min(x1, w) - x0), 1)
+            cells.append(s / n)
+    mean = sum(cells) / len(cells)
+    bits = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", grid: int = 8
+) -> DataFrame:
+    """Decode → resize → feature-extract in one Arrow pass: each PNG
+    payload becomes a 64-bit average hash (``_ahash_of_pixels``) for
+    image near-duplicate detection — the multimodal leg of the dedup
+    family (text: MinHash q24 / SimHash q25; images: aHash equality
+    or low Hamming distance).
+
+    Same per-row quarantine contract as png_decode_meta: corrupt
+    payloads yield NULL hash with modality='unknown', never a failed
+    batch.  Narrow map, no shuffle; downstream clustering is one
+    hash-keyed aggregate (q120)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "ahash": [], "width": [], "height": [], "modality": [],
+            }
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(int(i))
+                try:
+                    w, h, px = _png_pixels(bytes(b))
+                    out["ahash"].append(_ahash_of_pixels(w, h, px, grid))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["modality"].append("image")
+                except Exception:
+                    out["ahash"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["modality"].append("unknown")
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, schema=IMAGE_AHASH_SCHEMA
     )

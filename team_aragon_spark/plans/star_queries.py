@@ -3730,6 +3730,41 @@ def q117_curriculum_deciles(spark, sf_dir):
 
 
 @register(
+    "q120_image_ahash_clusters",
+    None,  # PNG decode + perceptual hashing is not SQL-expressible;
+    # cluster semantics (planted identical images collide, neighbors
+    # do not) pinned in tests/test_operators.py.
+    ops=("ext-multimodal-image-dedup",),
+    doc="Image near-duplicate clustering via average hash: REAL PNG "
+    "decode (q115's CRC-verified five-filter decoder) → 8x8 area-mean "
+    "resize → 64-bit aHash (multimodal.image_ahash, one Arrow pass "
+    "per payload: decode/resize/feature-extract fused), then one "
+    "hash-keyed aggregate assigns min-doc_id cluster representatives "
+    "— the multimodal leg of the dedup family (text MinHash q24 / "
+    "SimHash q25).  Narrow decode, single 64-bit-key shuffle; "
+    "corrupt payloads quarantine to a NULL-hash singleton cluster.",
+)
+def q120_image_ahash_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ah = multimodal.image_ahash(multimodal.synth_png_payload(docs))
+    clusters = ah.filter(F.col("ahash").isNotNull()).groupBy("ahash").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        ah.join(clusters, on="ahash", how="left")
+        .select(
+            "doc_id",
+            "ahash",
+            F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            "modality",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q119_cohort_retention",
     """WITH cohort AS (
          SELECT user_id,
@@ -3857,6 +3892,7 @@ STAMP_PRIORITY: list[str] = [
     "q117_curriculum_deciles",
     "q118_user_value_scd2",
     "q119_cohort_retention",
+    "q120_image_ahash_clusters",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3890,7 +3926,6 @@ STAMP_PRIORITY: list[str] = [
     "q06_weekly_volume",
     "q07_active_customers_by_region",
     "q08_priority_month_ratio",
-    "q09_top10_nations_by_balance",
 ]
 
 

@@ -1214,3 +1214,39 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-01", 1): 1,  # user 1 retained into week 1
         ("2024-01-08", 0): 1,  # user 3's own cohort starts at offset 0
     }
+
+
+def test_image_ahash_clusters_planted_dups(spark):
+    """q120 semantics: the synth corpus repeats its image pattern every
+    256 ids (width mod 32, height mod 16, pixels mod 256), so doc i and
+    i+256 are IDENTICAL images and must share a cluster with rep_id i;
+    adjacent ids are different gradients and must not collide; a
+    corrupt payload quarantines to its own singleton cluster."""
+    from team_aragon_spark.operators.multimodal import image_ahash, synth_png_payload
+    from pyspark.sql import functions as F
+
+    ids = spark.range(300).withColumnRenamed("id", "doc_id")
+    ah = image_ahash(synth_png_payload(ids))
+    rows = {r.doc_id: r for r in ah.collect()}
+    assert rows[0].ahash == rows[256].ahash
+    assert rows[1].ahash == rows[257].ahash
+    assert rows[0].ahash != rows[1].ahash
+    assert all(r.modality == "image" for r in rows.values())
+
+    corrupt = spark.createDataFrame(
+        [(999, bytearray(b"not a png"))], "doc_id long, payload binary"
+    )
+    got = image_ahash(corrupt).collect()[0]
+    assert got.ahash is None and got.modality == "unknown"
+
+    # end-to-end query: planted identical images land in one cluster
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    out = {
+        r.doc_id: r
+        for r in QUERY_REGISTRY["q120_image_ahash_clusters"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert out[256].rep_id == out[0].rep_id == 0
+    assert out[256].cluster_size >= 2
