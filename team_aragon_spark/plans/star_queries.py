@@ -3729,6 +3729,50 @@ def q117_curriculum_deciles(spark, sf_dir):
     return percentile_buckets(docs, "n_chars", n_buckets=10)
 
 
+_AUDIO_FEATURES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, 64 + doc_id % 256 AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n), j -> (j * 257 + doc_id) % 65536 - 32768) AS smp
+  FROM t)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,
+       sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n) AS rms,
+       CAST(list_sum(list_transform(range(1, n),
+            j -> CASE WHEN smp[j] * smp[j + 1] < 0 THEN 1 ELSE 0 END)) AS BIGINT)
+         AS n_zero_crossings,
+       CAST(list_sum(list_transform(smp,
+            x -> CASE WHEN abs(x) < 1000 THEN 1 ELSE 0 END)) AS DOUBLE) / n
+         AS silence_ratio,
+       'audio' AS modality
+FROM s"""
+
+
+@register(
+    "q121_audio_signal_features",
+    _AUDIO_FEATURES_SQL,
+    ops=("ext-multimodal-audio-features",),
+    doc="REAL audio feature extraction round-trip: synthesize genuine "
+    "RIFF/WAV (q92's stdlib writer), decode every PCM sample back "
+    "(wave + numpy int16), and compute peak / RMS energy / "
+    "zero-crossing count / silence ratio — the speech-curation "
+    "filter features (multimodal.audio_features).  The oracle "
+    "recomputes the features from the synth's sample arithmetic "
+    "((j*257 + id) % 65536 - 32768), pinning the decoder per-SAMPLE, "
+    "not just per-header like q92.  All accumulations are exact "
+    "integers; the only float ops are one division and one IEEE "
+    "correctly-rounded sqrt, so the doubles match bit-for-bit with "
+    "no rounding.  Narrow Arrow map, no shuffle; corrupt payloads "
+    "quarantine per-row.",
+)
+def q121_audio_signal_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = multimodal.synth_wav_payload(docs)
+    return multimodal.audio_features(wav).orderBy("doc_id")
+
+
 @register(
     "q120_image_ahash_clusters",
     None,  # PNG decode + perceptual hashing is not SQL-expressible;
@@ -3893,6 +3937,7 @@ STAMP_PRIORITY: list[str] = [
     "q118_user_value_scd2",
     "q119_cohort_retention",
     "q120_image_ahash_clusters",
+    "q121_audio_signal_features",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3925,7 +3970,6 @@ STAMP_PRIORITY: list[str] = [
     "q05_revenue_ratio_by_segment",
     "q06_weekly_volume",
     "q07_active_customers_by_region",
-    "q08_priority_month_ratio",
 ]
 
 

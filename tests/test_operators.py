@@ -1250,3 +1250,39 @@ def test_image_ahash_clusters_planted_dups(spark):
     }
     assert out[256].rep_id == out[0].rep_id == 0
     assert out[256].cluster_size >= 2
+
+
+def test_audio_features_semantics_and_quarantine(spark):
+    """q121's kernel on hand-built WAVs: a constant-positive signal has
+    zero crossings and silence 0; an alternating +-1 signal (quiet)
+    crosses at every step and is all-silence; corrupt bytes and a
+    stereo (unsupported-flavor) container quarantine per-row."""
+    import io
+    import math
+    import wave
+
+    from team_aragon_spark.operators.multimodal import audio_features
+
+    def wav(frames: bytes, channels: int = 1) -> bytearray:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return bytearray(buf.getvalue())
+
+    const = wav(b"".join((1000).to_bytes(2, "little", signed=True) for _ in range(4)))
+    alt = wav(b"".join((1 if j % 2 == 0 else -1).to_bytes(2, "little", signed=True) for j in range(5)))
+    stereo = wav(b"\x00\x00" * 8, channels=2)
+    df = spark.createDataFrame(
+        [(1, const), (2, alt), (3, bytearray(b"RIFFnope")), (4, stereo)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in audio_features(df).collect()}
+    assert got[1].peak == 1000 and got[1].n_zero_crossings == 0
+    assert got[1].rms == 1000.0 and got[1].silence_ratio == 0.0
+    assert got[2].n_zero_crossings == 4 and got[2].silence_ratio == 1.0
+    assert math.isclose(got[2].rms, 1.0)
+    assert got[3].modality == "unknown" and got[3].rms is None
+    assert got[4].modality == "unknown", "stereo must quarantine, not mis-decode"
