@@ -714,37 +714,53 @@ def _synth_png_bytes(i: int) -> bytes:
 def _unfilter_scanlines(raw: bytes, w: int, h: int, bpp: int = 1) -> bytearray:
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
     Paeth) for an 8-bit grayscale image — a REAL decoder, not a
-    filter-0 shortcut, so foreign PNGs decode too."""
+    filter-0 shortcut, so foreign PNGs decode too.
+
+    None/Sub/Up reconstruct as whole-scanline numpy ops (copy /
+    mod-256 cumsum / vectorized add): those three have no intra-line
+    sequential dependency beyond a prefix sum, and they dominate real
+    encoders' output.  Average and Paeth predict from the previous
+    OUTPUT byte, so they stay per-byte — the measured cost of the
+    all-Python loop was 66 µs/image at the 100x posture run
+    (PLANS.md); the vectorized common path removes it."""
+    import numpy as np
+
     stride = w * bpp
-    out = bytearray(stride * h)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    arr = np.frombuffer(raw, dtype=np.uint8)
     pos = 0
+    zeros = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        f = raw[pos]
-        line = raw[pos + 1 : pos + 1 + stride]
+        f = int(arr[pos])
+        line = arr[pos + 1 : pos + 1 + stride]
         pos += 1 + stride
-        base = y * stride
-        for x in range(stride):
-            a = out[base + x - bpp] if x >= bpp else 0
-            b = out[base + x - stride] if y > 0 else 0
-            c = out[base + x - stride - bpp] if (y > 0 and x >= bpp) else 0
-            v = line[x]
-            if f == 0:
-                r = v
-            elif f == 1:
-                r = v + a
-            elif f == 2:
-                r = v + b
-            elif f == 3:
-                r = v + (a + b) // 2
-            elif f == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                r = v + pred
-            else:
-                raise ValueError(f"bad filter {f}")
-            out[base + x] = r & 0xFF
-    return out
+        prev = out[y - 1] if y > 0 else zeros
+        if f == 0:
+            out[y] = line
+        elif f == 1:
+            # o[x] = v[x] + o[x-bpp]: per-channel prefix sum mod 256
+            out[y] = (
+                np.cumsum(line.reshape(-1, bpp).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:
+            out[y] = line + prev  # uint8 add wraps mod 256
+        elif f in (3, 4):
+            o = out[y]
+            for x in range(stride):
+                a = int(o[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    r = int(line[x]) + (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    r = int(line[x]) + pred
+                o[x] = r & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+    return bytearray(out.tobytes())
 
 
 def _png_pixels(data: bytes) -> tuple[int, int, bytearray]:
@@ -880,18 +896,16 @@ def _ahash_of_pixels(w: int, h: int, px: bytearray, grid: int = 8) -> int:
     (Krawetz's "Looks Like It" aHash family): constant-luminance
     shifts and resolution changes preserve the bit pattern, so
     re-encoded / rescaled copies of one image collide."""
+    import numpy as np
+
+    img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
     cells = []
     for gy in range(grid):
         y0, y1 = gy * h // grid, max((gy + 1) * h // grid, gy * h // grid + 1)
         for gx in range(grid):
             x0, x1 = gx * w // grid, max((gx + 1) * w // grid, gx * w // grid + 1)
-            s = 0
-            for y in range(y0, min(y1, h)):
-                base = y * w
-                for x in range(x0, min(x1, w)):
-                    s += px[base + x]
-            n = max((min(y1, h) - y0) * (min(x1, w) - x0), 1)
-            cells.append(s / n)
+            box = img[y0 : min(y1, h), x0 : min(x1, w)]
+            cells.append(float(box.sum()) / max(box.size, 1))
     mean = sum(cells) / len(cells)
     bits = 0
     for i, c in enumerate(cells):

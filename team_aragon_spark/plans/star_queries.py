@@ -3729,6 +3729,51 @@ def q117_curriculum_deciles(spark, sf_dir):
     return percentile_buckets(docs, "n_chars", n_buckets=10)
 
 
+@register(
+    "q122_value_trend_stats",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(avg(value), 4) AS mean_value,
+              round(stddev_samp(value), 4) AS sd_value,
+              round(covar_samp(value, CAST(date_diff('day', DATE '1998-01-01',
+                                                     CAST(ts AS DATE)) AS DOUBLE)), 4)
+                AS cov_value_day,
+              round(corr(value, CAST(date_diff('day', DATE '1998-01-01',
+                                               CAST(ts AS DATE)) AS DOUBLE)), 6)
+                AS corr_value_day,
+              round(regr_slope(value, CAST(date_diff('day', DATE '1998-01-01',
+                                                     CAST(ts AS DATE)) AS DOUBLE)), 6)
+                AS slope_per_day
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    ops=("ext-stat-aggregates",),
+    doc="Statistical aggregate family over the event stream: per-type "
+    "mean / sample stddev / sample covariance / Pearson correlation / "
+    "OLS slope of value against days-since-epoch — drift and trend "
+    "detection for a metrics pipeline, all as built-in JVM aggregates "
+    "(one hash agg, partial-combinable, skew-free: |event_types| "
+    "groups).  The x axis is an integer day count (not epoch "
+    "seconds) so both engines aggregate identical inputs; moment "
+    "accumulation order differs across engines, hence the rounding.",
+)
+def q122_value_trend_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1998-01-01").cast("date")).cast(
+        "double"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.covar_samp(F.col("value"), day), 4).alias("cov_value_day"),
+            F.round(F.corr(F.col("value"), day), 6).alias("corr_value_day"),
+            F.round(F.regr_slope(F.col("value"), day), 6).alias("slope_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _AUDIO_FEATURES_SQL = r"""
 WITH t AS (
   SELECT doc_id, 64 + doc_id % 256 AS n FROM documents),
@@ -3790,7 +3835,11 @@ def q121_audio_signal_features(spark, sf_dir):
 )
 def q120_image_ahash_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    ah = multimodal.image_ahash(multimodal.synth_png_payload(docs))
+    # persist: the decode+hash Arrow pipeline feeds BOTH the cluster
+    # aggregate and the join-back side — without it the whole synth→
+    # decode→hash chain runs twice (cache lifetime caller-managed, as
+    # in the LSH self-joins; bench clears cache per query)
+    ah = multimodal.image_ahash(multimodal.synth_png_payload(docs)).persist()
     clusters = ah.filter(F.col("ahash").isNotNull()).groupBy("ahash").agg(
         F.min("doc_id").alias("rep_id"),
         F.count(F.lit(1)).alias("cluster_size"),
@@ -3938,6 +3987,7 @@ STAMP_PRIORITY: list[str] = [
     "q119_cohort_retention",
     "q120_image_ahash_clusters",
     "q121_audio_signal_features",
+    "q122_value_trend_stats",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -3969,7 +4019,6 @@ STAMP_PRIORITY: list[str] = [
     "q04_recent_weeks_totals",
     "q05_revenue_ratio_by_segment",
     "q06_weekly_volume",
-    "q07_active_customers_by_region",
 ]
 
 
