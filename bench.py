@@ -65,6 +65,9 @@ EXTRA = [
     "q111_epoch_shard_plan",        # deterministic epoch-shuffle layout
     "q113_pq_codes",                # product-quantization encode
     "q116_bm25_search",             # BM25 retrieval top-k
+    "q120_image_ahash_clusters",    # PNG decode + perceptual-hash dedup
+    "q121_audio_signal_features",   # per-sample WAV feature extraction
+    "q122_value_trend_stats",       # stat-aggregate family
 ]
 
 

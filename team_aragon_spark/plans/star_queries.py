@@ -3953,13 +3953,13 @@ def q118_user_value_scd2(spark, sf_dir):
 #   3. The 15 queries whose latest stamp is r02 (pre-regeneration,
 #      pre-persist-fix): the six approximate rows q24/q25/q26/q39/
 #      q42/q50 first, then q22/q35-q38/q43/q48/q51/q52.
-#   4. 10 of the 34 r03-stamped queries, §2 star core first.  The
-#      twenty-five left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
-#      SQL shapes, lowest drift risk, plus q64/q66/q67/q68/q69/q71/
-#      q73/q74/q76/q83/q84/q85/q86/q87/q90/q91 which yielded their
-#      slots to the new q104-q118 and the re-proofs) carry r03
-#      stamps, exactly 2 rounds old at r05; rotate them first next
-#      round.
+#   4. 6 of the 34 r03-stamped queries (q01-q06, §2 star core).  The
+#      twenty-eight left out (q53/q54/q56/q60/q65/q72/q77/q89 plain-
+#      SQL shapes, lowest drift risk, plus q07/q08/q09/q63/q64/q66/
+#      q67/q68/q69/q71/q73/q74/q76/q83/q84/q85/q86/q87/q90/q91 which
+#      yielded their slots to the new q104-q122 and the re-proofs)
+#      carry r03 stamps, exactly 2 rounds old at r05; rotate them
+#      first next round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
