@@ -752,3 +752,38 @@ def test_pq_arrow_kernel_is_narrow_and_matches_jvm(spark):
     assert set(a) == set(b)
     assert all(a[k][0] == b[k][0] for k in a), "codes must match exactly"
     assert all(abs(a[k][1] - b[k][1]) <= 1e-9 * max(abs(a[k][1]), 1.0) for k in a)
+
+
+def test_round5_new_query_plan_shapes(spark):
+    """Lock the scale-critical plan shapes of the round-5 additions:
+
+    - q122 (trend stats): ONE hash aggregate — no window, no join;
+      skew-free because groups are |event_types|.
+    - q118 (SCD2): a single user_id-keyed Exchange feeding the lead()
+      window — no join, no global (range-partitioned) sort.
+    - q119 (retention): aggregate + equi-join — no window over the
+      event stream and no cartesian product.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    p122 = (
+        QUERY_REGISTRY["q122_value_trend_stats"].fn(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in p122 and "Join" not in p122, p122
+
+    p118 = (
+        QUERY_REGISTRY["q118_user_value_scd2"].fn(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in p118, p118
+    assert p118.count("Exchange hashpartitioning") >= 1
+    assert "rangepartitioning" not in p118, "no global sort in the history build"
+
+    p119 = (
+        QUERY_REGISTRY["q119_cohort_retention"].fn(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in p119 and "CartesianProduct" not in p119, p119
