@@ -891,26 +891,32 @@ IMAGE_AHASH_SCHEMA = "doc_id bigint, ahash bigint, width int, height int, modali
 
 def _ahash_of_pixels(w: int, h: int, px: bytearray, grid: int = 8) -> int:
     """Average hash (aHash): area-mean downsample to a grid x grid
-    thumbnail, threshold each cell at the thumbnail mean, pack the
-    bits row-major.  The canonical cheap perceptual fingerprint
-    (Krawetz's "Looks Like It" aHash family): constant-luminance
-    shifts and resolution changes preserve the bit pattern, so
-    re-encoded / rescaled copies of one image collide."""
+    thumbnail, threshold each cell at the IMAGE mean, pack the bits
+    row-major.  The canonical cheap perceptual fingerprint (Krawetz's
+    "Looks Like It" aHash family): constant-luminance shifts and
+    resolution changes preserve the bit pattern, so re-encoded /
+    rescaled copies of one image collide.
+
+    The threshold comparison is EXACT integer arithmetic:
+    ``cell_sum * n_pixels > image_sum * cell_n`` avoids any float
+    mean, so the hash is bit-portable engine-to-engine — which is
+    what lets q120 carry a full SQL value oracle instead of a
+    rows-only check."""
     import numpy as np
 
     img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
-    cells = []
+    total = int(img.sum(dtype=np.int64))
+    n_total = w * h
+    bits = 0
+    i = 0
     for gy in range(grid):
         y0, y1 = gy * h // grid, max((gy + 1) * h // grid, gy * h // grid + 1)
         for gx in range(grid):
             x0, x1 = gx * w // grid, max((gx + 1) * w // grid, gx * w // grid + 1)
             box = img[y0 : min(y1, h), x0 : min(x1, w)]
-            cells.append(float(box.sum()) / max(box.size, 1))
-    mean = sum(cells) / len(cells)
-    bits = 0
-    for i, c in enumerate(cells):
-        if c > mean:
-            bits |= 1 << i
+            if int(box.sum(dtype=np.int64)) * n_total > total * max(box.size, 1):
+                bits |= 1 << i
+            i += 1
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 

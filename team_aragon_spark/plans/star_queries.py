@@ -3818,11 +3818,50 @@ def q121_audio_signal_features(spark, sf_dir):
     return multimodal.audio_features(wav).orderBy("doc_id")
 
 
+_AHASH_SQL = r"""
+WITH g AS (
+  SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x -> (7 * x + 13 * y + doc_id) % 256))))
+           AS total
+  FROM g),
+cells AS (
+  SELECT p.doc_id, p.w, p.h, p.total, gg.gy, gg.gx,
+         (gg.gy * p.h) // 8 AS y0,
+         least(greatest((gg.gy + 1) * p.h // 8, (gg.gy * p.h) // 8 + 1), p.h) AS y1,
+         (gg.gx * p.w) // 8 AS x0,
+         least(greatest((gg.gx + 1) * p.w // 8, (gg.gx * p.w) // 8 + 1), p.w) AS x1
+  FROM px p CROSS JOIN (
+    SELECT a.gy, b.gx
+    FROM (SELECT unnest(range(0, 8)) AS gy) a, (SELECT unnest(range(0, 8)) AS gx) b) gg),
+bits AS (
+  SELECT doc_id, gy * 8 + gx AS idx,
+         CASE WHEN
+           list_sum(flatten(list_transform(range(y0, y1), y ->
+             list_transform(range(x0, x1), x -> (7 * x + 13 * y + doc_id) % 256))))
+           * (w * h) > total * ((y1 - y0) * (x1 - x0))
+         THEN 1 ELSE 0 END AS bit
+  FROM cells),
+hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bit = 1 AND idx < 63
+                       THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+              + CASE WHEN max(CASE WHEN idx = 63 THEN bit END) = 1
+                     THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS ahash
+  FROM bits GROUP BY doc_id),
+clusters AS (
+  SELECT ahash, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM hashes GROUP BY ahash)
+SELECT h.doc_id, h.ahash, c.rep_id, c.cluster_size, 'image' AS modality
+FROM hashes h JOIN clusters c USING (ahash)
+ORDER BY h.doc_id"""
+
+
 @register(
     "q120_image_ahash_clusters",
-    None,  # PNG decode + perceptual hashing is not SQL-expressible;
-    # cluster semantics (planted identical images collide, neighbors
-    # do not) pinned in tests/test_operators.py.
+    _AHASH_SQL,
     ops=("ext-multimodal-image-dedup",),
     doc="Image near-duplicate clustering via average hash: REAL PNG "
     "decode (q115's CRC-verified five-filter decoder) → 8x8 area-mean "
@@ -3830,8 +3869,12 @@ def q121_audio_signal_features(spark, sf_dir):
     "per payload: decode/resize/feature-extract fused), then one "
     "hash-keyed aggregate assigns min-doc_id cluster representatives "
     "— the multimodal leg of the dedup family (text MinHash q24 / "
-    "SimHash q25).  Narrow decode, single 64-bit-key shuffle; "
-    "corrupt payloads quarantine to a NULL-hash singleton cluster.",
+    "SimHash q25).  The threshold comparison is exact integer "
+    "arithmetic (cell_sum * n_pixels > image_sum * cell_n — no float "
+    "mean), so the ENTIRE hash+clustering output carries a full SQL "
+    "value oracle that recomputes every bit from the synth's pixel "
+    "arithmetic.  Narrow decode, single 64-bit-key shuffle; corrupt "
+    "payloads quarantine to a NULL-hash singleton cluster.",
 )
 def q120_image_ahash_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
