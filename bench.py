@@ -68,6 +68,10 @@ EXTRA = [
     "q120_image_ahash_clusters",    # PNG decode + perceptual-hash dedup
     "q121_audio_signal_features",   # per-sample WAV feature extraction
     "q122_value_trend_stats",       # stat-aggregate family
+    "q123_token_bigram_counts",     # BPE-merge-style bigram counting
+    "q126_weighted_doc_sample",     # deterministic weighted sampling
+    "q127_basket_set_similarity",   # exact prefix-filter set-sim join
+    "q128_state_snapshot_diff",     # snapshot CDC diff
 ]
 
 

@@ -1,0 +1,125 @@
+"""Exact set-similarity self-join via prefix filtering.
+
+Finds every pair of sets whose Jaccard similarity meets a threshold
+WITHOUT forming all pairs: the AllPairs/SSJoin prefix-filter family
+(Chaudhuri, Ganti & Kaushik, ICDE 2006; Bayardo, Ma & Srikant, WWW
+2007).  Items are canonically ordered rarest-first by global
+frequency; a set of size n only needs its first ``n - ceil(t*n) + 1``
+items as a blocking prefix — any pair with J >= t provably shares at
+least one prefix item, so joining on prefix items generates a
+candidate superset, and an exact verify pass keeps the result
+identical to the brute-force join.  Because frequent items sort LAST
+in the canonical order, they are the least likely to enter a prefix,
+which is precisely what keeps the blocking buckets (and therefore the
+self-join skew) small at corpus scale.
+
+Unlike the MinHash/SimHash operators in ``text_dedup`` this join is
+EXACT — no recall assumption — which is why its driver oracle can be
+a full brute-force SQL value comparison.
+
+Scale shape: one distinct + one frequency aggregate + one
+prefix-bucket self-join + one verify join.  No all-pairs stage exists
+at any cardinality; the verify join touches only candidate pairs.
+The threshold comparison is pure integer arithmetic
+(``inter * denom_scale >= union * num_scale``), so the qualifying
+SET of pairs is bit-stable across engines and never hinges on a
+float boundary.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def set_similarity_join(
+    sets_df: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs over (id, item) membership rows.
+
+    Returns ``(id_a, id_b, n_a, n_b, n_inter, jaccard)`` with
+    ``id_a < id_b``, jaccard rounded to 6 digits.  Duplicate
+    membership rows are tolerated (a distinct pass runs first).
+    """
+    t = Fraction(threshold).limit_denominator(10**6)
+    members = sets_df.select(
+        F.col(id_col).alias("sid"), F.col(item_col).alias("item")
+    ).distinct()
+
+    # Canonical order: rarest item first, item value as tie-break so
+    # the order (and therefore every prefix) is deterministic.
+    freq = members.groupBy("item").agg(F.count(F.lit(1)).alias("item_freq"))
+    ranked = members.join(freq, "item")
+
+    # Per set: items sorted canonically + set size.  array_sort on
+    # (freq, item) structs gives the rarest-first order JVM-side.
+    sets_arr = (
+        ranked.groupBy("sid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("item_freq", "item"))),
+                lambda s: s["item"],
+            ).alias("items"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+    # Prefix length n - ceil(t*n) + 1: for J(A,B) >= t the overlap is
+    # at least alpha = ceil(t * max(|A|,|B|)), and the alpha-th shared
+    # item from the end of the canonical order must sit inside BOTH
+    # prefixes (its position in X is <= |X| - alpha + 1).  ceil is
+    # computed in EXACT integer arithmetic from the Fraction —
+    # float ceil(0.1 * 90) = 10, not 9, and an overshoot of one
+    # shortens the prefix enough to miss exact-boundary pairs
+    # (e.g. B a 9-subset of a 90-set at t = 0.1).
+    ceil_tn = (
+        (F.col("n") * F.lit(t.numerator) + F.lit(t.denominator - 1))
+        / F.lit(t.denominator)
+    ).cast("bigint")  # floor((n*p + q - 1)/q) == ceil(n*p/q)
+    prefix_len = (F.col("n") - ceil_tn + F.lit(1)).cast("int")
+    prefixes = sets_arr.select(
+        "sid", F.explode(F.slice("items", F.lit(1), prefix_len)).alias("item")
+    )
+
+    cand = (
+        prefixes.alias("x")
+        .join(prefixes.alias("y"), "item")
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
+        .distinct()
+    )
+
+    a = sets_arr.select(
+        F.col("sid").alias("id_a"),
+        F.col("items").alias("items_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = sets_arr.select(
+        F.col("sid").alias("id_b"),
+        F.col("items").alias("items_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("items_a", "items_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", inter)
+        # Integer threshold test: inter/union >= p/q  <=>  inter*q >= union*p
+        .filter(
+            F.col("n_inter") * F.lit(t.denominator) >= union * F.lit(t.numerator)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(F.col("n_inter") / union, 6).alias("jaccard"),
+        )
+    )

@@ -3981,6 +3981,324 @@ def q118_user_value_scd2(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 continuation: tokenizer-training, profiling, anomaly,
+# weighted sampling, exact set-similarity join, snapshot CDC diff
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+i AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+p AS (SELECT toks[i] AS a, toks[i+1] AS b FROM i)
+SELECT a, b, count(*) AS n
+FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 100"""
+
+
+@register(
+    "q123_token_bigram_counts",
+    _BIGRAM_SQL,
+    ops=("ext-corpus-bigram-counts",),
+    doc="Adjacent-token-pair counting — the distributed inner loop of "
+    "BPE/WordPiece tokenizer training (count all adjacent symbol "
+    "pairs, merge the most frequent, repeat) and of n-gram LM "
+    "estimation.  Bigrams are formed JVM-side with zip_with over two "
+    "shifted slices of the token array (no posexplode self-join, no "
+    "Python), then one hash aggregate; the top-100 uses a total-order "
+    "tie-break (n DESC, a, b) and compiles to TakeOrderedAndProject — "
+    "per-partition heaps, no global sort at any corpus size.",
+)
+def q123_token_bigram_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bg = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(text.tokens(F.col("text")).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.a", "bg.b")
+    )
+    return (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(100)
+    )
+
+
+_ANOMALY_SQL = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN s USING (event_type)
+WHERE s.sd > 0 AND abs(e.value - s.mu) > 3 * s.sd
+ORDER BY e.event_id"""
+
+
+@register(
+    "q124_value_anomaly_zscore",
+    _ANOMALY_SQL,
+    ops=("ext-anomaly-zscore",),
+    doc="Population z-score outlier flagging: events whose value "
+    "deviates more than 3 sigma from their event-type mean.  The "
+    "per-type stats are a |types|-row aggregate broadcast back onto "
+    "the fact scan (plan-asserted), so the whole query is one "
+    "map-combined aggregate plus one narrow filtered pass — the "
+    "canonical shape for data-quality screens over a 100 TB event "
+    "log.  z is rounded to 4 digits in both engines.",
+)
+def q124_value_anomaly_zscore(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _ORDERS_COLS
+) + "\nORDER BY col_name"
+
+
+@register(
+    "q125_orders_profile",
+    _PROFILE_SQL,
+    ops=("ext-column-profiling",),
+    doc="Dataset profiling: per-column row/null/exact-distinct counts "
+    "for the orders table in ONE scan — a single multi-aggregate "
+    "(Spark plans the N count(DISTINCT)s via a single Expand) whose "
+    "one-row result is exploded into the long (col_name, stats) "
+    "form.  The oracle spells the same numbers as N UNION ALL "
+    "passes.  At 100 TB the exact-distinct Expand multiplies the "
+    "shuffle by |columns|; the documented cheap variant is "
+    "approx_count_distinct at 2% error in the same single pass, kept "
+    "exact here so the driver can hash-compare.",
+)
+def q125_orders_profile(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _ORDERS_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in _ORDERS_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*").orderBy("col_name")
+
+
+_WSAMPLE_K = 200
+
+_WSAMPLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             + 0.5) / 4294967296.0) / n_chars AS es_key
+  FROM documents)
+SELECT doc_id, source, n_chars
+FROM k ORDER BY es_key DESC, doc_id LIMIT {_WSAMPLE_K}"""
+
+
+@register(
+    "q126_weighted_doc_sample",
+    _WSAMPLE_SQL,
+    ops=("ext-corpus-weighted-sample",),
+    doc="Weighted sampling WITHOUT replacement, deterministic: the "
+    "Efraimidis-Spirakis A-ES scheme (Inf.Proc.Lett. 2006) — each doc "
+    "gets key u^(1/w) with weight w = n_chars and u a uniform derived "
+    "from a PORTABLE md5 hash (q63/q94 technique), and the top-k by "
+    "key is an exact weighted sample.  Computed in log space "
+    "(ln(u)/w, order-isomorphic) to avoid pow().  No rand() — task "
+    "retries, re-runs and the DuckDB oracle all select the same SET. "
+    "ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-"
+    "partition k-heaps, no global sort), the scale shape for "
+    "corpus-level sampling.",
+)
+def q126_weighted_doc_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsamp"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(_WSAMPLE_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+_BASKET_SIM_SQL = """
+WITH s AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+sz AS (SELECT c, count(*) AS n FROM s GROUP BY c),
+inter AS (
+  SELECT a.c AS id_a, b.c AS id_b, count(*) AS n_inter
+  FROM s a JOIN s b ON a.p = b.p AND a.c < b.c GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, s1.n AS n_a, s2.n AS n_b, i.n_inter,
+       round(i.n_inter * 1.0 / (s1.n + s2.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sz s1 ON i.id_a = s1.c JOIN sz s2 ON i.id_b = s2.c
+WHERE i.n_inter * 10 >= (s1.n + s2.n - i.n_inter)
+ORDER BY id_a, id_b"""
+
+
+@register(
+    "q127_basket_set_similarity",
+    _BASKET_SIM_SQL,
+    ops=("ext-set-similarity-join",),
+    doc="EXACT set-similarity self-join: customer pairs whose "
+    "purchased-part sets have Jaccard >= 0.1, via prefix filtering "
+    "(AllPairs/SSJoin — operators/setsim.py) instead of the oracle's "
+    "share-any-item join.  Items are canonically ordered rarest-"
+    "first; a size-n set is blocked only on its first n-ceil(t*n)+1 "
+    "items (exact integer ceil), which provably cannot miss a "
+    "qualifying pair, and frequent items — the skew makers — sort "
+    "out of the prefixes.  The threshold test is pure integer "
+    "arithmetic on both sides, so the qualifying pair SET is exact, "
+    "no float boundary.  Unlike q24/q42 (approximate LSH), this "
+    "operator's driver row is a full brute-force value oracle.",
+)
+def q127_basket_set_similarity(spark, sf_dir):
+    from team_aragon_spark.operators.setsim import set_similarity_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+    )
+    return set_similarity_join(baskets, "c", "p", 0.1).orderBy("id_a", "id_b")
+
+
+_SNAP_T1 = "2024-01-15 00:00:00"
+_SNAP_T2 = "2024-01-31 00:00:00"
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT user_id, value AS old_value, event_type AS old_type
+  FROM (SELECT user_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_SNAP_T1}')
+  WHERE rn = 1),
+new AS (
+  SELECT user_id, value AS new_value, event_type AS new_type
+  FROM (SELECT user_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_SNAP_T2}')
+  WHERE rn = 1)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       o.old_value, o.old_type, n.new_value, n.new_type
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.old_value <> n.new_value OR o.old_type <> n.new_type
+ORDER BY user_id"""
+
+
+@register(
+    "q128_state_snapshot_diff",
+    _SNAPSHOT_DIFF_SQL,
+    ops=("ext-snapshot-cdc-diff",),
+    doc="Snapshot CDC diff: latest-wins user state as of two cutoffs "
+    "(q95's single max_by aggregate per snapshot — no window, no "
+    "sort), full-outer-joined on the key to emit added / removed / "
+    "changed rows.  This is the batch changelog between two versions "
+    "of a materialized table — the incremental-pipeline primitive "
+    "for feeding only deltas downstream.  Two map-combined "
+    "aggregates + one key join; at 100 TB both snapshot aggregates "
+    "shuffle once on user_id and the diff join reuses that "
+    "partitioning.  Value comparison is exact (same parquet doubles "
+    "pass through both engines).",
+)
+def q128_state_snapshot_diff(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+
+    def snap(cutoff, val, typ):
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.max_by("value", key).alias(val),
+                F.max_by("event_type", key).alias(typ),
+            )
+        )
+
+    old = snap(_SNAP_T1, "old_value", "old_type")
+    new = snap(_SNAP_T2, "new_value", "new_type")
+    j = old.alias("o").join(new.alias("n"), "user_id", "full_outer")
+    changed = (
+        F.col("o.old_value").isNull()
+        | F.col("n.new_value").isNull()
+        | (F.col("o.old_value") != F.col("n.new_value"))
+        | (F.col("o.old_type") != F.col("n.new_type"))
+    )
+    change_type = (
+        F.when(F.col("o.old_value").isNull() & F.col("o.old_type").isNull(), "added")
+        .when(F.col("n.new_value").isNull() & F.col("n.new_type").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(changed)
+        .select(
+            "user_id",
+            change_type.alias("change_type"),
+            "o.old_value",
+            "o.old_type",
+            "n.new_value",
+            "n.new_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
 # The grading driver writes CORRECTNESS rows for the FIRST 50 entries
@@ -4003,6 +4321,10 @@ def q118_user_value_scd2(spark, sf_dir):
 #      yielded their slots to the new q104-q122 and the re-proofs)
 #      carry r03 stamps, exactly 2 rounds old at r05; rotate them
 #      first next round.
+# Late round-5 additions q123-q128 (all full oracles) join the
+# never-stamped block; they push the six r03-stamped star-core rows
+# q01-q06 past slot 50 — those keep their r03 stamps (plain-SQL
+# shapes, lowest drift risk) and rotate in next round.
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
@@ -4031,6 +4353,12 @@ STAMP_PRIORITY: list[str] = [
     "q120_image_ahash_clusters",
     "q121_audio_signal_features",
     "q122_value_trend_stats",
+    "q123_token_bigram_counts",
+    "q124_value_anomaly_zscore",
+    "q125_orders_profile",
+    "q126_weighted_doc_sample",
+    "q127_basket_set_similarity",
+    "q128_state_snapshot_diff",
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",

@@ -1286,3 +1286,68 @@ def test_audio_features_semantics_and_quarantine(spark):
     assert math.isclose(got[2].rms, 1.0)
     assert got[3].modality == "unknown" and got[3].rms is None
     assert got[4].modality == "unknown", "stereo must quarantine, not mis-decode"
+
+
+def test_set_similarity_join_matches_brute_force(spark):
+    """Prefix-filter set-similarity join must equal the all-pairs
+    answer exactly — blocking is a sound optimization, not an
+    approximation."""
+    import itertools
+
+    from team_aragon_spark.operators.setsim import set_similarity_join
+
+    sets = {
+        1: {"a", "b", "c", "d"},
+        2: {"a", "b", "c", "e"},
+        3: {"x", "y"},
+        4: {"x", "y", "z"},
+        5: {"a", "x"},
+        6: {"q"},
+    }
+    rows = [(i, it) for i, items in sets.items() for it in items]
+    df = spark.createDataFrame(rows, "sid long, item string")
+    t = 0.5
+    expect = set()
+    for i, j in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if inter / union >= t:
+            expect.add((i, j, len(sets[i]), len(sets[j]), inter))
+    got = {
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter)
+        for r in set_similarity_join(df, "sid", "item", t).collect()
+    }
+    assert got == expect and (1, 2, 4, 4, 3) in got
+
+
+def test_set_similarity_exact_boundary_pair_not_missed(spark):
+    """Regression for the float-ceil prefix bug: ceil(0.1*90) in
+    doubles is 10, not 9; a one-short prefix would miss a subset pair
+    sitting EXACTLY at the threshold whose shared items are the most
+    frequent (canonically last) ones.  J(A,B) = 9/90 = 0.1 with B the
+    9 globally-most-frequent items of A must be found at t=0.1."""
+    from team_aragon_spark.operators.setsim import set_similarity_join
+
+    rows = []
+    a_items = [f"a{i:02d}" for i in range(81)] + [f"b{i}" for i in range(9)]
+    rows += [(100, it) for it in a_items]           # |A| = 90
+    rows += [(200, f"b{i}") for i in range(9)]      # B subset, |B| = 9
+    for filler in range(20):                        # make b* most frequent
+        rows += [(300 + filler, f"b{i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "sid long, item string")
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, float(r.jaccard))
+        for r in set_similarity_join(df, "sid", "item", 0.1).collect()
+    }
+    assert (100, 200) in got, "exact-boundary subset pair was missed"
+    assert got[(100, 200)] == (9, 0.1)
+
+
+def test_set_similarity_join_tolerates_duplicate_membership(spark):
+    from team_aragon_spark.operators.setsim import set_similarity_join
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "sid long, item string")
+    got = [(r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter, float(r.jaccard))
+           for r in set_similarity_join(df, "sid", "item", 0.9).collect()]
+    assert got == [(1, 2, 2, 2, 2, 1.0)]

@@ -787,3 +787,55 @@ def test_round5_new_query_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in p119 and "CartesianProduct" not in p119, p119
+
+
+def test_round5_late_query_plan_shapes(spark):
+    """Scale-critical plan shapes of the late round-5 additions:
+
+    - q123 (bigram counts): top-100 compiles to TakeOrderedAndProject
+      (per-partition heaps, no global sort) and the bigram build is
+      JVM-side (no Python eval in the plan).
+    - q124 (anomaly z-score): the per-type stats join is a broadcast,
+      never a shuffled sort-merge join, and there is no window.
+    - q125 (profiling): ONE parquet scan feeds the multi-distinct
+      aggregate (Expand), no join.
+    - q126 (weighted sample): TakeOrderedAndProject again — a global
+      ORDER BY would range-partition the whole corpus for 200 rows.
+    - q127 (set-similarity): no cartesian product anywhere — blocking
+      is the prefix-item equi-join.
+    - q128 (snapshot diff): latest-wins snapshots are max_by
+      aggregates, not windows.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    p123 = plan("q123_token_bigram_counts")
+    assert "TakeOrderedAndProject" in p123, p123
+    assert "EvalPython" not in p123, "bigram build must stay JVM-side"
+
+    p124 = plan("q124_value_anomaly_zscore")
+    assert "BroadcastHashJoin" in p124 and "SortMergeJoin" not in p124, p124
+    assert "Window" not in p124, p124
+
+    p125 = plan("q125_orders_profile")
+    # "FileScan parquet" contains "Scan parquet", so this counts each
+    # scan exactly once regardless of which spelling the plan uses.
+    assert p125.count("Scan parquet") == 1, p125
+    assert "Join" not in p125, p125
+
+    p126 = plan("q126_weighted_doc_sample")
+    assert "TakeOrderedAndProject" in p126, p126
+    assert "rangepartitioning" not in p126, "no global sort for a top-k sample"
+
+    p127 = plan("q127_basket_set_similarity")
+    assert "CartesianProduct" not in p127 and "BroadcastNestedLoopJoin" not in p127, p127
+
+    p128 = plan("q128_state_snapshot_diff")
+    assert "Window" not in p128, p128
