@@ -72,6 +72,8 @@ EXTRA = [
     "q126_weighted_doc_sample",     # deterministic weighted sampling
     "q127_basket_set_similarity",   # exact prefix-filter set-sim join
     "q128_state_snapshot_diff",     # snapshot CDC diff
+    "q130_source_token_kl",         # per-source KL divergence
+    "q132_trade_pagerank",          # iterative weighted PageRank
 ]
 
 

@@ -4298,6 +4298,263 @@ def q128_state_snapshot_diff(spark, sf_dir):
     )
 
 
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT lang, source, count(*)::DOUBLE AS n FROM documents GROUP BY lang, source),
+l AS (SELECT lang, sum(n) AS nl FROM obs GROUP BY lang),
+s AS (SELECT source, sum(n) AS ns FROM obs GROUP BY source),
+tot AS (SELECT sum(n) AS n FROM obs),
+grid AS (SELECT l.lang, s.source, l.nl * s.ns / tot.n AS e FROM l, s, tot),
+j AS (SELECT g.e, COALESCE(o.n, 0) AS n
+      FROM grid g LEFT JOIN obs o ON g.lang = o.lang AND g.source = o.source)
+SELECT round(sum((n - e) * (n - e) / e), 6) AS chi2,
+       (SELECT (count(*) - 1) FROM l) * (SELECT (count(*) - 1) FROM s) AS dof
+FROM j"""
+
+
+@register(
+    "q129_lang_source_chi2",
+    _CHI2_SQL,
+    ops=("ext-chi2-independence",),
+    doc="Chi-square test of independence between document language "
+    "and source — the drift / stratification-bias screen for a "
+    "training mix (is lang distribution homogeneous across "
+    "sources?).  One contingency aggregate over the corpus, then all "
+    "arithmetic happens on the |langs| x |sources| grid (built from "
+    "the two broadcast marginals so zero-observed cells still "
+    "contribute their expected count, as the statistic requires). "
+    "Nothing after the first aggregate scales with corpus size.",
+)
+def q129_lang_source_chi2(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    l = obs.groupBy("lang").agg(F.sum("n").alias("nl"))
+    s = obs.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = obs.agg(F.sum("n").alias("ntot"))
+    grid = (
+        l.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", (F.col("nl") * F.col("ns") / F.col("ntot")).alias("e"))
+    )
+    j = grid.join(obs, ["lang", "source"], "left").select(
+        "e", F.coalesce("n", F.lit(0.0)).alias("n")
+    )
+    dof = (
+        l.agg((F.count(F.lit(1)) - 1).alias("dl"))
+        .crossJoin(s.agg((F.count(F.lit(1)) - 1).alias("ds")))
+        .select((F.col("dl") * F.col("ds")).alias("dof"))
+    )
+    chi2 = j.agg(
+        F.round(F.sum((F.col("n") - F.col("e")) ** 2 / F.col("e")), 6).alias("chi2")
+    )
+    return chi2.crossJoin(F.broadcast(dof))
+
+
+_KL_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0),
+st AS (SELECT source, t, count(*)::DOUBLE AS n FROM tok GROUP BY source, t),
+s AS (SELECT source, sum(n) AS ns FROM st GROUP BY source),
+ct AS (SELECT t, sum(n) AS nt FROM st GROUP BY t),
+tot AS (SELECT sum(n) AS n FROM st)
+SELECT st.source,
+       round(sum((st.n / s.ns) * ln((st.n / s.ns) / (ct.nt / tot.n))), 6) AS kl
+FROM st JOIN s USING (source) JOIN ct USING (t), tot
+GROUP BY st.source ORDER BY st.source"""
+
+
+@register(
+    "q130_source_token_kl",
+    _KL_SQL,
+    ops=("ext-kl-divergence",),
+    doc="KL divergence of each source's unigram token distribution "
+    "from the whole-corpus distribution — the quantitative 'how "
+    "different is this source' signal used for mix weighting and "
+    "domain monitoring.  KL(p_s || q) = sum_t p_st * ln(p_st / q_t); "
+    "terms exist only where p_st > 0, and q_t > 0 there by "
+    "construction, so the sum is total.  One token explode feeds "
+    "three reusable aggregates; the per-token join shuffles on the "
+    "token key (high cardinality, no skew hot-spot), and the final "
+    "per-source sum is |sources| groups.",
+)
+def q130_source_token_kl(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(text.tokens(F.col("text"))).alias("t"))
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    s = st.groupBy("source").agg(F.sum("n").alias("ns"))
+    ct = st.groupBy("t").agg(F.sum("n").alias("nt"))
+    tot = st.agg(F.sum("n").alias("ntot"))
+    p = F.col("n") / F.col("ns")
+    q = F.col("nt") / F.col("ntot")
+    return (
+        st.join(F.broadcast(s), "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+        .orderBy("source")
+    )
+
+
+_INC_CUTOFF = "2024-01-15 00:00:00"
+
+_INC_AGG_SQL = """
+SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour"""
+
+
+@register(
+    "q131_incremental_hourly_agg",
+    _INC_AGG_SQL,
+    ops=("ext-incremental-agg-merge",),
+    doc="Incremental aggregate maintenance: the hourly rollup is "
+    "built by MERGING two independently-computed partial aggregates "
+    "(events before / after a cutoff — standing in for 'yesterday's "
+    "stored partials' + 'today's new batch') rather than rescanning "
+    "everything.  Works because (count, sum) is algebraic: partials "
+    "combine by addition, and avg is derived after the merge — the "
+    "property every incremental/streaming pipeline leans on.  The "
+    "oracle is the full recompute, proving merge == rescan.  At "
+    "100 TB only the new partition is scanned; the stored partials "
+    "are |keys|-sized.",
+)
+def q131_incremental_hourly_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_INC_CUTOFF).cast("timestamp")
+
+    def partial(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("ps"))
+        )
+
+    stored = partial(F.col("ts") < cut)
+    fresh = partial(F.col("ts") >= cut)
+    return (
+        stored.unionByName(fresh)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("ps"), 2).alias("sum_value"),
+            F.round(F.sum("ps") / F.sum("pn"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def _pagerank_oracle(iters: int, d: float) -> str:
+    sql = """
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*)::DOUBLE AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nation),
+r0 AS (SELECT n_nationkey AS node, 1.0 / nn.n AS pr FROM nation, nn)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+c{k} AS (SELECT e.dst AS node, sum(r.pr * e.w / o.tw) AS c
+     FROM e JOIN {prev} r ON e.src = r.node JOIN outw o ON e.src = o.src
+     GROUP BY e.dst),
+d{k} AS (SELECT COALESCE(sum(pr), 0) AS dm FROM {prev}
+     WHERE node NOT IN (SELECT src FROM outw)),
+r{k} AS (SELECT b.node,
+      (1 - {d}) / nn.n + {d} * (COALESCE(c{k}.c, 0) + d{k}.dm / nn.n) AS pr
+     FROM r0 b LEFT JOIN c{k} ON b.node = c{k}.node, d{k}, nn)"""
+        prev = f"r{k}"
+    return sql + f"""
+SELECT node AS nationkey, round(pr, 6) AS pagerank
+FROM {prev} ORDER BY node"""
+
+
+_PR_ITERS, _PR_DAMP = 3, 0.85
+
+
+@register(
+    "q132_trade_pagerank",
+    _pagerank_oracle(_PR_ITERS, _PR_DAMP),
+    ops=("ext-graph-pagerank",),
+    doc="Weighted PageRank (3 unrolled iterations, d=0.85) over the "
+    "nation-level trade graph (edge customer-nation -> supplier-"
+    "nation weighted by lineitem count).  Adds the iterative-"
+    "propagation family next to q64's connected components: each "
+    "iteration is contributions (edge join + dst aggregate) + "
+    "dangling-mass redistribution + teleport, identical arithmetic "
+    "spelled as chained CTEs for the DuckDB oracle.  The rank "
+    "iterations run on the AGGREGATED nation graph (|V|=25, dims "
+    "don't grow with fact volume), so only the one-time edge "
+    "extraction scans the fact tables; for large graphs the loop "
+    "composes with localCheckpoint every few rounds exactly like "
+    "operators/graph.py.  Dense small-fan-in sums + round(6) keep "
+    "the doubles engine-portable.",
+)
+def q132_trade_pagerank(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # The unrolled iterations each reference this relation; without a
+        # persist the final plan would re-derive it — i.e. rescan orders/
+        # lineitem once PER ITERATION.  Cached it is |V|^2 rows max.
+        # Cache lifetime is caller-managed (bench clears per query), the
+        # q24/q87/q120 convention.
+        .persist()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    nn = nation.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    d = _PR_DAMP
+
+    pr = nation.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(outw, "src")
+            .join(pr, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("tw")).alias("c"))
+        )
+        dang = (
+            pr.join(outw, pr.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        pr = (
+            nation.join(contrib, nation.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1 - d) / F.col("n")
+                    + F.lit(d) * (F.coalesce("c", F.lit(0.0)) + F.col("dm") / F.col("n"))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("nationkey"), F.round("pr", 6).alias("pagerank")
+    ).orderBy("nationkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -4359,6 +4616,14 @@ STAMP_PRIORITY: list[str] = [
     "q126_weighted_doc_sample",
     "q127_basket_set_similarity",
     "q128_state_snapshot_diff",
+    "q129_lang_source_chi2",
+    "q130_source_token_kl",
+    "q131_incremental_hourly_agg",
+    "q132_trade_pagerank",
+    # (q123-q132 displace the bottom of the window: the r03-stamped
+    # q01-q06 and the r02-stamped q43/q48/q51/q52 now sit past slot
+    # 50 — never-stamped full-oracle rows outrank stamp refreshes;
+    # rotate those ten first next round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",

@@ -839,3 +839,41 @@ def test_round5_late_query_plan_shapes(spark):
 
     p128 = plan("q128_state_snapshot_diff")
     assert "Window" not in p128, p128
+
+
+def test_iterative_and_divergence_query_plan_shapes(spark):
+    """q129-q132 scale shapes:
+
+    - q129 (chi2): everything after the first corpus aggregate runs
+      on the |langs| x |sources| grid — the only non-broadcast join
+      input is the aggregated contingency table, and there is no
+      window.
+    - q130 (KL): the per-token join is an equi-join on the token key;
+      cross joins appear only against broadcast single-row totals.
+    - q132 (PageRank): the aggregated edge relation is persisted, so
+      the 3 unrolled iterations read InMemoryTableScan instead of
+      re-scanning orders/lineitem once per iteration.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    p129 = plan("q129_lang_source_chi2")
+    assert "Window" not in p129 and "CartesianProduct" not in p129, p129
+
+    p130 = plan("q130_source_token_kl")
+    assert "CartesianProduct" not in p130, p130
+
+    p132 = plan("q132_trade_pagerank")
+    # Each of the 3 iterations (and the dangling-mass check) must read
+    # the cached edge relation, not re-derive it: every occurrence of
+    # the lineitem scan in the plan STRING is inside an InMemoryTableScan
+    # subtree reprint, so assert on the cache nodes themselves.
+    assert p132.count("InMemoryTableScan") >= 3, p132
+    spark.catalog.clearCache()
