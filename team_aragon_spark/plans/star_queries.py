@@ -4190,16 +4190,19 @@ ORDER BY id_a, id_b"""
     _BASKET_SIM_SQL,
     ops=("ext-set-similarity-join",),
     doc="EXACT set-similarity self-join: customer pairs whose "
-    "purchased-part sets have Jaccard >= 0.1, via prefix filtering "
-    "(AllPairs/SSJoin — operators/setsim.py) instead of the oracle's "
-    "share-any-item join.  Items are canonically ordered rarest-"
-    "first; a size-n set is blocked only on its first n-ceil(t*n)+1 "
-    "items (exact integer ceil), which provably cannot miss a "
-    "qualifying pair, and frequent items — the skew makers — sort "
-    "out of the prefixes.  The threshold test is pure integer "
-    "arithmetic on both sides, so the qualifying pair SET is exact, "
-    "no float boundary.  Unlike q24/q42 (approximate LSH), this "
-    "operator's driver row is a full brute-force value oracle.",
+    "purchased-part sets have Jaccard >= 0.1 (operators/setsim.py). "
+    "The operator is cost-based with two EXACT physical strategies: "
+    "AllPairs prefix-filter blocking (rarest-first canonical order, "
+    "per-set prefix n-ceil(t*n)+1 with exact integer ceil — wins at "
+    "high thresholds where the prefix prunes and hot items provably "
+    "stay out of it) and a share-an-item count-join (wins at low "
+    "thresholds where the prefix cannot prune; measured 3.6 s vs "
+    "9.9 s steady at sf0.1 for this t=0.1 workload — auto picks it "
+    "here).  The threshold test is pure integer arithmetic on both "
+    "sides, so the qualifying pair SET is exact, no float boundary. "
+    "Unlike q24/q42 (approximate LSH), this operator's driver row is "
+    "a full brute-force value oracle; the prefix path is equality- "
+    "and boundary-pinned in pytest.",
 )
 def q127_basket_set_similarity(spark, sf_dir):
     from team_aragon_spark.operators.setsim import set_similarity_join
@@ -4495,10 +4498,13 @@ _PR_ITERS, _PR_DAMP = 3, 0.85
     "spelled as chained CTEs for the DuckDB oracle.  The rank "
     "iterations run on the AGGREGATED nation graph (|V|=25, dims "
     "don't grow with fact volume), so only the one-time edge "
-    "extraction scans the fact tables; for large graphs the loop "
-    "composes with localCheckpoint every few rounds exactly like "
-    "operators/graph.py.  Dense small-fan-in sums + round(6) keep "
-    "the doubles engine-portable.",
+    "extraction scans the fact tables (persisted, plan-asserted), "
+    "and each iteration eagerly localCheckpoints its |V|-row rank "
+    "relation — the operators/graph.py lineage-truncation convention; "
+    "without it AQE re-plans the nested join tower at every shuffle "
+    "boundary (measured 15-45 s driver-bound wall vs ~3.6 s steady "
+    "with checkpoints at sf0.1).  Dense small-fan-in sums + round(6) "
+    "keep the doubles engine-portable.",
 )
 def q132_trade_pagerank(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -4549,6 +4555,13 @@ def q132_trade_pagerank(spark, sf_dir):
                     + F.lit(d) * (F.coalesce("c", F.lit(0.0)) + F.col("dm") / F.col("n"))
                 ).alias("pr"),
             )
+            # Truncate lineage every iteration (the graph.py convention):
+            # without this the final DAG nests all iterations' joins and
+            # AQE re-plans the whole tower at every shuffle boundary —
+            # measured 15-45 s wall for this 25-node graph, driver-bound,
+            # vs ~2 s with per-iteration checkpoints.  The checkpointed
+            # relation is |V| rows.
+            .localCheckpoint(eager=True)
         )
     return pr.select(
         F.col("node").alias("nationkey"), F.round("pr", 6).alias("pagerank")

@@ -1288,10 +1288,14 @@ def test_audio_features_semantics_and_quarantine(spark):
     assert got[4].modality == "unknown", "stereo must quarantine, not mis-decode"
 
 
-def test_set_similarity_join_matches_brute_force(spark):
-    """Prefix-filter set-similarity join must equal the all-pairs
-    answer exactly — blocking is a sound optimization, not an
-    approximation."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("strategy", ["prefix", "count"])
+def test_set_similarity_join_matches_brute_force(spark, strategy):
+    """BOTH physical strategies of the set-similarity join must equal
+    the all-pairs answer exactly — they are plans, not
+    approximations."""
     import itertools
 
     from team_aragon_spark.operators.setsim import set_similarity_join
@@ -1315,7 +1319,7 @@ def test_set_similarity_join_matches_brute_force(spark):
             expect.add((i, j, len(sets[i]), len(sets[j]), inter))
     got = {
         (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter)
-        for r in set_similarity_join(df, "sid", "item", t).collect()
+        for r in set_similarity_join(df, "sid", "item", t, strategy=strategy).collect()
     }
     assert got == expect and (1, 2, 4, 4, 3) in got
 
@@ -1335,12 +1339,35 @@ def test_set_similarity_exact_boundary_pair_not_missed(spark):
     for filler in range(20):                        # make b* most frequent
         rows += [(300 + filler, f"b{i}") for i in range(9)]
     df = spark.createDataFrame(rows, "sid long, item string")
+    # strategy forced: auto would dispatch t=0.1 to the count path,
+    # and the regression being pinned lives in the PREFIX length math.
     got = {
         (r.id_a, r.id_b): (r.n_inter, float(r.jaccard))
-        for r in set_similarity_join(df, "sid", "item", 0.1).collect()
+        for r in set_similarity_join(
+            df, "sid", "item", 0.1, strategy="prefix"
+        ).collect()
     }
     assert (100, 200) in got, "exact-boundary subset pair was missed"
     assert got[(100, 200)] == (9, 0.1)
+
+
+def test_set_similarity_auto_dispatch(spark):
+    """auto must pick count below the crossover (no array_sort /
+    collect_list stage in the plan) and prefix above it."""
+    from team_aragon_spark.operators.setsim import set_similarity_join
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "sid long, item string"
+    )
+    low = set_similarity_join(df, "sid", "item", 0.1)
+    high = set_similarity_join(df, "sid", "item", 0.8)
+    low_plan = low._jdf.queryExecution().optimizedPlan().toString()
+    high_plan = high._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in low_plan, low_plan
+    assert "collect_list" in high_plan, high_plan
+    # and both remain correct on this tiny identical-sets input
+    assert {(r.id_a, r.id_b) for r in low.collect()} == {(1, 2)}
+    assert {(r.id_a, r.id_b) for r in high.collect()} == {(1, 2)}
 
 
 def test_set_similarity_join_tolerates_duplicate_membership(spark):
