@@ -74,6 +74,7 @@ EXTRA = [
     "q128_state_snapshot_diff",     # snapshot CDC diff
     "q130_source_token_kl",         # per-source KL divergence
     "q132_trade_pagerank",          # iterative weighted PageRank
+    "q133_portable_winnowing",      # true window-min winnowing
 ]
 
 

@@ -40,7 +40,7 @@ local algorithms for document fingerprinting" (SIGMOD 2003).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from team_aragon_spark.session import ensure_parallelism
@@ -519,4 +519,67 @@ def passage_dedup_reassemble(
             F.count(F.lit(1)).alias("n_kept"),
         )
         .orderBy(id_col)
+    )
+
+
+def portable_winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """TRUE winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003) with an engine-portable hash.
+
+    For every window of ``w`` consecutive ``k``-token-gram hashes,
+    select the minimal hash (leftmost position on ties) — the classic
+    guarantee that any shared substring of length >= w+k-1 tokens
+    yields at least one shared fingerprint, unlike the mod-p sampling
+    of ``functions.rolling_hash_fingerprints`` (q39), which can miss
+    arbitrarily long matches.  The hash is the md5-hex-prefix bigint
+    (q63/q71/q94 technique), so DuckDB recomputes every fingerprint
+    bit-for-bit and the driver row is a FULL value oracle.
+
+    The per-window argmin is ONE min() over a row-frame window
+    partitioned by document — high-cardinality key, no skew hot-spot —
+    on a single BIGINT encoding ``hash * M + (M-1-pos)`` (M = 2^20,
+    so valid for documents up to ~1M grams; hash < 2^32 keeps the
+    product < 2^52).  Encoding (hash, -pos) lexicographic order into
+    one integer keeps the tie-break identical in both engines without
+    struct-min portability concerns.
+    """
+    M = 1 << 20
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    grams = (
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> struct(i AS pos, "
+        f"cast(conv(substr(md5(concat_ws(' ', slice({toks}, i, {k}))), 1, 8), 16, 10) AS BIGINT) AS h))"
+    )
+    g = (
+        df.filter(F.expr(f"size({toks}) >= {k}"))
+        .select(
+            id_col,
+            (F.expr(f"size({toks})") - F.lit(k - 1)).alias("n_grams"),
+            F.explode(F.expr(grams)).alias("g"),
+        )
+        .select(id_col, "n_grams", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    enc = (F.col("h") * M + (F.lit(M - 1) - F.col("pos"))).alias("enc")
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        g.select(id_col, "pos", "n_grams", enc)
+        .withColumn("me", F.min("enc").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - w + 1)
+        .select(
+            id_col,
+            (F.lit(M - 1) - F.col("me") % M).cast("bigint").alias("pos"),
+            F.expr(f"me div {M}").cast("bigint").alias("hash"),
+        )
+        .distinct()
+        .orderBy(id_col, "pos", "hash")
     )

@@ -4568,6 +4568,48 @@ def q132_trade_pagerank(spark, sf_dir):
     ).orderBy("nationkey")
 
 
+_WINNOW_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+u AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+      FROM t WHERE len(toks) >= 5),
+g AS (SELECT doc_id, i AS pos,
+        ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 8))::UBIGINT::BIGINT AS h,
+        len(toks) - 4 AS n_grams
+      FROM u),
+e AS (SELECT doc_id, pos, n_grams, h * 1048576 + (1048575 - pos) AS enc FROM g),
+m AS (SELECT doc_id, pos, n_grams,
+        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS me
+      FROM e)
+SELECT DISTINCT doc_id, CAST(1048575 - (me % 1048576) AS BIGINT) AS pos,
+       CAST(me // 1048576 AS BIGINT) AS hash
+FROM m WHERE pos <= n_grams - 4 + 1
+ORDER BY doc_id, pos, hash"""
+
+
+@register(
+    "q133_portable_winnowing",
+    _WINNOW_SQL,
+    ops=("ext-winnowing-fingerprints",),
+    doc="TRUE winnowing fingerprints (Schleimer et al., SIGMOD 2003): "
+    "per document, the minimal 5-token-gram hash of every 4-gram "
+    "window, md5-portable so the ENTIRE fingerprint set is a full "
+    "DuckDB value oracle — upgrading the fingerprint family beyond "
+    "q39's mod-p sampling (rows-only, and mod-sampling can miss "
+    "arbitrarily long shared substrings; window-min guarantees a "
+    "shared fingerprint for any shared run of >= w+k-1 tokens).  The "
+    "per-window argmin is one min() over a doc-partitioned row frame "
+    "on a single bigint (hash, -pos) encoding, so the tie-break is "
+    "bit-identical in both engines "
+    "(operators/text_dedup.py:portable_winnowing_fingerprints).",
+)
+def q133_portable_winnowing(spark, sf_dir):
+    from team_aragon_spark.operators.text_dedup import portable_winnowing_fingerprints
+
+    return portable_winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -4633,10 +4675,11 @@ STAMP_PRIORITY: list[str] = [
     "q130_source_token_kl",
     "q131_incremental_hourly_agg",
     "q132_trade_pagerank",
-    # (q123-q132 displace the bottom of the window: the r03-stamped
-    # q01-q06 and the r02-stamped q43/q48/q51/q52 now sit past slot
-    # 50 — never-stamped full-oracle rows outrank stamp refreshes;
-    # rotate those ten first next round.)
+    "q133_portable_winnowing",
+    # (q123-q133 displace the bottom of the window: the r03-stamped
+    # q01-q06 and the r02-stamped q38/q43/q48/q51/q52 now sit past
+    # slot 50 — never-stamped full-oracle rows outrank stamp
+    # refreshes; rotate those eleven first next round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",

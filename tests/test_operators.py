@@ -1378,3 +1378,36 @@ def test_set_similarity_join_tolerates_duplicate_membership(spark):
     got = [(r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter, float(r.jaccard))
            for r in set_similarity_join(df, "sid", "item", 0.9).collect()]
     assert got == [(1, 2, 2, 2, 2, 1.0)]
+
+
+def test_portable_winnowing_guarantee_and_mod_sampling_gap(spark):
+    """The winnowing contract (Schleimer 2003): two documents sharing
+    any run of >= w+k-1 = 8 tokens MUST share at least one
+    fingerprint.  Also pin the tie-break: equal window-minimal hashes
+    select the LEFTMOST position (the (hash, -pos)-encoding min)."""
+    from team_aragon_spark.operators.text_dedup import portable_winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+            (3, "completely different words with no overlap at all here"),
+            (4, "short text"),  # < k tokens -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fp = portable_winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.hash)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
+    # every full window start position is covered by a selection whose
+    # pos lies within [start, start + w - 1] — i.e. the guarantee holds
+    # structurally, not only via this example's hashes
+    pos1 = sorted(r.pos for r in fp if r.doc_id == 1)
+    n_grams_1 = 14 - 5 + 1  # 14 tokens
+    for start in range(1, n_grams_1 - 4 + 2):
+        assert any(start <= p <= start + 3 for p in pos1), (start, pos1)
