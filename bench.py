@@ -75,6 +75,8 @@ EXTRA = [
     "q130_source_token_kl",         # per-source KL divergence
     "q132_trade_pagerank",          # iterative weighted PageRank
     "q133_portable_winnowing",      # true window-min winnowing
+    "q134_per_source_weighted_sample",  # stratified weighted sampling
+    "q135_lineitem_corr_matrix",    # one-scan correlation matrix
 ]
 
 

@@ -148,3 +148,41 @@ def session_stats(df: DataFrame, user_col: str = "user_id", **kwargs) -> DataFra
         F.countDistinct("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    descending: bool = True,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Top-k per group in TWO window passes, safe for skewed/low-
+    cardinality groups (the q116 BM25 pattern, reusable).
+
+    ``topk_per_group``'s single ``partitionBy(group)`` window sends a
+    group's ENTIRE row set through one task — fatal when one group is
+    a dominant source at corpus scale.  Here a local pass partitioned
+    by (group, pmod(hash(tiebreak), salt_buckets)) keeps k rows per
+    salt bucket (bounding any task to ~|group|/salt_buckets rows),
+    then the final pass ranks the surviving ``salt_buckets * k`` rows
+    per group.  Result is identical to the naive window for any salt
+    count because rank order (order_col, tiebreak) is total.
+    """
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tiebreak).asc(),
+    ]
+    local = Window.partitionBy(
+        *group_cols, F.pmod(F.hash(F.col(tiebreak)), F.lit(salt_buckets))
+    ).orderBy(*order)
+    final = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__lrk", F.row_number().over(local))
+        .filter(F.col("__lrk") <= k)
+        .withColumn("__rk", F.row_number().over(final))
+        .filter(F.col("__rk") <= k)
+        .drop("__lrk", "__rk")
+    )

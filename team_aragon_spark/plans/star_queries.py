@@ -4610,6 +4610,114 @@ def q133_portable_winnowing(spark, sf_dir):
     return portable_winnowing_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+_GW_K = 20
+
+_GROUPED_WSAMPLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5('wsampg' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             + 0.5) / 4294967296.0) / n_chars AS es_key
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rn
+  FROM k)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= {_GW_K}
+ORDER BY source, doc_id"""
+
+
+@register(
+    "q134_per_source_weighted_sample",
+    _GROUPED_WSAMPLE_SQL,
+    ops=("ext-corpus-weighted-sample-grouped",),
+    doc="Per-GROUP weighted sampling without replacement: q126's "
+    "deterministic Efraimidis-Spirakis keys (portable md5 uniforms, "
+    "log space), but top-k WITHIN each source — the stratified form "
+    "used to build fixed-size per-domain eval/train slices.  The "
+    "naive per-group window would serialize a dominant source "
+    "through one task (the q93 failure mode); this uses the "
+    "reusable salted TWO-PASS top-k "
+    "(operators/windows.py:salted_topk_per_group, the q116 BM25 "
+    "pattern): local k per (source, hash-salt bucket), then a final "
+    "rank over salt_buckets*k survivors per source — identical "
+    "result, bounded task size.  The oracle is the naive window, "
+    "proving the two plans equal.",
+)
+def q134_per_source_weighted_sample(spark, sf_dir):
+    from team_aragon_spark.operators.windows import salted_topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsampg"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    return (
+        salted_topk_per_group(
+            keyed, ["source"], "es_key", _GW_K, tiebreak="doc_id"
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+_LI_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_MATRIX_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS x, '{b}' AS y,
+           round(corr({a}, {b}), 6) AS r,
+           round(covar_samp({a}, {b}), 6) AS cov
+    FROM lineitem"""
+    for i, a in enumerate(_LI_NUMERIC)
+    for b in _LI_NUMERIC[i + 1:]
+) + "\nORDER BY x, y"
+
+
+@register(
+    "q135_lineitem_corr_matrix",
+    _CORR_MATRIX_SQL,
+    ops=("ext-correlation-matrix",),
+    doc="Pairwise correlation matrix of the lineitem numeric columns "
+    "— the feature-redundancy screen of a profiling pass — computed "
+    "in ONE scan: all 6 corr/covar_samp pairs live in a single "
+    "aggregate (each is partial-combinable sufficient-statistics "
+    "state), then the one-row result is exploded to long (x, y, r, "
+    "cov) form.  The oracle spells the same numbers as 6 UNION ALL "
+    "passes.  Rounded to 6 digits both sides.",
+)
+def q135_lineitem_corr_matrix(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_LI_NUMERIC)
+        for b in _LI_NUMERIC[i + 1:]
+    ]
+    aggs = []
+    for a, b in pairs:
+        aggs.append(F.round(F.corr(a, b), 6).alias(f"r_{a}_{b}"))
+        aggs.append(F.round(F.covar_samp(a, b), 6).alias(f"c_{a}_{b}"))
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("x"),
+                F.lit(b).alias("y"),
+                F.col(f"r_{a}_{b}").alias("r"),
+                F.col(f"c_{a}_{b}").alias("cov"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*").orderBy("x", "y")
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -4676,10 +4784,12 @@ STAMP_PRIORITY: list[str] = [
     "q131_incremental_hourly_agg",
     "q132_trade_pagerank",
     "q133_portable_winnowing",
-    # (q123-q133 displace the bottom of the window: the r03-stamped
-    # q01-q06 and the r02-stamped q38/q43/q48/q51/q52 now sit past
-    # slot 50 — never-stamped full-oracle rows outrank stamp
-    # refreshes; rotate those eleven first next round.)
+    "q134_per_source_weighted_sample",
+    "q135_lineitem_corr_matrix",
+    # (q123-q135 displace the bottom of the window: the r03-stamped
+    # q01-q06 and the r02-stamped q36/q37/q38/q43/q48/q51/q52 now sit
+    # past slot 50 — never-stamped full-oracle rows outrank stamp
+    # refreshes; rotate those thirteen first next round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",

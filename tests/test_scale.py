@@ -878,3 +878,49 @@ def test_iterative_and_divergence_query_plan_shapes(spark):
     assert "Scan ExistingRDD" in p132, p132
     assert "lineitem" not in p132 and "orders" not in p132, p132
     spark.catalog.clearCache()
+
+
+def test_salted_topk_per_group_matches_naive_on_skew(spark):
+    """The two-pass salted top-k must equal the naive per-group window
+    on a skewed input (one group owns 90% of rows), for several salt
+    counts — rank order (order_col, tiebreak) is total, so the salt
+    partitioning cannot change the answer."""
+    from team_aragon_spark.operators.windows import salted_topk_per_group, topk_per_group
+
+    rows = [("hot", i, float(i % 97)) for i in range(900)]
+    rows += [("cold", 1000 + i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, rid long, score double")
+    naive = {
+        (r.grp, r.rid)
+        for r in topk_per_group(df, ["grp"], "score", 7, tiebreak="rid").collect()
+    }
+    for buckets in (2, 16, 64):
+        salted = {
+            (r.grp, r.rid)
+            for r in salted_topk_per_group(
+                df, ["grp"], "score", 7, tiebreak="rid", salt_buckets=buckets
+            ).collect()
+        }
+        assert salted == naive, buckets
+
+
+def test_grouped_sample_and_corr_plan_shapes(spark):
+    """q134: the per-source sample must rank via TWO window passes
+    (salted local + constant-size final), never a single whole-source
+    window; q135: one scan feeds all 6 correlation pairs."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    p134 = (
+        QUERY_REGISTRY["q134_per_source_weighted_sample"].fn(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p134.count("RunningWindowFunction") + p134.count("Window") >= 2, p134
+    # the local pass partitions by (source, salt), visible as pmod(hash
+    assert "pmod" in p134, p134
+
+    p135 = (
+        QUERY_REGISTRY["q135_lineitem_corr_matrix"].fn(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p135.count("Scan parquet") == 1 and "Join" not in p135, p135
