@@ -77,6 +77,8 @@ EXTRA = [
     "q133_portable_winnowing",      # true window-min winnowing
     "q134_per_source_weighted_sample",  # stratified weighted sampling
     "q135_lineitem_corr_matrix",    # one-scan correlation matrix
+    "q136_bpe_merge_training",      # oracle-verified BPE training loop
+    "q137_bpe_token_counts",        # tokenizer-aware token accounting
 ]
 
 

@@ -618,3 +618,97 @@ def percentile_buckets(
             (F.lit(1) + gt).cast("bigint").alias("bucket"),
         )
     )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    text_col: str = "text",
+    iters: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed BPE merge training (Sennrich, Haddow & Birch, ACL
+    2016): learn ``iters`` merge rules from the corpus word-frequency
+    table, entirely in DataFrame ops.
+
+    Returns ``(merges, words)``: ``merges`` is the learned rule table
+    ``(step, a, b, merged, n)``; ``words`` is the word-frequency table
+    with the FINAL segmentation ``s`` (sentinel-space-delimited token
+    string), ready for encoding via a join (see q137).
+
+    Scale shape: the training input is the DISTINCT-word table (the
+    classic BPE trick — millions of rows at corpus scale, never the
+    token stream), each iteration is one weighted bigram aggregate +
+    a 1-row top-1 reduce broadcast back into a narrow ``replace``.
+    Both the 1-row top and the updated word table are eagerly
+    localCheckpoint-ed per iteration (the q132 lesson: unrolled
+    iterative plans must truncate lineage or AQE re-plans the tower).
+
+    Exactness notes: top-pair ties break on (n DESC, a, b) — total
+    order; the merge itself is a plain ``replace`` of the sentinel-
+    delimited pair ``' a b ' -> ' ab '``, whose left-to-right
+    non-overlapping scan is identical in Spark and DuckDB (on an
+    immediate repeat like ``a a a a`` it merges with a one-token gap,
+    a documented, engine-agreeing deviation from reference BPE's
+    symbol-list scan — RE2 has no lookahead, so the oracle cannot
+    express the reference behavior).
+    """
+    from team_aragon_spark.operators import text as text_ops
+
+    words = (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.explode(text_ops.tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    cur = words.select(
+        "word",
+        "wn",
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for step in range(1, iters + 1):
+        toks = F.expr("split(trim(s), ' ')")
+        pairs = (
+            cur.select(
+                "wn",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(split(trim(s), ' '), 1, size(split(trim(s), ' '))-1),"
+                        " slice(split(trim(s), ' '), 2, size(split(trim(s), ' '))-1),"
+                        " (x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("bg"),
+            )
+            .select("wn", "bg.a", "bg.b")
+            .groupBy("a", "b")
+            .agg(F.sum("wn").alias("n"))
+        )
+        top = (
+            pairs.orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(step).alias("step"),
+                "a",
+                "b",
+                F.concat("a", "b").alias("merged"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "wn",
+                F.expr(
+                    "replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionByName(m)
+    return merges.orderBy("step"), cur

@@ -4718,6 +4718,116 @@ def q135_lineitem_corr_matrix(spark, sf_dir):
     return one.select(F.explode(rows).alias("p")).select("p.*").orderBy("x", "y")
 
 
+_BPE_ITERS = 10
+
+
+def _bpe_oracle_prefix(iters: int) -> str:
+    """Shared DuckDB CTE chain: word-frequency table -> ``iters``
+    unrolled BPE merge steps (m1..mN = the learned rules, s1..sN =
+    the evolving segmentations)."""
+    # Every stage is AS MATERIALIZED: the scalar subqueries on m{k}
+    # otherwise make DuckDB INLINE the chain, duplicating s{k-1}'s
+    # whole subtree several times per level — exponential plan growth
+    # that exhausts file handles around depth 10.
+    sql = r"""
+WITH w AS MATERIALIZED (
+  SELECT t AS word, count(*) AS wn FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+    WHERE length(trim(text)) > 0) GROUP BY t),
+s0 AS MATERIALIZED (
+  SELECT word, wn, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s FROM w)"""
+    for k in range(1, iters + 1):
+        prev = f"s{k-1}"
+        sql += f""",
+p{k} AS MATERIALIZED (
+  SELECT toks[i] AS a, toks[i+1] AS b, sum(wn) AS n FROM (
+    SELECT wn, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM (
+      SELECT wn, regexp_split_to_array(trim(s), ' ') AS toks FROM {prev})
+    WHERE len(toks) >= 2)
+  GROUP BY a, b),
+m{k} AS MATERIALIZED (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+s{k} AS MATERIALIZED (
+  SELECT word, wn,
+       replace(s, ' ' || (SELECT a FROM m{k}) || ' ' || (SELECT b FROM m{k}) || ' ',
+                  ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' ') AS s
+     FROM {prev})"""
+    return sql
+
+
+_BPE_MERGES_SQL = _bpe_oracle_prefix(_BPE_ITERS) + "\nSELECT * FROM (\n" + "\nUNION ALL ".join(
+    f"SELECT {k} AS step, a, b, a || b AS merged, CAST(n AS BIGINT) AS n FROM m{k}"
+    for k in range(1, _BPE_ITERS + 1)
+) + ") ORDER BY step"
+
+
+@register(
+    "q136_bpe_merge_training",
+    _BPE_MERGES_SQL,
+    ops=("ext-bpe-training",),
+    doc="Distributed BPE merge training (Sennrich 2016), ORACLE-"
+    "VERIFIED end-to-end: 10 merge rules learned from the corpus "
+    "word-frequency table, each iteration a weighted bigram "
+    "aggregate + a deterministic 1-row top-1 (n DESC, a, b) "
+    "broadcast into a narrow sentinel-space replace "
+    "(operators/corpus.py:bpe_learn).  The DuckDB oracle replays the "
+    "identical 10 unrolled steps as CTEs, so the driver row proves "
+    "the whole TRAINING LOOP, not just one pass — the strongest "
+    "correctness statement in the tokenizer family (q123 counts one "
+    "pass; q38 approximates pretokenization).  Training input is the "
+    "DISTINCT-word table (the classic BPE trick): corpus-sized "
+    "scans happen once, iterations touch |vocab| rows, per-iteration "
+    "lineage is checkpoint-truncated (q132 lesson).",
+)
+def q136_bpe_merge_training(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import bpe_learn
+
+    merges, _ = bpe_learn(_t(spark, sf_dir, "documents"), iters=_BPE_ITERS)
+    return merges
+
+
+_BPE_ENCODE_SQL = _bpe_oracle_prefix(_BPE_ITERS) + f""",
+final_words AS (
+  SELECT word, len(regexp_split_to_array(trim(s), ' ')) AS ntok FROM s{_BPE_ITERS}),
+docw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT d.doc_id, CAST(sum(f.ntok) AS BIGINT) AS bpe_tokens
+FROM docw d JOIN final_words f USING (word)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
+@register(
+    "q137_bpe_token_counts",
+    _BPE_ENCODE_SQL,
+    ops=("ext-bpe-encoding",),
+    doc="BPE encoding with the q136-trained merges: per-document "
+    "token counts under the learned 10-rule vocabulary — the REAL "
+    "tokenizer-aware budget signal (q18 counts whitespace words, "
+    "q38 a pretokenizer regex; this counts actual merged subword "
+    "units).  Encoding is a broadcast-join of the corpus token "
+    "stream against the |vocab|-row final segmentation table — no "
+    "per-document merge loop exists at encode time, which is what "
+    "makes tokenizer-aware accounting affordable at 100 TB.",
+)
+def q137_bpe_token_counts(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    _, words = bpe_learn(docs, iters=_BPE_ITERS)
+    ntok = words.select(
+        "word", F.size(F.expr("split(trim(s), ' ')")).alias("ntok")
+    )
+    docw = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("word")
+    )
+    return (
+        docw.join(F.broadcast(ntok), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("ntok").cast("bigint").alias("bpe_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -4786,10 +4896,14 @@ STAMP_PRIORITY: list[str] = [
     "q133_portable_winnowing",
     "q134_per_source_weighted_sample",
     "q135_lineitem_corr_matrix",
-    # (q123-q135 displace the bottom of the window: the r03-stamped
-    # q01-q06 and the r02-stamped q36/q37/q38/q43/q48/q51/q52 now sit
-    # past slot 50 — never-stamped full-oracle rows outrank stamp
-    # refreshes; rotate those thirteen first next round.)
+    "q136_bpe_merge_training",
+    "q137_bpe_token_counts",
+    # (q123-q137 displace the bottom of the window: the never-stamped
+    # block (38) + the six changed-this-round rows + the six
+    # approximate r02 rows fill all 50 slots exactly; the r03-stamped
+    # q01-q06 and the r02-stamped q22/q35/q36/q37/q38/q43/q48/q51/q52
+    # sit past slot 50 — never-stamped full-oracle rows outrank stamp
+    # refreshes; rotate those fifteen first next round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",

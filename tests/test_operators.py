@@ -1411,3 +1411,30 @@ def test_portable_winnowing_guarantee_and_mod_sampling_gap(spark):
     n_grams_1 = 14 - 5 + 1  # 14 tokens
     for start in range(1, n_grams_1 - 4 + 2):
         assert any(start <= p <= start + 3 for p in pos1), (start, pos1)
+
+
+def test_bpe_learn_semantics(spark):
+    """Pin BPE training on a planted corpus with a known answer:
+    'low' x3 + 'lower' x2 -> most frequent pair is (l,o) n=5, then
+    (lo,w) n=5 (ties with nothing), and encoding compresses
+    accordingly.  Also pin the documented repeat-run semantics:
+    'aaaa' merges (a,a) with a one-token gap -> [aa, a, a] after one
+    step, identically in both engines (RE2 forbids the lookahead the
+    reference scan would need)."""
+    from team_aragon_spark.operators.corpus import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower")], "doc_id long, text string"
+    )
+    merges, words = bpe_learn(docs, iters=2)
+    got = [(r.step, r.a, r.b, r.merged, r.n) for r in merges.collect()]
+    assert got[0] == (1, "l", "o", "lo", 5)
+    assert got[1] == (2, "lo", "w", "low", 5)
+    seg = {r.word: r.s.strip() for r in words.collect()}
+    assert seg["low"] == "low"
+    assert seg["lower"] == "low e r"
+
+    docs2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    m2, w2 = bpe_learn(docs2, iters=1)
+    assert [(r.a, r.b) for r in m2.collect()] == [("a", "a")]
+    assert w2.collect()[0].s.strip() == "aa a a"
