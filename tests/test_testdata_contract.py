@@ -124,3 +124,45 @@ def test_events_ts_values_sane(spark):
     row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     assert row.lo.year >= 2000, row
     assert row.hi.year <= 2100, row
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in (
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01") if os.path.isdir(d)])
+def test_value_invariants_new_queries_rely_on(spark, sf_dir):
+    """Data invariants (beyond dtypes) that registered queries assume.
+    A regeneration that breaks one should fail HERE, by name, not as
+    a mysterious driver hash mismatch:
+
+    - documents.n_chars >= 1 — q126/q134 divide ln(u) by it (E-S
+      weighted keys); 0 would produce -inf/NaN keys.
+    - documents text/token floor — q93's pack arithmetic assumes
+      token_count >= 1 for every doc (the div-vs-floor guard), and
+      the corpus has no NULL text.
+    - events.value / event_type / ts NOT NULL — q128's
+      added/changed classification and q95/q114's max_by state read
+      NULL value columns as 'snapshot row absent'.
+    - doc token count < 2^20 — q133's winnowing encodes position
+      into hash*2^20 + (2^20-1-pos); an overflow would silently
+      corrupt fingerprints.
+    """
+    from pyspark.sql import functions as F
+
+    from team_aragon_spark.operators import text
+
+    docs = read_table(spark, "documents", sf_dir)
+    r = docs.agg(
+        F.min("n_chars").alias("min_chars"),
+        F.sum(F.col("text").isNull().cast("int")).alias("null_text"),
+        F.min(text.token_count(F.col("text"))).alias("min_toks"),
+        F.max(text.token_count(F.col("text"))).alias("max_toks"),
+    ).collect()[0]
+    assert r.min_chars >= 1, "n_chars floor broken (q126/q134 E-S keys)"
+    assert r.null_text == 0
+    assert r.min_toks >= 1, "token floor broken (q93 pack arithmetic)"
+    assert r.max_toks < (1 << 20), "winnowing position encoding (q133)"
+
+    ev = read_table(spark, "events", sf_dir)
+    n = ev.filter(
+        F.col("value").isNull() | F.col("event_type").isNull() | F.col("ts").isNull()
+    ).count()
+    assert n == 0, "events NULLs break q128/q95/q114 state semantics"
