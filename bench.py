@@ -79,6 +79,7 @@ EXTRA = [
     "q135_lineitem_corr_matrix",    # one-scan correlation matrix
     "q136_bpe_merge_training",      # oracle-verified BPE training loop
     "q137_bpe_token_counts",        # tokenizer-aware token accounting
+    "q138_hybrid_rrf_retrieval",    # BM25 + dense RRF hybrid search
 ]
 
 

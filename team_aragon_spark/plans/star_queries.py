@@ -4828,6 +4828,127 @@ def q137_bpe_token_counts(spark, sf_dir):
     )
 
 
+_RRF_K = 60  # the standard RRF constant (Cormack, Clarke & Buettcher 2009)
+
+_HYBRID_RRF_SQL = r"""
+WITH q(qid, term) AS (
+  SELECT * FROM (VALUES (1, 'spark'), (1, 'join'),
+                        (2, 'vector'), (2, 'stream'), (2, 'window')) v(qid, term)),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS dl
+  FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(round(ln(1 + (st.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+              * 1e6) AS BIGINT) AS c
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+sp AS (
+  SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank_s FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+    FROM (SELECT qid, doc_id, sum(c) AS s FROM contrib GROUP BY qid, doc_id))
+  WHERE rank <= 20),
+dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (1, 2)),
+cv AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+cos AS (
+  SELECT qid, doc_id,
+         round(
+           list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 4) AS cosine
+  FROM cv, dq WHERE doc_id <> qid),
+de AS (
+  SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank_d FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank
+    FROM cos)
+  WHERE rank <= 20),
+fused AS (
+  SELECT COALESCE(sp.qid, de.qid) AS qid,
+         COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+         sp.rank_s, de.rank_d,
+         COALESCE(1.0 / (60 + sp.rank_s), 0) + COALESCE(1.0 / (60 + de.rank_d), 0)
+           AS rrf_raw
+  FROM sp FULL OUTER JOIN de ON sp.qid = de.qid AND sp.doc_id = de.doc_id)
+SELECT qid, doc_id, round(rrf_raw, 6) AS rrf, rank_s, rank_d FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_raw DESC, doc_id) AS rn
+  FROM fused)
+WHERE rn <= 10 ORDER BY qid, rrf DESC, doc_id"""
+
+
+@register(
+    "q138_hybrid_rrf_retrieval",
+    _HYBRID_RRF_SQL,
+    ops=("ext-ir-hybrid-rrf",),
+    doc="Hybrid retrieval with reciprocal-rank fusion (Cormack 2009): "
+    "q116's BM25 keyword top-20 and a dense cosine top-20 (query "
+    "vector = the embedding whose vec_id equals the qid; the synth "
+    "corpus links doc_id == vec_id 1:1) fused by "
+    "sum(1/(60+rank)) per branch, top-10 per query — the standard "
+    "RAG-stack shape where sparse and dense retrievers cover each "
+    "other's misses.  Fusion is rank-based, so exactness needs no "
+    "float-score reconciliation between branches: ranks are "
+    "deterministic integers in both engines (BM25's integer-scaled "
+    "scores; cosine rounded to 4 before ranking), and the RRF sum of "
+    "two exact rationals is bit-identical IEEE.  Both branches reuse "
+    "registered scale shapes (salted two-phase BM25 top-k; broadcast "
+    "query side for the dense scan).",
+)
+def q138_hybrid_rrf_retrieval(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, BM25_QUERY_TERMS, k=20).select(
+        "qid", "doc_id", F.col("rank").cast("bigint").alias("rank_s")
+    )
+    dq = emb.filter(F.col("vec_id").isin(1, 2))
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    dense = (
+        similarity.cosine_topk_bruteforce(emb, dq, k=20)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.row_number().over(wd).cast("bigint").alias("rank_d"),
+        )
+    )
+    j = sparse.join(dense, ["qid", "doc_id"], "full_outer")
+    rrf_raw = F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_s")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(_RRF_K) + F.col("rank_d")), F.lit(0.0)
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("rrf_raw"), "doc_id")
+    return (
+        j.withColumn("rrf_raw", rrf_raw)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "qid",
+            "doc_id",
+            F.round("rrf_raw", 6).alias("rrf"),
+            "rank_s",
+            "rank_d",
+        )
+        .orderBy("qid", F.desc("rrf"), "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -4898,12 +5019,14 @@ STAMP_PRIORITY: list[str] = [
     "q135_lineitem_corr_matrix",
     "q136_bpe_merge_training",
     "q137_bpe_token_counts",
-    # (q123-q137 displace the bottom of the window: the never-stamped
-    # block (38) + the six changed-this-round rows + the six
-    # approximate r02 rows fill all 50 slots exactly; the r03-stamped
+    "q138_hybrid_rrf_retrieval",
+    # (q123-q138 displace the bottom of the window: the never-stamped
+    # block (39) + the six changed-this-round rows fill 45 slots; of
+    # the six approximate r02 rows the first five fit (q24/q25/q26/
+    # q39/q42) and q50 now sits at slot 51 with the r03-stamped
     # q01-q06 and the r02-stamped q22/q35/q36/q37/q38/q43/q48/q51/q52
-    # sit past slot 50 — never-stamped full-oracle rows outrank stamp
-    # refreshes; rotate those fifteen first next round.)
+    # — never-stamped full-oracle rows outrank stamp refreshes;
+    # rotate those sixteen first next round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
