@@ -80,6 +80,10 @@ EXTRA = [
     "q136_bpe_merge_training",      # oracle-verified BPE training loop
     "q137_bpe_token_counts",        # tokenizer-aware token accounting
     "q138_hybrid_rrf_retrieval",    # BM25 + dense RRF hybrid search
+    "q139_user_value_twap",         # time-weighted average (lead window)
+    "q140_linear_touch_attribution",  # two-phase credit distribution
+    "q141_value_psi_drift",         # PSI drift (chi2/KL/PSI trio)
+    "q142_key_skew_profile",        # heavy-hitter share per key column
 ]
 
 

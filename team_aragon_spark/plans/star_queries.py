@@ -4949,6 +4949,231 @@ def q138_hybrid_rrf_retrieval(spark, sf_dir):
     )
 
 
+_TWAP_SQL = """
+WITH o AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       round(sum(value * (epoch_us(nxt) - epoch_us(ts)))
+             / sum(epoch_us(nxt) - epoch_us(ts)), 4) AS twap,
+       CAST(count(nxt) AS BIGINT) AS n_intervals
+FROM o WHERE nxt IS NOT NULL
+GROUP BY user_id ORDER BY user_id"""
+
+
+@register(
+    "q139_user_value_twap",
+    _TWAP_SQL,
+    ops=("ext-time-weighted-avg",),
+    doc="Time-weighted average value per user (the TWAP shape from "
+    "finance/telemetry: each reading holds until the next one, so its "
+    "weight is the interval it was live).  One lead() window on the "
+    "high-cardinality user key, then a plain weighted-mean aggregate; "
+    "weights are INTEGER microsecond deltas on both engines "
+    "(epoch_us vs unix_micros — float seconds would round differently "
+    "at the microsecond tail), sums rounded to 4.",
+)
+def q139_user_value_twap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    o = ev.withColumn("nxt", F.lead("ts").over(w)).filter(F.col("nxt").isNotNull())
+    dwell = us("nxt") - us("ts")
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dwell) / F.sum(dwell), 4).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ATTRIB_SQL = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+touches AS (
+  SELECT p.purchase_id, p.p_value, c.click_id
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.c_ts >= p.p_ts - INTERVAL 1 DAY AND c.c_ts <= p.p_ts),
+per_purchase AS (
+  SELECT purchase_id, p_value, count(*) AS n_touches FROM touches
+  GROUP BY purchase_id, p_value)
+SELECT t.click_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(pp.p_value / pp.n_touches), 4) AS attributed_value
+FROM touches t JOIN per_purchase pp USING (purchase_id)
+GROUP BY t.click_id ORDER BY t.click_id"""
+
+
+@register(
+    "q140_linear_touch_attribution",
+    _ATTRIB_SQL,
+    ops=("ext-marketing-attribution",),
+    doc="Multi-touch linear attribution: each purchase's value is "
+    "split equally across the user's clicks in the preceding day, "
+    "and every click accumulates its credit — the two-phase "
+    "credit-distribution shape (count touches per conversion, then "
+    "distribute back over the SAME touch set).  Both phases run on "
+    "one materialized touch relation (bucketed range join from "
+    "operators/range_join.py, never a nested loop; persisted so the "
+    "credit join does not re-run it), so the conversion window is "
+    "evaluated once.  Complements q40 (last-touch as-of) with the "
+    "fractional model.",
+)
+def q140_linear_touch_attribution(spark, sf_dir):
+    from team_aragon_spark.operators.range_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    touches = interval_join(
+        clicks, purchases, "c_ts", "w_start", "w_end", equi_keys=["user_id"]
+    ).select("purchase_id", "p_value", "click_id").persist()
+    per_purchase = touches.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    return (
+        touches.join(per_purchase, "purchase_id")
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("p_value") / F.col("n_touches")), 4).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("click_id")
+    )
+
+
+_PSI_CUTOFF = "2024-01-16 00:00:00"
+
+_PSI_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_PSI_CUTOFF}' THEN 'p' ELSE 'q' END AS half,
+         least(CAST(floor(value / 50) AS INT), 9) AS bucket
+  FROM events),
+c AS (SELECT event_type, half, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, half, sum(n) AS t FROM c GROUP BY 1, 2),
+grid AS (SELECT DISTINCT event_type, bucket FROM c),
+pq AS (
+  SELECT g.event_type, g.bucket,
+         (COALESCE(cp.n, 0) + 0.5) / (tp.t + 5.0) AS p,
+         (COALESCE(cq.n, 0) + 0.5) / (tq.t + 5.0) AS q
+  FROM grid g
+  LEFT JOIN c cp ON cp.event_type = g.event_type AND cp.bucket = g.bucket
+                AND cp.half = 'p'
+  LEFT JOIN c cq ON cq.event_type = g.event_type AND cq.bucket = g.bucket
+                AND cq.half = 'q'
+  JOIN tot tp ON tp.event_type = g.event_type AND tp.half = 'p'
+  JOIN tot tq ON tq.event_type = g.event_type AND tq.half = 'q')
+SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM pq GROUP BY event_type ORDER BY event_type"""
+
+
+@register(
+    "q141_value_psi_drift",
+    _PSI_SQL,
+    ops=("ext-psi-drift",),
+    doc="Population Stability Index of the value distribution per "
+    "event type between the first and second half of the window — "
+    "the standard production drift metric, completing the trio with "
+    "q129 (chi-square) and q130 (KL).  One bucketed contingency "
+    "aggregate over the corpus; the PSI arithmetic runs on the "
+    "|types| x |buckets| grid with +0.5 Laplace smoothing so "
+    "zero-count cells stay finite (smoothing spelled identically in "
+    "both engines).  Fixed-width value buckets (50, capped at 10) "
+    "keep bucket assignment integer-exact.",
+)
+def q141_value_psi_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp"), "p")
+        .otherwise("q")
+        .alias("half"),
+        # floor explicitly: DuckDB CAST(double AS INT) ROUNDS half-even
+        # while Spark's cast truncates — bucket edges would disagree
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bucket"),
+    )
+    c = b.groupBy("event_type", "half", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("event_type", "half").agg(F.sum("n").alias("t"))
+    grid = c.select("event_type", "bucket").distinct()
+    cp = c.filter(F.col("half") == "p").select("event_type", "bucket", F.col("n").alias("np"))
+    cq = c.filter(F.col("half") == "q").select("event_type", "bucket", F.col("n").alias("nq"))
+    tp = tot.filter(F.col("half") == "p").select("event_type", F.col("t").alias("tp"))
+    tq = tot.filter(F.col("half") == "q").select("event_type", F.col("t").alias("tq"))
+    p = (F.coalesce("np", F.lit(0)) + 0.5) / (F.col("tp") + 5.0)
+    q = (F.coalesce("nq", F.lit(0)) + 0.5) / (F.col("tq") + 5.0)
+    return (
+        grid.join(cp, ["event_type", "bucket"], "left")
+        .join(cq, ["event_type", "bucket"], "left")
+        .join(F.broadcast(tp), "event_type")
+        .join(F.broadcast(tq), "event_type")
+        .select("event_type", (p - q).alias("d"), F.log(p / q).alias("l"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("d") * F.col("l")), 6).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+_HH_COLS = ("user_id", "event_type")
+
+_HH_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(max(n) AS BIGINT) AS top_n,
+           CAST(sum(n) AS BIGINT) AS total,
+           round(max(n) * 1.0 / sum(n), 6) AS top_share
+    FROM (SELECT {c}, count(*) AS n FROM events GROUP BY {c})"""
+    for c in _HH_COLS
+) + "\nORDER BY col_name"
+
+
+@register(
+    "q142_key_skew_profile",
+    _HH_SQL,
+    ops=("ext-skew-profiling",),
+    doc="Heavy-hitter share per candidate key column of the event "
+    "log: the fraction of rows owned by the single most frequent "
+    "value — the number an engineer checks BEFORE choosing a "
+    "partition/join key (this repo's own salting and AQE-skew "
+    "machinery exists precisely for high shares).  Per column: one "
+    "grouped count + a max/sum roll-up; both aggregates are "
+    "map-combined, nothing driver-side.",
+)
+def q142_key_skew_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    parts = []
+    for c in _HH_COLS:
+        g = ev.groupBy(c).agg(F.count(F.lit(1)).alias("n"))
+        parts.append(
+            g.agg(
+                F.lit(c).alias("col_name"),
+                F.max("n").alias("top_n"),
+                F.sum("n").alias("total"),
+                F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("col_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -5020,13 +5245,17 @@ STAMP_PRIORITY: list[str] = [
     "q136_bpe_merge_training",
     "q137_bpe_token_counts",
     "q138_hybrid_rrf_retrieval",
-    # (q123-q138 displace the bottom of the window: the never-stamped
-    # block (39) + the six changed-this-round rows fill 45 slots; of
-    # the six approximate r02 rows the first five fit (q24/q25/q26/
-    # q39/q42) and q50 now sits at slot 51 with the r03-stamped
+    "q139_user_value_twap",
+    "q140_linear_touch_attribution",
+    "q141_value_psi_drift",
+    "q142_key_skew_profile",
+    # (q123-q142 displace the bottom of the window: the never-stamped
+    # block (43) + the six changed-this-round rows fill 49 slots, and
+    # q24 takes slot 50.  The other five approximate r02 rows
+    # (q25/q26/q39/q42/q50 — all pytest-pinned), the r03-stamped
     # q01-q06 and the r02-stamped q22/q35/q36/q37/q38/q43/q48/q51/q52
-    # — never-stamped full-oracle rows outrank stamp refreshes;
-    # rotate those sixteen first next round.)
+    # sit past slot 50 — never-stamped full-oracle rows outrank stamp
+    # refreshes; rotate those twenty first next round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
