@@ -84,6 +84,8 @@ EXTRA = [
     "q140_linear_touch_attribution",  # two-phase credit distribution
     "q141_value_psi_drift",         # PSI drift (chi2/KL/PSI trio)
     "q142_key_skew_profile",        # heavy-hitter share per key column
+    "q143_ab_conversion_ztest",     # experimentation z-test
+    "q144_zorder_layout_keys",      # Morton/Z-order clustering keys
 ]
 
 

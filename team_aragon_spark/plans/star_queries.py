@@ -5174,6 +5174,133 @@ def q142_key_skew_profile(spark, sf_dir):
     return out.orderBy("col_name")
 
 
+_AB_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS x
+      FROM u GROUP BY arm),
+w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN x END) AS x0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN x END) AS x1 FROM s)
+SELECT n0, x0, n1, x1,
+       round(x0 * 1.0 / n0, 6) AS p0, round(x1 * 1.0 / n1, 6) AS p1,
+       round((x0 * 1.0 / n0 - x1 * 1.0 / n1) /
+             NULLIF(sqrt(((x0 + x1) * 1.0 / (n0 + n1))
+                         * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                         * (1.0 / n0 + 1.0 / n1)), 0), 4) AS z
+FROM w"""
+
+
+@register(
+    "q143_ab_conversion_ztest",
+    _AB_SQL,
+    ops=("ext-ab-ztest",),
+    doc="Two-proportion z-test for an A/B experiment: users split "
+    "deterministically by id parity (the hash-bucket assignment "
+    "every experimentation platform uses — stable under retries, "
+    "no rand()), conversion = >= 14 purchases in the window, pooled "
+    "z statistic rounded to 4.  One per-user aggregate then "
+    "constant-size arithmetic; NULLIF guards the degenerate pooled "
+    "p in {0,1} identically in both engines.  Completes the "
+    "analytics stack next to the drift family (q129/q130/q141): "
+    "drift says distributions moved, this says whether an "
+    "intervention moved a rate.",
+)
+def q143_ab_conversion_ztest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0") / F.col("n0")
+    p1 = F.col("x1") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return w.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round((p0 - p1) / F.nullif(se, F.lit(0.0)), 4).alias("z"),
+    )
+
+
+def _morton_terms(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "\n + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT event_id, CAST(user_id % 256 AS BIGINT) AS ub,
+         ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000) % 256 AS hb
+  FROM events)
+SELECT event_id, ub, hb,
+       CAST({_morton_terms('ub', 'hb', 8)} AS BIGINT) AS zcode
+FROM b ORDER BY event_id"""
+
+
+@register(
+    "q144_zorder_layout_keys",
+    _ZORDER_SQL,
+    ops=("ext-zorder-clustering",),
+    doc="Z-order (Morton) clustering keys over (user bucket, hour "
+    "bucket) — the space-filling-curve layout trick (Delta/Iceberg "
+    "Z-ORDER) that makes ONE sorted layout serve range filters on "
+    "EITHER dimension: interleaving the bits means nearby (user, "
+    "hour) cells stay nearby in the sort order, so data skipping "
+    "prunes on both.  The 8-bit interleave is unrolled integer "
+    "div/mod arithmetic — no bit-ops portability concerns, "
+    "bit-identical in both engines — and the whole query is one "
+    "narrow projection (writers would follow with "
+    "repartitionByRange(zcode), the layout step itself).",
+)
+def q144_zorder_layout_keys(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    epoch0 = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    # integer div end-to-end: float /3600 could flip the floor for a
+    # timestamp landing exactly on an hour boundary
+    b = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("bigint").alias("ub"),
+        ((us - epoch0) - ((us - epoch0) % F.lit(3600_000_000)))
+        .cast("bigint")
+        .alias("__us3600"),
+    ).select(
+        "event_id",
+        "ub",
+        ((F.col("__us3600") / F.lit(3600_000_000)).cast("bigint") % 256).alias("hb"),
+    )
+    zexpr = _morton_terms("ub", "hb", 8).replace("//", "div")
+    return b.select(
+        "event_id", "ub", "hb", F.expr(f"CAST({zexpr} AS BIGINT)").alias("zcode")
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -5248,14 +5375,16 @@ STAMP_PRIORITY: list[str] = [
     "q139_user_value_twap",
     "q140_linear_touch_attribution",
     "q141_value_psi_drift",
-    "q142_key_skew_profile",
-    # (q123-q142 displace the bottom of the window: the never-stamped
-    # block (43) + the six changed-this-round rows fill 49 slots, and
-    # q24 takes slot 50.  The other five approximate r02 rows
-    # (q25/q26/q39/q42/q50 — all pytest-pinned), the r03-stamped
-    # q01-q06 and the r02-stamped q22/q35/q36/q37/q38/q43/q48/q51/q52
-    # sit past slot 50 — never-stamped full-oracle rows outrank stamp
-    # refreshes; rotate those twenty first next round.)
+    "q143_ab_conversion_ztest",
+    "q144_zorder_layout_keys",
+    # (the never-stamped block above (44) + the six changed-this-round
+    # rows below fill all 50 slots.  One never-stamped row had to
+    # yield to keep the changed-BODY re-proofs in-window: q142 (the
+    # simplest shape, fully covered by the pytest oracle run) sits at
+    # slot 51, followed by the approximate r02 rows q24/q25/q26/q39/
+    # q42/q50 (all pytest-pinned), the r03-stamped q01-q06 and the
+    # r02-stamped q22/q35/q36/q37/q38/q43/q48/q51/q52 — rotate those
+    # first next round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
@@ -5263,6 +5392,7 @@ STAMP_PRIORITY: list[str] = [
     "q99_streaming_dedup_replay",
     "q93_token_budget_packing",
     "q12_first_line_per_order",
+    "q142_key_skew_profile",
     # -- latest stamp r02: approximate family first --
     "q24_minhash_neardup_pairs",
     "q25_simhash_fingerprints",

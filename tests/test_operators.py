@@ -1438,3 +1438,35 @@ def test_bpe_learn_semantics(spark):
     m2, w2 = bpe_learn(docs2, iters=1)
     assert [(r.a, r.b) for r in m2.collect()] == [("a", "a")]
     assert w2.collect()[0].s.strip() == "aa a a"
+
+
+def test_zorder_morton_interleave_bijective(spark):
+    """The unrolled div/mod Morton interleave must equal the
+    reference bit-interleave (bijective over the 8-bit x 8-bit grid,
+    spot-checked on a corner + random sample)."""
+    import random
+
+    from team_aragon_spark.plans.star_queries import _morton_terms
+
+    def ref_morton(a, h):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((h >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(7)
+    cases = [(0, 0), (255, 255), (255, 0), (0, 255)] + [
+        (rng.randrange(256), rng.randrange(256)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(cases, "ub long, hb long")
+    zexpr = _morton_terms("ub", "hb", 8).replace("//", "div")
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.ub, r.hb): r.z
+        for r in df.select("ub", "hb", F.expr(f"CAST({zexpr} AS BIGINT)").alias("z")).collect()
+    }
+    for a, h in cases:
+        assert got[(a, h)] == ref_morton(a, h), (a, h)
+    assert len(set(got.values())) == len(got), "interleave must be injective"
