@@ -52,6 +52,13 @@ def interval_join(
     Output columns: equi keys, then the remaining point columns, then
     the remaining interval columns (names must not collide — alias
     upstream).  Both bounds inclusive, matching SQL ``BETWEEN``.
+
+    Pick ``bucket_width`` close to the TYPICAL INTERVAL SPAN: every
+    interval is replicated into span/width + 1 bucket rows, so a
+    1-day window at the default 300 s width costs a 288x blow-up of
+    the interval side (measured 94 s vs ~10 s cold at 100x for the
+    attribution workload), while a width much larger than the span
+    only widens the exact BETWEEN post-filter's candidate set by ~2x.
     """
     equi_keys = equi_keys or []
     w = int(bucket_width)

@@ -1020,7 +1020,7 @@ def q41_clicks_within_day_of_error(spark, sf_dir):
         start_ts="w_start",
         end_ts="w_end",
         equi_keys=["user_id"],
-        bucket_width=86_400,
+        bucket_width=86_400,  # ~ the interval span; see range_join docstring
     ).select("user_id", "error_id", "click_id", "click_ts")
 
 
@@ -5042,7 +5042,8 @@ def q140_linear_touch_attribution(spark, sf_dir):
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
     )
     touches = interval_join(
-        clicks, purchases, "c_ts", "w_start", "w_end", equi_keys=["user_id"]
+        clicks, purchases, "c_ts", "w_start", "w_end", equi_keys=["user_id"],
+        bucket_width=86400,  # ~ the window span; see q41's note
     ).select("purchase_id", "p_value", "click_id").persist()
     per_purchase = touches.groupBy("purchase_id").agg(
         F.count(F.lit(1)).alias("n_touches")
