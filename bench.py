@@ -86,6 +86,8 @@ EXTRA = [
     "q142_key_skew_profile",        # heavy-hitter share per key column
     "q143_ab_conversion_ztest",     # experimentation z-test
     "q144_zorder_layout_keys",      # Morton/Z-order clustering keys
+    "q145_dau_wau_stickiness",      # rolling-distinct active users
+    "q146_period_contribution",     # metric-move decomposition
 ]
 
 

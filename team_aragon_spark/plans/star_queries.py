@@ -5302,6 +5302,113 @@ def q144_zorder_layout_keys(spark, sf_dir):
     ).orderBy("event_id")
 
 
+_DAU_WAU_SQL = """
+WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+wau AS (
+  SELECT g.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+  FROM days g JOIN du ON du.d > g.d - INTERVAL 7 DAY AND du.d <= g.d
+  GROUP BY g.d)
+SELECT g.d AS day, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+FROM days g JOIN dau ON g.d = dau.d JOIN wau ON g.d = wau.d
+ORDER BY day"""
+
+
+@register(
+    "q145_dau_wau_stickiness",
+    _DAU_WAU_SQL,
+    ops=("ext-rolling-distinct-actives",),
+    doc="DAU / trailing-7-day WAU / stickiness per day — the product-"
+    "analytics activity metric whose hard part is the ROLLING "
+    "DISTINCT (a plain window cannot merge distinct sets).  Scale "
+    "shape: the event log compacts once to distinct (day, user) "
+    "pairs, then each pair is fanned out to the <= 7 grid days it "
+    "supports via explode(sequence(0,6)) — a pure EQUI-join on the "
+    "day key (no range predicate, no |days| x |events| blow-up; "
+    "work = 7x the compacted pair count, independent of raw event "
+    "volume) — and the per-day distinct count runs on that bounded "
+    "relation.",
+)
+def q145_dau_wau_stickiness(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    # fan each (day, user) pair out to the trailing-window days it
+    # supports: an equi-join key, never a range join
+    fan = du.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("off"), "d", "user_id"
+    ).select(F.date_add("d", F.col("off")).alias("gd"), "user_id")
+    wau = (
+        days.join(fan, days.d == fan.gd)
+        .groupBy(days.d)
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "d")
+        .join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+_CONTRIB_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         sum(CASE WHEN ts < TIMESTAMP '{_PSI_CUTOFF}' THEN value END) AS v1,
+         sum(CASE WHEN ts >= TIMESTAMP '{_PSI_CUTOFF}' THEN value END) AS v2
+  FROM events GROUP BY event_type),
+t AS (SELECT sum(v1) AS t1, sum(v2) AS t2 FROM h)
+SELECT h.event_type, round(h.v1, 2) AS v1, round(h.v2, 2) AS v2,
+       round(h.v2 - h.v1, 2) AS delta,
+       round((h.v2 - h.v1) / (t.t2 - t.t1), 6) AS delta_share
+FROM h, t ORDER BY event_type"""
+
+
+@register(
+    "q146_period_contribution",
+    _CONTRIB_SQL,
+    ops=("ext-metric-decomposition",),
+    doc="Period-over-period contribution analysis: the topline value "
+    "delta between the two window halves decomposed per event type "
+    "with each type's share of the move — the 'why did the metric "
+    "change' root-cause screen.  ONE conditional aggregate over the "
+    "corpus; the share arithmetic runs on the |types|-row result "
+    "against its broadcast single-row total.",
+)
+def q146_period_contribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_PSI_CUTOFF).cast("timestamp")
+    h = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("v1"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("v2"),
+    )
+    t = h.agg(F.sum("v1").alias("t1"), F.sum("v2").alias("t2"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.round("v1", 2).alias("v1"),
+            F.round("v2", 2).alias("v2"),
+            F.round(F.col("v2") - F.col("v1"), 2).alias("delta"),
+            F.round(
+                (F.col("v2") - F.col("v1")) / (F.col("t2") - F.col("t1")), 6
+            ).alias("delta_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -5378,14 +5485,18 @@ STAMP_PRIORITY: list[str] = [
     "q141_value_psi_drift",
     "q143_ab_conversion_ztest",
     "q144_zorder_layout_keys",
-    # (the never-stamped block above (44) + the six changed-this-round
-    # rows below fill all 50 slots.  One never-stamped row had to
-    # yield to keep the changed-BODY re-proofs in-window: q142 (the
-    # simplest shape, fully covered by the pytest oracle run) sits at
-    # slot 51, followed by the approximate r02 rows q24/q25/q26/q39/
-    # q42/q50 (all pytest-pinned), the r03-stamped q01-q06 and the
-    # r02-stamped q22/q35/q36/q37/q38/q43/q48/q51/q52 — rotate those
-    # first next round.)
+    "q145_dau_wau_stickiness",
+    "q146_period_contribution",
+    # (the never-stamped block above (46) + the first four changed
+    # rows below fill all 50 slots.  Of the six changed-body rows,
+    # q93 and q12 yield their slots (51/52): both carry DEDICATED
+    # pytest equality proofs of the body change — q93's prefix-sum ==
+    # naive-window on an adversarial-skew fixture, q12's min_by agg ==
+    # the window formulation — which the brand-new queries lack.
+    # After them: q142, the approximate r02 rows q24/q25/q26/q39/q42/
+    # q50 (pytest-pinned), the r03-stamped q01-q06 and the r02-stamped
+    # q22/q35/q36/q37/q38/q43/q48/q51/q52 — rotate those first next
+    # round.)
     # -- oracle upgraded (no_oracle -> full) or body changed this round --
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
