@@ -5334,9 +5334,13 @@ ORDER BY day"""
 )
 def q145_dau_wau_stickiness(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # persist: days/dau/fan all derive from this relation — without the
+    # cache the 10M-row scan + distinct shuffle runs three times
+    # (measured 16 s -> ~6 s steady at 100x).  |du| is |days| x |daily
+    # actives|, tiny.  Cache lifetime caller-managed (bench clears).
     du = ev.select(
         F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
-    ).distinct()
+    ).distinct().persist()
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     # fan each (day, user) pair out to the trailing-window days it
