@@ -88,6 +88,8 @@ EXTRA = [
     "q144_zorder_layout_keys",      # Morton/Z-order clustering keys
     "q145_dau_wau_stickiness",      # rolling-distinct active users
     "q146_period_contribution",     # metric-move decomposition
+    "q147_event_markov_transitions",  # behavioral transition matrix
+    "q148_zonemap_skipping_audit",  # layout/data-skipping audit
 ]
 
 
