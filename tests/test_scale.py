@@ -924,3 +924,42 @@ def test_grouped_sample_and_corr_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p135.count("Scan parquet") == 1 and "Join" not in p135, p135
+
+
+def test_analytics_batch_plan_shapes(spark):
+    """Scale shapes of the q139-q148 analytics batch:
+
+    - q139 (TWAP): the lead() window partitions on the HIGH-
+      cardinality user key, never a global order.
+    - q145 (DAU/WAU): the distinct (day,user) relation is persisted —
+      its three consumers must read InMemoryTableScan, not re-derive
+      the 10M-row distinct.
+    - q146/q148 (contribution / zone-map audit): aggregates only —
+      no window, no cartesian; broadcast-joined totals at most.
+    - q147 (Markov): no cartesian; normalization joins a broadcast
+      |types|-row total.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    p139 = plan("q139_user_value_twap")
+    assert "user_id" in p139.split("Window")[1][:400], p139
+    assert "rangepartitioning(ts" not in p139, "no global time-ordered window"
+
+    p145 = plan("q145_dau_wau_stickiness")
+    assert "InMemoryTableScan" in p145, "day-user relation must be cached"
+    spark.catalog.clearCache()
+
+    for name in ("q146_period_contribution", "q148_zonemap_skipping_audit"):
+        pl = plan(name)
+        assert "Window" not in pl and "CartesianProduct" not in pl, (name, pl)
+
+    p147 = plan("q147_event_markov_transitions")
+    assert "CartesianProduct" not in p147 and "BroadcastNestedLoopJoin" not in p147, p147
