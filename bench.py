@@ -90,6 +90,7 @@ EXTRA = [
     "q146_period_contribution",     # metric-move decomposition
     "q147_event_markov_transitions",  # behavioral transition matrix
     "q148_zonemap_skipping_audit",  # layout/data-skipping audit
+    "q149_doc_ngram_novelty",       # memorization/boilerplate signal
 ]
 
 

@@ -5523,6 +5523,63 @@ def q148_zonemap_skipping_audit(spark, sf_dir):
     return hashed.unionByName(ranged).orderBy("layout")
 
 
+_NOVELTY_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2]))) AS g
+  FROM documents),
+df AS (SELECT g, count(*) AS ndocs FROM sh GROUP BY g)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS novelty
+FROM sh JOIN df USING (g)
+GROUP BY sh.doc_id ORDER BY sh.doc_id"""
+
+
+@register(
+    "q149_doc_ngram_novelty",
+    _NOVELTY_SQL,
+    ops=("ext-corpus-novelty",),
+    doc="Per-document 3-gram novelty: the fraction of a doc's "
+    "distinct word trigrams that appear in NO other document — the "
+    "memorization/boilerplate inverse signal corpus curation uses "
+    "alongside dedup (a low-novelty doc is mostly shared text even "
+    "if no single near-duplicate partner exists, which is exactly "
+    "the case LSH pair-finding misses).  One shingle explode "
+    "(persisted — it feeds both the document-frequency aggregate "
+    "and the join back), a gram-keyed count, and a per-doc "
+    "aggregate; work is linear in distinct (doc, gram) pairs.",
+)
+def q149_doc_ngram_novelty(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("g"),
+        )
+        # two consumers (df aggregate + join back): cache or the
+        # corpus-wide shingle build runs twice (q87/q120/q145 rule)
+        .persist()
+    )
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
+    uniq = F.sum((F.col("ndocs") == 1).cast("bigint"))
+    return (
+        sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            uniq.alias("n_unique"),
+            F.round(uniq / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -5624,6 +5681,7 @@ STAMP_PRIORITY: list[str] = [
     # meanwhile.
     "q147_event_markov_transitions",
     "q148_zonemap_skipping_audit",
+    "q149_doc_ngram_novelty",
     # -- latest stamp r02: approximate family first --
     "q24_minhash_neardup_pairs",
     "q25_simhash_fingerprints",
