@@ -91,6 +91,7 @@ EXTRA = [
     "q147_event_markov_transitions",  # behavioral transition matrix
     "q148_zonemap_skipping_audit",  # layout/data-skipping audit
     "q149_doc_ngram_novelty",       # memorization/boilerplate signal
+    "q150_source_overlap_matrix",   # cross-source contamination matrix
 ]
 
 

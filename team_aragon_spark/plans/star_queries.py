@@ -5580,6 +5580,78 @@ def q149_doc_ngram_novelty(spark, sf_dir):
     )
 
 
+_SOURCE_OVERLAP_SQL = r"""
+WITH sg AS (
+  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2]))) AS g
+  FROM documents),
+n AS (SELECT source, count(*) AS ng FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, CAST(i.shared AS BIGINT) AS shared,
+       na.ng AS n_a, nb.ng AS n_b,
+       round(i.shared * 1.0 / (na.ng + nb.ng - i.shared), 6) AS overlap_jaccard
+FROM inter i JOIN n na ON i.src_a = na.source JOIN n nb ON i.src_b = nb.source
+ORDER BY src_a, src_b"""
+
+
+@register(
+    "q150_source_overlap_matrix",
+    _SOURCE_OVERLAP_SQL,
+    ops=("ext-source-overlap",),
+    doc="Cross-source contamination matrix: for every source pair, "
+    "the count and Jaccard of shared distinct trigrams — the "
+    "provenance-leakage diagnostic that tells a curation pipeline "
+    "which sources are re-hosting each other's text (and therefore "
+    "which mix weights double-count).  The fan-out is bounded by "
+    "construction: the distinct (source, gram) relation has at most "
+    "|sources| rows per gram, so the gram self-join emits <= "
+    "C(|sources|,2) pairs per gram — corpus volume only grows the "
+    "relation linearly, never the per-key explosion.  Persisted once "
+    "for its two consumers (per-source totals + the pair join).",
+)
+def q150_source_overlap_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sg = (
+        docs.select(
+            "source",
+            F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+    n = sg.groupBy("source").agg(F.count(F.lit(1)).alias("ng"))
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("ng").alias("n_a"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("ng").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(F.col("shared") / union, 6).alias("overlap_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver stamp window
 # ---------------------------------------------------------------------------
@@ -5682,6 +5754,7 @@ STAMP_PRIORITY: list[str] = [
     "q147_event_markov_transitions",
     "q148_zonemap_skipping_audit",
     "q149_doc_ngram_novelty",
+    "q150_source_overlap_matrix",
     # -- latest stamp r02: approximate family first --
     "q24_minhash_neardup_pairs",
     "q25_simhash_fingerprints",
