@@ -650,6 +650,12 @@ def bpe_learn(
     a documented, engine-agreeing deviation from reference BPE's
     symbol-list scan — RE2 has no lookahead, so the oracle cannot
     express the reference behavior).
+
+    If the corpus exhausts mergeable pairs before ``iters`` steps,
+    the loop stops early and returns the merges learned so far (the
+    q136 oracle replays a corpus with >= iters live pairs, so the
+    early stop never fires there; a degenerate all-single-char corpus
+    yields an empty rule table, pinned in tests).
     """
     from team_aragon_spark.operators import text as text_ops
 
@@ -688,6 +694,13 @@ def bpe_learn(
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        # Early stop when the corpus exhausts mergeable pairs (every
+        # word fully merged): an empty top-1 would otherwise turn the
+        # crossJoin below into an empty relation and silently wipe the
+        # word table for all remaining iterations.  count() is free —
+        # `top` is an eagerly-materialized 0/1-row checkpoint.
+        if top.count() == 0:
+            break
         merge_rows.append(
             top.select(
                 F.lit(step).alias("step"),
@@ -708,6 +721,12 @@ def bpe_learn(
             )
             .localCheckpoint(eager=True)
         )
+    if not merge_rows:
+        # Degenerate corpus (all words single-char): no rules learned.
+        empty = docs.sparkSession.createDataFrame(
+            [], "step int, a string, b string, merged string, n bigint"
+        )
+        return empty, cur
     merges = merge_rows[0]
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)

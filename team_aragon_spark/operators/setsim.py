@@ -106,10 +106,15 @@ def set_similarity_join(
     # float ceil(0.1 * 90) = 10, not 9, and an overshoot of one
     # shortens the prefix enough to miss exact-boundary pairs
     # (e.g. B a 9-subset of a 90-set at t = 0.1).
-    ceil_tn = (
-        (F.col("n") * F.lit(t.numerator) + F.lit(t.denominator - 1))
-        / F.lit(t.denominator)
-    ).cast("bigint")  # floor((n*p + q - 1)/q) == ceil(n*p/q)
+    # `div` is Spark's integral division, so the computation stays in
+    # bigint at every width (a float Divide is only exact while
+    # n*numerator < 2^53; limit_denominator(10**6) thresholds with a
+    # very large set could in principle cross that bound and shorten a
+    # prefix).
+    ceil_tn = F.expr(
+        f"(CAST(n AS BIGINT) * {t.numerator} + {t.denominator - 1}) "
+        f"div {t.denominator}"
+    )  # (n*p + q - 1) div q == ceil(n*p/q), exact integer arithmetic
     prefix_len = (F.col("n") - ceil_tn + F.lit(1)).cast("int")
     prefixes = sets_arr.select(
         "sid", F.explode(F.slice("items", F.lit(1), prefix_len)).alias("item")

@@ -3419,12 +3419,26 @@ def q112_train_val_test_split(spark, sf_dir):
     "memory-bound complement of q86's int8 scalar quantization and "
     "q26's IVF routing.  No SQL oracle (codebooks come from sampled "
     "k-means); code-range/determinism/error-monotonicity pinned in "
-    "pytest.",
+    "pytest.  The registered projection serializes the code vector "
+    "as a csv string (array_join) — the operator API keeps the raw "
+    "array<int>, but the driver's pandas canonicalizer sort_values "
+    "cannot hash numpy arrays, so the rows-only gate needs scalar "
+    "columns.",
 )
 def q113_pq_codes(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     books = similarity.pq_train(emb, m=8, ks=16)
-    return similarity.pq_assign_arrow(emb, books).orderBy("vec_id")
+    return (
+        similarity.pq_assign_arrow(emb, books)
+        .select(
+            "vec_id",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+                "codes_csv"
+            ),
+            F.round("sq_err", 6).alias("sq_err"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 @register(
@@ -4033,12 +4047,13 @@ def q123_token_bigram_counts(spark, sf_dir):
 
 _ANOMALY_SQL = """
 WITH s AS (
-  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  SELECT event_type, round(avg(value), 6) AS mu,
+         round(stddev_pop(value), 6) AS sd
   FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - s.mu) / s.sd, 4) AS z
 FROM events e JOIN s USING (event_type)
-WHERE s.sd > 0 AND abs(e.value - s.mu) > 3 * s.sd
+WHERE s.sd > 0 AND round(abs(e.value - s.mu) - 3 * s.sd, 6) > 0
 ORDER BY e.event_id"""
 
 
@@ -4052,16 +4067,30 @@ ORDER BY e.event_id"""
     "the fact scan (plan-asserted), so the whole query is one "
     "map-combined aggregate plus one narrow filtered pass — the "
     "canonical shape for data-quality screens over a 100 TB event "
-    "log.  z is rounded to 4 digits in both engines.",
+    "log.  Cross-engine exactness: mu/sd are accumulation-order-"
+    "dependent doubles, so BOTH the stats and the 3-sigma membership "
+    "test are rounded to 6 digits before filtering in both engines — "
+    "a value sitting on the sigma edge can otherwise qualify in one "
+    "engine and not the other, flipping the driver hash.  z rounded "
+    "to 4 digits.",
 )
 def q124_value_anomaly_zscore(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter((F.col("sd") > 0) & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")))
+        .filter(
+            (F.col("sd") > 0)
+            & (
+                F.round(
+                    F.abs(F.col("value") - F.col("mu")) - 3 * F.col("sd"), 6
+                )
+                > 0
+            )
+        )
         .select(
             "event_id",
             "event_type",

@@ -1440,6 +1440,31 @@ def test_bpe_learn_semantics(spark):
     assert w2.collect()[0].s.strip() == "aa a a"
 
 
+def test_bpe_learn_early_stop_on_exhausted_pairs(spark):
+    """When the corpus runs out of mergeable pairs before ``iters``,
+    the loop must STOP and keep the merges + segmentation learned so
+    far — not crossJoin an empty top-1 that would silently wipe the
+    word table (ADVICE r5).  'ab' x2 exhausts after one merge; asking
+    for 5 iterations must return exactly 1 rule and an intact word
+    table.  A fully degenerate single-char corpus returns an EMPTY
+    rule table (correct schema) and unchanged words."""
+    from team_aragon_spark.operators.corpus import bpe_learn
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    merges, words = bpe_learn(docs, iters=5)
+    assert [(r.step, r.a, r.b, r.merged, r.n) for r in merges.collect()] == [
+        (1, "a", "b", "ab", 2)
+    ]
+    w = words.collect()
+    assert len(w) == 1 and w[0].word == "ab" and w[0].s.strip() == "ab"
+
+    degenerate = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    m0, w0 = bpe_learn(degenerate, iters=3)
+    assert m0.count() == 0
+    assert set(m0.columns) == {"step", "a", "b", "merged", "n"}
+    assert {r.word: r.s.strip() for r in w0.collect()} == {"a": "a", "b": "b"}
+
+
 def test_zorder_morton_interleave_bijective(spark):
     """The unrolled div/mod Morton interleave must equal the
     reference bit-interleave (bijective over the 8-bit x 8-bit grid,
@@ -1470,3 +1495,35 @@ def test_zorder_morton_interleave_bijective(spark):
     for a, h in cases:
         assert got[(a, h)] == ref_morton(a, h), (a, h)
     assert len(set(got.values())) == len(got), "interleave must be injective"
+
+
+def test_operator_cache_contract_releases_everything(spark):
+    """The documented cache contract for persisting operators
+    (text_dedup / corpus / similarity / windows: 'lifetime is
+    caller-managed — clearCache after the result materializes') must
+    actually RELEASE every cached relation: after materialize +
+    clearCache, the session's cache manager is empty and the executor
+    storage registry holds no persistent RDDs, so repeated invocations
+    in a long-lived session (the bench harness, a resident service)
+    cannot accumulate storage — closing ADVICE r5 item 4."""
+    from team_aragon_spark.operators.corpus import tfidf_top_terms
+    from team_aragon_spark.operators.text_dedup import minhash_neardup_pairs
+    from team_aragon_spark.sources.catalog import read_table
+
+    def cache_empty() -> bool:
+        return bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+
+    def n_persistent_rdds() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    spark.catalog.clearCache()
+    for _ in range(2):  # second pass proves no growth across invocations
+        minhash_neardup_pairs(docs).count()
+        tfidf_top_terms(docs, k=3).count()
+        assert not cache_empty()  # the operators really did persist
+        spark.catalog.clearCache()
+        assert cache_empty()
+        assert n_persistent_rdds() == 0
