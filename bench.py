@@ -92,6 +92,15 @@ EXTRA = [
     "q148_zonemap_skipping_audit",  # layout/data-skipping audit
     "q149_doc_ngram_novelty",       # memorization/boilerplate signal
     "q150_source_overlap_matrix",   # cross-source contamination matrix
+    # round-6 families:
+    "q152_winnowing_fast",          # xxhash64 engine twin of q133
+    "q153_minhash_signatures_fast", # xxhash64 engine twin of q63
+    "q154_event_value_percentiles", # exact distributed percentiles
+    "q155_trade_triangle_enum",     # degree-oriented triangle enumeration
+    "q156_bigram_lm_scores",        # bigram-LM quality scoring
+    "q157_mad_robust_outliers",     # robust MAD outlier screen
+    "q158_doc_containment_pairs",   # directed containment dedup
+    "q159_containment_fast",        # hashed-shingle containment twin
 ]
 
 

@@ -190,3 +190,185 @@ def _count_join(members: DataFrame, t: Fraction) -> DataFrame:
             F.round(F.col("n_inter") / union, 6).alias("jaccard"),
         )
     )
+
+
+def containment_join(
+    sets_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "sid",
+    item_col: str = "item",
+) -> DataFrame:
+    """Exact DIRECTED containment join: pairs ``(id_a, id_b)`` with
+    ``|A ∩ B| / |A| >= threshold`` — the subset/quotation relation
+    (q158) that symmetric Jaccard misses entirely.
+
+    Three EXACT prunes compose (all preserve the full result set —
+    each is a provable superset argument, pinned against brute force
+    in pytest):
+
+    - **Asymmetric prefix filter**: if the overlap is
+      ``alpha = ceil(t * |A|)``, A's FIRST common item (canonical
+      rarest-first order) lies among its first ``|A| - alpha + 1``
+      items (~10% at t = 0.9), so only those probe.
+    - **Length filter**: ``|B| >= alpha`` — B cannot supply
+      ``alpha`` common items otherwise.
+    - **Positional filter** (PPJoin, Xiao et al., WWW 2008): a join
+      row matching A's position ``i`` against B's position ``j`` can
+      witness at most ``1 + min(|A| - i, |B| - j)`` common items.
+      For a qualifying pair this bound holds at the FIRST common
+      item — which the prefix filter guarantees is one of the joined
+      rows — so dropping rows below ``alpha`` never drops a
+      qualifying pair.
+    - **Bitsignature filter**: each set carries a 1024-bit bloom of
+      its item hashes (16 longs, built as ONE map-combined bit_or
+      aggregate); for a candidate row,
+      ``sum_k bit_count(sa_k & ~sb_k)`` is a LOWER bound on
+      ``|A \\ B|`` (every such bit is set only by items of A that
+      cannot be in B), so rejecting when it exceeds
+      ``|A| - alpha`` is exact.  Applied MAP-SIDE via two broadcast
+      joins onto the raw prefix-join output — no candidate pair
+      shuffles before this filter.
+
+    Why all four: measured on the dense 100x corpus (300k distinct
+    shingles over 500k docs, mean df 114, median set size 68 with a
+    short-set tail), prefix blocking alone emits 295M raw
+    candidates; + positional/length filters still 150M distinct —
+    and sample-verification showed only ~0.03% of those are TRUE
+    pairs (~42k), the promiscuity coming from short sets (n=11 →
+    one allowed miss, but a shared shingle with any long set passes
+    the positional test).  The array verify on 150M pairs shuffled
+    ~90 GB and never finished.  The bitsignature kills essentially
+    every false candidate at ~35 codegen ops per row before the
+    distinct, collapsing the verify join to the true-pair scale.
+    At this corpus size the signature relation (500k x 136 B = 68
+    MB) broadcasts; at extreme scale it becomes a compact shuffle
+    join — 4x narrower rows than shipping the item arrays.
+
+    The naive count-join spelling (count shared items over the full
+    membership self-join) is what the q158 DuckDB ORACLE uses —
+    legitimately, because the driver compares results, not plans; at
+    engine scale it did not complete (quadratic hot-shingle
+    fan-out).
+
+    Returns ``(a, b, n_inter, n_a, containment)`` with the threshold
+    applied in exact integer arithmetic (``n_inter * q >= n_a * p``).
+    Cache contract: persists the per-set sorted-array relation for
+    the two verify branches; lifetime caller-managed, as in
+    :func:`set_similarity_join`.
+    """
+    t = Fraction(threshold).limit_denominator(10**6)
+    members = sets_df.select(
+        F.col(id_col).alias("sid"), F.col(item_col).alias("item")
+    ).distinct()
+    freq = members.groupBy("item").agg(F.count(F.lit(1)).alias("item_freq"))
+    ranked = members.join(freq, "item")
+    sets_arr = (
+        ranked.groupBy("sid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("item_freq", "item"))),
+                lambda s: s["item"],
+            ).alias("items"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist()
+    )
+    # 1024-bit bloom signature per set: ONE map-combined bit_or
+    # aggregate over the membership rows, 16 long columns (no arrays,
+    # no HOFs — the signature build and the popcount filter below both
+    # stay inside whole-stage codegen).
+    # derived from the PERSISTED sorted-set relation, not from
+    # `members` — the members lineage would re-run the whole upstream
+    # item build (for string shingles, the expensive part) a second
+    # time (measured +2.8 s at sf0.1 on the q158 string path)
+    sigs = (
+        sets_arr.select(
+            "sid", F.explode("items").alias("item")
+        )
+        .select("sid", F.expr("pmod(xxhash64(item), 1024)").alias("__bit"))
+        .groupBy("sid")
+        .agg(
+            *[
+                F.expr(
+                    f"bit_or(if(__bit div 64 = {k}, "
+                    f"shiftleft(1L, CAST(__bit % 64 AS INT)), 0L))"
+                ).alias(f"__s{k}")
+                for k in range(16)
+            ]
+        )
+    )
+    ceil_tn = F.expr(
+        f"(CAST(n AS BIGINT) * {t.numerator} + {t.denominator - 1}) "
+        f"div {t.denominator}"
+    )
+    prefix_len = (F.col("n") - ceil_tn + F.lit(1)).cast("int")
+    # 1-based positions ride along for the positional filter; alpha
+    # (the required overlap) rides on the A side.
+    a_pref = sets_arr.select(
+        F.col("sid").alias("a"),
+        F.col("n").alias("__na"),
+        ceil_tn.alias("__alpha"),
+        F.posexplode(F.slice("items", F.lit(1), prefix_len)).alias("__i0", "item"),
+    )
+    b_full = sets_arr.select(
+        F.col("sid").alias("b"),
+        F.col("n").alias("__nb"),
+        F.posexplode("items").alias("__j0", "item"),
+    )
+    siga = sigs.select(
+        F.col("sid").alias("a"),
+        *[F.col(f"__s{k}").alias(f"__sa{k}") for k in range(16)],
+    )
+    sigb = sigs.select(
+        F.col("sid").alias("b"),
+        *[F.col(f"__s{k}").alias(f"__sb{k}") for k in range(16)],
+    )
+    # bits set by A but absent from B's signature can only come from
+    # items of A that are NOT in B (items in A∩B always find their
+    # bit in sigB), so this popcount sum lower-bounds |A \ B|
+    miss_lb = sum(
+        F.expr(f"bit_count(__sa{k} & ~__sb{k})") for k in range(16)
+    )
+    cand = (
+        a_pref.join(b_full, "item")
+        .filter(
+            (F.col("a") != F.col("b"))
+            # length filter: B must be able to supply alpha items
+            & (F.col("__nb") >= F.col("__alpha"))
+            # positional filter: best-case remaining overlap through
+            # this witness is 1 + min(n_a - i, n_b - j)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("__na") - (F.col("__i0") + 1),
+                    F.col("__nb") - (F.col("__j0") + 1),
+                )
+                >= F.col("__alpha")
+            )
+        )
+        # map-side bitsignature reject BEFORE any pair shuffles
+        .join(F.broadcast(siga), "a")
+        .join(F.broadcast(sigb), "b")
+        .filter(miss_lb <= F.col("__na") - F.col("__alpha"))
+        .select("a", "b")
+        .distinct()
+    )
+    av = sets_arr.select(
+        F.col("sid").alias("a"), F.col("items").alias("items_a"), F.col("n").alias("n_a")
+    )
+    bv = sets_arr.select(F.col("sid").alias("b"), F.col("items").alias("items_b"))
+    return (
+        cand.join(av, "a")
+        .join(bv, "b")
+        .withColumn("n_inter", F.size(F.array_intersect("items_a", "items_b")))
+        .filter(
+            F.col("n_inter") * F.lit(t.denominator) >= F.col("n_a") * F.lit(t.numerator)
+        )
+        .select(
+            "a",
+            "b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment"),
+        )
+    )

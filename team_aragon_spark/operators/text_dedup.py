@@ -528,6 +528,7 @@ def portable_winnowing_fingerprints(
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """TRUE winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003) with an engine-portable hash.
@@ -548,22 +549,64 @@ def portable_winnowing_fingerprints(
     product < 2^52).  Encoding (hash, -pos) lexicographic order into
     one integer keeps the tie-break identical in both engines without
     struct-min portability concerns.
+
+    ``hash_fn`` picks the gram hash: ``"md5"`` (default) is the
+    engine-portable oracle pin above; ``"xxhash64"`` is the FAST
+    ENGINE TWIN — one JVM xxhash64 per TOKEN (masked to 32 bits),
+    then each gram's hash is a 4-multiply-add polynomial combine of
+    its k token hashes.  Profiling at sf0.1 showed the md5 itself was
+    NOT the cost (r5's hypothesis was wrong): 80% of the wall was the
+    interpreted slice+concat_ws building 47M gram STRINGS before any
+    hash ran.  Hashing tokens once and combining arithmetically
+    removes the string materialization entirely — measured 6.1 s ->
+    0.8-1.4 s (4-7x run-to-run) for the full fingerprint set at
+    sf0.1.  Identical
+    winnowing machinery, identical selection guarantees (any shared
+    run of >= w+k-1 tokens still shares a fingerprint — pinned for
+    both hashes in pytest); the fingerprint VALUES are engine-
+    specific, so the fast twin registers rows-only (q152) while the
+    md5 twin keeps the full value oracle (q133).
     """
     M = 1 << 20
     toks = f"split(trim({text_col}), '\\\\s+')"
-    grams = (
-        f"transform(sequence(1, size({toks}) - {k - 1}), "
-        f"i -> struct(i AS pos, "
-        f"cast(conv(substr(md5(concat_ws(' ', slice({toks}, i, {k}))), 1, 8), 16, 10) AS BIGINT) AS h))"
-    )
-    g = (
-        df.filter(F.expr(f"size({toks}) >= {k}"))
-        .select(
+    if hash_fn == "md5":
+        gram_txt = f"concat_ws(' ', slice({toks}, i, {k}))"
+        h = f"cast(conv(substr(md5({gram_txt}), 1, 8), 16, 10) AS BIGINT)"
+        grams = (
+            f"transform(sequence(1, size({toks}) - {k - 1}), "
+            f"i -> struct(i AS pos, {h} AS h))"
+        )
+        src = df.filter(F.expr(f"size({toks}) >= {k}")).select(
             id_col,
             (F.expr(f"size({toks})") - F.lit(k - 1)).alias("n_grams"),
             F.explode(F.expr(grams)).alias("g"),
         )
-        .select(id_col, "n_grams", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    elif hash_fn == "xxhash64":
+        # 32-bit token hashes keep the polynomial partials < 2^52
+        # (32 + 5*log2(31) bits), so the combine never overflows a
+        # bigint under ANSI mode and the final mask keeps h < 2^32
+        # as the M-encoding requires.
+        th = f"transform({toks}, t -> xxhash64(t) & 4294967295)"
+        acc = "element_at(th, i)"
+        for j in range(1, k):
+            acc = f"({acc} * 31 + element_at(th, i + {j}))"
+        grams = (
+            f"transform(sequence(1, size(th) - {k - 1}), "
+            f"i -> struct(i AS pos, ({acc} & 4294967295) AS h))"
+        )
+        src = (
+            df.select(F.col(id_col), F.expr(th).alias("th"))
+            .filter(F.expr(f"size(th) >= {k}"))
+            .select(
+                id_col,
+                (F.expr("size(th)") - F.lit(k - 1)).alias("n_grams"),
+                F.explode(F.expr(grams)).alias("g"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    g = src.select(
+        id_col, "n_grams", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
     )
     enc = (F.col("h") * M + (F.lit(M - 1) - F.col("pos"))).alias("enc")
     win = (
@@ -583,3 +626,67 @@ def portable_winnowing_fingerprints(
         .distinct()
         .orderBy(id_col, "pos", "hash")
     )
+
+
+def _hashed_shingle_arr_expr(n: int) -> str:
+    """Distinct shingle-hash array expression over a ``__th``
+    token-hash column (see :func:`hashed_shingles`)."""
+    lo = lambda j: f"(element_at(__th, i + {j}) & 4294967295)"  # noqa: E731
+    hi = lambda j: f"(shiftright(element_at(__th, i + {j}), 32) & 4294967295)"  # noqa: E731
+    c1 = lo(0)
+    c2 = hi(0)
+    for j in range(1, n):
+        c1 = f"({c1} * 31 + {lo(j)})"
+        c2 = f"({c2} * 131 + {hi(j)})"
+    h = f"(({c1} & 2147483647) * 4294967296 + ({c2} & 4294967295))"
+    return (
+        f"if(size(__th) < {n}, array(), array_distinct("
+        f"transform(sequence(1, size(__th) - {n - 1}), i -> {h})))"
+    )
+
+
+def hashed_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "sh",
+    explode: bool = False,
+) -> DataFrame:
+    """Per-document DISTINCT word-``n``-gram shingle HASHES with NO
+    gram-string materialization — the q152/q153 lesson (PLANS.md
+    round 6: 80% of shingle-pipeline wall time was the interpreted
+    slice+concat_ws building gram strings) packaged for every
+    shingle consumer.  ``explode=False`` returns an array column;
+    ``explode=True`` returns the (id, hash) membership relation.
+
+    Each token is xxhash64-ed ONCE; a shingle's hash packs two
+    independent polynomial combines — the tokens' low 32 bits under
+    multiplier 31 masked to 31 bits, and their high 32 bits under
+    multiplier 131 masked to 32 bits — into one non-negative bigint
+    ``c1 * 2^32 + c2`` (< 2^63, so every partial stays ANSI-safe).
+    A cross-shingle collision requires BOTH independent combines to
+    collide (~2^-63 per pair): vanishing, but NOT zero, which is why
+    the oracle-pinned operators (q63/q133/q158) keep literal strings
+    and this feeds the fast engine twins (q159); the no-collision
+    property on the shipped corpora is a named pytest guard
+    (per-doc distinct-hash count == distinct-string count), the LSH
+    total-recall convention.
+
+    Plan hazard, measured: the explode must sit on the shingle
+    EXPRESSION inside this function, not on the returned array
+    column — ``explode(col)`` over the two stacked projections lets
+    CollapseProject inline the ``__th`` token-hash array into every
+    ``element_at`` reference of the gram combine, re-tokenizing and
+    re-hashing the whole document per reference: O(tokens x grams)
+    per doc, measured 0.7 s -> 28 s at sf0.1.  Keeping the generator
+    adjacent to the expression (one projection boundary) keeps
+    ``__th`` a single materialized column.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    th = f"transform({toks}, t -> xxhash64(t))"
+    sh = _hashed_shingle_arr_expr(n)
+    base = df.select(F.col(id_col), F.expr(th).alias("__th"))
+    if explode:
+        return base.select(F.col(id_col), F.explode(F.expr(sh)).alias(out_col))
+    return base.select(F.col(id_col), F.expr(sh).alias(out_col))

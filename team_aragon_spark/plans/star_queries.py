@@ -5711,103 +5711,498 @@ def q150_source_overlap_matrix(spark, sf_dir):
 # Names listed here come first, in this order; everything else
 # follows in registration order (i.e. the 44 r04-stamped rows fill
 # slots 51+, freshest stamps last).
+_SESS_COMPLETE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM o),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start"""
+
+
+@register(
+    "q151_streaming_sessions_complete",
+    _SESS_COMPLETE_SQL,
+    ops=("ext-streaming-session-window-complete",),
+    doc="q102's streaming sessionization GRADUATED to a full value "
+    "oracle, the way q46/q47 graduated in r5: stage the events plus "
+    "ONE sentinel event 10 days past max(ts) under a fake user, so "
+    "the final availableNow watermark passes every real session's "
+    "close and append-mode session_window emits EVERY real session "
+    "deterministically (the emitted set after a full drain does not "
+    "depend on micro-batch splits).  Filtering the sentinel user "
+    "leaves exactly the batch lag+cumsum sessionizer's answer — the "
+    "oracle.  The sentinel-drain trick is the production pattern for "
+    "bounded backfills through a streaming topology; unbounded "
+    "operation (q102, kept) emits the same rows incrementally.",
+)
+def q151_streaming_sessions_complete(spark, sf_dir):
+    import datetime
+    import os
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    ev = read_table(spark, "events", sf_dir)
+    mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, mx + datetime.timedelta(days=10), -1, "flush", 0.0, "{}")],
+        es.EVENTS_STREAM_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    out = es.run_to_completion(
+        es.user_sessions_stream(es.read_events_stream(spark, src)),
+        f"q151_out_{uuid.uuid4().hex[:8]}",
+        ckpt,
+    )
+    return out.filter(F.col("user_id") != -1).orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
+    "q152_winnowing_fast",
+    None,
+    ops=("ext-winnowing-engine-fast",),
+    doc="FAST ENGINE TWIN of q133's winnowing (text_dedup."
+    "portable_winnowing_fingerprints, hash_fn='xxhash64'): identical "
+    "window-min fingerprint selection over identical 5-token grams, "
+    "but the gram hash is one xxhash64 per TOKEN + a 4-multiply-add "
+    "polynomial combine per gram.  Profiling showed r5's hypothesis "
+    "('md5 is the cost') was WRONG — swapping md5 for xxhash64-per-"
+    "gram-string saved only 7%; 80% of the wall was the interpreted "
+    "slice+concat_ws materializing 47M gram strings.  Eliminating "
+    "the strings measured 6.1 s -> 0.8-1.4 s (4-7x) at sf0.1 "
+    "(PLANS.md).  "
+    "Fingerprint VALUES are engine-specific, so rows-only; the md5 "
+    "twin (q133) keeps the full value oracle, and the coverage "
+    "guarantee (any shared >= w+k-1-token run shares a fingerprint) "
+    "is pinned for BOTH hashes in pytest.  This is the formulation "
+    "the 100 TB deployment runs.",
+)
+def q152_winnowing_fast(spark, sf_dir):
+    from team_aragon_spark.operators.text_dedup import portable_winnowing_fingerprints
+
+    return portable_winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), hash_fn="xxhash64"
+    )
+
+
+@register(
+    "q153_minhash_signatures_fast",
+    None,
+    ops=("ext-dedup-minhash-engine-fast",),
+    doc="FAST ENGINE TWIN of q63's portable MinHash signatures: the "
+    "same 8-permutation xor-fold (one base hash per shingle, running "
+    "mins for all permutations in a single aggregate), but the "
+    "shingle hash is one xxhash64 per TOKEN + a 2-multiply-add "
+    "polynomial combine — the q152 lesson applied to MinHash: the "
+    "cost of q63 was never the md5, it was materializing shingle "
+    "STRINGS (interpreted slice+concat_ws) before hashing; hashing "
+    "tokens once removes the strings (measured ~3x at sf0.1, "
+    "PLANS.md).  Signature values are engine-specific, so rows-only "
+    "(row count is deterministic: 8 x |docs|); q63 stays the value-"
+    "verified pin of the estimator, and the estimator property "
+    "(signature agreement rate approximates Jaccard) is pinned for "
+    "the token-combine hash family via q24's recall tests.",
+)
+def q153_minhash_signatures_fast(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sentinel = (1 << 63) - 1
+    # 32-bit token hashes; 3-token shingle hash = polynomial combine
+    # (partials < 2^42, ANSI-safe), distinct over the hash values —
+    # the bigint array_distinct is itself cheaper than the string one
+    th = "transform(split(trim(text), '\\\\s+'), t -> xxhash64(t) & 4294967295)"
+    acc = "((element_at(th, i) * 31 + element_at(th, i + 1)) * 31 + element_at(th, i + 2))"
+    sh = (
+        f"if(size(th) < 3, array(), array_distinct("
+        f"transform(sequence(1, size(th) - 2), i -> {acc} & {_Q63_MASK})))"
+    )
+    consts = "array(" + ", ".join(f"{c}L" for c in _Q63_PERM_CONSTS) + ")"
+    fold = (
+        f"aggregate(__sh, array_repeat({sentinel}L, 8), (acc, x) -> "
+        f"zip_with(acc, {consts}, (m, c) -> least(m, x ^ c)))"
+    )
+    return (
+        docs.select("doc_id", F.expr(th).alias("th"))
+        .select("doc_id", F.expr(sh).alias("__sh"))
+        .select("doc_id", F.posexplode(F.expr(fold)).alias("perm", "__m"))
+        .select(
+            "doc_id",
+            F.col("perm").cast("long").alias("perm"),
+            F.when(F.col("__m") == sentinel, F.lit(None))
+            .otherwise(F.col("__m"))
+            .alias("minhash"),
+        )
+    )
+
+
+_PCTL_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p_50,
+       round(quantile_cont(value, 0.9), 6) AS p_90,
+       round(quantile_cont(value, 0.99), 6) AS p_99,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+@register(
+    "q154_event_value_percentiles",
+    _PCTL_SQL,
+    ops=("ext-exact-percentiles",),
+    doc="EXACT p50/p90/p99 of event value per type WITHOUT the "
+    "built-in percentile aggregate's one-reducer value buffer "
+    "(operators/stats.exact_grouped_percentiles): aggregate to the "
+    "(type, value) -> count relation first — map-combined, sized by "
+    "the fixed-precision value domain, independent of row count — "
+    "then rank arithmetic + linear interpolation over that small "
+    "table.  The oracle is DuckDB quantile_cont, proving the "
+    "distributed rank formulation IS the textbook continuous "
+    "quantile; equality with Spark's own percentile() is pinned in "
+    "pytest.  approx_percentile remains the documented path for "
+    "continuous domains; this makes the exact path scale-safe for "
+    "telemetry-style fixed-precision metrics.",
+)
+def q154_event_value_percentiles(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    return exact_grouped_percentiles(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], [0.5, 0.9, 0.99]
+    ).orderBy("event_type")
+
+
+_TRIANGLE_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey)
+SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+FROM e0 e1
+JOIN e0 e2 ON e1.b = e2.a
+JOIN e0 e3 ON e1.a = e3.a AND e2.b = e3.b
+ORDER BY n1, n2, n3"""
+
+
+@register(
+    "q155_trade_triangle_enum",
+    _TRIANGLE_SQL,
+    ops=("ext-graph-triangles",),
+    doc="Triangle enumeration on the nation-level trade graph (q132's "
+    "edge relation, undirected): operators/graph.triangle_enumerate, "
+    "the DEGREE-ORIENTED node-iterator (Schank & Wagner 2005; Suri & "
+    "Vassilvitskii WWW 2011) — edges oriented low-(degree, id) -> "
+    "high before the wedge join, so a degree-d hub fans out only to "
+    "its higher-ranked neighbors (O(sqrt|E|) per key, the hub-"
+    "explosion fix that makes triangle counting survive skewed "
+    "graphs at scale).  The triangle SET is orientation-independent, "
+    "so the id-ordered SQL 3-way join reproduces it exactly — "
+    "orientation only decides WHERE each triangle is counted, which "
+    "is precisely why the oracle can be naive while the engine is "
+    "skew-safe.",
+)
+def q155_trade_triangle_enum(spark, sf_dir):
+    from team_aragon_spark.operators.graph import triangle_enumerate
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+    )
+    return triangle_enumerate(edges).orderBy("n1", "n2", "n3")
+
+
+_BIGRAM_LM_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+u AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM u
+       WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+cc AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+v AS (SELECT count(DISTINCT a) AS vs FROM bg)
+SELECT bg.doc_id,
+       round(avg(ln((c_ab + 1.0) / (c_a + vs))), 6) AS avg_logprob,
+       count(*) AS n_bigrams
+FROM bg JOIN bc USING (a, b) JOIN cc USING (a), v
+GROUP BY bg.doc_id ORDER BY bg.doc_id"""
+
+
+@register(
+    "q156_bigram_lm_scores",
+    _BIGRAM_LM_SQL,
+    ops=("ext-text-bigram-lm",),
+    doc="Bigram language-model quality score: mean add-one-smoothed "
+    "log P(b|a) per document under the corpus's OWN bigram counts — "
+    "the 2-gram upgrade of q76's unigram perplexity proxy, the "
+    "classic cheap LM filter for pretraining curation (docs whose "
+    "token TRANSITIONS are globally rare score low even when every "
+    "unigram is common: shuffled/garbled text).  Context counts c(a) "
+    "are bigram-first-position counts, V = distinct contexts, so "
+    "probabilities sum to 1 per context by construction.  Two "
+    "map-combined aggregates over one exploded-bigram relation "
+    "(persisted, caller-clears) + a vocabulary-sized broadcast join "
+    "back — no window, no self-join; the q123/q76 scale shape.",
+)
+def q156_bigram_lm_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = "split(trim(text), '\\\\s+')"
+    bg = (
+        docs.withColumn("__t", F.expr(toks))
+        .filter(F.expr("size(__t) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(__t, 1, size(__t) - 1), "
+                    "slice(__t, 2, size(__t) - 1), "
+                    "(x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.a", "g.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+        .persist()
+    )
+    # one exploded-bigram pass feeds the pair counts, the context
+    # counts, AND the scoring join (cache lifetime caller-managed, the
+    # q76/tfidf convention)
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cc = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    v = bg.agg(F.countDistinct("a").alias("vs"))
+    return (
+        bg.join(bc, ["a", "b"])
+        .join(cc, "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c_ab") + 1.0) / (F.col("c_a") + F.col("vs")))),
+                6,
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
+         count(*) AS n
+  FROM events GROUP BY event_type),
+d AS (
+  SELECT e.event_type, m.med, m.n,
+         round(abs(e.value - m.med), 6) AS dev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM d GROUP BY event_type)
+SELECT d.event_type, d.med, mad.mad,
+       CAST(sum(CASE WHEN round(d.dev - 5.0 * mad.mad, 6) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       d.n
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type, d.med, mad.mad, d.n
+ORDER BY d.event_type"""
+
+
+@register(
+    "q157_mad_robust_outliers",
+    _MAD_SQL,
+    ops=("ext-robust-mad-outliers",),
+    doc="Robust outlier screen (operators/stats.mad_outlier_stats): "
+    "per event type the exact median, the MAD (median absolute "
+    "deviation), and the count of values beyond 5*MAD — the "
+    "breakdown-resistant sibling of q124's 3-sigma z-score (a single "
+    "huge outlier inflates mean AND stddev enough to hide itself "
+    "from z; it cannot move the median).  Built on the same "
+    "count-table rank arithmetic as q154, so both median passes are "
+    "map-combined aggregates + tiny-window rank math, never a "
+    "one-reducer value buffer.  q124's exactness rule throughout: "
+    "median/MAD and the k*MAD membership operand all rounded to 6 "
+    "digits in both engines.",
+)
+def q157_mad_robust_outliers(spark, sf_dir):
+    from team_aragon_spark.operators.stats import mad_outlier_stats
+
+    return (
+        mad_outlier_stats(_t(spark, sf_dir, "events"), "value", ["event_type"], k=5.0)
+        .orderBy("event_type")
+    )
+
+
+_CONTAIN_SQL = r"""
+WITH m AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2]))) AS g
+  FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM m GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM m x JOIN m y ON x.g = y.g AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2)
+SELECT i.a, i.b, CAST(i.n_inter AS BIGINT) AS n_inter, sa.n AS n_a,
+       round(i.n_inter * 1.0 / sa.n, 6) AS containment
+FROM inter i JOIN sz sa ON i.a = sa.doc_id
+WHERE i.n_inter * 10 >= sa.n * 9
+ORDER BY a, b"""
+
+
+@register(
+    "q158_doc_containment_pairs",
+    _CONTAIN_SQL,
+    ops=("ext-dedup-containment",),
+    doc="DIRECTED containment dedup: pairs (a, b) where >= 90% of "
+    "a's 3-token shingles appear in b — the subset/quotation "
+    "relation Jaccard misses entirely (a paragraph fully contained "
+    "in a 100x longer page has Jaccard ~0.01 but containment 1.0; "
+    "this is how quote-farms and wrapper pages survive symmetric "
+    "dedup).  The engine runs the ASYMMETRIC prefix filter "
+    "(setsim.containment_join): containment needs ceil(0.9*|A|) "
+    "overlap, so A probes with only its first |A|-ceil(0.9|A|)+1 "
+    "(~10%) rarest-first shingles against B's full membership — the "
+    "naive shared-shingle count-join (which the ORACLE spells, "
+    "legitimately: the driver compares results, not plans) did NOT "
+    "complete at the 100x posture scale, hot shingles make its "
+    "candidate volume quadratic.  Threshold in exact integer "
+    "arithmetic (10*n_inter >= 9*|A|); prefix==count equality "
+    "pinned in pytest at both oracle SFs.",
+)
+def q158_doc_containment_pairs(spark, sf_dir):
+    from team_aragon_spark.operators.setsim import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("g"),
+    )
+    return (
+        containment_join(m, threshold=0.9, id_col="doc_id", item_col="g")
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "q159_containment_fast",
+    _CONTAIN_SQL,
+    ops=("ext-dedup-containment-fast",),
+    doc="FAST ENGINE TWIN of q158 with a FULL value oracle: identical "
+    "containment_join machinery (asymmetric prefix + length + "
+    "positional filters), but over 63-bit hashed shingles "
+    "(text_dedup.hashed_shingles: one xxhash64 per token, two "
+    "independent polynomial combines packed into one bigint — no "
+    "gram strings anywhere).  The oracle is the SAME naive string "
+    "count-join as q158's, which is sound iff no two distinct "
+    "shingles collide (~2^-63 per pair); that no-collision property "
+    "on the shipped corpora is a NAMED pytest guard (per-doc "
+    "distinct-hash == distinct-string counts), the LSH total-recall "
+    "convention.  This is the 100 TB path: the string twin's "
+    "members-distinct alone cost 143 s at 100x (gram strings again); "
+    "hashing drops both the string build and the shuffle width.",
+)
+def q159_containment_fast(spark, sf_dir):
+    from team_aragon_spark.operators.setsim import containment_join
+    from team_aragon_spark.operators.text_dedup import hashed_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    # explode=True keeps the generator adjacent to the shingle
+    # expression — exploding the returned array column instead lets
+    # CollapseProject inline the token-hash array per element_at
+    # reference (measured 0.7 -> 28 s; see hashed_shingles docstring)
+    m = hashed_shingles(docs, explode=True, out_col="g")
+    return (
+        containment_join(m, threshold=0.9, id_col="doc_id", item_col="g")
+        .orderBy("a", "b")
+    )
+
+
+
 STAMP_PRIORITY: list[str] = [
-    # -- never stamped --
-    "q100_hourly_gap_fill",
-    "q101_streaming_click_error_join",
-    "q102_streaming_user_sessions",
-    "q103_video_mp4_meta",
-    "q104_temperature_source_mix",
-    "q105_streaming_enriched_purchases",
-    "q106_streaming_sliding_stats",
-    "q107_user_type_counts_unpivot",
-    "q108_token_hof_stats",
-    "q109_recursive_chunk_spans",
-    "q110_passage_dedup_reassembly",
-    "q111_epoch_shard_plan",
-    "q112_train_val_test_split",
-    "q113_pq_codes",
-    "q114_streaming_latest_wins_state",
-    "q115_image_png_meta",
-    "q116_bm25_search",
-    "q117_curriculum_deciles",
-    "q118_user_value_scd2",
-    "q119_cohort_retention",
-    "q120_image_ahash_clusters",
-    "q121_audio_signal_features",
-    "q122_value_trend_stats",
-    "q123_token_bigram_counts",
-    "q124_value_anomaly_zscore",
-    "q125_orders_profile",
-    "q126_weighted_doc_sample",
-    "q127_basket_set_similarity",
-    "q128_state_snapshot_diff",
-    "q129_lang_source_chi2",
-    "q130_source_token_kl",
-    "q131_incremental_hourly_agg",
-    "q132_trade_pagerank",
-    "q133_portable_winnowing",
-    "q134_per_source_weighted_sample",
-    "q135_lineitem_corr_matrix",
-    "q136_bpe_merge_training",
-    "q137_bpe_token_counts",
-    "q138_hybrid_rrf_retrieval",
-    "q139_user_value_twap",
-    "q140_linear_touch_attribution",
-    "q141_value_psi_drift",
-    "q143_ab_conversion_ztest",
-    "q144_zorder_layout_keys",
-    "q145_dau_wau_stickiness",
-    "q146_period_contribution",
-    # (the never-stamped block above (46) + the first four changed
-    # rows below fill all 50 slots.  Of the six changed-body rows,
-    # q93 and q12 yield their slots (51/52): both carry DEDICATED
-    # pytest equality proofs of the body change — q93's prefix-sum ==
-    # naive-window on an adversarial-skew fixture, q12's min_by agg ==
-    # the window formulation — which the brand-new queries lack.
-    # After them: q142, the approximate r02 rows q24/q25/q26/q39/q42/
-    # q50 (pytest-pinned), the r03-stamped q01-q06 and the r02-stamped
-    # q22/q35/q36/q37/q38/q43/q48/q51/q52 — rotate those first next
-    # round.)
-    # -- oracle upgraded (no_oracle -> full) or body changed this round --
-    "q46_streaming_hourly_stats",
-    "q47_streaming_user_totals",
-    "q44_approx_distinct_users",
-    "q99_streaming_dedup_replay",
-    "q93_token_budget_packing",
-    "q12_first_line_per_order",
+    # ---- round-6 window (first 50 = the driver's stamp set) ----
+    # Debt block: never-stamped full-oracle rows (q142, q147-q150 from
+    # r5; q151-q158 new this round), the r02-stale rows whose oracles
+    # postdate their stamps (q24, q50), bodies changed after their
+    # last green stamp (q12/q93 in r5; q124/q127/q136 this round:
+    # sigma-edge rounding, integer prefix ceil, BPE early stop), and
+    # q113 whose output is now driver-canonicalizable.
     "q142_key_skew_profile",
-    # q147/q148 registered after the window filled; stamped next
-    # round with the rest of the 51+ tail, pytest-oracle-covered
-    # meanwhile.
     "q147_event_markov_transitions",
     "q148_zonemap_skipping_audit",
     "q149_doc_ngram_novelty",
     "q150_source_overlap_matrix",
-    # -- latest stamp r02: approximate family first --
+    "q151_streaming_sessions_complete",
+    "q154_event_value_percentiles",
+    "q155_trade_triangle_enum",
+    "q156_bigram_lm_scores",
+    "q157_mad_robust_outliers",
+    "q158_doc_containment_pairs",
+    "q159_containment_fast",
+    "q152_winnowing_fast",
+    "q153_minhash_signatures_fast",
     "q24_minhash_neardup_pairs",
+    "q50_corpus_dedup_canonical",
+    "q12_first_line_per_order",
+    "q93_token_budget_packing",
+    "q113_pq_codes",
+    "q124_value_anomaly_zscore",
+    "q127_basket_set_similarity",
+    "q136_bpe_merge_training",
+    # Rotation: oldest stamps first — the r02 remainder (13), then the
+    # 16 oldest r03 rows.  Next round rotate the remaining r03 rows
+    # (q66-q91 block: q66 q67 q68 q69 q71 q72 q73 q74 q76 q77 q83 q84
+    # q85 q86 q87 q89 q90 q91) and then the r04 set.
+    "q22_ann_cosine_topk",
     "q25_simhash_fingerprints",
     "q26_ivf_ann_topk",
-    "q39_winnowing_fingerprints",
-    "q42_srp_lsh_neardup_pairs",
-    "q50_corpus_dedup_canonical",
-    "q22_ann_cosine_topk",
     "q35_status_priority_rollup",
     "q36_multimodal_meta",
     "q37_embedding_neardup_pairs",
     "q38_bpe_ish_token_counts",
+    "q39_winnowing_fingerprints",
+    "q42_srp_lsh_neardup_pairs",
     "q43_multigrain_revenue_rollup",
     "q48_stratified_doc_sample",
     "q51_sentence_explode_udtf",
     "q52_status_priority_cube",
-    # -- latest stamp r03: §2 star core, then the r4-touched and
-    #    feature queries --
     "q01_week_count",
     "q02_records_per_week",
     "q03_week_totals",
     "q04_recent_weeks_totals",
     "q05_revenue_ratio_by_segment",
     "q06_weekly_volume",
+    "q07_active_customers_by_region",
+    "q08_priority_month_ratio",
+    "q09_top10_nations_by_balance",
+    "q53_big_spenders_having",
+    "q54_conditional_agg_returns",
+    "q56_customer_order_counts_left",
+    "q60_order_scalar_features",
+    "q63_md5_minhash_signatures",
+    "q64_neardup_cluster_labels",
 ]
 
 

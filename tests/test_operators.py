@@ -1380,11 +1380,14 @@ def test_set_similarity_join_tolerates_duplicate_membership(spark):
     assert got == [(1, 2, 2, 2, 2, 1.0)]
 
 
-def test_portable_winnowing_guarantee_and_mod_sampling_gap(spark):
+@_pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_portable_winnowing_guarantee_and_mod_sampling_gap(spark, hash_fn):
     """The winnowing contract (Schleimer 2003): two documents sharing
     any run of >= w+k-1 = 8 tokens MUST share at least one
     fingerprint.  Also pin the tie-break: equal window-minimal hashes
-    select the LEFTMOST position (the (hash, -pos)-encoding min)."""
+    select the LEFTMOST position (the (hash, -pos)-encoding min).
+    Parameterized over BOTH gram hashes — the md5 oracle pin (q133)
+    and the fast engine twin (q152) carry the identical guarantee."""
     from team_aragon_spark.operators.text_dedup import portable_winnowing_fingerprints
 
     shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
@@ -1397,7 +1400,7 @@ def test_portable_winnowing_guarantee_and_mod_sampling_gap(spark):
         ],
         "doc_id long, text string",
     )
-    fp = portable_winnowing_fingerprints(df).collect()
+    fp = portable_winnowing_fingerprints(df, hash_fn=hash_fn).collect()
     by_doc = {}
     for r in fp:
         by_doc.setdefault(r.doc_id, set()).add(r.hash)
@@ -1520,10 +1523,188 @@ def test_operator_cache_contract_releases_everything(spark):
 
     docs = read_table(spark, "documents", "/root/testdata/sf0.001")
     spark.catalog.clearCache()
+    # baseline, not zero: a shared session may hold localCheckpoint
+    # RDDs from earlier tests (checkpoints are not caches and are NOT
+    # cleared by clearCache); the contract under test is that THESE
+    # operators add nothing that survives the documented cleanup
+    base = n_persistent_rdds()
     for _ in range(2):  # second pass proves no growth across invocations
         minhash_neardup_pairs(docs).count()
         tfidf_top_terms(docs, k=3).count()
         assert not cache_empty()  # the operators really did persist
         spark.catalog.clearCache()
         assert cache_empty()
-        assert n_persistent_rdds() == 0
+        assert n_persistent_rdds() <= base
+
+
+def test_exact_grouped_percentiles_match_builtin(spark):
+    """The distributed count-table rank arithmetic (q154/q157) must
+    equal Spark's own exact percentile() aggregate — same linear
+    interpolation, computed without the per-group value buffer — on
+    the real events table AND on adversarial small groups (n=1, n=2,
+    all-equal values, exact-integer index boundaries)."""
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+    from team_aragon_spark.sources.catalog import read_table
+
+    ev = read_table(spark, "events", "/root/testdata/sf0.001")
+    got = {
+        r.event_type: (r.p_50, r.p_90, r.p_99, r.n)
+        for r in exact_grouped_percentiles(
+            ev, "value", ["event_type"], [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.p_50, r.p_90, r.p_99, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p_50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p_90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p_99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    edge = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("b", 3.0), ("c", 2.0), ("c", 2.0),
+         ("c", 2.0), ("d", 0.0), ("d", 1.0), ("d", 2.0), ("d", 3.0)],
+        "g string, v double",
+    )
+    got_e = {
+        r.g: (r.p_50, r.p_90, r.p_99)
+        for r in exact_grouped_percentiles(edge, "v", ["g"], [0.5, 0.9, 0.99]).collect()
+    }
+    want_e = {
+        r.g: (r.p_50, r.p_90, r.p_99)
+        for r in edge.groupBy("g")
+        .agg(
+            F.round(F.expr("percentile(v, 0.5)"), 6).alias("p_50"),
+            F.round(F.expr("percentile(v, 0.9)"), 6).alias("p_90"),
+            F.round(F.expr("percentile(v, 0.99)"), 6).alias("p_99"),
+        )
+        .collect()
+    }
+    assert got_e == want_e
+
+
+def test_triangle_enumerate_matches_bruteforce_and_handles_hub(spark):
+    """Degree-oriented triangle enumeration (q155) vs a python
+    brute force on a planted graph containing a hub (star center in
+    many triangles) — the exact shape whose wedge fan-out the
+    orientation is there to bound — plus an isolated edge and a
+    4-clique (4 triangles)."""
+    import itertools
+
+    from team_aragon_spark.operators.graph import triangle_enumerate
+
+    edges = (
+        [(0, i) for i in range(1, 8)]            # hub 0 -- 1..7
+        + [(1, 2), (3, 4), (5, 6)]               # three hub triangles
+        + [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]  # 4-clique
+        + [(20, 21)]                             # isolated edge
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = sorted((r.n1, r.n2, r.n3) for r in triangle_enumerate(df).collect())
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    want = sorted(
+        (x, y, z)
+        for x, y, z in itertools.combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    assert got == want
+    assert (0, 1, 2) in got and len([t for t in got if 10 <= t[0]]) == 4
+
+
+def test_containment_prefix_join_equals_bruteforce(spark):
+    """q158's asymmetric prefix filter must produce the EXACT directed
+    containment pair set — equal to a brute-force count-join — on a
+    planted corpus exercising the boundary cases: exact-90% overlap
+    (10 of 11 shingles, ceil boundary), full subset containment in a
+    much larger set (the J~0.1/C=1.0 case), an asymmetric pair where
+    only one direction qualifies, and a hot item shared by everything
+    (the count-join's quadratic exposure; it must stay OUT of rare-
+    first prefixes)."""
+    from team_aragon_spark.operators.setsim import containment_join
+
+    rows = []
+    # set 1: items 0..10 (11 items); set 2: items 0..9 + 99 (10/11 shared)
+    rows += [(1, f"i{k}") for k in range(11)]
+    rows += [(2, f"i{k}") for k in range(10)] + [(2, "i99")]
+    # set 3: tiny subset {i0, i1} fully contained in set 1
+    rows += [(3, "i0"), (3, "i1")]
+    # set 4: large set sharing only the hot item
+    rows += [(4, f"z{k}") for k in range(20)] + [(4, "hot")]
+    # hot item in every set
+    rows += [(s, "hot") for s in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "sid long, item string")
+
+    got = {
+        (r.a, r.b, r.n_inter, r.n_a, r.containment)
+        for r in containment_join(df, threshold=0.9).collect()
+    }
+
+    # brute force in python
+    sets = {}
+    for s, it in rows:
+        sets.setdefault(s, set()).add(it)
+    want = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter * 10 >= len(sa) * 9:
+                want.add((a, b, inter, len(sa), round(inter / len(sa), 6)))
+    assert got == want
+    # the planted semantics actually occurred
+    assert (3, 1, 3, 3, 1.0) in want          # full containment, both hot+i0+i1
+    assert any(a == 2 and b == 1 for (a, b, *_), in [(w,) for w in want])
+
+
+def test_containment_prefix_join_matches_countjoin_on_corpus(spark):
+    """Engine path == oracle spelling on the real documents table at
+    both oracle SFs: the prefix-filtered containment_join must equal
+    the naive count-join the q158 DuckDB oracle uses."""
+    from team_aragon_spark.operators.setsim import containment_join
+    from team_aragon_spark.operators import text_dedup
+    from team_aragon_spark.sources.catalog import read_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = read_table(spark, "documents", sf)
+        m = docs.select(
+            "doc_id",
+            F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("g"),
+        )
+        got = {
+            tuple(r)
+            for r in containment_join(m, 0.9, "doc_id", "g").collect()
+        }
+        sz = m.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        x = m.select(F.col("doc_id").alias("a"), "g")
+        y = m.select(F.col("doc_id").alias("b"), "g")
+        inter = (
+            x.join(y, "g")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sz.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"))
+        want = {
+            tuple(r)
+            for r in inter.join(sa, "a")
+            .filter(F.col("n_inter") * 10 >= F.col("n_a") * 9)
+            .select(
+                "a", "b",
+                F.col("n_inter").cast("bigint").alias("n_inter"),
+                F.col("n_a").cast("bigint").alias("n_a"),
+                F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment"),
+            )
+            .collect()
+        }
+        assert got == want, sf
+        spark.catalog.clearCache()

@@ -147,3 +147,62 @@ def test_q70_empty_is_correct_vs_brute_force(spark):
                 f"{sf_dir}: IVF blocking missed same-cell exact pairs: "
                 f"{same_cell - got}"
             )
+
+
+def test_ahash_planted_image_dups_collide(spark):
+    """q120's multimodal-dedup guard, the aHash sibling of the LSH
+    total-recall test above: the PNG synth is id-arithmetic with
+    period 256 (pixel = (7x+13y+i) % 256, w = 16+i%32, h = 8+i%16),
+    so doc_ids congruent mod 256 are byte-identical images — PLANTED
+    exact near-dups that MUST land in the same aHash cluster.  Named
+    assumption, re-checked per testdata regeneration: if the corpus
+    ever stops containing a mod-256 pair, this test fails loudly as
+    vacuous instead of silently attesting nothing."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["q120_image_ahash_clusters"].fn(spark, SF_ORACLE).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    planted = [
+        (i, j)
+        for i in by_doc
+        for j in by_doc
+        if i < j and (j - i) % 256 == 0
+    ]
+    assert planted, (
+        "corpus regenerated with no doc_id pair congruent mod 256: "
+        "the planted-duplicate guard is vacuous — re-derive the plant"
+    )
+    for i, j in planted:
+        assert by_doc[i].ahash == by_doc[j].ahash, (i, j)
+        assert by_doc[i].rep_id == by_doc[j].rep_id, (i, j)
+        assert by_doc[i].cluster_size >= 2, (i, j)
+    spark.catalog.clearCache()
+
+
+def test_hashed_shingles_collision_free_on_current_corpus(spark):
+    """q159's value oracle reuses q158's STRING count-join SQL, which
+    is sound iff no two distinct shingles hash-collide (probability
+    ~2^-63 per pair, but not zero).  Named assumption, re-checked per
+    testdata regeneration at both oracle SFs: every document's
+    distinct-hash count must equal its distinct-string count — a
+    collision anywhere fails this loudly instead of silently shifting
+    a containment denominator."""
+    from pyspark.sql import functions as F
+
+    from team_aragon_spark.operators import text_dedup
+    from team_aragon_spark.sources.catalog import read_table
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        docs = read_table(spark, "documents", sf)
+        hashed = text_dedup.hashed_shingles(docs).select(
+            "doc_id", F.size("sh").alias("nh")
+        )
+        strings = docs.select(
+            "doc_id",
+            F.size(F.expr(text_dedup.shingle_expr("text", 3))).alias("ns"),
+        )
+        bad = hashed.join(strings, "doc_id").filter(F.col("nh") != F.col("ns"))
+        assert bad.count() == 0, (
+            f"{sf}: shingle hash collision detected — q159's oracle "
+            "assumption is violated on this corpus"
+        )

@@ -963,3 +963,55 @@ def test_analytics_batch_plan_shapes(spark):
 
     p147 = plan("q147_event_markov_transitions")
     assert "CartesianProduct" not in p147 and "BroadcastNestedLoopJoin" not in p147, p147
+
+
+def test_round6_new_query_plan_shapes(spark):
+    """Scale-critical plan shapes of the round-6 additions:
+
+    - q154/q157 (exact percentiles / MAD): NO sort-based percentile
+      buffer — the plan's windows run over the (group, value)-count
+      aggregate, and the raw-event relation feeds only hash
+      aggregates; the stats joins broadcast.
+    - q155 (triangles): no cartesian and no nested-loop — the wedge
+      join is an equi-join on the oriented edge relation; the two
+      dimension joins broadcast.
+    - q156 (bigram LM): the vocab-size join broadcasts; the bigram
+      build is JVM zip_with, no Python eval.
+    - q152 (fast winnowing): identical plan skeleton to q133 — one
+      doc-partitioned window, no join — with NO md5 call left in the
+      fast path.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p154 = plan("q154_event_value_percentiles")
+    assert "percentile" not in p154.lower(), "must not use the buffer aggregate"
+    assert "SortMergeJoin" not in p154 and "CartesianProduct" not in p154
+    p157 = plan("q157_mad_robust_outliers")
+    assert "percentile" not in p157.lower()
+    assert "BroadcastHashJoin" in p157 and "SortMergeJoin" not in p157
+
+    p155 = plan("q155_trade_triangle_enum")
+    assert "CartesianProduct" not in p155 and "BroadcastNestedLoopJoin" not in p155
+
+    p156 = plan("q156_bigram_lm_scores")
+    assert "BatchEvalPython" not in p156, "bigram build must stay JVM-side"
+    assert "CartesianProduct" not in p156
+
+    p152 = plan("q152_winnowing_fast")
+    assert "md5" not in p152, "fast twin must not pay the md5 path"
+    assert "xxhash64" in p152 and "Join" not in p152
+    assert p152.count("Window") == 1
+
+    p158 = plan("q158_doc_containment_pairs")
+    assert "CartesianProduct" not in p158 and "BroadcastNestedLoopJoin" not in p158
+    assert "InMemoryTableScan" in p158, "sorted-set relation must be shared via cache"
