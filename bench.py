@@ -101,6 +101,8 @@ EXTRA = [
     "q157_mad_robust_outliers",     # robust MAD outlier screen
     "q158_doc_containment_pairs",   # directed containment dedup
     "q159_containment_fast",        # hashed-shingle containment twin
+    "q160_error_rate_control_chart",  # SPC p-chart screen
+    "q161_source_token_entropy",    # per-source entropy/perplexity
 ]
 
 

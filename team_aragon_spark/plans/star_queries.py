@@ -6141,6 +6141,133 @@ def q159_containment_fast(spark, sf_dir):
 
 
 
+_SPC_SQL = """
+WITH h AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY hour),
+tot AS (SELECT sum(errs) * 1.0 / sum(n) AS pbar FROM h)
+SELECT hour, n, errs,
+       round(errs * 1.0 / n, 6) AS p,
+       round(pbar, 6) AS pbar,
+       CASE WHEN round(abs(errs * 1.0 / n - pbar)
+                       - 3 * sqrt(pbar * (1 - pbar) / n), 6) > 0
+            THEN 1 ELSE 0 END AS out_of_control
+FROM h, tot ORDER BY hour"""
+
+
+@register(
+    "q160_error_rate_control_chart",
+    _SPC_SQL,
+    ops=("ext-spc-control-chart",),
+    doc="Statistical process control for a pipeline health metric: "
+    "per-hour error proportion against a p-chart with VARIABLE "
+    "control limits pbar +/- 3*sqrt(pbar(1-pbar)/n_hour) (Shewhart; "
+    "Montgomery, Introduction to Statistical Quality Control) — the "
+    "data-engineering 'did ingest quality shift this hour' screen, "
+    "completing the drift family (chi2 q129 / KL q130 / PSI q141) "
+    "with its sequential-monitoring member.  One map-combined "
+    "hourly aggregate + a broadcast 1-row grand rate; q124's "
+    "exactness rule: the control-limit membership operand is "
+    "rounded to 6 digits in both engines (all inputs are integer "
+    "counts, so the doubles agree bit-for-bit before the round).",
+)
+def q160_error_rate_control_chart(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "errs"
+        ),
+    )
+    tot = h.agg(
+        (F.sum("errs") / F.sum("n")).alias("pbar_raw")
+    )
+    p = F.col("errs") / F.col("n")
+    lim = 3 * F.sqrt(
+        F.col("pbar_raw") * (1 - F.col("pbar_raw")) / F.col("n")
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "hour",
+            "n",
+            "errs",
+            F.round(p, 6).alias("p"),
+            F.round("pbar_raw", 6).alias("pbar"),
+            F.when(F.round(F.abs(p - F.col("pbar_raw")) - lim, 6) > 0, 1)
+            .otherwise(0)
+            .alias("out_of_control"),
+        )
+        .orderBy("hour")
+    )
+
+
+_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT source, term FROM tok WHERE term <> ''),
+tc AS (SELECT source, term, count(*) AS c FROM tok2 GROUP BY source, term),
+st AS (SELECT source, sum(c) AS n, count(*) AS vocab FROM tc GROUP BY source)
+SELECT tc.source, st.n AS n_tokens, st.vocab,
+       round(-sum((c * 1.0 / st.n) * ln(c * 1.0 / st.n)), 6) AS entropy,
+       round(exp(-sum((c * 1.0 / st.n) * ln(c * 1.0 / st.n))), 4) AS perplexity
+FROM tc JOIN st USING (source)
+GROUP BY tc.source, st.n, st.vocab
+ORDER BY tc.source"""
+
+
+@register(
+    "q161_source_token_entropy",
+    _ENTROPY_SQL,
+    ops=("ext-text-entropy",),
+    doc="Shannon entropy + unigram perplexity of each source's token "
+    "distribution — the lexical-diversity screen that catches "
+    "template/boilerplate sources (low entropy) before they skew a "
+    "training mix, completing the distribution family (chi2 / KL / "
+    "PSI / SPC) with its single-distribution member.  Two "
+    "map-combined aggregates over one token explode: (source, term) "
+    "counts, then per-source totals broadcast back for the p*ln(p) "
+    "sum — |sources| x |vocab| rows after the first agg, corpus-"
+    "volume-independent after that.  Entropy rounded at 6, "
+    "perplexity (exp) at 4 — the sum is over a ~|vocab| float "
+    "accumulation whose cross-engine ulps sit ~1e-15, far below "
+    "both rounds.",
+)
+def q161_source_token_entropy(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = tc.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    pl = (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+    return (
+        tc.join(F.broadcast(st), "source")
+        .groupBy("source", "n", "vocab")
+        .agg(
+            F.round(-F.sum(pl), 6).alias("entropy"),
+            F.round(F.exp(-F.sum(pl)), 4).alias("perplexity"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "vocab",
+            "entropy",
+            "perplexity",
+        )
+        .orderBy("source")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-6 window (first 50 = the driver's stamp set) ----
     # Debt block: never-stamped full-oracle rows (q142, q147-q150 from
@@ -6161,6 +6288,8 @@ STAMP_PRIORITY: list[str] = [
     "q157_mad_robust_outliers",
     "q158_doc_containment_pairs",
     "q159_containment_fast",
+    "q160_error_rate_control_chart",
+    "q161_source_token_entropy",
     "q152_winnowing_fast",
     "q153_minhash_signatures_fast",
     "q24_minhash_neardup_pairs",
@@ -6201,8 +6330,6 @@ STAMP_PRIORITY: list[str] = [
     "q54_conditional_agg_returns",
     "q56_customer_order_counts_left",
     "q60_order_scalar_features",
-    "q63_md5_minhash_signatures",
-    "q64_neardup_cluster_labels",
 ]
 
 
