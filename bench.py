@@ -103,6 +103,9 @@ EXTRA = [
     "q159_containment_fast",        # hashed-shingle containment twin
     "q160_error_rate_control_chart",  # SPC p-chart screen
     "q161_source_token_entropy",    # per-source entropy/perplexity
+    "q162_doc_ngram_novelty_fast",  # hashed-gram novelty twin
+    "q163_cms_heavy_hitters",       # portable count-min sketch
+    "q164_portable_hll_distinct",   # portable HyperLogLog
 ]
 
 

@@ -6268,6 +6268,246 @@ def q161_source_token_entropy(spark, sf_dir):
     )
 
 
+@register(
+    "q162_doc_ngram_novelty_fast",
+    _NOVELTY_SQL,
+    ops=("ext-corpus-novelty-fast",),
+    doc="FAST ENGINE TWIN of q149 with a FULL value oracle: identical "
+    "novelty computation (fraction of a doc's distinct trigrams in "
+    "no other doc) over 63-bit hashed shingles instead of gram "
+    "strings — r5 measured q149 at 38 s at 100x and attributed it to "
+    "the 45M-row STRING gram shuffle ('an xxhash64 key would halve "
+    "the bytes but reintroduces a collision probability the exact "
+    "oracle can't tolerate'); the q159 named-guard convention "
+    "resolves exactly that objection: the oracle stays the string "
+    "spelling, soundness rides on the per-regeneration no-collision "
+    "pytest guard.  Same plan shape (explode -> df agg -> join "
+    "back), narrower shuffle keys.",
+)
+def q162_doc_ngram_novelty_fast(spark, sf_dir):
+    from team_aragon_spark.operators.text_dedup import hashed_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = hashed_shingles(docs, explode=True, out_col="g").persist()
+    # the explode feeds the doc-frequency aggregate AND the join back
+    # (cache lifetime caller-managed, the q149/module convention)
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
+    uniq = F.sum(F.when(F.col("ndocs") == 1, 1).otherwise(0))
+    return (
+        sh.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            uniq.alias("n_unique"),
+            F.round(uniq / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 20
+
+_CMS_SQL = f"""
+WITH uc AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+keys AS (
+  SELECT uc.user_id, uc.c, j.j,
+         ('0x' || substr(md5('cms' || CAST(j.j AS VARCHAR) || ':'
+                             || CAST(uc.user_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {_CMS_W} AS b
+  FROM uc CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+sketch AS (
+  SELECT j, b, sum(c) AS cell FROM keys GROUP BY j, b),
+top AS (
+  SELECT user_id, c FROM uc ORDER BY c DESC, user_id LIMIT {_CMS_TOPK}),
+est AS (
+  SELECT t.user_id, t.c, min(s.cell) AS est
+  FROM top t
+  JOIN keys k ON k.user_id = t.user_id
+  JOIN sketch s ON s.j = k.j AND s.b = k.b
+  GROUP BY t.user_id, t.c)
+SELECT user_id, CAST(c AS BIGINT) AS exact_count,
+       CAST(est AS BIGINT) AS cms_estimate,
+       CAST(est - c AS BIGINT) AS overestimate
+FROM est ORDER BY exact_count DESC, user_id"""
+
+
+@register(
+    "q163_cms_heavy_hitters",
+    _CMS_SQL,
+    ops=("ext-sketch-count-min",),
+    doc="Count-min sketch (Cormode & Muthukrishnan 2005), PORTABLY "
+    "pinned: a d=4 x w=1024 CMS of per-user event counts built as "
+    "ONE map-combined aggregate over md5-derived bucket keys, then "
+    "the top-20 exact heavy hitters are estimated back from the "
+    "sketch (min over their d cells) with the guaranteed-one-sided "
+    "error shown as overestimate.  Every count is integer and every "
+    "bucket hash md5 — the ENTIRE sketch and estimates are a full "
+    "DuckDB value oracle, pinning the mergeable-sketch ALGORITHM "
+    "itself (q44's approx_count_distinct is engine-internal and "
+    "rows-only by nature; this is the portable member of the sketch "
+    "family).  Scale: the sketch is d*w = 4096 cells whatever the "
+    "corpus; building it is a map-combined aggregate; estimating "
+    "joins a broadcast sketch onto a broadcast top-k.",
+)
+def q163_cms_heavy_hitters(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    bucket = lambda j: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{j}:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+    keys = uc.select(
+        "user_id",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("k"),
+    ).select("user_id", "c", "k.j", "k.b")
+    sketch = keys.groupBy("j", "b").agg(F.sum("c").alias("cell"))
+    top = uc.orderBy(F.desc("c"), "user_id").limit(_CMS_TOPK)
+    return (
+        top.join(keys.select("user_id", "j", "b"), "user_id")
+        .join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id", "c")
+        .agg(F.min("cell").alias("est"))
+        .select(
+            "user_id",
+            F.col("c").cast("bigint").alias("exact_count"),
+            F.col("est").cast("bigint").alias("cms_estimate"),
+            (F.col("est") - F.col("c")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "user_id")
+    )
+
+
+_HLL_M = 64
+
+_HLL_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {_HLL_M} AS bucket,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT
+           AS h2
+  FROM du),
+r AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN h2 = 0 THEN 33
+                  ELSE 32 - length(bin(h2)) + 1 END) AS reg
+  FROM h GROUP BY event_type, bucket),
+s AS (
+  SELECT event_type,
+         sum(power(2.0, -reg)) + ({_HLL_M} - count(*)) AS harm,
+         {_HLL_M} - count(*) AS zeros
+  FROM r GROUP BY event_type),
+e AS (
+  SELECT event_type, zeros,
+         (0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M} / harm AS raw
+  FROM s),
+x AS (
+  SELECT event_type,
+         CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+              THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zeros)
+              ELSE raw END AS est
+  FROM e),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events
+  GROUP BY event_type)
+SELECT x.event_type, ex.exact_distinct,
+       round(x.est, 4) AS hll_estimate,
+       round(abs(x.est - ex.exact_distinct) / ex.exact_distinct, 4)
+         AS rel_error
+FROM x JOIN ex USING (event_type) ORDER BY x.event_type"""
+
+
+@register(
+    "q164_portable_hll_distinct",
+    _HLL_SQL,
+    ops=("ext-sketch-hll",),
+    doc="HyperLogLog (Flajolet et al. 2007) built from scratch with "
+    "PORTABLE arithmetic: m=64 registers per event type over "
+    "md5-derived hashes, rho = leading-zero count computed "
+    "INTEGER-EXACTLY as 32 - length(bin(h)) + 1 (both engines print "
+    "minimal binary, so no float log2 near power-of-two "
+    "boundaries), harmonic mean + small-range linear-counting "
+    "correction, estimates vs exact distincts with relative error — "
+    "the cardinality member of the sketch family (CMS q163), "
+    "value-verified END TO END including every register.  Scale: "
+    "registers are |types| x 64 rows from one map-combined "
+    "aggregate over the distinct pairs; HLL registers merge by max, "
+    "the property that makes the sketch shardable across epochs and "
+    "partitions (q44 documents the engine-native datasketches "
+    "variant; this pins the algorithm).",
+)
+def q164_portable_hll_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    md5u = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    h = du.select(
+        "event_type",
+        (F.conv(F.substring(md5u, 1, 8), 16, 10).cast("bigint") % _HLL_M).alias(
+            "bucket"
+        ),
+        F.conv(F.substring(md5u, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    reg = h.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("h2") == 0, 33).otherwise(
+                32 - F.length(F.bin("h2")) + 1
+            )
+        ).alias("reg")
+    )
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    s = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("reg")))
+            + (_HLL_M - F.count(F.lit(1)))
+        ).alias("harm"),
+        (_HLL_M - F.count(F.lit(1))).alias("zeros"),
+    )
+    raw = F.lit(alpha) * _HLL_M * _HLL_M / F.col("harm")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        _HLL_M * F.log(_HLL_M / F.col("zeros")),
+    ).otherwise(raw)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        s.select("event_type", est.alias("est"))
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round("est", 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-6 window (first 50 = the driver's stamp set) ----
     # Debt block: never-stamped full-oracle rows (q142, q147-q150 from
@@ -6290,6 +6530,9 @@ STAMP_PRIORITY: list[str] = [
     "q159_containment_fast",
     "q160_error_rate_control_chart",
     "q161_source_token_entropy",
+    "q162_doc_ngram_novelty_fast",
+    "q163_cms_heavy_hitters",
+    "q164_portable_hll_distinct",
     "q152_winnowing_fast",
     "q153_minhash_signatures_fast",
     "q24_minhash_neardup_pairs",
@@ -6327,9 +6570,6 @@ STAMP_PRIORITY: list[str] = [
     "q08_priority_month_ratio",
     "q09_top10_nations_by_balance",
     "q53_big_spenders_having",
-    "q54_conditional_agg_returns",
-    "q56_customer_order_counts_left",
-    "q60_order_scalar_features",
 ]
 
 
