@@ -6544,9 +6544,11 @@ STAMP_PRIORITY: list[str] = [
     "q127_basket_set_similarity",
     "q136_bpe_merge_training",
     # Rotation: oldest stamps first — the r02 remainder (13), then the
-    # 16 oldest r03 rows.  Next round rotate the remaining r03 rows
-    # (q66-q91 block: q66 q67 q68 q69 q71 q72 q73 q74 q76 q77 q83 q84
-    # q85 q86 q87 q89 q90 q91) and then the r04 set.
+    # oldest r03 rows.  Six r03 rows yielded their slots to the new
+    # round-6 queries (q54 q56 q60 q63 q64 q65 — unchanged bodies,
+    # pytest-oracle-covered meanwhile).  Next round rotate those six,
+    # the remaining r03 rows (q66 q67 q68 q69 q71 q72 q73 q74 q76 q77
+    # q83 q84 q85 q86 q87 q89 q90 q91), and then the r04 set.
     "q22_ann_cosine_topk",
     "q25_simhash_fingerprints",
     "q26_ivf_ann_topk",
