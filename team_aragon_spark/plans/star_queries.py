@@ -6354,7 +6354,11 @@ FROM est ORDER BY exact_count DESC, user_id"""
 )
 def q163_cms_heavy_hitters(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: the per-user aggregate (the only corpus-sized stage)
+    # feeds the sketch build, the top-k, AND the estimate join —
+    # without it the event scan re-runs three times (the PLANS.md
+    # persist-multi-consumer rule); cache lifetime caller-managed
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).persist()
     bucket = lambda j: (  # noqa: E731
         F.conv(
             F.substring(
@@ -6459,7 +6463,12 @@ FROM x JOIN ex USING (event_type) ORDER BY x.event_type"""
 )
 def q164_portable_hll_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    du = ev.select("event_type", "user_id").distinct()
+    # persisted: the distinct (type, user) relation feeds BOTH the
+    # register build and the exact count (derived from it directly —
+    # count(*) per type over du IS count(distinct user_id), saving a
+    # second event scan and a countDistinct Expand); cache lifetime
+    # caller-managed
+    du = ev.select("event_type", "user_id").distinct().persist()
     md5u = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
     h = du.select(
         "event_type",
@@ -6488,8 +6497,8 @@ def q164_portable_hll_distinct(spark, sf_dir):
         (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
         _HLL_M * F.log(_HLL_M / F.col("zeros")),
     ).otherwise(raw)
-    ex = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+    ex = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     return (
         s.select("event_type", est.alias("est"))
