@@ -168,10 +168,11 @@ def triangle_enumerate(
     e2 = ori.select(F.col("s").alias("y"), F.col("t").alias("z"))
     e3 = ori.select(F.col("s").alias("x"), F.col("t").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    n1 = F.least("x", "y", "z")
-    n3 = F.greatest("x", "y", "z")
+    # middle node via sort, not x+y+z-least-greatest: the three-way
+    # bigint sum can overflow for ids near 2^62 (63-bit hashed ids)
+    srt = F.array_sort(F.array("x", "y", "z"))
     return tri.select(
-        n1.alias("n1"),
-        (F.col("x") + F.col("y") + F.col("z") - n1 - n3).alias("n2"),
-        n3.alias("n3"),
+        F.element_at(srt, 1).alias("n1"),
+        F.element_at(srt, 2).alias("n2"),
+        F.element_at(srt, 3).alias("n3"),
     )

@@ -534,11 +534,88 @@ def pq_train(
     return books
 
 
+def pq_train_portable(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """ENGINE-PORTABLE k-means PQ training — every step reproducible by
+    a SQL engine, so the whole training loop can be value-oracled
+    (q166 replays it as unrolled DuckDB CTEs the way q136 replays BPE
+    merges):
+
+    - the training sample is the FIRST ``sample`` rows by ``id_col``
+      (at oracle scale that is the whole table; :func:`pq_train` keeps
+      the xxhash64-order sample, which stays unbiased when the corpus
+      exceeds the cap but is not SQL-reproducible);
+    - init is the first ``ks`` sample rows per subspace (deterministic
+      data points, not an RNG draw);
+    - squared distances accumulate dimension-by-dimension LEFT TO
+      RIGHT and are rounded to 9 digits before the argmin (ties ->
+      lowest code), so a SQL engine writing the same explicit sum
+      chain computes the identical rounded value and the identical
+      argmin;
+    - updated centroids are round(sum/n, 6) per coordinate — the
+      rounding makes the result independent of summation order
+      (cross-engine/numpy accumulation ulps sit ~1e-15, far below the
+      5e-7 boundary), which is what lets every iteration feed the
+      next bit-for-bit in both engines;
+    - empty clusters re-seed from the point with the largest rounded
+      min-distance (earliest sample row on ties), copied exactly.
+
+    Returns ``codebooks[m][ks][dim/m]`` like :func:`pq_train`.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    if not rows:
+        return []
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        k = min(ks, len(xs))
+        cent = xs[:k].copy()
+        for _ in range(iters):
+            # left-to-right per-dimension accumulation (matches the
+            # explicit sum chain the SQL oracle writes; numpy's
+            # pairwise .sum() would group differently at ulp level)
+            d2 = np.zeros((len(xs), k))
+            for j in range(k):
+                d = (xs[:, 0] - cent[j, 0]) ** 2
+                for dmn in range(1, sub):
+                    d = d + (xs[:, dmn] - cent[j, dmn]) ** 2
+                d2[:, j] = d
+            d2 = np.round(d2, 9)
+            assign = d2.argmin(1)  # first (lowest code) on ties
+            mind = d2.min(1)
+            far = xs[mind.argmax()]  # first (earliest row) on ties
+            for j in range(k):
+                pts = xs[assign == j]
+                if len(pts):
+                    cent[j] = np.round(pts.sum(0) / len(pts), 6)
+                else:
+                    cent[j] = far
+        books.append([c.tolist() for c in cent])
+    return books
+
+
 def pq_assign(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` sub-codes (nearest sub-centroid per
     subspace) plus its total squared reconstruction error — entirely
@@ -576,11 +653,18 @@ def pq_assign(
             + ")"
         )
         sl = f"slice({vec_col}, {s * sub + 1}, {sub})"
+        dist = (
+            f"aggregate(zip_with(c, {sl}, "
+            "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        if round_digits is not None:
+            # rounded-distance argmin (ties -> lowest code): the
+            # portable-training contract, see pq_train_portable
+            dist = f"round({dist}, {round_digits})"
         best = (
             f"array_min(zip_with({cents}, sequence(0, {len(codebooks[s]) - 1}), "
-            f"(c, i) -> named_struct('err', aggregate(zip_with(c, {sl}, "
-            "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), "
-            "CAST(0.0 AS DOUBLE), (a, v) -> a + v), 'i', i)))"
+            f"(c, i) -> named_struct('err', {dist}, 'i', i)))"
         )
         out = out.withColumn(f"__b_{s}", F.expr(best))
     codes = F.array(*[F.col(f"__b_{s}.i").cast("int") for s in range(m)]).alias("codes")

@@ -119,6 +119,10 @@ def mad_outlier_stats(
     Two passes of :func:`exact_grouped_percentiles` (median of values,
     median of deviations) + one counting aggregate; every shuffle is a
     map-combined groupBy and the per-group stats relation broadcasts.
+    The deviation relation (fact scan + broadcast median join) feeds
+    both the MAD pass and the final outlier aggregate, so it is
+    persisted — cache lifetime is caller-managed, matching the
+    documented contract of the other multi-consumer operators.
     """
     gcols = list(group_cols)
     med = (
@@ -127,7 +131,7 @@ def mad_outlier_stats(
     )
     dev = df.join(F.broadcast(med), gcols).withColumn(
         "__dev", F.round(F.abs(F.col(value_col) - F.col("__med")), round_digits)
-    )
+    ).persist()
     mad = (
         exact_grouped_percentiles(dev, "__dev", gcols, [0.5], round_digits)
         .select(*gcols, F.col("p_50").alias("__mad"))

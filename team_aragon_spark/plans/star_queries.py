@@ -15,7 +15,11 @@ Rules that keep the DuckDB comparison exact:
 - float aggregates are rounded (2-6 digits) in BOTH engines so
   accumulation-order ulps cannot flip the value hash;
 - every top-k has a total-order tie-break;
-- session timezone is UTC (see session.tune) so date_trunc agrees.
+- session timezone is UTC (see session.tune) so date_trunc agrees;
+- every INTEGER aggregate the oracle RETURNS is CAST(... AS BIGINT):
+  DuckDB sum() yields HUGEINT, which pandas widens to float64 while
+  Spark returns int64 — identical values, flipped dtype-sensitive
+  hash (this bit q160/q161 in round 6; count(*) is already BIGINT).
 """
 
 from __future__ import annotations
@@ -2258,18 +2262,44 @@ def q71_md5_simhash_bits(spark, sf_dir):
     return text_dedup.md5_simhash_bits(_t(spark, sf_dir, "documents"))
 
 
-def _stream_events_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+_STREAM_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stream_events_src(
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "plain",
+    augment=None,
+) -> tuple[str, str]:
     """Stage the events table as a µs-timestamp parquet directory (file
     streaming source stand-in for a Kafka topic) + a fresh checkpoint
-    dir.  Temp dirs, one per invocation — streaming checkpoints are
-    not reusable across query definitions."""
+    dir.
+
+    The staged SOURCE is immutable for a given (sf_dir, variant) and
+    is cached session-wide — before this cache, every streaming query
+    re-wrote the events table to a fresh temp dir (~13 s wall for q151
+    at sf0.1).  The CHECKPOINT is the non-reusable part (not valid
+    across query definitions), so it is always fresh.  ``variant``
+    keys sources whose contents differ (q151 appends a far-future
+    sentinel event via ``augment``; sharing that dir would move every
+    other query's watermark 10 days forward).  ``augment(src)`` runs
+    once, on the staging miss only.
+    """
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="aragon_stream_")
-    src = os.path.join(base, "src")
-    read_table(spark, "events", sf_dir).coalesce(4).write.mode("overwrite").parquet(src)
-    return src, os.path.join(base, "ckpt")
+    key = (os.path.abspath(sf_dir), variant)
+    src = _STREAM_STAGE_CACHE.get(key)
+    if src is None:
+        base = tempfile.mkdtemp(prefix="aragon_stream_")
+        src = os.path.join(base, "src")
+        read_table(spark, "events", sf_dir).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        if augment is not None:
+            augment(src)
+        _STREAM_STAGE_CACHE[key] = src
+    return src, os.path.join(tempfile.mkdtemp(prefix="aragon_ckpt_"), "ckpt")
 
 
 @register(
@@ -5749,19 +5779,22 @@ ORDER BY user_id, session_start"""
 )
 def q151_streaming_sessions_complete(spark, sf_dir):
     import datetime
-    import os
     import uuid
 
     from team_aragon_spark.streaming import events_stream as es
 
-    src, ckpt = _stream_events_src(spark, sf_dir)
-    ev = read_table(spark, "events", sf_dir)
-    mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(10**9, mx + datetime.timedelta(days=10), -1, "flush", 0.0, "{}")],
-        es.EVENTS_STREAM_SCHEMA,
+    def _append_sentinel(src: str) -> None:
+        ev = read_table(spark, "events", sf_dir)
+        mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(10**9, mx + datetime.timedelta(days=10), -1, "flush", 0.0, "{}")],
+            es.EVENTS_STREAM_SCHEMA,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    src, ckpt = _stream_events_src(
+        spark, sf_dir, variant="sentinel", augment=_append_sentinel
     )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
     out = es.run_to_completion(
         es.user_sessions_stream(es.read_events_stream(spark, src)),
         f"q151_out_{uuid.uuid4().hex[:8]}",
@@ -6148,7 +6181,7 @@ WITH h AS (
          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
   FROM events GROUP BY hour),
 tot AS (SELECT sum(errs) * 1.0 / sum(n) AS pbar FROM h)
-SELECT hour, n, errs,
+SELECT hour, n, CAST(errs AS BIGINT) AS errs,
        round(errs * 1.0 / n, 6) AS p,
        round(pbar, 6) AS pbar,
        CASE WHEN round(abs(errs * 1.0 / n - pbar)
@@ -6211,7 +6244,7 @@ WITH tok AS (
 tok2 AS (SELECT source, term FROM tok WHERE term <> ''),
 tc AS (SELECT source, term, count(*) AS c FROM tok2 GROUP BY source, term),
 st AS (SELECT source, sum(c) AS n, count(*) AS vocab FROM tc GROUP BY source)
-SELECT tc.source, st.n AS n_tokens, st.vocab,
+SELECT tc.source, CAST(st.n AS BIGINT) AS n_tokens, st.vocab,
        round(-sum((c * 1.0 / st.n) * ln(c * 1.0 / st.n)), 6) AS entropy,
        round(exp(-sum((c * 1.0 / st.n) * ln(c * 1.0 / st.n))), 4) AS perplexity
 FROM tc JOIN st USING (source)
@@ -6517,70 +6550,577 @@ def q164_portable_hll_distinct(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# End-to-end curation DAG (round 7): the operator families composed
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+  FROM tk),
+losers AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+g8 AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 7, 0) + 1),
+           i -> md5(array_to_string(tk[i : i + 7], ' '))))) AS g
+  FROM tk),
+bench AS MATERIALIZED (SELECT DISTINCT g FROM g8 WHERE source = 'src0'),
+contaminated AS MATERIALIZED (
+  SELECT DISTINCT g8.doc_id FROM g8 JOIN bench USING (g)
+  WHERE g8.source <> 'src0'),
+feats AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(list_filter(tk, x -> x IN ({stop}))) AS ns
+  FROM tk),
+scoredoc AS MATERIALIZED (
+  SELECT doc_id, source, n_tokens,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE least(1.0, round(ns / n_tokens, 6) * 2 + 0.5)
+                         - least(0.5, round(np / nc, 6) * 5) END, 6) AS q
+  FROM feats),
+clean AS MATERIALIZED (
+  SELECT s.doc_id, s.source, s.n_tokens, s.q
+  FROM scoredoc s
+  WHERE s.source <> 'src0'
+    AND s.doc_id NOT IN (SELECT doc_id FROM losers)
+    AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+keepsrc AS MATERIALIZED (
+  SELECT source FROM (
+    SELECT source, round(avg(q), 4) AS aq FROM clean GROUP BY source)
+  WHERE aq >= 0.5),
+gated AS MATERIALIZED (
+  SELECT * FROM clean WHERE source IN (SELECT source FROM keepsrc)),
+counts AS MATERIALIZED (
+  SELECT source, count(*) AS n FROM gated GROUP BY source),
+w AS MATERIALIZED (
+  SELECT source,
+         least(1.0, round((SELECT min(n) FROM counts) * 1.0 / n, 6)) AS keep_frac
+  FROM counts),
+sampled AS MATERIALIZED (
+  SELECT g.doc_id, g.source, g.n_tokens
+  FROM gated g JOIN w USING (source)
+  WHERE w.keep_frac >= 1.0
+     OR substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 6)
+        < lpad(lower(to_hex(CAST(floor(w.keep_frac * 16777216) AS BIGINT))), 6, '0')),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sampled)
+SELECT doc_id, source, n_tokens,
+       CAST(greatest(cum - 1, 0) // 2048 AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens - (greatest(cum - 1, 0) // 2048) * 2048 AS BIGINT)
+         AS pack_offset
+FROM c ORDER BY doc_id""".format(
+    stop=", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+)
+
+
+@register(
+    "q165_curation_pipeline",
+    _CURATION_SQL,
+    ops=("ext-curation-dag",),
+    doc="END-TO-END curation DAG — the operator families composed the "
+    "way a real 100 TB pretraining-data run chains them, in one "
+    "lineage: near-dup dedup (q24's MinHash+LSH pairs at exact-"
+    "Jaccard 0.5, greedy min-id survivor: the larger id of every "
+    "pair drops) -> benchmark decontamination (q74's shared-8-gram "
+    "join vs the src0 eval suite; the suite itself is excluded from "
+    "training output) -> source-level quality gate (q84's arithmetic "
+    "over the SURVIVING docs) -> mix rebalance to the smallest "
+    "surviving source (q94's portable md5 threshold, recomputed on "
+    "the gated corpus) -> 2048-token sequence packing (q93's "
+    "two-level prefix sum).  The oracle replays all five stages as "
+    "one CTE chain built from the stage oracles, so the driver row "
+    "proves the whole DAG including every cross-stage interaction "
+    "(counts, weights and pack boundaries all shift with the "
+    "upstream survivors).  Inherits q24's named per-corpus LSH "
+    "total-recall assumption (test_lsh_recall_is_total_on_current_"
+    "corpus).  Scale: per-doc features and 8-gram digests are "
+    "computed in ONE corpus scan each; the pair set, loser set, "
+    "contaminated set, per-source tables and weights are all "
+    "pair/source-scale relations (broadcast or tiny shuffles); the "
+    "multi-consumer clean/gated relations are persisted (caller-"
+    "managed lifetime); packing shards every source so no task sorts "
+    "a whole source.  No all-pairs stage exists at corpus "
+    "cardinality (the LSH band join replaces it).",
+)
+def q165_curation_pipeline(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import (
+        shared_gram_counts,
+        source_mix_rebalance,
+    )
+    from team_aragon_spark.operators.windows import distributed_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    budget = 2048
+
+    # Stage 1 — near-dup dedup: LSH candidates verified at exact
+    # Jaccard >= 0.5; greedy min-id survivor rule.
+    losers = (
+        text_dedup.minhash_neardup_pairs(docs, threshold=0.5)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    # Per-doc quality features + token counts, ONE corpus scan.
+    feats = text.quality_features(docs).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "quality_score",
+    )
+    dd = feats.join(losers, "doc_id", "left_anti")
+
+    # Stage 2 — decontamination vs the src0 benchmark partition.
+    contaminated = shared_gram_counts(docs, F.col("source") == "src0").select(
+        "doc_id"
+    )
+    clean = (
+        dd.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .persist()  # feeds the source gate AND the gated corpus
+    )
+
+    # Stage 3 — source-level quality gate (q84 arithmetic, survivors).
+    keep_src = (
+        clean.groupBy("source")
+        .agg(F.round(F.avg("quality_score"), 4).alias("aq"))
+        .filter(F.col("aq") >= 0.5)
+        .select("source")
+    )
+    gated = clean.join(F.broadcast(keep_src), "source").persist()
+
+    # Stage 4 — rebalance to the smallest surviving source.
+    kept = source_mix_rebalance(gated).select("doc_id")
+    sampled = gated.join(kept, "doc_id", "left_semi")
+
+    # Stage 5 — 2048-token packing over the final survivors.
+    c = distributed_prefix_sum(
+        sampled.select("doc_id", "source", "n_tokens"),
+        "n_tokens",
+        "doc_id",
+        partition_cols=("source",),
+        out_col="cum",
+    )
+    pack = F.expr(f"greatest(cum - 1, 0L) div {budget}")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("cum") - F.col("n_tokens") - pack * budget)
+        .cast("bigint")
+        .alias("pack_offset"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Portable PQ training replay (round 7): q113's training loop, oracled
+# ---------------------------------------------------------------------------
+
+
+def _pq_portable_oracle_sql(
+    m: int = 8, ks: int = 16, sub: int = 8, iters: int = 8, sample: int = 2048
+) -> str:
+    """Generate the DuckDB replay of pq_train_portable + pq_assign as
+    unrolled CTEs (the q136 BPE-replay pattern applied to k-means):
+    cent0 = first-ks init, then per iteration an assignment CTE
+    (rounded-distance argmin, ties -> lowest code), a mean-update CTE
+    (round(sum/n, 6) per coordinate), and an empty-cluster repair CTE
+    (farthest point, earliest row on ties) — every arithmetic step
+    written exactly as the engine computes it (left-to-right distance
+    chains, identical rounding points), so the final codes and errors
+    value-hash match."""
+
+    def dist(v: str, c: str) -> str:
+        terms = " + ".join(
+            f"({v}[{d}] - {c}[{d}]) * ({v}[{d}] - {c}[{d}])"
+            for d in range(1, sub + 1)
+        )
+        return f"round({terms}, 9)"
+
+    mean_list = ", ".join(
+        f"round(sum(p.v[{d}]) / count(*), 6)" for d in range(1, sub + 1)
+    )
+    parts = [
+        f"""WITH samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e
+        FROM embeddings ORDER BY vec_id LIMIT {sample})),
+subs AS (SELECT unnest(range({m})) AS s),
+pts AS MATERIALIZED (
+  SELECT rn, subs.s AS s,
+         e[subs.s * {sub} + 1 : subs.s * {sub} + {sub}] AS v
+  FROM samp, subs),
+cent0 AS MATERIALIZED (
+  SELECT s, rn - 1 AS j, v AS c FROM pts WHERE rn <= {ks})"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""asg{t} AS MATERIALIZED (
+  SELECT rn, s, j, d FROM (
+    SELECT rn, s, j, d,
+           row_number() OVER (PARTITION BY rn, s ORDER BY d, j) AS rk
+    FROM (SELECT p.rn, p.s, c.j, {dist('p.v', 'c.c')} AS d
+          FROM pts p JOIN cent{p} c ON p.s = c.s))
+  WHERE rk = 1),
+far{t} AS MATERIALIZED (
+  SELECT f.s, p.v
+  FROM (SELECT s, rn FROM (
+          SELECT s, rn,
+                 row_number() OVER (PARTITION BY s ORDER BY d DESC, rn) AS rk
+          FROM asg{t}) WHERE rk = 1) f
+  JOIN pts p ON f.s = p.s AND f.rn = p.rn),
+cnew{t} AS MATERIALIZED (
+  SELECT a.s, a.j, list_value({mean_list}) AS c
+  FROM asg{t} a JOIN pts p ON a.s = p.s AND a.rn = p.rn
+  GROUP BY a.s, a.j),
+cent{t} AS MATERIALIZED (
+  SELECT k.s, k.j, COALESCE(n.c, f.v) AS c
+  FROM (SELECT subs.s, j.j FROM subs,
+        (SELECT unnest(range({ks})) AS j) j) k
+  LEFT JOIN cnew{t} n ON k.s = n.s AND k.j = n.j
+  JOIN far{t} f ON k.s = f.s)"""
+        )
+    parts.append(
+        f"""fpts AS MATERIALIZED (
+  SELECT vec_id, subs.s AS s,
+         e[subs.s * {sub} + 1 : subs.s * {sub} + {sub}] AS v
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), subs),
+fasg AS MATERIALIZED (
+  SELECT vec_id, s, j, d FROM (
+    SELECT vec_id, s, j, d,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+    FROM (SELECT p.vec_id, p.s, c.j, {dist('p.v', 'c.c')} AS d
+          FROM fpts p JOIN cent{iters} c ON p.s = c.s))
+  WHERE rk = 1)
+SELECT vec_id,
+       string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes_csv,
+       round(sum(d), 6) AS sq_err
+FROM fasg GROUP BY vec_id ORDER BY vec_id"""
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "q166_pq_codes_portable",
+    _pq_portable_oracle_sql(),
+    ops=("ext-similarity-pq-oracle",),
+    doc="q113's PQ TRAINING LOOP graduated to a full value oracle — "
+    "the fast-twin pattern run in reverse (the pin is the new row): "
+    "pq_train_portable trains 8x16 sub-codebooks with an engine-"
+    "portable discipline (vec_id-ordered sample = the whole table at "
+    "oracle scale; first-ks init; distances accumulated left-to-"
+    "right and rounded at 9 before every argmin, ties to the lowest "
+    "code; centroid means round(sum/n, 6) so accumulation order "
+    "cannot leak; farthest-point empty-cluster repair, earliest row "
+    "on ties), and the DuckDB oracle REPLAYS all 8 k-means "
+    "iterations as unrolled CTEs (the q136 BPE-replay pattern) "
+    "through to every final code and reconstruction error — the "
+    "strongest correctness statement in the similarity family.  "
+    "q113 keeps the production variant (xxhash64-order sample stays "
+    "unbiased when the corpus exceeds the 2048 cap, but is not SQL-"
+    "reproducible) pinned rows-only; the two share pq_assign and "
+    "differ only in sample order and init.  Scale: training is "
+    "driver-bounded at 2048 rows regardless of corpus size; "
+    "assignment is a narrow whole-stage-codegen map with the "
+    "codebooks as plan literals (q113's shape).",
+)
+def q166_pq_codes_portable(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_portable(emb, m=8, ks=16)
+    return (
+        similarity.pq_assign(emb, books, round_digits=9)
+        .select(
+            "vec_id",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+                "codes_csv"
+            ),
+            F.round("sq_err", 6).alias("sq_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter + streaming outer join (round 7)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits (64 x 64-bit words engine-side)
+_BLOOM_K = 4
+_BLOOM_PSIZE = 26  # filter membership: parts with p_size >= this
+
+_BLOOM_SQL = f"""
+WITH big AS MATERIALIZED (
+  SELECT DISTINCT p_partkey FROM part WHERE p_size >= {_BLOOM_PSIZE}),
+probe_keys AS MATERIALIZED (
+  SELECT DISTINCT l_partkey FROM lineitem),
+ks AS (SELECT unnest(range({_BLOOM_K})) AS k),
+bits AS MATERIALIZED (
+  SELECT DISTINCT CAST(('0x' || substr(md5('bloom' || CAST(ks.k AS VARCHAR)
+           || ':' || CAST(p_partkey AS VARCHAR)), 1, 8))::UBIGINT
+           % {_BLOOM_M} AS BIGINT) AS pos
+  FROM big, ks),
+probe AS (
+  SELECT l_partkey, CAST(('0x' || substr(md5('bloom' || CAST(ks.k AS VARCHAR)
+           || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::UBIGINT
+           % {_BLOOM_M} AS BIGINT) AS pos
+  FROM probe_keys, ks),
+memb AS (
+  SELECT l_partkey,
+         CAST(min(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END)
+              AS INT) AS in_bloom
+  FROM probe GROUP BY l_partkey)
+SELECT m.l_partkey, m.in_bloom,
+       CASE WHEN b.p_partkey IS NOT NULL THEN 1 ELSE 0 END AS is_member
+FROM memb m LEFT JOIN big b ON m.l_partkey = b.p_partkey
+ORDER BY m.l_partkey"""
+
+
+@register(
+    "q167_bloom_membership",
+    _BLOOM_SQL,
+    ops=("ext-sketch-bloom",),
+    doc="Portable Bloom filter — the MEMBERSHIP member of the sketch "
+    "family (CMS q163 counts, HLL q164 cardinality): a "
+    f"{_BLOOM_M}-bit / k={_BLOOM_K} filter over the partkeys of "
+    f"large parts (p_size >= {_BLOOM_PSIZE}), packed engine-side "
+    "into 64 bigint WORDS via a bit_or aggregate (the mergeable "
+    "form a 1000-executor build produces map-combined), then every "
+    "distinct lineitem partkey probed against the broadcast words — "
+    "all k md5-derived bit positions must hit.  Output is (partkey, "
+    "in_bloom, is_member): any packing/probe bit error flips a "
+    "membership row, so the whole filter is value-verified; "
+    "in_bloom=1 & is_member=0 rows ARE the false positives, "
+    "surfaced not hidden (no false negatives, the Bloom guarantee — "
+    "pinned in pytest along with a measured FP rate near the "
+    "(1-e^(-kn/m))^k theory value).  This is the semi-join-pushdown "
+    "shape: ship 512 bytes instead of the key set to pre-filter a "
+    "fact scan.  The oracle spells the same filter as a position "
+    "SET — different representation, provably identical semantics, "
+    "q63-style portable md5 arithmetic.  Scale: build and probe are "
+    "each one distinct-project + |keys| x k narrow rows; the filter "
+    "is 64 rows at ANY corpus size and broadcasts; no shuffle "
+    "carries more than (word, mask) pairs.",
+)
+def q167_bloom_membership(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        part.filter(F.col("p_size") >= _BLOOM_PSIZE)
+        .select(F.col("p_partkey").alias("key"))
+        .distinct()
+        .persist()  # feeds the filter build AND the is_member flag
+    )
+    probe_keys = li.select(F.col("l_partkey").alias("key")).distinct()
+
+    def positions(df):
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bloom"),
+                            F.col("k").cast("string"),
+                            F.lit(":"),
+                            F.col("key").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+        return df.select(
+            "key", F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("k")
+        ).select("key", pos.alias("pos"))
+
+    words = (
+        positions(big)
+        .select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe = positions(probe_keys).select(
+        "key",
+        F.expr("pos div 64").alias("word"),
+        (F.col("pos") % 64).cast("int").alias("bit"),
+    )
+    memb = (
+        probe.join(F.broadcast(words), "word", "left")
+        .select(
+            "key",
+            F.expr("shiftright(coalesce(bits, 0L), bit) & 1L").alias("hit"),
+        )
+        .groupBy("key")
+        .agg(F.min("hit").cast("int").alias("in_bloom"))
+    )
+    return (
+        memb.join(
+            # exact-set audit join (the column Bloom exists to avoid);
+            # AQE broadcasts it at small scale, shuffles at large
+            big.select(F.col("key"), F.lit(1).alias("__p")),
+            "key",
+            "left",
+        )
+        .select(
+            F.col("key").alias("l_partkey"),
+            "in_bloom",
+            F.when(F.col("__p").isNotNull(), 1).otherwise(0).alias("is_member"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "q168_streaming_click_error_left_outer",
+    """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+              c.ts AS click_ts
+       FROM events e LEFT JOIN events c
+         ON c.user_id = e.user_id AND c.event_type = 'click'
+        AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 DAY
+       WHERE e.event_type = 'error'
+       ORDER BY e.user_id, error_id, click_id""",
+    ops=("ext-streaming-outer-join",),
+    doc="Stream-stream LEFT OUTER join, complete-drain value oracle — "
+    "the stateful-EXPIRY member of the streaming join family: q101's "
+    "inner join emits on match arrival, but the null row for an "
+    "error with NO click in its 1-day horizon can only emit when the "
+    "join watermark proves no match can still arrive and the state "
+    "store expires the row.  Drained with the q151 sentinel trick, "
+    "adapted: the sentinels must be one far-future CLICK and one "
+    "far-future ERROR (fake user -1), because each side's watermark "
+    "is computed AFTER its event-type filter — a 'flush'-typed "
+    "sentinel would advance neither and every unmatched error would "
+    "stay withheld.  After the full drain the emitted set equals the "
+    "batch LEFT JOIN restricted to nothing — every real error's "
+    "horizon closes — which is the oracle.  State is bounded at "
+    "(watermark + horizon) per side, the q101 argument, unchanged "
+    "by outer-ness.",
+)
+def q168_streaming_click_error_left_outer(spark, sf_dir):
+    import datetime
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    def _append_sentinels(src: str) -> None:
+        ev = read_table(spark, "events", sf_dir)
+        mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+        far = mx + datetime.timedelta(days=10)
+        sent = spark.createDataFrame(
+            [
+                (10**9, far, -1, "error", 0.0, "{}"),
+                (10**9 + 1, far, -1, "click", 0.0, "{}"),
+            ],
+            es.EVENTS_STREAM_SCHEMA,
+        )
+        sent.coalesce(1).write.mode("append").parquet(src)
+
+    src, ckpt = _stream_events_src(
+        spark, sf_dir, variant="join_sentinel", augment=_append_sentinels
+    )
+    out = es.run_to_completion(
+        es.clicks_after_errors_stream(
+            es.read_events_stream(spark, src), how="left_outer"
+        ),
+        f"q168_out_{uuid.uuid4().hex[:8]}",
+        ckpt,
+    )
+    return out.filter(F.col("user_id") != -1).orderBy(
+        "user_id", "error_id", "click_id"
+    )
+
+
 STAMP_PRIORITY: list[str] = [
-    # ---- round-6 window (first 50 = the driver's stamp set) ----
-    # Debt block: never-stamped full-oracle rows (q142, q147-q150 from
-    # r5; q151-q158 new this round), the r02-stale rows whose oracles
-    # postdate their stamps (q24, q50), bodies changed after their
-    # last green stamp (q12/q93 in r5; q124/q127/q136 this round:
-    # sigma-edge rounding, integer prefix ceil, BPE early stop), and
-    # q113 whose output is now driver-canonicalizable.
-    "q142_key_skew_profile",
-    "q147_event_markov_transitions",
-    "q148_zonemap_skipping_audit",
-    "q149_doc_ngram_novelty",
-    "q150_source_overlap_matrix",
-    "q151_streaming_sessions_complete",
-    "q154_event_value_percentiles",
-    "q155_trade_triangle_enum",
-    "q156_bigram_lm_scores",
-    "q157_mad_robust_outliers",
-    "q158_doc_containment_pairs",
-    "q159_containment_fast",
+    # ---- round-7 window (first 50 = the driver's stamp set) ----
+    # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
+    # dtype only (DuckDB HUGEINT sum -> pandas float64); the CAST AS
+    # BIGINT fix landed this round — re-stamp to return the ledger to
+    # zero red.  New round-7 registrations follow (never stamped).
     "q160_error_rate_control_chart",
     "q161_source_token_entropy",
-    "q162_doc_ngram_novelty_fast",
-    "q163_cms_heavy_hitters",
-    "q164_portable_hll_distinct",
-    "q152_winnowing_fast",
-    "q153_minhash_signatures_fast",
-    "q24_minhash_neardup_pairs",
-    "q50_corpus_dedup_canonical",
-    "q12_first_line_per_order",
-    "q93_token_budget_packing",
-    "q113_pq_codes",
-    "q124_value_anomaly_zscore",
-    "q127_basket_set_similarity",
-    "q136_bpe_merge_training",
-    # Rotation: oldest stamps first — the r02 remainder (13), then the
-    # oldest r03 rows.  Six r03 rows yielded their slots to the new
-    # round-6 queries (q54 q56 q60 q63 q64 q65 — unchanged bodies,
-    # pytest-oracle-covered meanwhile).  Next round rotate those six,
-    # the remaining r03 rows (q66 q67 q68 q69 q71 q72 q73 q74 q76 q77
-    # q83 q84 q85 q86 q87 q89 q90 q91), and then the r04 set.
-    "q22_ann_cosine_topk",
-    "q25_simhash_fingerprints",
-    "q26_ivf_ann_topk",
-    "q35_status_priority_rollup",
-    "q36_multimodal_meta",
-    "q37_embedding_neardup_pairs",
-    "q38_bpe_ish_token_counts",
-    "q39_winnowing_fingerprints",
-    "q42_srp_lsh_neardup_pairs",
-    "q43_multigrain_revenue_rollup",
-    "q48_stratified_doc_sample",
-    "q51_sentence_explode_udtf",
-    "q52_status_priority_cube",
-    "q01_week_count",
-    "q02_records_per_week",
-    "q03_week_totals",
-    "q04_recent_weeks_totals",
-    "q05_revenue_ratio_by_segment",
-    "q06_weekly_volume",
-    "q07_active_customers_by_region",
-    "q08_priority_month_ratio",
-    "q09_top10_nations_by_balance",
-    "q53_big_spenders_having",
+    # New round-7 registrations (never stamped, full oracles).
+    "q165_curation_pipeline",
+    "q166_pq_codes_portable",
+    "q167_bloom_membership",
+    "q168_streaming_click_error_left_outer",
+    # Changed-operator re-proofs: q155's middle-node selection moved
+    # to array_sort (overflow-safe, identical values) and q157's
+    # deviation relation is now persisted (plan-only change) — cheap
+    # driver re-confirmation that neither edit moved a value.
+    "q155_trade_triangle_enum",
+    "q157_mad_robust_outliers",
+    # Rotation: the 24 rows whose latest green stamp is r03 — three
+    # rounds old, the oldest in the merged ledger (bodies unchanged
+    # and pytest-green meanwhile; this is drift insurance, per the
+    # no-stamp-older-than-2-rounds policy).
+    "q54_conditional_agg_returns",
+    "q56_customer_order_counts_left",
+    "q60_order_scalar_features",
+    "q63_md5_minhash_signatures",
+    "q64_neardup_cluster_labels",
+    "q65_partitioned_month_revenue",
+    "q66_tfidf_top_terms",
+    "q67_pii_redaction",
+    "q68_doc_token_chunks",
+    "q69_vocab_top_terms",
+    "q71_md5_simhash_bits",
+    "q72_order_value_analytics",
+    "q73_doc_repetition",
+    "q74_benchmark_contamination",
+    "q76_unigram_logprob_score",
+    "q77_grouping_sets_revenue",
+    "q83_neardup_edit_distance",
+    "q84_source_quality_filter",
+    "q85_langid_confusion",
+    "q86_embedding_int8_quant",
+    "q87_label_centroids",
+    "q89_doc_length_histogram",
+    "q90_crossdoc_boilerplate",
+    "q91_cluster_representative",
+    # Oldest r04 rows fill the remaining slots (registration order);
+    # next round continue the r04 block (q30-q98), then r05.
+    "q10_bottom10_nations_by_balance",
+    "q11_top20_part_types",
+    "q13_customers_without_orders",
+    "q14_customers_with_recent_orders",
+    "q15_dedup_docs_exact",
+    "q16_validation_counts",
+    "q17_quarantine_rows",
+    "q18_token_counts",
+    "q19_language_id",
+    "q20_quality_scores",
+    "q21_doc_fingerprints",
+    "q23_jaccard_neardup_pairs",
+    "q27_hourly_event_stats",
+    "q28_event_json_extract",
+    "q29_user_sessions",
+    "q30_top_events_per_user",
+    "q31_event_type_pivot",
+    "q32_event_value_percentiles",
 ]
 
 

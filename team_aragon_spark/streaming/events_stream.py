@@ -101,9 +101,12 @@ def user_sessions_stream(events: DataFrame, gap: str = "30 minutes", watermark: 
 
 
 def clicks_after_errors_stream(
-    events: DataFrame, horizon: str = "1 day", watermark: str = "2 hours"
+    events: DataFrame,
+    horizon: str = "1 day",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: every click within ``horizon`` after an
+    """Stream-stream join: every click within ``horizon`` after an
     error by the same user — the streaming twin of the batch bucketed
     range join (q41, operators/range_join.py).
 
@@ -113,6 +116,17 @@ def clicks_after_errors_stream(
     join can still match.  Inner joins emit as soon as a match
     arrives; a full availableNow drain therefore yields exactly the
     batch result (asserted in tests).
+
+    ``how="left_outer"`` keeps every ERROR: matched rows emit like the
+    inner join; an error with no click in its horizon emits ONCE with
+    null click columns — but only when the join watermark (min of
+    both sides) passes ``error_ts + horizon`` and the state store can
+    prove no match can still arrive.  That is the stateful-expiry
+    behavior the inner join never exercises, and why a complete drain
+    needs the watermark pushed past every real error's horizon (q168
+    appends far-future click+error sentinels; a 'flush'-typed
+    sentinel would be filtered out before the watermark is computed
+    and advance nothing).
     """
     errors = (
         events.filter(F.col("event_type") == "error")
@@ -139,6 +153,7 @@ def clicks_after_errors_stream(
                 click_ts >= error_ts AND
                 click_ts <= error_ts + INTERVAL {horizon}"""
         ),
+        how,
     ).select(F.col("e_user").alias("user_id"), "error_id", "click_id", "click_ts")
 
 

@@ -206,3 +206,27 @@ def test_hashed_shingles_collision_free_on_current_corpus(spark):
             f"{sf}: shingle hash collision detected — q159's oracle "
             "assumption is violated on this corpus"
         )
+
+
+def test_bloom_guarantee_and_fp_rate(spark):
+    """The Bloom contract (q167): ZERO false negatives — every true
+    member tests positive — and a false-positive rate in the
+    ballpark of the (1 - e^(-kn/m))^k theory value (m=4096, k=4), so
+    the filter is doing real rejection work, not degenerating to
+    all-ones or all-zeros."""
+    import math
+
+    from team_aragon_spark.plans.star_queries import (
+        _BLOOM_K,
+        _BLOOM_M,
+        QUERY_REGISTRY,
+    )
+
+    rows = QUERY_REGISTRY["q167_bloom_membership"].fn(spark, SF_ORACLE).collect()
+    members = [r for r in rows if r.is_member == 1]
+    non = [r for r in rows if r.is_member == 0]
+    assert members and non, "corpus must exercise both sides"
+    assert all(r.in_bloom == 1 for r in members), "false negative!"
+    fp_rate = sum(1 for r in non if r.in_bloom == 1) / len(non)
+    theory = (1 - math.exp(-_BLOOM_K * len(members) / _BLOOM_M)) ** _BLOOM_K
+    assert abs(fp_rate - theory) < 0.1, (fp_rate, theory)

@@ -1015,3 +1015,50 @@ def test_round6_new_query_plan_shapes(spark):
     p158 = plan("q158_doc_containment_pairs")
     assert "CartesianProduct" not in p158 and "BroadcastNestedLoopJoin" not in p158
     assert "InMemoryTableScan" in p158, "sorted-set relation must be shared via cache"
+
+
+def test_round7_new_query_plan_shapes(spark):
+    """Scale-critical plan shapes of the round-7 additions:
+
+    - q165 (curation DAG): no cartesian / nested-loop anywhere in the
+      5-stage lineage; the multi-consumer clean/gated relations are
+      served from cache (InMemoryTableScan), not recomputed; the
+      source-gate join broadcasts; no Python in the hot path.
+    - q166 (portable PQ): the corpus-side assignment is a narrow
+      JVM-expression map — no join, no Python eval; the only
+      aggregation-side shuffle is the final presentation sort.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p165 = plan("q165_curation_pipeline")
+    assert "CartesianProduct" not in p165
+    # the only nested-loop joins allowed are broadcast CROSS joins of
+    # the 1-row min-source-count aggregate inside source_mix_rebalance
+    # (the package's accepted tiny-aggregate pattern; cached-plan
+    # reprints repeat the same subtree)
+    assert p165.count("BroadcastNestedLoopJoin") == p165.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert "InMemoryTableScan" in p165, "clean/gated must be cache-served"
+    assert "BroadcastHashJoin" in p165
+    assert "BatchEvalPython" not in p165
+
+    p166 = plan("q166_pq_codes_portable")
+    assert "Join" not in p166, "PQ assignment must be a narrow map"
+    assert "BatchEvalPython" not in p166
+
+    p167 = plan("q167_bloom_membership")
+    assert "CartesianProduct" not in p167
+    assert "BroadcastNestedLoopJoin" not in p167
+    assert "BroadcastHashJoin" in p167, "the 64-word filter must broadcast"
+    assert "InMemoryTableScan" in p167, "purchaser set feeds 2 consumers via cache"

@@ -98,6 +98,54 @@ def test_session_stream_converges_to_batch_on_closed_sessions(
     assert len(expect) > 0
 
 
+def test_session_window_exact_gap_boundary_merges(spark, tmp_path_factory):
+    """Pins the q151 oracle's boundary convention: two events EXACTLY
+    gap (30 min) apart MERGE into one session under Spark's
+    session_window, matching the lag+cumsum oracle's strict
+    ``diff > gap`` split rule (is_new only when strictly greater).
+    The corpus has no exact-boundary gap, so without this plant the
+    oracle agreement would be data-dependent."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    gap = datetime.timedelta(minutes=30)
+    rows = [
+        # user 1: exactly gap apart -> ONE session of 2 (the pin)
+        (1, base, 1, "click", 0.0, "{}"),
+        (2, base + gap, 1, "click", 0.0, "{}"),
+        # user 2: 1s inside the gap -> one session of 2
+        (3, base, 2, "click", 0.0, "{}"),
+        (4, base + gap - datetime.timedelta(seconds=1), 2, "click", 0.0, "{}"),
+        # user 3: 1s beyond the gap -> two sessions of 1
+        (5, base, 3, "click", 0.0, "{}"),
+        (6, base + gap + datetime.timedelta(seconds=1), 3, "click", 0.0, "{}"),
+    ]
+    src = tmp_path_factory.mktemp("sess_boundary_src")
+    planted = spark.createDataFrame(rows, es.EVENTS_STREAM_SCHEMA)
+    planted.coalesce(1).write.mode("append").parquet(str(src))
+    sentinel = spark.createDataFrame(
+        [(10**9, base + datetime.timedelta(days=10), -1, "flush", 0.0, "{}")],
+        es.EVENTS_STREAM_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(src))
+    result = es.run_to_completion(
+        es.user_sessions_stream(es.read_events_stream(spark, str(src))),
+        "sessions_boundary_out",
+        str(tmp_path_factory.mktemp("ckpt_sb")),
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in result.collect()
+        if r.user_id != -1
+    }
+    assert got == {
+        (1, base, 2),
+        (2, base, 2),
+        (3, base, 1),
+        (3, base + gap + datetime.timedelta(seconds=1), 1),
+    }
+
+
 def test_sliding_stream_runs(spark, events_dir, tmp_path_factory):
     stream = es.read_events_stream(spark, events_dir)
     result = es.run_to_completion(
