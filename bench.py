@@ -109,6 +109,10 @@ EXTRA = [
     "q165_curation_pipeline",       # end-to-end curation DAG
     "q166_pq_codes_portable",       # oracle-replayable PQ training
     "q167_bloom_membership",        # portable Bloom filter
+    "q169_partition_checksums",     # per-partition digest audit
+    "q170_delta_join_view_maintenance",  # join-view IVM
+    "q171_seasonal_residual_anomaly",    # hour-of-day baseline screen
+    "q172_histogram_sketch_quantiles",   # mergeable quantile sketch
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

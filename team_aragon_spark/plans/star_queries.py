@@ -7054,6 +7054,406 @@ def q168_streaming_click_error_left_outer(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Partition checksums, delta-join IVM, seasonal anomaly, histogram
+# quantiles (round 7, second batch)
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_SQL = r"""
+WITH rows_canon AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(('0x' || substr(md5(
+           CAST(event_id AS VARCHAR) || '|' ||
+           CAST(epoch_ms(ts) AS VARCHAR) || '|' ||
+           CAST(user_id AS VARCHAR) || '|' ||
+           event_type || '|' ||
+           CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '|' ||
+           coalesce(props, '')), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM events)
+SELECT day, count(*) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS digest
+FROM rows_canon GROUP BY day ORDER BY day"""
+
+
+@register(
+    "q169_partition_checksums",
+    _CHECKSUM_SQL,
+    ops=("ext-ops-partition-checksum",),
+    doc="Content-addressed PARTITION DIGESTS — the anti-entropy / "
+    "replication-audit primitive a 100 TB lakehouse runs nightly: "
+    "per day-partition, row count + the xor-fold of a portable "
+    "60-bit md5 hash of every row's CANONICAL form (integer epoch "
+    "ms, value in exact cents, null-safe props).  xor is commutative "
+    "/ associative / self-inverse, so the digest is independent of "
+    "row order and partitioning, merges map-combined, and two "
+    "replicas (or a table and its backup) diff by comparing "
+    "|days|-row digest tables instead of re-scanning data — a "
+    "mismatched day pinpoints exactly which partition to re-sync.  "
+    "The canonical form avoids every cross-engine formatting trap: "
+    "timestamps as epoch-ms integers (float-free), doubles as "
+    "round(value*100) exact cents, NULL props coalesced.  One scan, "
+    "one map-combined aggregate, reduce state = |days| rows.",
+)
+def q169_partition_checksums(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.coalesce(F.col("props"), F.lit("")),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), h.alias("h")
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("digest"),
+        )
+        .orderBy("day")
+    )
+
+
+_DELTA_IVM_SQL = """
+WITH cut AS MATERIALIZED (
+  SELECT max(ts) - INTERVAL 7 DAY AS c FROM events)
+SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+       c.ts AS click_ts,
+       CASE WHEN e.ts <= cut.c AND c.ts <= cut.c THEN 'old'
+            WHEN e.ts >  cut.c AND c.ts <= cut.c THEN 'de'
+            WHEN e.ts <= cut.c AND c.ts >  cut.c THEN 'dc'
+            ELSE 'dd' END AS src
+FROM events e JOIN events c ON c.user_id = e.user_id, cut
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+  AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 DAY
+ORDER BY e.user_id, error_id, click_id"""
+
+
+@register(
+    "q170_delta_join_view_maintenance",
+    _DELTA_IVM_SQL,
+    ops=("ext-incremental-join-ivm",),
+    doc="Incremental view maintenance for a JOIN view — q131 proved "
+    "merge==rescan for algebraic AGGREGATES; this proves the join "
+    "counterpart, the identity every incremental pipeline "
+    "maintaining a joined view relies on: with events split at "
+    "cutoff = max(ts) - 7 days into base B and delta D, "
+    "V(B u D) = V(B) UNION ALL (D_err x B_clk) UNION ALL "
+    "(B_err x D_clk) UNION ALL (D_err x D_clk) — the engine "
+    "computes the RIGHT side (stored view + three delta joins, the "
+    "work an incremental refresh actually runs: O(|D| x selectivity) "
+    "instead of O(|B|)), each branch TAGGED with its quadrant; the "
+    "oracle recomputes the full join and derives each row's quadrant "
+    "from its timestamps, so equality proves both the decomposition "
+    "AND that every branch produced exactly its quadrant (disjoint, "
+    "no dupes, none missing).  The view is q41/q101's click-within-"
+    "1-day-after-error join.  Scale: the error/click side relations "
+    "are persisted (each feeds two quadrant joins); all four joins "
+    "are the same bucketable equi-join shape as q41.",
+)
+def q170_delta_join_view_maintenance(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("c"))
+    tagged = ev.crossJoin(F.broadcast(cut)).withColumn(
+        "is_delta", F.col("ts") > F.col("c")
+    )
+    err = (
+        tagged.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("is_delta").alias("e_delta"),
+        )
+        .persist()  # feeds two quadrant joins per side
+    )
+    clk = (
+        tagged.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("is_delta").alias("c_delta"),
+        )
+        .persist()
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 DAY"))
+    )
+
+    def quadrant(e_side: bool, c_side: bool, tag: str):
+        return (
+            err.filter(F.col("e_delta") == e_side)
+            .join(clk.filter(F.col("c_delta") == c_side), cond)
+            .select(
+                F.col("e_user").alias("user_id"),
+                "error_id",
+                "click_id",
+                F.col("c_ts").alias("click_ts"),
+                F.lit(tag).alias("src"),
+            )
+        )
+
+    stored_view = quadrant(False, False, "old")
+    increments = (
+        quadrant(True, False, "de")
+        .unionAll(quadrant(False, True, "dc"))
+        .unionAll(quadrant(True, True, "dd"))
+    )
+    return stored_view.unionAll(increments).orderBy(
+        "user_id", "error_id", "click_id"
+    )
+
+
+_SEASONAL_SQL = """
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         CAST(extract(hour FROM ts) AS INT) AS hod, count(*) AS n
+  FROM events GROUP BY event_type, hour, hod),
+base AS MATERIALIZED (
+  SELECT event_type, hod, round(avg(n), 6) AS mu,
+         round(stddev_samp(n), 6) AS sigma
+  FROM hourly GROUP BY event_type, hod)
+SELECT h.event_type, h.hour, h.n, b.mu, b.sigma,
+       CASE WHEN round(abs(h.n - b.mu) - 3 * b.sigma, 6) > 0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM hourly h JOIN base b ON h.event_type = b.event_type AND h.hod = b.hod
+ORDER BY h.event_type, h.hour"""
+
+
+@register(
+    "q171_seasonal_residual_anomaly",
+    _SEASONAL_SQL,
+    ops=("ext-seasonal-anomaly",),
+    doc="Seasonality-aware anomaly screen — the member the drift "
+    "family was missing: q124's z-score flags every daily rush hour "
+    "because it compares against a GLOBAL mean; here each "
+    "(event_type, hour-of-day) cell is scored against its OWN "
+    "hour-of-day baseline (the classic seasonal-naive decomposition "
+    "- a 2 AM spike must beat other 2 AMs, not the daily average).  "
+    "Membership follows the q124/q160 exactness rule: mu and sigma "
+    "rounded at 6 BEFORE the 3-sigma comparison, and the comparison "
+    "operand itself rounded, so an edge cell cannot flip between "
+    "engines; single-sample cells have NULL sigma and are never "
+    "flagged (NULL > 0 is false in both engines).  Scale: two "
+    "map-combined aggregates (hourly grid, then 24 x |types| "
+    "baseline) + a broadcast join back — the hourly grid relation "
+    "is (hours x types) rows regardless of event volume.",
+)
+def q171_seasonal_residual_anomaly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # feeds the baseline agg AND the scoring join
+    )
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.round(F.avg("n"), 6).alias("mu"),
+        F.round(F.stddev_samp("n"), 6).alias("sigma"),
+    )
+    return (
+        hourly.join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "mu",
+            "sigma",
+            F.when(
+                F.round(F.abs(F.col("n") - F.col("mu")) - 3 * F.col("sigma"), 6)
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_HISTQ_BINS = 64
+_HISTQ_PS = (0.5, 0.9, 0.99)
+
+_HISTQ_SQL = f"""
+WITH stats AS MATERIALIZED (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n
+  FROM events GROUP BY event_type),
+b AS MATERIALIZED (
+  SELECT e.event_type,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE least({_HISTQ_BINS - 1}, greatest(0,
+                CAST(floor((e.value - s.lo)
+                     / ((s.hi - s.lo) / {_HISTQ_BINS})) AS INT))) END AS bin,
+         count(*) AS c
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY e.event_type, bin),
+cum AS MATERIALIZED (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b),
+ps AS (SELECT CAST(p AS DOUBLE) AS p
+       FROM (VALUES {', '.join(f'({p})' for p in _HISTQ_PS)}) v(p)),
+sel AS MATERIALIZED (
+  SELECT event_type, p, bin, c, cum FROM (
+    SELECT c0.event_type, ps.p, c0.bin, c0.c, c0.cum,
+           row_number() OVER (PARTITION BY c0.event_type, ps.p
+                              ORDER BY c0.bin) AS rk
+    FROM cum c0 JOIN stats s USING (event_type), ps
+    WHERE c0.cum >= ps.p * s.n)
+  WHERE rk = 1),
+est AS MATERIALIZED (
+  SELECT sel.event_type, CAST(sel.p AS DOUBLE) AS p,
+         round(s.lo + ((s.hi - s.lo) / {_HISTQ_BINS})
+               * (sel.bin + (sel.p * s.n - (sel.cum - sel.c)) / sel.c),
+               6) AS hist_est
+  FROM sel JOIN stats s USING (event_type)),
+exact AS MATERIALIZED (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS e50,
+         round(quantile_cont(value, 0.9), 6) AS e90,
+         round(quantile_cont(value, 0.99), 6) AS e99
+  FROM events GROUP BY event_type)
+SELECT e.event_type, e.p, e.hist_est,
+       CASE e.p WHEN 0.5 THEN x.e50 WHEN 0.9 THEN x.e90 ELSE x.e99 END
+         AS exact,
+       round(abs(e.hist_est
+             - CASE e.p WHEN 0.5 THEN x.e50 WHEN 0.9 THEN x.e90
+               ELSE x.e99 END), 6) AS abs_err
+FROM est e JOIN exact x USING (event_type)
+ORDER BY e.event_type, e.p"""
+
+
+@register(
+    "q172_histogram_sketch_quantiles",
+    _HISTQ_SQL,
+    ops=("ext-sketch-histogram-quantile",),
+    doc="Fixed-bin HISTOGRAM quantile sketch vs exact — the quantile "
+    "member of the sketch family (CMS counts / HLL cardinality / "
+    "Bloom membership): a 64-equi-width-bin histogram per event "
+    "type, quantiles read back by in-bin linear interpolation, "
+    "audited row-by-row against the exact q154 percentiles.  Why "
+    "this member matters at 100 TB: the histogram is a 64-row "
+    "MERGEABLE summary built in one map-combined pass (bins add "
+    "cell-wise across partitions/epochs, unlike exact percentiles, "
+    "which need the full count-table), and abs_err is the "
+    "per-type audit of what that compression costs on this "
+    "distribution.  Cross-engine exactness: bin index, target rank "
+    "p*n and the interpolation are written as the identical double "
+    "arithmetic chain in both engines (same parenthesization), "
+    "rounded at 6; the engine's exact side is "
+    "stats.exact_grouped_percentiles, already proven equal to "
+    "quantile_cont (q154).",
+)
+def q172_histogram_sketch_quantiles(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nb = _HISTQ_BINS
+    bin_expr = (
+        F.when(F.col("hi") == F.col("lo"), 0)
+        .otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / nb)
+                    ).cast("int"),
+                ),
+            )
+        )
+    )
+    b = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", bin_expr.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        b.withColumn("cum", F.sum("c").over(wcum))
+        .join(F.broadcast(stats), "event_type")
+        .persist()  # 64 x |types| rows; feeds one selection per p
+    )
+    parts = []
+    for p in _HISTQ_PS:
+        sel = (
+            cum.filter(F.col("cum") >= F.lit(p) * F.col("n"))
+            .groupBy("event_type")
+            .agg(
+                F.min(F.struct("bin", "cum", "c")).alias("s"),
+                F.first("lo").alias("lo"),
+                F.first("hi").alias("hi"),
+                F.first("n").alias("n"),
+            )
+        )
+        est = F.round(
+            F.col("lo")
+            + ((F.col("hi") - F.col("lo")) / nb)
+            * (
+                F.col("s.bin")
+                + (F.lit(p) * F.col("n") - (F.col("s.cum") - F.col("s.c")))
+                / F.col("s.c")
+            ),
+            6,
+        )
+        parts.append(
+            sel.select(
+                "event_type",
+                F.lit(float(p)).alias("p"),
+                est.alias("hist_est"),
+            )
+        )
+    est_long = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    exact = exact_grouped_percentiles(
+        ev, "value", ["event_type"], list(_HISTQ_PS), 6
+    )
+    exact_long = None
+    for p in _HISTQ_PS:
+        col = f"p_{p * 100:g}".replace(".", "_")
+        part = exact.select(
+            "event_type",
+            F.lit(float(p)).alias("p"),
+            F.col(col).alias("exact"),
+        )
+        exact_long = part if exact_long is None else exact_long.unionAll(part)
+    return (
+        est_long.join(exact_long, ["event_type", "p"])
+        .select(
+            "event_type",
+            "p",
+            "hist_est",
+            "exact",
+            F.round(F.abs(F.col("hist_est") - F.col("exact")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("event_type", "p")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -7067,6 +7467,10 @@ STAMP_PRIORITY: list[str] = [
     "q166_pq_codes_portable",
     "q167_bloom_membership",
     "q168_streaming_click_error_left_outer",
+    "q169_partition_checksums",
+    "q170_delta_join_view_maintenance",
+    "q171_seasonal_residual_anomaly",
+    "q172_histogram_sketch_quantiles",
     # Changed-operator re-proofs: q155's middle-node selection moved
     # to array_sort (overflow-safe, identical values) and q157's
     # deviation relation is now persisted (plan-only change) — cheap
@@ -7117,10 +7521,6 @@ STAMP_PRIORITY: list[str] = [
     "q23_jaccard_neardup_pairs",
     "q27_hourly_event_stats",
     "q28_event_json_extract",
-    "q29_user_sessions",
-    "q30_top_events_per_user",
-    "q31_event_type_pivot",
-    "q32_event_value_percentiles",
 ]
 
 

@@ -1061,4 +1061,22 @@ def test_round7_new_query_plan_shapes(spark):
     assert "CartesianProduct" not in p167
     assert "BroadcastNestedLoopJoin" not in p167
     assert "BroadcastHashJoin" in p167, "the 64-word filter must broadcast"
-    assert "InMemoryTableScan" in p167, "purchaser set feeds 2 consumers via cache"
+    assert "InMemoryTableScan" in p167, "member set feeds 2 consumers via cache"
+
+    p169 = plan("q169_partition_checksums")
+    assert "Join" not in p169, "checksum must be one scan + one aggregate"
+    assert "BatchEvalPython" not in p169
+
+    p170 = plan("q170_delta_join_view_maintenance")
+    assert "CartesianProduct" not in p170
+    assert "InMemoryTableScan" in p170, "side relations feed 2 quadrants via cache"
+
+    p171 = plan("q171_seasonal_residual_anomaly")
+    assert "CartesianProduct" not in p171
+    assert "BroadcastHashJoin" in p171, "baseline grid must broadcast"
+    assert "InMemoryTableScan" in p171, "hourly grid feeds 2 consumers via cache"
+
+    p172 = plan("q172_histogram_sketch_quantiles")
+    assert "CartesianProduct" not in p172
+    assert "percentile" not in p172.lower(), "exact side must stay count-table"
+    assert "BroadcastHashJoin" in p172, "per-type stats must broadcast"
