@@ -113,6 +113,11 @@ EXTRA = [
     "q170_delta_join_view_maintenance",  # join-view IVM
     "q171_seasonal_residual_anomaly",    # hour-of-day baseline screen
     "q172_histogram_sketch_quantiles",   # mergeable quantile sketch
+    "q173_join_size_cms_estimate",  # CMS inner-product join sizing
+    "q174_table_stats_one_pass",    # one-scan ANALYZE column stats
+    "q175_ann_recall_audit",        # IVF recall@10 vs ground truth
+    "q176_k_anonymity_generalization",   # privacy generalization ladder
+    "q177_hll_set_algebra",         # merged-sketch union/intersection
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

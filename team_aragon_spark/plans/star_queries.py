@@ -7454,6 +7454,718 @@ def q172_histogram_sketch_quantiles(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Optimizer statistics, privacy audit, sketch algebra, ANN recall
+# (round 7, third batch)
+# ---------------------------------------------------------------------------
+
+_JSZ_D, _JSZ_W = 4, 1024
+
+_JOINSIZE_SQL = f"""
+WITH uc AS MATERIALIZED (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id),
+keys AS (
+  SELECT uc.ca, uc.cb, j.j,
+         ('0x' || substr(md5('cms' || CAST(j.j AS VARCHAR) || ':'
+                             || CAST(uc.user_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {_JSZ_W} AS b
+  FROM uc CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+sk AS (
+  SELECT j, b, sum(ca) AS cell_a, sum(cb) AS cell_b
+  FROM keys GROUP BY j, b),
+est AS (
+  SELECT min(dot) AS est FROM (
+    SELECT j, sum(cell_a * cell_b) AS dot FROM sk GROUP BY j)),
+ex AS (
+  SELECT sum(ca * cb) AS exact_size FROM uc)
+SELECT CAST(ex.exact_size AS BIGINT) AS exact_join_size,
+       CAST(est.est AS BIGINT) AS cms_estimate,
+       CAST(est.est - ex.exact_size AS BIGINT) AS overestimate
+FROM ex CROSS JOIN est"""
+
+
+@register(
+    "q173_join_size_cms_estimate",
+    _JOINSIZE_SQL,
+    ops=("ext-sketch-join-size",),
+    doc="JOIN-CARDINALITY ESTIMATION from count-min sketches — the "
+    "optimizer-statistics primitive (Cormode & Muthukrishnan 2005 "
+    "§4.2: inner-product queries): |A JOIN B on k| = sum_k "
+    "fA(k)*fB(k), estimated WITHOUT executing the join as "
+    "min_j sum_b cmsA[j,b]*cmsB[j,b] over d=4 x w=1024 sketches of "
+    "the click side and the purchase side keyed by user_id, built "
+    "with the SAME md5 bucket functions so the per-row dot product "
+    "is well-defined.  The estimate is guaranteed one-sided "
+    "(collisions only ADD mass), shown as overestimate next to the "
+    "exact size computed from the frequency tables.  Everything is "
+    "integer + md5 — the full DuckDB value oracle pins the sketch "
+    "algebra end to end.  Scale: both frequency vectors come from "
+    "ONE map-combined scan (conditional sums, persisted for the "
+    "exact pass); the sketches are 4096 cells each regardless of "
+    "corpus size, so a planner can size a 100 TB shuffle join from "
+    "an 8 KB pair of summaries.",
+)
+def q173_join_size_cms_estimate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # persisted: the per-user frequency table feeds the sketch build
+    # AND the exact sum (persist-multi-consumer rule)
+    uc = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("cb"),
+        )
+        .persist()
+    )
+    bucket = lambda j: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"cms{j}:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _JSZ_W
+    )
+    keys = uc.select(
+        "ca",
+        "cb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(_JSZ_D)
+                ]
+            )
+        ).alias("k"),
+    ).select("ca", "cb", "k.j", "k.b")
+    sk = keys.groupBy("j", "b").agg(
+        F.sum("ca").alias("cell_a"), F.sum("cb").alias("cell_b")
+    )
+    est = (
+        sk.groupBy("j")
+        .agg(F.sum(F.col("cell_a") * F.col("cell_b")).alias("dot"))
+        .agg(F.min("dot").alias("est"))
+    )
+    ex = uc.agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_size"))
+    return ex.crossJoin(F.broadcast(est)).select(
+        F.col("exact_size").cast("bigint").alias("exact_join_size"),
+        F.col("est").cast("bigint").alias("cms_estimate"),
+        (F.col("est") - F.col("exact_size"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
+_KANON_K = 5
+_KANON_SCALES = (10, 100, 1000, 10000)
+
+_KANON_SQL = f"""
+WITH lv AS (
+  {" UNION ALL ".join(
+      f'''SELECT {i} AS level, CAST({s} AS BIGINT) AS bal_scale,
+                 c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / {s}) AS BIGINT) AS bal_bucket
+          FROM customer'''
+      for i, s in enumerate(_KANON_SCALES))}),
+g AS (
+  SELECT level, bal_scale, c_nationkey, c_mktsegment, bal_bucket,
+         count(*) AS sz
+  FROM lv GROUP BY 1, 2, 3, 4, 5)
+SELECT level, bal_scale,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_records_at_risk,
+       round(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)
+             / CAST(sum(sz) AS DOUBLE), 6) AS pct_at_risk
+FROM g GROUP BY level, bal_scale ORDER BY level"""
+
+
+@register(
+    "q176_k_anonymity_generalization",
+    _KANON_SQL,
+    ops=("ext-curation-privacy",),
+    doc="K-ANONYMITY generalization-ladder audit (Sweeney 2002) — the "
+    "privacy screen a curation pipeline runs before releasing "
+    "user-adjacent training data: quasi-identifier = (nation, "
+    "market segment, account-balance bucket), swept over four "
+    "generalization levels (balance floored to 10/100/1000/10000); "
+    "per level, the number of QI groups, groups below k=5, records "
+    "at re-identification risk, and the at-risk fraction — the "
+    "curve that tells you the coarsest generalization that meets "
+    "the k threshold.  Scale: all four levels are computed in ONE "
+    "scan (a 4-way level explode, then a single map-combined "
+    "two-stage aggregate); shuffle volume is group cardinality, "
+    "not row count, and no level re-scans the fact table.",
+)
+def q176_k_anonymity_generalization(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    lv = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("level"),
+                        F.lit(s).cast("bigint").alias("bal_scale"),
+                        F.floor(F.col("c_acctbal") / s)
+                        .cast("bigint")
+                        .alias("bal_bucket"),
+                    )
+                    for i, s in enumerate(_KANON_SCALES)
+                ]
+            )
+        ).alias("l"),
+        "c_nationkey",
+        "c_mktsegment",
+    ).select("l.level", "l.bal_scale", "c_nationkey", "c_mktsegment", "l.bal_bucket")
+    g = lv.groupBy(
+        "level", "bal_scale", "c_nationkey", "c_mktsegment", "bal_bucket"
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    viol = F.col("sz") < _KANON_K
+    return (
+        g.groupBy("level", "bal_scale")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("n_violating_groups"),
+            F.sum(F.when(viol, F.col("sz")).otherwise(0)).alias(
+                "n_records_at_risk"
+            ),
+            F.round(
+                F.sum(F.when(viol, F.col("sz")).otherwise(0))
+                / F.sum("sz").cast("double"),
+                6,
+            ).alias("pct_at_risk"),
+        )
+        .select(
+            "level",
+            "bal_scale",
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            F.col("n_violating_groups")
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.col("n_records_at_risk")
+            .cast("bigint")
+            .alias("n_records_at_risk"),
+            "pct_at_risk",
+        )
+        .orderBy("level")
+    )
+
+
+_STATS_COLS = ("event_id", "event_type", "props", "user_id")
+
+_TABLESTATS_SQL = f"""
+WITH m AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val FROM events"
+      for c in _STATS_COLS)}),
+cnt AS (
+  SELECT column_name, val, count(*) AS c FROM m GROUP BY 1, 2),
+stats AS (
+  SELECT column_name,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+         min(val) AS min_val, max(val) AS max_val
+  FROM cnt GROUP BY 1),
+mcv AS (
+  SELECT column_name, val AS mcv_value, CAST(c AS BIGINT) AS mcv_count
+  FROM cnt WHERE val IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY column_name
+                             ORDER BY c DESC, val) = 1)
+SELECT s.column_name, s.n_rows, s.n_nulls, s.ndv, s.min_val, s.max_val,
+       m.mcv_value, m.mcv_count
+FROM stats s JOIN mcv m USING (column_name)
+ORDER BY s.column_name"""
+
+
+@register(
+    "q174_table_stats_one_pass",
+    _TABLESTATS_SQL,
+    ops=("ext-ops-analyze-stats",),
+    doc="ANALYZE-TABLE optimizer statistics in ONE PASS — per column "
+    "of events (event_id, event_type, props, user_id canonicalized "
+    "to strings): row count, null count, exact NDV, min/max, and "
+    "the most-common value with its frequency (the MCV entry a "
+    "cost-based optimizer feeds selectivity estimation).  The "
+    "engine formulation is the one a 100 TB ANALYZE needs: the "
+    "table is melted once (a 4-way column explode — ONE scan "
+    "however many columns), then a single map-combined "
+    "(column, value) count; every statistic INCLUDING the NDV and "
+    "the MCV is derived from that compact count table, so the "
+    "second stage shuffles group cardinality, not row count, and "
+    "no column triggers its own scan.  The oracle recomputes the "
+    "same statistics from a UNION-ALL melt — equality proves the "
+    "single-scan derivation.",
+)
+def q174_table_stats_one_pass(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column_name", "kv.val")
+    # the compact (column, value) count table feeds BOTH the stats
+    # aggregate and the MCV ranking (persist-multi-consumer rule)
+    cnt = (
+        m.groupBy("column_name", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    stats = cnt.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1))
+        .cast("bigint")
+        .alias("ndv"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    w = Window.partitionBy("column_name").orderBy(
+        F.desc("c"), F.asc("val")
+    )
+    mcv = (
+        cnt.filter(F.col("val").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "column_name",
+            F.col("val").alias("mcv_value"),
+            F.col("c").cast("bigint").alias("mcv_count"),
+        )
+    )
+    return stats.join(mcv, "column_name").orderBy("column_name")
+
+
+_HSA_M = 64
+_HSA_EST = (
+    f"CASE WHEN (0.7213 / (1 + 1.079 / {_HSA_M})) * {_HSA_M} * {_HSA_M} / harm"
+    f"          <= 2.5 * {_HSA_M} AND zeros > 0"
+    f"     THEN {_HSA_M} * ln({_HSA_M} * 1.0 / zeros)"
+    f"     ELSE (0.7213 / (1 + 1.079 / {_HSA_M})) * {_HSA_M} * {_HSA_M} / harm"
+    f" END"
+)
+
+_HLL_ALG_SQL = f"""
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT event_type, user_id FROM events),
+r AS MATERIALIZED (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {_HSA_M} AS bucket,
+         max(CASE WHEN ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT = 0
+                  THEN 33
+                  ELSE 32 - length(bin(('0x' || substr(md5('hll:' ||
+                         CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT)) + 1 END) AS reg
+  FROM du GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM du) a
+  JOIN (SELECT DISTINCT event_type FROM du) b ON a.event_type < b.event_type),
+e1 AS (
+  SELECT event_type, {_HSA_EST.replace("harm", "(sum(power(2.0, -reg)) + (" + str(_HSA_M) + " - count(*)))").replace("zeros", "(" + str(_HSA_M) + " - count(*))")} AS est
+  FROM r GROUP BY event_type),
+ru AS (
+  SELECT p.type_a, p.type_b, r.bucket, max(r.reg) AS reg
+  FROM pairs p JOIN r ON r.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3),
+eu AS (
+  SELECT type_a, type_b, {_HSA_EST.replace("harm", "(sum(power(2.0, -reg)) + (" + str(_HSA_M) + " - count(*)))").replace("zeros", "(" + str(_HSA_M) + " - count(*))")} AS est_u
+  FROM ru GROUP BY type_a, type_b),
+exs AS (
+  SELECT event_type, count(*) AS exact FROM du GROUP BY 1),
+exu AS (
+  SELECT p.type_a, p.type_b, count(DISTINCT du.user_id) AS exact_union
+  FROM pairs p JOIN du ON du.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2)
+SELECT pu.type_a, pu.type_b,
+       CAST(xa.exact AS BIGINT) AS exact_a,
+       CAST(xb.exact AS BIGINT) AS exact_b,
+       CAST(xu.exact_union AS BIGINT) AS exact_union,
+       CAST(xa.exact + xb.exact - xu.exact_union AS BIGINT)
+         AS exact_intersect,
+       round(pu.est_u, 4) AS hll_union_est,
+       round(greatest(ea.est + eb.est - pu.est_u, 0.0), 4)
+         AS hll_intersect_est,
+       round(abs(pu.est_u - xu.exact_union) / xu.exact_union, 4)
+         AS union_rel_err
+FROM eu pu
+JOIN e1 ea ON ea.event_type = pu.type_a
+JOIN e1 eb ON eb.event_type = pu.type_b
+JOIN exs xa ON xa.event_type = pu.type_a
+JOIN exs xb ON xb.event_type = pu.type_b
+JOIN exu xu ON xu.type_a = pu.type_a AND xu.type_b = pu.type_b
+ORDER BY pu.type_a, pu.type_b"""
+
+
+@register(
+    "q177_hll_set_algebra",
+    _HLL_ALG_SQL,
+    ops=("ext-sketch-hll-merge",),
+    doc="HLL SET ALGEBRA over merged sketches — the property that "
+    "makes HyperLogLog the distributed cardinality structure: "
+    "per-type m=64 registers (q164's portable arithmetic) are "
+    "MERGED by per-bucket max for every type pair, giving "
+    "|A UNION B| from the merged sketch alone, and "
+    "|A INTERSECT B| by inclusion-exclusion (estA + estB - estU, "
+    "clamped at 0) — no re-scan of the data for any of the 10 "
+    "pairs, exactly how a lakehouse answers 'distinct users in any "
+    "combination of segments' from per-segment sketches built "
+    "once.  Estimates sit beside the exact distincts with relative "
+    "error.  Scale: one map-combined register build per type "
+    "(|types| x 64 rows total); every pair estimate is arithmetic "
+    "over <=128 merged register rows; the exact sides are "
+    "compact-relation aggregates over the distinct (type, user) "
+    "pairs, never the raw corpus.",
+)
+def q177_hll_set_algebra(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # persisted: the distinct (type, user) relation feeds the register
+    # build, the exact per-type counts, AND the exact pair unions
+    du = ev.select("event_type", "user_id").distinct().persist()
+    md5u = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    rho = F.when(
+        F.conv(F.substring(md5u, 9, 8), 16, 10).cast("bigint") == 0, 33
+    ).otherwise(
+        32
+        - F.length(
+            F.bin(F.conv(F.substring(md5u, 9, 8), 16, 10).cast("bigint"))
+        )
+        + 1
+    )
+    r = (
+        du.select(
+            "event_type",
+            (
+                F.conv(F.substring(md5u, 1, 8), 16, 10).cast("bigint")
+                % _HSA_M
+            ).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .persist()  # <= |types| x 64 rows; feeds singles AND pair merges
+    )
+
+    def est(grouped):
+        harm = F.sum(F.pow(F.lit(2.0), -F.col("reg"))) + (
+            _HSA_M - F.count(F.lit(1))
+        )
+        zeros = _HSA_M - F.count(F.lit(1))
+        return grouped.agg(harm.alias("harm"), zeros.alias("zeros")).select(
+            "*",
+            F.when(
+                (
+                    F.lit(0.7213 / (1 + 1.079 / _HSA_M))
+                    * _HSA_M
+                    * _HSA_M
+                    / F.col("harm")
+                    <= 2.5 * _HSA_M
+                )
+                & (F.col("zeros") > 0),
+                _HSA_M * F.log(_HSA_M / F.col("zeros")),
+            )
+            .otherwise(
+                F.lit(0.7213 / (1 + 1.079 / _HSA_M))
+                * _HSA_M
+                * _HSA_M
+                / F.col("harm")
+            )
+            .alias("est"),
+        )
+
+    types = du.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .persist()  # tiny; feeds register merge AND exact unions
+    )
+    e1 = est(r.groupBy("event_type")).select("event_type", "est")
+    ru = (
+        r.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    eu = est(ru.groupBy("type_a", "type_b")).select(
+        "type_a", "type_b", F.col("est").alias("est_u")
+    )
+    exs = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
+    exu = (
+        du.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "user_id")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    ea = e1.select(
+        F.col("event_type").alias("type_a"), F.col("est").alias("est_a")
+    )
+    eb = e1.select(
+        F.col("event_type").alias("type_b"), F.col("est").alias("est_b")
+    )
+    xa = exs.select(
+        F.col("event_type").alias("type_a"), F.col("exact").alias("exact_a")
+    )
+    xb = exs.select(
+        F.col("event_type").alias("type_b"), F.col("exact").alias("exact_b")
+    )
+    return (
+        eu.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(xa), "type_a")
+        .join(F.broadcast(xb), "type_b")
+        .join(F.broadcast(exu), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.col("exact_a").cast("bigint").alias("exact_a"),
+            F.col("exact_b").cast("bigint").alias("exact_b"),
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("bigint")
+            .alias("exact_intersect"),
+            F.round("est_u", 4).alias("hll_union_est"),
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_u"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("hll_intersect_est"),
+            F.round(
+                F.abs(F.col("est_u") - F.col("exact_union"))
+                / F.col("exact_union"),
+                4,
+            ).alias("union_rel_err"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _ora_cos(a: str, b: str, digits: int) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"round({dot} / ({na} * {nb}), {digits})"
+
+
+_RECALL_K = 10
+_RECALL_NPROBE = 2
+
+_RECALL_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id >= 16 AND vec_id < 40),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+asg AS (
+  SELECT neighbor_id, nv, cell FROM (
+    SELECT c.neighbor_id, c.nv, cent.cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+             ORDER BY {_ora_cos("c.nv", "cent.cv", 9)} DESC, cent.cell) AS rk
+    FROM c CROSS JOIN cent) WHERE rk = 1),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_ora_cos("q.qv", "cent.cv", 9)} DESC, cent.cell) AS rk
+    FROM q CROSS JOIN cent) WHERE rk <= {_RECALL_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_ora_cos("p.qv", "a.nv", 4)} AS s4
+  FROM asg a JOIN probes p ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id),
+approxk AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY s4 DESC, neighbor_id) <= {_RECALL_K}),
+exactk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           {_ora_cos("q.qv", "c.nv", 4)} AS s4
+    FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY s4 DESC, neighbor_id) <= {_RECALL_K}),
+nc AS (
+  SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+hits AS (
+  SELECT a.query_id, count(*) AS hits
+  FROM approxk a JOIN exactk e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.hits, 0) / {float(_RECALL_K)}, 4) AS recall
+FROM q LEFT JOIN nc USING (query_id) LEFT JOIN hits USING (query_id)
+ORDER BY q.query_id"""
+
+
+@register(
+    "q175_ann_recall_audit",
+    _RECALL_SQL,
+    ops=("ext-similarity-recall",),
+    doc="ANN RECALL AUDIT — measure, don't guess: the IVF index "
+    "(coarse quantizer = the first 16 vectors by vec_id, so the "
+    "whole structure is engine-portable; assignment = argmax "
+    "round(cosine, 9) with ties to the lowest cell, q166's "
+    "discipline) is evaluated against ground truth: for 24 query "
+    "vectors, nprobe=2 cells are probed, the top-10 by "
+    "round(cosine, 4) within the probed cells is compared to the "
+    "exact brute-force top-10 under the SAME scoring, and "
+    "recall@10 + candidate volume are reported per query — the "
+    "quality/cost curve an index operator tunes nprobe against.  "
+    "FULL value oracle: every stage (assignment, probe ranking, "
+    "both top-k's, the intersection) replays in DuckDB.  Scale: "
+    "assignment is a broadcast of 16 centroids + a map-combined "
+    "argmax (no expansion shuffle); candidates form by equi-join "
+    "on cell against broadcast probes — the n_candidates column IS "
+    "the measured fraction of the corpus scanned instead of "
+    "all-pairs.",
+)
+def q175_ann_recall_audit(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    qdf = emb.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 40)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    s9 = F.round(F.expr(similarity.cosine_expr("nv", "cv")), 9)
+    # argmax assignment as ONE map-combined aggregate: max over
+    # struct(score, -cell) = best score, ties to the LOWEST cell
+    asg = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "nv", "cell", s9.alias("s9"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s9").alias("s"), (-F.col("cell")).alias("nc")
+                )
+            ).alias("m"),
+            F.first("nv").alias("nv"),
+        )
+        .select(
+            "neighbor_id", "nv", (-F.col("m.nc")).cast("int").alias("cell")
+        )
+    )
+    sq9 = F.round(F.expr(similarity.cosine_expr("qv", "cv")), 9)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s9"), F.asc("cell"))
+    probes = (
+        qdf.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cell", sq9.alias("s9"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _RECALL_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    # persisted: the candidate relation feeds the volume count AND the
+    # approximate top-k (persist-multi-consumer rule)
+    cand = (
+        asg.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(similarity.cosine_expr("qv", "nv")), 4).alias(
+                "s4"
+            ),
+        )
+        .persist()
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("s4"), F.asc("neighbor_id")
+    )
+    approxk = (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    exactk = similarity.cosine_topk_bruteforce(
+        emb,
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40)),
+        k=_RECALL_K,
+    ).select("query_id", "neighbor_id")
+    nc = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = (
+        approxk.join(exactk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(F.broadcast(nc), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / float(_RECALL_K), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -7471,6 +8183,11 @@ STAMP_PRIORITY: list[str] = [
     "q170_delta_join_view_maintenance",
     "q171_seasonal_residual_anomaly",
     "q172_histogram_sketch_quantiles",
+    "q173_join_size_cms_estimate",
+    "q174_table_stats_one_pass",
+    "q175_ann_recall_audit",
+    "q176_k_anonymity_generalization",
+    "q177_hll_set_algebra",
     # Changed-operator re-proofs: q155's middle-node selection moved
     # to array_sort (overflow-safe, identical values) and q157's
     # deviation relation is now persisted (plan-only change) — cheap
@@ -7506,7 +8223,7 @@ STAMP_PRIORITY: list[str] = [
     "q90_crossdoc_boilerplate",
     "q91_cluster_representative",
     # Oldest r04 rows fill the remaining slots (registration order);
-    # next round continue the r04 block (q30-q98), then r05.
+    # next round continue the r04 block (q20-q98), then r05.
     "q10_bottom10_nations_by_balance",
     "q11_top20_part_types",
     "q13_customers_without_orders",
@@ -7516,11 +8233,6 @@ STAMP_PRIORITY: list[str] = [
     "q17_quarantine_rows",
     "q18_token_counts",
     "q19_language_id",
-    "q20_quality_scores",
-    "q21_doc_fingerprints",
-    "q23_jaccard_neardup_pairs",
-    "q27_hourly_event_stats",
-    "q28_event_json_extract",
 ]
 
 

@@ -156,3 +156,165 @@ def test_seasonal_anomaly_planted_spike(spark, tmp_path_factory):
     assert flagged == {
         ("click", base_t + datetime.timedelta(days=5, hours=3))
     }
+
+
+def _stage_table(spark, tmp_path_factory, df, table, name):
+    out = tmp_path_factory.mktemp(name)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(out / f"{table}.parquet")
+    )
+    return str(out)
+
+
+def test_cms_join_size_one_sided_and_exact_when_collision_free(
+    spark, tmp_path_factory
+):
+    """The CMS inner-product estimate is GUARANTEED one-sided
+    (collisions only add mass): overestimate >= 0 on the real corpus;
+    and with a single joining user the sketches hold one nonzero cell
+    per row, so the estimate is EXACTLY fA*fB."""
+    out = (
+        QUERY_REGISTRY["q173_join_size_cms_estimate"]
+        .fn(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    spark.catalog.clearCache()
+    assert out.overestimate >= 0
+    assert out.cms_estimate >= out.exact_join_size
+
+    base_t = datetime.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for i in range(3):
+        rows.append((eid, base_t, 7, "click", 0.0, "{}")); eid += 1
+    for i in range(4):
+        rows.append((eid, base_t, 7, "purchase", 0.0, "{}")); eid += 1
+    d = _stage_events(spark, tmp_path_factory, rows, "cms_one")
+    got = QUERY_REGISTRY["q173_join_size_cms_estimate"].fn(spark, d).collect()[0]
+    spark.catalog.clearCache()
+    assert (got.exact_join_size, got.cms_estimate, got.overestimate) == (
+        12, 12, 0
+    )
+
+
+def test_hll_merge_equals_rebuild_over_union(spark, tmp_path_factory):
+    """The mergeability identity the sketch family exists for:
+    max-merging two types' registers (q177) must equal rebuilding one
+    sketch directly over the UNION of the two types' rows — pinned by
+    retagging the pair's rows to a single label and running q164's
+    single-set estimator on the staged copy."""
+    pairs = {
+        (r.type_a, r.type_b): (r.hll_union_est, r.exact_union)
+        for r in QUERY_REGISTRY["q177_hll_set_algebra"].fn(spark, SF_SMOKE).collect()
+    }
+    spark.catalog.clearCache()
+    base = read_table(spark, "events", SF_SMOKE).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props"
+    )
+    for ta, tb in [("click", "purchase"), ("error", "view")]:
+        retag = base.withColumn(
+            "event_type",
+            F.when(
+                F.col("event_type").isin(ta, tb), F.lit("__pair__")
+            ).otherwise(F.col("event_type")),
+        )
+        d = _stage_events(spark, tmp_path_factory, retag, f"hllu_{ta}")
+        rebuilt = {
+            r.event_type: (r.hll_estimate, r.exact_distinct)
+            for r in QUERY_REGISTRY["q164_portable_hll_distinct"]
+            .fn(spark, d)
+            .collect()
+        }
+        spark.catalog.clearCache()
+        assert rebuilt["__pair__"] == pairs[(ta, tb)], (ta, tb)
+
+
+def test_k_anonymity_planted_ladder(spark, tmp_path_factory):
+    """A constructed customer table where the ladder is known by hand:
+    5 spread balances collapse into one safe group only at scale 100+;
+    a 4-record group violates k=5 at EVERY generalization level."""
+    cust = spark.createDataFrame(
+        [(i + 1, f"c{i}", 1, 100.0 + 10 * i, "A") for i in range(5)]
+        + [(10 + i, f"d{i}", 2, 5000.0 + i, "B") for i in range(4)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    d = _stage_table(spark, tmp_path_factory, cust, "customer", "kanon")
+    got = {
+        r.level: (
+            r.n_groups,
+            r.n_violating_groups,
+            r.n_records_at_risk,
+        )
+        for r in QUERY_REGISTRY["q176_k_anonymity_generalization"]
+        .fn(spark, d)
+        .collect()
+    }
+    # scale 10: balances 100..140 split into 5 buckets (all k=1) and
+    # the 4-record group shares bucket 500 -> 6 groups, all violating
+    assert got[0] == (6, 6, 9)
+    # scale 100: the 5 collapse into one k=5 group (safe); the 4 stay
+    # one violating group
+    assert got[1] == (2, 1, 4)
+    # scales 1000/10000: same shape — only the 4-record group violates
+    assert got[2] == (2, 1, 4)
+    assert got[3] == (2, 1, 4)
+
+
+def test_ann_recall_is_total_on_separable_clusters(
+    spark, tmp_path_factory
+):
+    """With 16 orthogonal clusters (centroid = one-hot axis c, members
+    tightly around it), every query's true top-10 lives in its own
+    cell, so IVF recall@10 must be EXACTLY 1.0 for all 24 queries and
+    the candidate volume must stay two cells' worth — the blocked-scan
+    property that makes the index worth building."""
+    rows = []
+    dim = 64
+    for c in range(16):  # centroids: vec_id 0..15 = one-hot axis c
+        v = [0.0] * dim
+        v[c] = 1.0
+        rows.append((c, v, c))
+    for i in range(16, 240):  # members: cluster (i-16) % 16
+        c = (i - 16) % 16
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[16 + (i % 48)] = 0.05  # tiny off-axis wiggle, cos ~ 0.9988
+        rows.append((i, v, c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = _stage_table(spark, tmp_path_factory, emb, "embeddings", "annrec")
+    out = QUERY_REGISTRY["q175_ann_recall_audit"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    assert len(out) == 24
+    assert all(r.recall == 1.0 for r in out)
+    # 2 probed cells x (1 centroid + 14 members) minus self
+    assert all(r.n_candidates <= 29 for r in out)
+
+
+def test_table_stats_null_semantics_planted(spark, tmp_path_factory):
+    """The corpus has no NULLs, so the ANALYZE null conventions are
+    pinned on a plant: NULL props count into n_nulls and n_rows but
+    not NDV/min/max/MCV; the MCV tie breaks to the smaller value."""
+    base_t = datetime.datetime(2024, 6, 1)
+    rows = [
+        (1, base_t, 1, "click", 0.0, "b"),
+        (2, base_t, 1, "click", 0.0, "b"),
+        (3, base_t, 1, "click", 0.0, "a"),
+        (4, base_t, 1, "click", 0.0, "a"),
+        (5, base_t, 1, "click", 0.0, "c"),
+        (6, base_t, 1, "click", 0.0, None),
+        (7, base_t, 1, "click", 0.0, None),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "stats_null")
+    got = {
+        r.column_name: r
+        for r in QUERY_REGISTRY["q174_table_stats_one_pass"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    p = got["props"]
+    assert (p.n_rows, p.n_nulls, p.ndv) == (7, 2, 3)
+    assert (p.min_val, p.max_val) == ("a", "c")
+    assert (p.mcv_value, p.mcv_count) == ("a", 2)  # tie a/b -> smaller

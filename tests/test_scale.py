@@ -1080,3 +1080,41 @@ def test_round7_new_query_plan_shapes(spark):
     assert "CartesianProduct" not in p172
     assert "percentile" not in p172.lower(), "exact side must stay count-table"
     assert "BroadcastHashJoin" in p172, "per-type stats must broadcast"
+
+    p173 = plan("q173_join_size_cms_estimate")
+    assert "CartesianProduct" not in p173
+    assert "InMemoryTableScan" in p173, "frequency table feeds sketch + exact via cache"
+    assert "BatchEvalPython" not in p173
+
+    p174 = plan("q174_table_stats_one_pass")
+    assert "CartesianProduct" not in p174
+    # both consumers (stats agg, MCV ranking) must read the cached
+    # (column,value) count table — every printed FileScan sits inside
+    # the single InMemoryRelation subtree, so the melt scans ONCE
+    assert p174.count("InMemoryTableScan") >= 2, "stats + MCV must be cache-served"
+    assert p174.count("FileScan") == p174.count("InMemoryRelation"), (
+        "no FileScan outside the cached melt"
+    )
+
+    p175 = plan("q175_ann_recall_audit")
+    assert "CartesianProduct" not in p175
+    # the only nested-loop joins allowed are (a) broadcast CROSS joins
+    # against the 16-row centroid relation (the tiny-side pattern) and
+    # (b) the ground-truth brute-force side: corpus x BROADCAST bounded
+    # query set with the self-exclusion predicate — that all-pairs scan
+    # is the point of the audit, and its query side never grows
+    assert p175.count("BroadcastNestedLoopJoin") == p175.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ) + p175.count("BroadcastNestedLoopJoin BuildRight, Inner, NOT (neighbor_id")
+    assert "InMemoryTableScan" in p175, "candidates feed volume + top-k via cache"
+    assert "BatchEvalPython" not in p175
+
+    p176 = plan("q176_k_anonymity_generalization")
+    assert "Join" not in p176, "the 4-level sweep must be one scan, no joins"
+    assert p176.count("FileScan") <= 1, "levels must share a single scan"
+    assert "BatchEvalPython" not in p176
+
+    p177 = plan("q177_hll_set_algebra")
+    assert "CartesianProduct" not in p177
+    assert "InMemoryTableScan" in p177, "registers feed singles + pair merges via cache"
+    assert "BatchEvalPython" not in p177
