@@ -118,6 +118,8 @@ EXTRA = [
     "q175_ann_recall_audit",        # IVF recall@10 vs ground truth
     "q176_k_anonymity_generalization",   # privacy generalization ladder
     "q177_hll_set_algebra",         # merged-sketch union/intersection
+    "q178_grouped_ols_regression",  # sufficient-statistics least squares
+    "q179_time_decay_engagement",   # half-life decayed feature scores
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -8166,6 +8166,143 @@ def q175_ann_recall_audit(spark, sf_dir):
     )
 
 
+_OLS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(extract(hour FROM ts) AS DOUBLE)) AS sx,
+         sum(value) AS sy,
+         sum(CAST(extract(hour FROM ts) AS DOUBLE)
+             * CAST(extract(hour FROM ts) AS DOUBLE)) AS sxx,
+         sum(value * value) AS syy,
+         sum(CAST(extract(hour FROM ts) AS DOUBLE) * value) AS sxy
+  FROM events GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s ORDER BY event_type"""
+
+
+@register(
+    "q178_grouped_ols_regression",
+    _OLS_SQL,
+    ops=("ext-stats-ols",),
+    doc="GROUPED LEAST-SQUARES from sufficient statistics — the "
+    "distributed formulation of regression every feature pipeline "
+    "uses: per event type, value is regressed on hour-of-day via "
+    "the five moment sums (n, Sx, Sy, Sxx, Syy, Sxy), all from ONE "
+    "map-combined aggregate; slope/intercept/R^2 are closed-form "
+    "arithmetic over the |groups|-row moment table.  No iteration, "
+    "no driver-side matrix, no second pass — at 100 TB the entire "
+    "regression is one shuffle of six doubles per group.  The "
+    "identical moment arithmetic runs in DuckDB (explicit normal "
+    "equations, not the engines' regr_* built-ins, so the rounding "
+    "boundary is under our control).",
+)
+def q178_grouped_ols_regression(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+_DECAY_HALF_LIFE_DAYS = 7.0
+
+_DECAY_SQL = f"""
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+sc AS (
+  SELECT e.user_id,
+         sum(CASE WHEN e.event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+             * exp(-ln(2.0) * (epoch_ms(mx.tmax) - epoch_ms(e.ts))
+                   / (86400000.0 * {_DECAY_HALF_LIFE_DAYS}))) AS p_score,
+         sum(exp(-ln(2.0) * (epoch_ms(mx.tmax) - epoch_ms(e.ts))
+                 / (86400000.0 * {_DECAY_HALF_LIFE_DAYS}))) AS any_score,
+         count(*) AS n_events
+  FROM events e, mx GROUP BY e.user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       round(any_score, 6) AS decayed_activity,
+       round(p_score, 6) AS decayed_purchases
+FROM sc ORDER BY decayed_activity DESC, user_id LIMIT 100"""
+
+
+@register(
+    "q179_time_decay_engagement",
+    _DECAY_SQL,
+    ops=("ext-feature-decay",),
+    doc="EXPONENTIAL TIME-DECAY engagement scores — the feature-store "
+    "primitive behind 'recency-weighted counts': per user, activity "
+    "and purchase scores where an event t milliseconds before the "
+    "corpus watermark contributes 2^(-t / 7 days) (exact half-life "
+    "arithmetic on integer epoch-ms, so both engines' exponents "
+    "agree bit-for-bit before the final round).  Decayed sums are "
+    "PLAIN SUMS of per-row weights, so they map-combine like any "
+    "counter — and two partial scores decayed to the same watermark "
+    "merge by addition, the property that lets a 100 TB feature "
+    "backfill run incrementally.  One scan, one broadcast of the "
+    "1-row watermark, one map-combined aggregate, top-100 by "
+    "TakeOrdered.",
+)
+def q179_time_decay_engagement(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    age_ms = (
+        F.unix_millis(F.col("tmax").cast("timestamp"))
+        - F.unix_millis(F.col("ts").cast("timestamp"))
+    ).cast("double")
+    import math
+
+    w = F.exp(
+        F.lit(-math.log(2.0))
+        * age_ms
+        / F.lit(86400000.0 * _DECAY_HALF_LIFE_DAYS)
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(w).alias("any_score"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+                * w
+            ).alias("p_score"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("any_score", 6).alias("decayed_activity"),
+            F.round("p_score", 6).alias("decayed_purchases"),
+        )
+        .orderBy(F.desc("decayed_activity"), "user_id")
+        .limit(100)
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -8188,6 +8325,8 @@ STAMP_PRIORITY: list[str] = [
     "q175_ann_recall_audit",
     "q176_k_anonymity_generalization",
     "q177_hll_set_algebra",
+    "q178_grouped_ols_regression",
+    "q179_time_decay_engagement",
     # Changed-operator re-proofs: q155's middle-node selection moved
     # to array_sort (overflow-safe, identical values) and q157's
     # deviation relation is now persisted (plan-only change) — cheap
@@ -8231,8 +8370,6 @@ STAMP_PRIORITY: list[str] = [
     "q15_dedup_docs_exact",
     "q16_validation_counts",
     "q17_quarantine_rows",
-    "q18_token_counts",
-    "q19_language_id",
 ]
 
 

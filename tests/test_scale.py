@@ -1118,3 +1118,13 @@ def test_round7_new_query_plan_shapes(spark):
     assert "CartesianProduct" not in p177
     assert "InMemoryTableScan" in p177, "registers feed singles + pair merges via cache"
     assert "BatchEvalPython" not in p177
+
+    p178 = plan("q178_grouped_ols_regression")
+    assert "Join" not in p178, "OLS must be one map-combined moment aggregate"
+    assert p178.count("FileScan") <= 1
+    assert "BatchEvalPython" not in p178
+
+    p179 = plan("q179_time_decay_engagement")
+    assert "CartesianProduct" not in p179
+    assert "TakeOrderedAndProject" in p179, "top-100 must be a k-heap, not a sort"
+    assert "BatchEvalPython" not in p179
