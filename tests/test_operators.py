@@ -1708,3 +1708,18 @@ def test_containment_prefix_join_matches_countjoin_on_corpus(spark):
         }
         assert got == want, sf
         spark.catalog.clearCache()
+
+
+def test_triangle_enumerate_near_maxlong_ids_no_overflow(spark):
+    """The middle-node selection must survive ids near 2^62 (63-bit
+    hashed ids): the r7 array_sort fix replaced x+y+z-least-greatest,
+    whose three-way sum overflows BIGINT up there.  One triangle of
+    huge ids must come back exactly sorted."""
+    from team_aragon_spark.operators.graph import triangle_enumerate
+
+    a, b, c = 2**62 - 3, 2**62 - 2, 2**62 - 1
+    df = spark.createDataFrame(
+        [(a, b), (b, c), (a, c)], "a long, b long"
+    )
+    got = [(r.n1, r.n2, r.n3) for r in triangle_enumerate(df).collect()]
+    assert got == [(a, b, c)]

@@ -318,3 +318,43 @@ def test_table_stats_null_semantics_planted(spark, tmp_path_factory):
     assert (p.n_rows, p.n_nulls, p.ndv) == (7, 2, 3)
     assert (p.min_val, p.max_val) == ("a", "c")
     assert (p.mcv_value, p.mcv_count) == ("a", 2)  # tie a/b -> smaller
+
+
+def test_ols_perfect_line_planted(spark, tmp_path_factory):
+    """A noiseless planted line value = 3*hour + 10 must come back
+    with slope 3, intercept 10, r2 = 1 exactly (the sufficient
+    statistics are small integers, so no float residue survives the
+    6-digit round)."""
+    base_t = datetime.datetime(2024, 6, 1)
+    rows = [
+        (h, base_t + datetime.timedelta(hours=h), 1, "click",
+         3.0 * h + 10.0, "{}")
+        for h in range(24)
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "ols_line")
+    out = QUERY_REGISTRY["q178_grouped_ols_regression"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.slope, r.intercept, r.r2) == (24, 3.0, 10.0, 1.0)
+
+
+def test_time_decay_exact_half_life_planted(spark, tmp_path_factory):
+    """Events exactly 0, 7 and 14 days before the watermark must score
+    1, 0.5 and 0.25 — the half-life arithmetic pinned at its own
+    boundary; only the purchase contributes to decayed_purchases."""
+    base_t = datetime.datetime(2024, 6, 15)
+    rows = [
+        (1, base_t, 1, "purchase", 0.0, "{}"),                        # age 0
+        (2, base_t - datetime.timedelta(days=7), 1, "click", 0.0, "{}"),
+        (3, base_t - datetime.timedelta(days=14), 1, "view", 0.0, "{}"),
+        (4, base_t, 2, "click", 0.0, "{}"),                           # age 0
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "decay_hl")
+    got = {
+        r.user_id: (r.n_events, r.decayed_activity, r.decayed_purchases)
+        for r in QUERY_REGISTRY["q179_time_decay_engagement"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got[1] == (3, 1.75, 1.0)   # 1 + 0.5 + 0.25
+    assert got[2] == (1, 1.0, 0.0)
