@@ -120,6 +120,12 @@ EXTRA = [
     "q177_hll_set_algebra",         # merged-sketch union/intersection
     "q178_grouped_ols_regression",  # sufficient-statistics least squares
     "q179_time_decay_engagement",   # half-life decayed feature scores
+    "q180_kmv_distinct_sketch",     # k-minimum-values NDV + union algebra
+    "q181_copurchase_bfs_hops",     # iterative frontier BFS vs recursive oracle
+    "q182_daily_order_autocorrelation",  # lag-k ACF on zero-filled series
+    "q183_part_pareto_skyline",     # 2-D skyline via bounded-domain reduction
+    "q184_activity_streaks",        # gaps-and-islands longest streaks
+    "q185_referential_usage_audit", # FK orphan / unreferenced-parent audit
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

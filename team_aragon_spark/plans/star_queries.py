@@ -8303,6 +8303,1218 @@ def q179_time_decay_engagement(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 5: KMV distinct sketch, BFS reachability, autocorrelation,
+# Pareto skyline, gaps-and-islands streaks, referential-usage audit.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16
+
+_KMV_SQL = rf"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5('kmv:' || t.u), 1, 8))::UBIGINT AS BIGINT) AS hv
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(u)),
+sk AS (
+  SELECT source, hv
+  FROM (SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM tok)
+  WHERE rn <= {_KMV_K}),
+solo AS (
+  SELECT source, count(*) AS kn, max(hv) AS vk FROM sk GROUP BY source),
+sex AS (SELECT source, count(*) AS exact FROM tok GROUP BY source),
+pr AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM tok) a
+  JOIN (SELECT DISTINCT source FROM tok) b ON a.source < b.source),
+usk AS (
+  SELECT sa, sb, hv
+  FROM (SELECT u.sa, u.sb, u.hv,
+               row_number() OVER (PARTITION BY u.sa, u.sb ORDER BY u.hv) AS rn
+        FROM (SELECT DISTINCT pr.sa, pr.sb, sk.hv
+              FROM pr JOIN sk ON sk.source IN (pr.sa, pr.sb)) u)
+  WHERE rn <= {_KMV_K}),
+psolo AS (SELECT sa, sb, count(*) AS kn, max(hv) AS vk FROM usk GROUP BY sa, sb),
+pex AS (
+  SELECT pr.sa, pr.sb, count(DISTINCT tok.hv) AS exact
+  FROM pr JOIN tok ON tok.source IN (pr.sa, pr.sb) GROUP BY pr.sa, pr.sb),
+uni AS (
+  SELECT solo.source AS a, solo.source AS b, kn, vk, sex.exact
+  FROM solo JOIN sex ON sex.source = solo.source
+  UNION ALL
+  SELECT psolo.sa, psolo.sb, kn, vk, pex.exact
+  FROM psolo JOIN pex ON pex.sa = psolo.sa AND pex.sb = psolo.sb),
+fin AS (
+  SELECT a, b, CAST(kn AS BIGINT) AS kn,
+         CAST(CASE WHEN kn < {_KMV_K} THEN kn
+                   ELSE ({_KMV_K - 1} * 4294967296) // vk END AS BIGINT) AS est_ndv,
+         CAST(exact AS BIGINT) AS exact_ndv
+  FROM uni)
+SELECT a, b, kn, est_ndv, exact_ndv,
+       round(abs(CAST(est_ndv AS DOUBLE) - exact_ndv) / exact_ndv, 6) AS rel_err
+FROM fin ORDER BY a, b"""
+
+
+@register(
+    "q180_kmv_distinct_sketch",
+    _KMV_SQL,
+    ops=("ext-sketch-kmv",),
+    doc="KMV (k-minimum-values) DISTINCT sketch with set algebra — the "
+    "third mergeable cardinality sketch beside HLL (q177) and CMS "
+    "(q163), and the only one whose union is EXACT sketch-level: the "
+    "k smallest hashes of A UNION B are a subset of kmin(A) UNION "
+    "kmin(B), so two k-value sketches merge into the union's "
+    "sketch with zero loss.  Per source, the k=16 smallest 32-bit "
+    "md5 values of the distinct token set (salted two-pass bottom-k, "
+    "never a whole-source window) yield NDV ~= (k-1)*2^32 // v_k in "
+    "EXACT integer arithmetic (floor division on both engines); "
+    "every source pair's union estimate comes from merging the two "
+    "256-row sketches — the corpus is touched once.  Exact NDV "
+    "(over the same hashed domain, so 32-bit collisions cancel "
+    "cross-engine) audits the estimate.  Scale: one distinct "
+    "shuffle on (source, hash); sketches are |sources|*k rows, so "
+    "all pair algebra is broadcast-tiny.  Ref query surface: "
+    "distinct counts in Reporting.py:24-263, re-expressed as a "
+    "mergeable sketch for 100 TB incremental refresh.",
+)
+def q180_kmv_distinct_sketch(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    k = _KMV_K
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .select(
+            "source",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("token"))), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+        .persist()
+    )
+    sk = windows.salted_topk_per_group(
+        tok, ["source"], "hv", k, tiebreak="hv", descending=False
+    ).persist()
+    solo = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kn"), F.max("hv").alias("vk")
+    )
+    sex = tok.groupBy("source").agg(F.count(F.lit(1)).alias("exact"))
+    srcs = tok.select("source").distinct()
+    a, b = srcs.alias("a"), srcs.alias("b")
+    pr = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+    )
+    usk = (
+        F.broadcast(pr)
+        .join(sk, (sk["source"] == F.col("sa")) | (sk["source"] == F.col("sb")))
+        .select("sa", "sb", "hv")
+        .distinct()
+    )
+    # Each (sa, sb) group holds <= 2k rows by construction, so the
+    # plain one-pass top-k window is bounded — no salting needed.
+    usk_k = windows.topk_per_group(
+        usk, ["sa", "sb"], "hv", k, descending=False, tiebreak="hv"
+    )
+    psolo = usk_k.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("kn"), F.max("hv").alias("vk")
+    )
+    # Exact pair-union NDV by inclusion-exclusion: |A u B| =
+    # |A| + |B| - |A n B|, with the intersection from an EQUI
+    # self-join on the hash (each hv joins only its own bucket) —
+    # never the OR-condition nested loop over the full token
+    # relation (measured 10.6 -> 3.9 s at sf0.1).
+    t1 = tok.select(F.col("source").alias("ia"), "hv")
+    t2 = tok.select(F.col("source").alias("ib"), "hv")
+    inter = (
+        t1.join(t2, "hv")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    ea = sex.select(F.col("source").alias("sa"), F.col("exact").alias("na"))
+    eb = sex.select(F.col("source").alias("sb"), F.col("exact").alias("nb"))
+    pex = (
+        pr.join(F.broadcast(ea), "sa")
+        .join(F.broadcast(eb), "sb")
+        .join(
+            F.broadcast(inter),
+            (F.col("ia") == F.col("sa")) & (F.col("ib") == F.col("sb")),
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            (
+                F.col("na") + F.col("nb") - F.coalesce(F.col("nab"), F.lit(0))
+            ).alias("exact"),
+        )
+    )
+    uni = (
+        solo.join(sex, "source")
+        .select(
+            F.col("source").alias("a"),
+            F.col("source").alias("b"),
+            "kn",
+            "vk",
+            "exact",
+        )
+        .unionByName(
+            psolo.join(pex, ["sa", "sb"]).select(
+                F.col("sa").alias("a"), F.col("sb").alias("b"), "kn", "vk", "exact"
+            )
+        )
+    )
+    est = F.when(F.col("kn") < k, F.col("kn")).otherwise(
+        F.expr(f"CAST(({k - 1} * 4294967296) DIV vk AS BIGINT)")
+    )
+    out = uni.select(
+        "a",
+        "b",
+        F.col("kn").cast("bigint").alias("kn"),
+        est.cast("bigint").alias("est_ndv"),
+        F.col("exact").cast("bigint").alias("exact_ndv"),
+        F.round(
+            F.abs(est.cast("double") - F.col("exact")) / F.col("exact"), 6
+        ).alias("rel_err"),
+    ).orderBy("a", "b")
+    return out
+
+
+_BFS_DEPTH = 3
+
+_BFS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+walk(node, hops) AS (
+  SELECT (SELECT min(l_partkey) FROM lineitem) AS node, 0 AS hops
+  UNION
+  SELECT e.b, w.hops + 1 FROM walk w JOIN e ON e.a = w.node
+  WHERE w.hops < {_BFS_DEPTH}),
+best AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node),
+lv AS (
+  SELECT hops, count(*) AS n_nodes, sum(node) AS checksum
+  FROM best GROUP BY hops
+  UNION ALL
+  SELECT -1 AS hops, count(*) AS n_nodes, coalesce(sum(p_partkey), 0) AS checksum
+  FROM part WHERE p_partkey NOT IN (SELECT node FROM best))
+SELECT CAST(hops AS BIGINT) AS hops, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(checksum AS BIGINT) AS checksum
+FROM lv WHERE n_nodes > 0 ORDER BY hops"""
+
+
+@register(
+    "q181_copurchase_bfs_hops",
+    _BFS_SQL,
+    ops=("ext-graph-bfs",),
+    doc="Single-source BFS over the part CO-PURCHASE graph (edges = "
+    "part pairs sharing an order, both directions), hop-limited to "
+    f"{_BFS_DEPTH}: per hop level, node count + sum-of-ids checksum, "
+    "plus a hops=-1 row for parts unreached within the horizon "
+    "(emitted only when non-empty, mirrored in the oracle).  The "
+    "engine is the DISTRIBUTED formulation — iterative frontier "
+    "expansion (frontier JOIN edges, anti-join visited, "
+    "localCheckpoint per iteration so AQE re-plans each join fresh "
+    "instead of a nested lineage tower); the oracle is DuckDB's "
+    "declarative recursive closure, proving the iterative plan "
+    "equals the fixpoint semantics.  Scale: per-order pair fan-out "
+    "is bounded (orders hold ~4-13 lines), edges shuffle once on "
+    "the join key per hop, and the frontier/visited relations are "
+    "node-sized, never path-sized — the (node, hops) dedup after "
+    "every expansion is what keeps a dense 100 TB graph's BFS "
+    "linear in nodes instead of exponential in paths.",
+)
+def q181_copurchase_bfs_hops(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    # Store each undirected edge ONCE as its a<b half — never the
+    # doubled/deduped edge list: measured at 100x, dedup removes
+    # <0.5% of pairs (co-purchase pairs almost never repeat across
+    # orders), so distinct + repartition would shuffle ~240M rows to
+    # save nothing (230s -> 136s -> 28s across the three
+    # formulations).  The self-join's exchange is REUSED for both
+    # sides, so pair generation costs one lineitem shuffle; the
+    # cached pair halves are scanned (never shuffled) by every hop.
+    edges = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .persist()
+    )
+    src = li.agg(F.min("l_partkey").alias("node")).select(
+        "node", F.lit(0).alias("hops")
+    )
+    visited = src.localCheckpoint()
+    frontier = visited
+    for hop in range(1, _BFS_DEPTH + 1):
+        # The frontier is bounded by the part DIMENSION (node set),
+        # so it broadcasts by design — each hop is two broadcast hash
+        # joins over the cached pair halves (a-side and b-side), no
+        # edge shuffle ever; only the hop's distinct node set moves.
+        fr = F.broadcast(frontier.select("node"))
+        nbrs = (
+            fr.join(edges, fr["node"] == edges["a"])
+            .select(F.col("b").alias("node"))
+            .unionByName(
+                fr.join(edges, fr["node"] == edges["b"]).select(
+                    F.col("a").alias("node")
+                )
+            )
+            .distinct()
+        )
+        nxt = (
+            nbrs.join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    lv = visited.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("node").alias("checksum")
+    )
+    part = _t(spark, sf_dir, "part")
+    unreached = (
+        part.join(visited, part["p_partkey"] == visited["node"], "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("p_partkey"), F.lit(0)).alias("checksum"),
+        )
+        .select(F.lit(-1).alias("hops"), "n_nodes", "checksum")
+    )
+    return (
+        lv.unionByName(unreached)
+        .filter(F.col("n_nodes") > 0)
+        .select(
+            F.col("hops").cast("bigint").alias("hops"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("checksum").cast("bigint").alias("checksum"),
+        )
+        .orderBy("hops")
+    )
+
+
+_ACF_MAXLAG = 7
+
+_ACF_SQL = rf"""
+WITH dd AS (
+  SELECT r.r_name AS region,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dayno,
+         count(*) AS c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2),
+span AS (SELECT min(dayno) AS lo, max(dayno) AS hi FROM dd),
+spine AS (
+  SELECT rg.region, s.d AS dayno
+  FROM (SELECT DISTINCT region FROM dd) rg
+  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS d FROM span) s),
+ser AS (
+  SELECT sp.region, sp.dayno, coalesce(dd.c, 0) AS x
+  FROM spine sp
+  LEFT JOIN dd ON dd.region = sp.region AND dd.dayno = sp.dayno),
+lg AS (SELECT unnest(range(1, {_ACF_MAXLAG + 1})) AS lag),
+mo AS (
+  SELECT s1.region, lg.lag,
+         count(*) AS n,
+         sum(s1.x) AS sx, sum(s2.x) AS sy,
+         sum(s1.x * s1.x) AS sxx, sum(s2.x * s2.x) AS syy,
+         sum(s1.x * s2.x) AS sxy
+  FROM ser s1
+  CROSS JOIN lg
+  JOIN ser s2 ON s2.region = s1.region AND s2.dayno = s1.dayno + lg.lag
+  GROUP BY 1, 2)
+SELECT region, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS acf
+FROM mo ORDER BY region, lag"""
+
+
+@register(
+    "q182_daily_order_autocorrelation",
+    _ACF_SQL,
+    ops=("ext-ts-autocorrelation",),
+    doc="Lag-k AUTOCORRELATION (k=1..7) of the zero-filled daily order "
+    "count series per region — the seasonality detector behind "
+    "'does this stream have a weekly cycle', complementing q171's "
+    "seasonal-baseline screen with the statistic that FINDS the "
+    "period.  The series is the complete calendar spine (missing "
+    "days count 0, the statistically-correct series), built from "
+    "one map-combined (region, day) aggregate; each lag's Pearson r "
+    "comes from EXACT integer moment sums (counts are integers, so "
+    "n/Sx/Sy/Sxx/Syy/Sxy are collision-free bigints on both "
+    "engines; the only float ops are the final sqrt/divide/round, "
+    "identical left-to-right).  Scale: the one fact shuffle is "
+    "orders JOIN customer on custkey (region attribution); "
+    "everything after the (region, day) aggregate is spine-sized "
+    "(|days| x |regions| rows), so the 7-lag self-join never "
+    "touches the fact table again.  Zero-variance series yield "
+    "NULL (pinned in pytest).  Ref: Reporting.py date-bucketed "
+    "counts, extended to the time-series statistic.",
+)
+def q182_daily_order_autocorrelation(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dayno = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    dd = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), dayno.alias("dayno"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    span = dd.agg(F.min("dayno").alias("lo"), F.max("dayno").alias("hi"))
+    spine = (
+        dd.select("region")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select("region", F.explode(F.sequence("lo", "hi")).alias("dayno"))
+    )
+    ser = (
+        spine.join(dd, ["region", "dayno"], "left")
+        .select("region", "dayno", F.coalesce("c", F.lit(0)).alias("x"))
+        .persist()
+    )
+    lags = spark.range(1, _ACF_MAXLAG + 1).select(F.col("id").alias("lag"))
+    s1 = ser.crossJoin(F.broadcast(lags))
+    s2 = ser.select(
+        F.col("region").alias("region2"),
+        F.col("dayno").alias("dayno2"),
+        F.col("x").alias("y"),
+    )
+    mo = (
+        s1.join(
+            s2,
+            (F.col("region2") == F.col("region"))
+            & (F.col("dayno2") == F.col("dayno") + F.col("lag")),
+        )
+        .groupBy("region", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    acf = F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        )
+    )
+    return mo.select(
+        "region",
+        F.col("lag").cast("bigint").alias("lag"),
+        n.cast("bigint").alias("n"),
+        acf.alias("acf"),
+    ).orderBy("region", "lag")
+
+
+_SKYLINE_SQL = r"""
+SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY p_size, p_partkey"""
+
+
+@register(
+    "q183_part_pareto_skyline",
+    _SKYLINE_SQL,
+    ops=("ext-skyline",),
+    doc="2-D PARETO SKYLINE of parts (minimize retailprice, maximize "
+    "size): a part survives iff no other part is at-least-as-good "
+    "on both axes and strictly better on one.  The naive semantics "
+    "is the O(n^2) NOT EXISTS the oracle spells; the engine "
+    "exploits the BOUNDED size domain: one map-combined "
+    "groupBy(p_size).min(price) collapses the fact to <= |sizes| "
+    "candidate rows, a single running-min window over size "
+    "descending (bounded single task by the size-domain bound, "
+    "never a fact-sized global window) marks frontier sizes where "
+    "min-price strictly beats every larger size, and a broadcast "
+    "join back recovers all member parts — equality on untouched "
+    "parquet doubles is exact, so the float join key is portable.  "
+    "Ties: equal (price, size) duplicates dominate nothing and "
+    "co-survive (pinned in pytest).  Scale: one scan + one "
+    "bounded-key aggregate + one broadcast join; the skyline-of-"
+    "skylines property means the same plan composes per-partition "
+    "if the size domain ever grew unbounded.",
+)
+def q183_part_pareto_skyline(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    sizes = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mp"))
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fr = (
+        sizes.withColumn("runmin", F.min("mp").over(w))
+        .filter(F.col("runmin").isNull() | (F.col("runmin") > F.col("mp")))
+        .select(F.col("p_size").alias("fr_size"), F.col("mp").alias("fr_mp"))
+    )
+    return (
+        part.join(
+            F.broadcast(fr),
+            (part["p_size"] == F.col("fr_size"))
+            & (part["p_retailprice"] == F.col("fr_mp")),
+        )
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "p_retailprice",
+        )
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+_STREAK_SQL = r"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS dayno
+  FROM events),
+isl AS (
+  SELECT user_id, dayno,
+         dayno - row_number() OVER (PARTITION BY user_id ORDER BY dayno) AS grp
+  FROM act),
+g AS (
+  SELECT user_id, grp, count(*) AS len, min(dayno) AS start
+  FROM isl GROUP BY user_id, grp),
+u AS (
+  SELECT user_id, sum(len) AS active_days, count(*) AS n_streaks,
+         max(len) AS max_streak
+  FROM g GROUP BY user_id),
+st AS (
+  SELECT g.user_id, min(g.start) AS best_start
+  FROM g JOIN u ON u.user_id = g.user_id AND g.len = u.max_streak
+  GROUP BY g.user_id)
+SELECT u.user_id, CAST(active_days AS BIGINT) AS active_days,
+       CAST(n_streaks AS BIGINT) AS n_streaks,
+       CAST(max_streak AS BIGINT) AS max_streak,
+       CAST(best_start AS BIGINT) AS best_start_day
+FROM u JOIN st ON st.user_id = u.user_id
+ORDER BY max_streak DESC, u.user_id LIMIT 100"""
+
+
+@register(
+    "q184_activity_streaks",
+    _STREAK_SQL,
+    ops=("ext-gaps-islands",),
+    doc="GAPS-AND-ISLANDS: per user, consecutive-active-day streaks "
+    "from the events stream — the classic dayno - row_number() "
+    "island id over each user's distinct active days, then per-user "
+    "active-day total, streak count, longest streak, and the "
+    "earliest start day among maximal streaks (total-order "
+    "tie-break).  Top-100 users by (max_streak DESC, user_id).  "
+    "All arithmetic is integer day numbers, so both engines agree "
+    "bit-for-bit.  Scale: one distinct shuffle on (user, day), one "
+    "window partitioned by the HIGH-CARDINALITY user key (never a "
+    "global order), two group-bys on user — every stage is "
+    "user-partitioned and map-combines.  Ref: the session/recency "
+    "shapes of Reporting.py, extended to streak semantics.",
+)
+def q184_activity_streaks(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")),
+            F.to_date(F.lit("1970-01-01")),
+        ).alias("dayno"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    isl = act.withColumn("grp", F.col("dayno") - F.row_number().over(w))
+    g = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("dayno").alias("start")
+    ).persist()
+    u = g.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+    )
+    st = (
+        g.join(
+            u.select("user_id", "max_streak"),
+            ["user_id"],
+        )
+        .filter(F.col("len") == F.col("max_streak"))
+        .groupBy("user_id")
+        .agg(F.min("start").alias("best_start"))
+    )
+    return (
+        u.join(st, "user_id")
+        .select(
+            "user_id",
+            F.col("active_days").cast("bigint").alias("active_days"),
+            F.col("n_streaks").cast("bigint").alias("n_streaks"),
+            F.col("max_streak").cast("bigint").alias("max_streak"),
+            F.col("best_start").cast("bigint").alias("best_start_day"),
+        )
+        .orderBy(F.desc("max_streak"), "user_id")
+        .limit(100)
+    )
+
+
+_AUDIT_EDGES = (
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _audit_edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+  SELECT '{edge}' AS edge,
+         CAST(coalesce(sum(c.cnt), 0) AS BIGINT) AS child_rows,
+         CAST(count(c.k) AS BIGINT) AS distinct_fk,
+         CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT) AS orphan_keys,
+         CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN c.cnt END), 0) AS BIGINT) AS orphan_rows,
+         CAST(count(p.k) AS BIGINT) AS parent_rows,
+         CAST(count(CASE WHEN c.k IS NULL THEN 1 END) AS BIGINT) AS unref_parents,
+         round(CAST(count(CASE WHEN c.k IS NOT NULL AND p.k IS NOT NULL THEN 1 END) AS DOUBLE)
+               / count(p.k), 6) AS coverage_pct
+  FROM (SELECT {fk} AS k, count(*) AS cnt FROM {child} GROUP BY 1) c
+  FULL JOIN (SELECT {pk} AS k FROM {parent}) p ON c.k = p.k"""
+
+
+_AUDIT_SQL = (
+    "SELECT * FROM ("
+    + "\n  UNION ALL".join(_audit_edge_sql(*e) for e in _AUDIT_EDGES)
+    + "\n) ORDER BY edge"
+)
+
+
+@register(
+    "q185_referential_usage_audit",
+    _AUDIT_SQL,
+    ops=("ext-dq-referential-audit",),
+    doc="REFERENTIAL-USAGE AUDIT over every FK edge of the star schema "
+    "— the data-quality report a warehouse runs after each load: "
+    "per edge, child rows, distinct FK values, orphan keys/rows "
+    "(child values missing from the parent — the reference's "
+    "quarantine trigger, load_hhs.py's FK-violation path), parent "
+    "rows, UNREFERENCED parents (dimension rows no fact touches — "
+    "the candidate-for-archival signal), and referential coverage "
+    "pct.  Engine: per edge, ONE map-combined (fk, count) aggregate "
+    "collapses the child to key granularity, then a key-level FULL "
+    "OUTER join against the parent key set feeds a single summary "
+    "aggregate — the fact table is never joined row-level, so a "
+    "100 TB child costs one agg shuffle per edge and the outer "
+    "join runs at dimension cardinality.  All counters integer, "
+    "coverage rounded identically.",
+)
+def q185_referential_usage_audit(spark, sf_dir):
+    outs = []
+    for edge, child, fk, parent, pk in _AUDIT_EDGES:
+        c = (
+            _t(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        j = c.join(p, c["k"] == p["pk"], "full_outer")
+        outs.append(
+            j.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("child_rows"),
+                F.count("k").alias("distinct_fk"),
+                F.count(F.when(F.col("pk").isNull(), 1)).alias("orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("pk").isNull(), F.col("cnt"))), F.lit(0)
+                ).alias("orphan_rows"),
+                F.count("pk").alias("parent_rows"),
+                F.count(F.when(F.col("k").isNull(), 1)).alias("unref_parents"),
+                F.round(
+                    F.count(
+                        F.when(F.col("k").isNotNull() & F.col("pk").isNotNull(), 1)
+                    ).cast("double")
+                    / F.count("pk"),
+                    6,
+                ).alias("coverage_pct"),
+            ).select(F.lit(edge).alias("edge"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "edge",
+        F.col("child_rows").cast("bigint").alias("child_rows"),
+        F.col("distinct_fk").cast("bigint").alias("distinct_fk"),
+        F.col("orphan_keys").cast("bigint").alias("orphan_keys"),
+        F.col("orphan_rows").cast("bigint").alias("orphan_rows"),
+        F.col("parent_rows").cast("bigint").alias("parent_rows"),
+        F.col("unref_parents").cast("bigint").alias("unref_parents"),
+        "coverage_pct",
+    ).orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 6: k-core peeling, association rules.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 100
+_KCORE_ROUNDS = 12
+
+
+def _kcore_sql() -> str:
+    """Unrolled fixed-round peeling: alive_{i+1} = nodes of alive_i
+    with degree (within alive_i) >= k.  The engine may early-exit
+    when a round removes nothing — every later round is then a no-op,
+    so the R-round result is identical."""
+    parts = [
+        rf"""
+WITH p AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+alive0 AS (SELECT DISTINCT a AS node FROM e)"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f""",
+deg{i} AS MATERIALIZED (
+  SELECT e.a AS node, count(*) AS d
+  FROM e
+  JOIN alive{i} x ON x.node = e.a
+  JOIN alive{i} y ON y.node = e.b
+  GROUP BY e.a),
+alive{i + 1} AS MATERIALIZED (
+  SELECT node FROM deg{i} WHERE d >= {_KCORE_K})"""
+        )
+    rounds_union = "\n  UNION ALL\n".join(
+        f"""  SELECT {i + 1} AS round,
+         (SELECT count(*) FROM alive{i}) - (SELECT count(*) FROM alive{i + 1}) AS removed"""
+        for i in range(_KCORE_ROUNDS)
+    )
+    parts.append(
+        f""",
+rounds AS (
+{rounds_union}),
+core AS (SELECT node FROM alive{_KCORE_ROUNDS})
+SELECT CAST(round AS BIGINT) AS round, CAST(removed AS BIGINT) AS n_nodes,
+       CAST(-1 AS BIGINT) AS checksum
+FROM rounds WHERE removed > 0
+UNION ALL
+SELECT CAST(0 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(coalesce(sum(node), 0) AS BIGINT) AS checksum
+FROM core
+ORDER BY round"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q186_copurchase_kcore",
+    _kcore_sql(),
+    ops=("ext-graph-kcore",),
+    doc=f"k-CORE decomposition (k={_KCORE_K}) of the part co-purchase "
+    "graph by iterative peeling: each round drops every node whose "
+    "degree within the surviving subgraph is below k; the fixpoint "
+    "is the k-core (order-independent, so round-synchronous peeling "
+    "is deterministic).  Semantics are pinned as EXACTLY "
+    f"{_KCORE_ROUNDS} synchronous rounds on both engines; the "
+    "engine early-exits when a round removes nothing, which cannot "
+    "change the result (all later rounds are no-ops) — corpus "
+    "convergence within the horizon is asserted in pytest.  Output: "
+    "per-round removal counts plus the round-0 core row (size + "
+    "sum-of-ids checksum).  Engine shape per round: one degree "
+    "aggregate over the cached a<b pair halves (both directions "
+    "counted map-combined from the one stored half), one broadcast "
+    "semi-join against the dimension-bounded alive set, "
+    "localCheckpoint lineage truncation — the q181 edge layout "
+    "reused, no edge shuffle in any round.",
+)
+def q186_copurchase_kcore(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    alive = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    removed_rows = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        av = F.broadcast(alive)
+        live = pairs.join(av, pairs["a"] == av["node"], "left_semi")
+        live = live.join(
+            F.broadcast(alive), live["b"] == F.col("node"), "left_semi"
+        )
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionByName(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nxt = deg.filter(F.col("d") >= _KCORE_K).select("node").localCheckpoint()
+        n_prev = alive.count()
+        n_next = nxt.count()
+        if n_prev != n_next:
+            removed_rows.append((rnd, n_prev - n_next))
+        alive = nxt
+        if n_prev == n_next:
+            break
+    core = alive.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum("node"), F.lit(0)).alias("checksum"),
+    ).select(F.lit(0).alias("round"), "n_nodes", "checksum")
+    rounds = spark.createDataFrame(
+        removed_rows or [(None, None)], "round int, n_nodes int"
+    )
+    if not removed_rows:
+        rounds = rounds.filter(F.col("round").isNotNull())
+    rounds = rounds.select("round", "n_nodes", F.lit(-1).alias("checksum"))
+    return (
+        core.unionByName(rounds)
+        .select(
+            F.col("round").cast("bigint").alias("round"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("checksum").cast("bigint").alias("checksum"),
+        )
+        .orderBy("round")
+    )
+
+
+_PHRASE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS token,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents)),
+bg AS (
+  SELECT t1.token AS w1, t2.token AS w2, t1.doc_id, t1.pos
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+top AS (
+  SELECT w1, w2
+  FROM (SELECT w1, w2, count(DISTINCT doc_id) AS df, count(*) AS tf
+        FROM bg GROUP BY w1, w2)
+  ORDER BY df DESC, tf DESC, w1, w2 LIMIT 1)
+SELECT bg.doc_id, top.w1 || ' ' || top.w2 AS phrase,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(bg.pos) AS BIGINT) AS first_pos
+FROM bg JOIN top ON bg.w1 = top.w1 AND bg.w2 = top.w2
+GROUP BY bg.doc_id, top.w1, top.w2
+ORDER BY n_hits DESC, doc_id LIMIT 100"""
+
+
+@register(
+    "q187_phrase_positional_search",
+    _PHRASE_SQL,
+    ops=("ext-ir-phrase-index",),
+    doc="POSITIONAL PHRASE SEARCH — the inverted-index operation BM25 "
+    "(q116) cannot answer: exact adjacent-bigram matching via token "
+    "positions.  The query phrase is self-selected (the corpus's "
+    "top bigram by document frequency, tf then lexicographic "
+    "tie-break — a total order), then every occurrence is located "
+    "by a positional self-join (same doc, pos+1) and reported per "
+    "doc with hit count and first position.  Engine: ONE posexplode "
+    "produces the positional postings; adjacency is a window lead() "
+    "per doc (high-cardinality key, never a corpus self-join at the "
+    "token level); the 1-row winning phrase broadcasts back onto "
+    "the cached bigram postings.  Scale: postings shuffle once on "
+    "doc; the phrase probe is a broadcast semi-filter, which is "
+    "exactly how a positional index serves phrase queries at "
+    "corpus scale.  Top-100 docs by (hits DESC, doc_id).",
+)
+def q187_phrase_positional_search(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "token"),
+    ).select("doc_id", "token", (F.col("pos0") + 1).cast("long").alias("pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("token").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("token").alias("w1"), "w2", "doc_id", "pos")
+        .persist()
+    )
+    top = (
+        bg.groupBy("w1", "w2")
+        .agg(
+            F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf")
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "w1", "w2")
+        .limit(1)
+        .select(F.col("w1").alias("tw1"), F.col("w2").alias("tw2"))
+    )
+    return (
+        bg.join(
+            F.broadcast(top),
+            (bg["w1"] == F.col("tw1")) & (bg["w2"] == F.col("tw2")),
+        )
+        .groupBy("doc_id", "tw1", "tw2")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tw1", "tw2").alias("phrase"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.col("first_pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(100)
+    )
+
+
+_CONC_GAP_MIN = 30
+
+_CONC_SQL = rf"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+lagged AS (
+  SELECT user_id, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+  FROM ev),
+marks AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL OR t - pt > {_CONC_GAP_MIN} * 60000
+              THEN 1 ELSE 0 END AS is_start
+  FROM lagged),
+sess AS (
+  SELECT user_id, min(t) AS t_start, max(t) AS t_end
+  FROM (SELECT user_id, t,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks)
+  GROUP BY user_id, sid),
+pts AS (
+  SELECT t_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT t_end + 1 AS t, -1 AS delta FROM sess),
+sweep AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM pts),
+daily AS (
+  SELECT CAST(t // 86400000 AS INTEGER) AS dayno, max(live) AS peak
+  FROM sweep GROUP BY 1),
+starts AS (
+  SELECT CAST(t_start // 86400000 AS INTEGER) AS dayno,
+         count(*) AS n_started
+  FROM sess GROUP BY 1)
+SELECT d.dayno AS dayno, CAST(d.peak AS BIGINT) AS peak_concurrency,
+       CAST(coalesce(s.n_started, 0) AS BIGINT) AS n_sessions_started
+FROM daily d LEFT JOIN starts s ON s.dayno = d.dayno
+ORDER BY dayno"""
+
+
+@register(
+    "q188_peak_concurrency_sweep",
+    _CONC_SQL,
+    ops=("ext-interval-sweep",),
+    doc="PEAK CONCURRENCY by sweep-line — the interval-overlap "
+    "aggregate ('max sessions live at once, per day') that no "
+    "group-by can express: sessionize events per user (30-min gap, "
+    "the q29 lag+cumsum convention), emit +1/-1 boundary points on "
+    "CLOSED session intervals (the -1 fires at t_end + 1 ms, and "
+    "the (t, delta) sort order processes -1 before +1 at equal "
+    "timestamps — both conventions pinned in pytest), running-sum "
+    "the deltas, take the max per day.  Integer epoch-ms end to "
+    "end.  Scale: sessionization is user-partitioned; the sweep's "
+    "global ordered running sum runs over BOUNDARY POINTS (2 rows "
+    "per session, ~1000x smaller than events) — and composes as "
+    "the q93 two-level prefix-sum (per-day local cumsum + tiny "
+    "carry-in of per-day delta totals) if even the boundary stream "
+    "outgrew one task.  Session count per day joins back at "
+    "day granularity.",
+)
+def q188_peak_concurrency_sweep(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("t")
+    )
+    wu = Window.partitionBy("user_id").orderBy("t")
+    marks = ev.withColumn("pt", F.lag("t").over(wu)).withColumn(
+        "is_start",
+        F.when(
+            F.col("pt").isNull()
+            | (F.col("t") - F.col("pt") > _CONC_GAP_MIN * 60000),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        marks.withColumn(
+            "sid",
+            F.sum("is_start").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("t_start"), F.max("t").alias("t_end"))
+        .persist()
+    )
+    pts = sess.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select((F.col("t_end") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    ws = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = pts.withColumn("live", F.sum("delta").over(ws))
+    daily = sweep.groupBy(
+        F.expr("CAST(t DIV 86400000 AS INT)").alias("dayno")
+    ).agg(F.max("live").alias("peak"))
+    starts = sess.groupBy(
+        F.expr("CAST(t_start DIV 86400000 AS INT)").alias("dayno")
+    ).agg(F.count(F.lit(1)).alias("n_started"))
+    return (
+        daily.join(starts, "dayno", "left")
+        .select(
+            F.col("dayno").cast("int").alias("dayno"),
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            F.coalesce("n_started", F.lit(0))
+            .cast("bigint")
+            .alias("n_sessions_started"),
+        )
+        .orderBy("dayno")
+    )
+
+
+_ASSOC_MIN_SUPPORT = 2
+_ASSOC_TOPK = 100
+
+_ASSOC_SQL = rf"""
+WITH n AS (SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders),
+ic AS (
+  SELECT l_partkey, count(DISTINCT l_orderkey) AS c
+  FROM lineitem GROUP BY l_partkey),
+pc AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(*) AS c_ab
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_ASSOC_MIN_SUPPORT})
+SELECT a, b, CAST(c_ab AS BIGINT) AS support,
+       round(CAST(c_ab AS DOUBLE) / ia.c, 6) AS conf_a_to_b,
+       round(CAST(c_ab AS DOUBLE) / ib.c, 6) AS conf_b_to_a,
+       round(CAST(c_ab * n.n_orders AS DOUBLE) / (ia.c * ib.c), 6) AS lift
+FROM pc JOIN ic ia ON ia.l_partkey = pc.a
+JOIN ic ib ON ib.l_partkey = pc.b
+CROSS JOIN n
+ORDER BY lift DESC, a, b LIMIT {_ASSOC_TOPK}"""
+
+
+@register(
+    "q189_copurchase_association_rules",
+    _ASSOC_SQL,
+    ops=("ext-assoc-rules",),
+    doc="ASSOCIATION RULES over co-purchased part pairs (A-priori "
+    f"level 2, min support {_ASSOC_MIN_SUPPORT}): per surviving pair, "
+    "support, both direction confidences, and lift — all from exact "
+    "integer counts (lift's numerator c_ab * N and denominator "
+    "c_a * c_b are bigints; the single final division + round(6) is "
+    "the only float op, so both engines agree).  Engine: one "
+    "distinct (order, part) relation feeds BOTH the item counts and "
+    "the pair counts (persisted, cache-served); pair generation "
+    "reuses its self-join exchange; item counts broadcast back onto "
+    "the filtered pair table.  The min-support HAVING prunes the "
+    "pair tail BEFORE the joins, and top-k by lift is a k-heap.  "
+    f"Top-{_ASSOC_TOPK} by (lift DESC, a, b) total order.",
+)
+def q189_copurchase_association_rules(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    orders = _t(spark, sf_dir, "orders")
+    n = orders.agg(F.countDistinct("o_orderkey").alias("n_orders"))
+    ic = li.groupBy("l_partkey").agg(F.countDistinct("l_orderkey").alias("c"))
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pc = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .groupBy(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _ASSOC_MIN_SUPPORT)
+    )
+    ia = ic.select(F.col("l_partkey").alias("a"), F.col("c").alias("ca"))
+    ib = ic.select(F.col("l_partkey").alias("b"), F.col("c").alias("cb"))
+    return (
+        pc.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("support"),
+            F.round(F.col("c_ab").cast("double") / F.col("ca"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("c_ab").cast("double") / F.col("cb"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (F.col("c_ab") * F.col("n_orders")).cast("double")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(_ASSOC_TOPK)
+    )
+
+
+_GREEDY_ROUNDS = 5
+
+
+def _greedy_sql() -> str:
+    """Unrolled deterministic greedy: round i picks the doc with the
+    largest count of still-uncovered tokens (ties -> lowest doc_id),
+    then adds its tokens to the covered set."""
+    parts = [
+        r"""
+WITH td AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t.u AS tok
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(u)),
+c0 AS (SELECT tok FROM td WHERE 1 = 0)"""
+    ]
+    for i in range(1, _GREEDY_ROUNDS + 1):
+        parts.append(
+            f""",
+g{i} AS MATERIALIZED (
+  SELECT td.doc_id, count(*) AS gain
+  FROM td WHERE td.tok NOT IN (SELECT tok FROM c{i - 1})
+  GROUP BY td.doc_id),
+w{i} AS MATERIALIZED (
+  SELECT doc_id, gain FROM g{i} ORDER BY gain DESC, doc_id LIMIT 1),
+c{i} AS MATERIALIZED (
+  SELECT tok FROM c{i - 1}
+  UNION
+  SELECT tok FROM td WHERE td.doc_id = (SELECT doc_id FROM w{i}))"""
+        )
+    rounds_union = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS round, doc_id, gain,
+       (SELECT count(*) FROM c{i}) AS covered_total
+FROM w{i}"""
+        for i in range(1, _GREEDY_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(round AS BIGINT) AS round, doc_id, CAST(gain AS BIGINT) AS gain,
+       CAST(covered_total AS BIGINT) AS covered_total
+FROM ({rounds_union})
+ORDER BY round"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q190_greedy_coverage_selection",
+    _greedy_sql(),
+    ops=("ext-submodular-selection",),
+    doc=f"GREEDY SUBMODULAR SELECTION ({_GREEDY_ROUNDS} rounds) — the "
+    "corpus-curation primitive behind 'pick the k docs that cover "
+    "the most vocabulary' (facility-location / max-coverage, where "
+    "greedy is the 1-1/e-optimal classic): each round scores every "
+    "doc by its count of still-uncovered tokens (one anti-join + "
+    "map-combined aggregate over the cached (doc, token) relation), "
+    "takes the arg-max (gain DESC, doc_id — a total order), and "
+    "adds the winner's tokens to the covered set (localCheckpoint "
+    "per round).  The oracle replays the greedy loop as "
+    f"{_GREEDY_ROUNDS} unrolled MATERIALIZED CTE stages — the q166 "
+    "loop-replay pattern on sets instead of centroids.  Scale: the "
+    "covered set is vocabulary-bounded (broadcastable); each round "
+    "is one anti-join + one aggregate + a 1-row arg-max; rounds are "
+    "inherently sequential (greedy), so the 100 TB cost is "
+    "k * one-scan-of-the-cached-postings, the accepted price of "
+    "the 1-1/e guarantee.",
+)
+def q190_greedy_coverage_selection(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .persist()
+    )
+    covered = spark.createDataFrame([], "tok string").localCheckpoint()
+    out = []
+    for rnd in range(1, _GREEDY_ROUNDS + 1):
+        gains = (
+            td.join(F.broadcast(covered), "tok", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        w = gains.orderBy(F.desc("gain"), "doc_id").limit(1).collect()
+        if not w:
+            break
+        covered = (
+            covered.unionByName(
+                td.filter(F.col("doc_id") == w[0].doc_id).select("tok")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        out.append((rnd, w[0].doc_id, w[0].gain, covered.count()))
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered_total long"
+    ).orderBy("round")
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -8361,15 +9573,17 @@ STAMP_PRIORITY: list[str] = [
     "q89_doc_length_histogram",
     "q90_crossdoc_boilerplate",
     "q91_cluster_representative",
-    # Oldest r04 rows fill the remaining slots (registration order);
-    # next round continue the r04 block (q20-q98), then r05.
+    # Batch-5 registrations (never stamped, full oracles) — these
+    # outrank r04 stamp refreshes, so they take the remaining slots.
+    "q180_kmv_distinct_sketch",
+    "q181_copurchase_bfs_hops",
+    "q182_daily_order_autocorrelation",
+    "q183_part_pareto_skyline",
+    "q184_activity_streaks",
+    "q185_referential_usage_audit",
+    # One oldest r04 row fills the last slot; next round continue the
+    # r04 block (q11-q98), then r05.
     "q10_bottom10_nations_by_balance",
-    "q11_top20_part_types",
-    "q13_customers_without_orders",
-    "q14_customers_with_recent_orders",
-    "q15_dedup_docs_exact",
-    "q16_validation_counts",
-    "q17_quarantine_rows",
 ]
 
 

@@ -358,3 +358,257 @@ def test_time_decay_exact_half_life_planted(spark, tmp_path_factory):
     spark.catalog.clearCache()
     assert got[1] == (3, 1.75, 1.0)   # 1 + 0.5 + 0.25
     assert got[2] == (1, 1.0, 0.0)
+
+
+def _stage_tables(spark, tmp_path_factory, named_dfs, name):
+    out = tmp_path_factory.mktemp(name)
+    for table, df in named_dfs.items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(out / f"{table}.parquet")
+        )
+    return str(out)
+
+
+PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string, "
+    "p_size int, p_retailprice double"
+)
+
+LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+def test_skyline_tie_semantics_planted(spark, tmp_path_factory):
+    """Pins the dominance conventions the q183 size-reduction must
+    reproduce: equal (price, size) duplicates dominate nothing and
+    co-survive; same size + strictly cheaper excludes; equal price +
+    strictly larger size excludes."""
+    rows = [
+        (1, "a", "b", "t", 10, 5.0),   # frontier (dup pair with 2)
+        (2, "a", "b", "t", 10, 5.0),   # frontier (dup pair with 1)
+        (3, "a", "b", "t", 5, 3.0),    # frontier: cheaper, smaller
+        (4, "a", "b", "t", 20, 8.0),   # frontier: largest size
+        (5, "a", "b", "t", 20, 9.0),   # dominated by 4 (same size, cheaper exists)
+        (6, "a", "b", "t", 10, 6.0),   # dominated by 1/2 (same size, cheaper)
+        (7, "a", "b", "t", 8, 5.0),    # dominated by 1 (equal price, larger size)
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"part": spark.createDataFrame(rows, PART_SCHEMA)},
+        "sky",
+    )
+    got = sorted(
+        r.p_partkey
+        for r in QUERY_REGISTRY["q183_part_pareto_skyline"].fn(spark, d).collect()
+    )
+    assert got == [1, 2, 3, 4]
+
+
+def test_autocorrelation_constant_null_and_alternating_exact(
+    spark, tmp_path_factory
+):
+    """Zero-variance series yield NULL acf (no 0/0); a perfectly
+    alternating daily count series yields exactly -1.0 at lag 1 and
+    +1.0 at lag 2 (the shifted series is an exact linear function of
+    the original, so Pearson r hits the bound)."""
+    n_days = 10
+    orders, day0 = [], datetime.datetime(2024, 1, 1)
+    ok = 0
+    for i in range(n_days):
+        dt = day0 + datetime.timedelta(days=i)
+        # customer 1 -> region RA: constant one order/day
+        ok += 1
+        orders.append((ok, 1, "O", 10.0, dt, "1-URGENT"))
+        # customer 2 -> region RB: alternating 1, 2, 1, 2 ...
+        for _ in range(1 + (i % 2)):
+            ok += 1
+            orders.append((ok, 2, "O", 10.0, dt, "1-URGENT"))
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(
+                orders,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            ),
+            "customer": spark.createDataFrame(
+                [(1, "c1", 0, 0.0, "S"), (2, "c2", 1, 0.0, "S")],
+                "c_custkey long, c_name string, c_nationkey int, "
+                "c_acctbal double, c_mktsegment string",
+            ),
+            "nation": spark.createDataFrame(
+                [(0, "NA", 0), (1, "NB", 1)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            ),
+            "region": spark.createDataFrame(
+                [(0, "RA", ), (1, "RB", )],
+                "r_regionkey int, r_name string",
+            ),
+        },
+        "acf",
+    )
+    got = {
+        (r.region, r.lag): r.acf
+        for r in QUERY_REGISTRY["q182_daily_order_autocorrelation"]
+        .fn(spark, d)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert got[("RA", 1)] is None and got[("RA", 7)] is None
+    assert got[("RB", 1)] == -1.0
+    assert got[("RB", 2)] == 1.0
+
+
+def test_activity_streaks_islands_and_tie_start(spark, tmp_path_factory):
+    """Islands split exactly on a 1-day gap; equal-length maximal
+    streaks resolve best_start to the EARLIEST start day."""
+    def ev(i, day, user):
+        return (
+            i,
+            datetime.datetime(2024, 1, day, 12, 0, 0),
+            user,
+            "view",
+            1.0,
+            None,
+        )
+
+    rows = (
+        # user 1: days 1,2,3 | 5 | 10,11  (+ a same-day dup that must not count)
+        [ev(1, 1, 1), ev(2, 2, 1), ev(3, 3, 1), ev(4, 5, 1),
+         ev(5, 10, 1), ev(6, 11, 1), ev(7, 11, 1)]
+        # user 2: two max-length-2 streaks [1,2] and [5,6] -> best_start = day 1
+        + [ev(8, 1, 2), ev(9, 2, 2), ev(10, 5, 2), ev(11, 6, 2)]
+    )
+    d = _stage_events(spark, tmp_path_factory, rows, "streaks")
+    got = {
+        r.user_id: (r.active_days, r.n_streaks, r.max_streak, r.best_start_day)
+        for r in QUERY_REGISTRY["q184_activity_streaks"].fn(spark, d).collect()
+    }
+    epoch = datetime.date(1970, 1, 1)
+    d1 = (datetime.date(2024, 1, 1) - epoch).days
+    assert got[1] == (6, 3, 3, d1)
+    assert got[2] == (4, 2, 2, d1)
+
+
+def test_kmv_exact_below_k_and_union_merge(spark, tmp_path_factory):
+    """A sketch that never fills (ndv < k) must report est == exact for
+    every source AND every pair union — the below-k escape path; the
+    pair row's estimate comes purely from merged per-source sketches,
+    so this also pins the lossless union-merge property."""
+    rows = [
+        (1, "alpha beta gamma", "en", "sA", 10),
+        (2, "beta delta", "en", "sA", 8),
+        (3, "gamma epsilon zeta", "en", "sB", 9),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "documents": spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        },
+        "kmv",
+    )
+    out = QUERY_REGISTRY["q180_kmv_distinct_sketch"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    by = {(r.a, r.b): r for r in out}
+    assert by[("sA", "sA")].exact_ndv == 4
+    assert by[("sB", "sB")].exact_ndv == 3
+    assert by[("sA", "sB")].exact_ndv == 6  # gamma shared
+    for r in out:
+        assert r.est_ndv == r.exact_ndv and r.rel_err == 0.0
+
+
+def test_bfs_hops_planted_chain(spark, tmp_path_factory):
+    """Hop levels, horizon cutoff, and the unreached bucket on a
+    hand-built graph: chain 1-2-3-4 (reached at hops 0..3) plus a
+    disconnected component {5,6} and a never-ordered part 7."""
+    def li(ok, pk):
+        return (
+            ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+            datetime.datetime(2024, 1, 1),
+        )
+
+    lines = [
+        li(100, 1), li(100, 2),
+        li(101, 2), li(101, 3),
+        li(102, 3), li(102, 4),
+        li(103, 5), li(103, 6),
+    ]
+    parts = [
+        (k, "p", "b", "t", 1, 1.0) for k in range(1, 8)
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA),
+            "part": spark.createDataFrame(parts, PART_SCHEMA),
+        },
+        "bfs",
+    )
+    got = {
+        r.hops: (r.n_nodes, r.checksum)
+        for r in QUERY_REGISTRY["q181_copurchase_bfs_hops"].fn(spark, d).collect()
+    }
+    assert got == {
+        -1: (3, 18),  # parts 5, 6 (disconnected), 7 (never ordered)
+        0: (1, 1),
+        1: (1, 2),
+        2: (1, 3),
+        3: (1, 4),
+    }
+
+
+def test_referential_audit_planted_orphan_and_unref(
+    spark, tmp_path_factory
+):
+    """An orphan FK row (child value missing from the parent) and an
+    unreferenced parent row must land in their exact counters on the
+    lineitem->part edge."""
+    from tests.conftest import SF_SMOKE
+
+    tables = {}
+    for t in (
+        "lineitem", "part", "supplier", "orders", "customer", "events",
+        "nation",
+    ):
+        tables[t] = read_table(spark, t, SF_SMOKE)
+    # plant: one lineitem row pointing at a part that does not exist,
+    # and one extra part no lineitem references
+    orphan = spark.createDataFrame(
+        [(999901, 999901, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          datetime.datetime(2024, 1, 1))],
+        LINEITEM_SCHEMA,
+    )
+    extra_part = spark.createDataFrame(
+        [(888801, "ghost", "b", "t", 1, 1.0)], PART_SCHEMA
+    )
+    base_li = tables["lineitem"].select(*[c for c in orphan.columns])
+    base_pt = tables["part"].select(*[c for c in extra_part.columns])
+    n_li = base_li.count()
+    n_pt = base_pt.count()
+    tables["lineitem"] = base_li.unionByName(orphan)
+    tables["part"] = base_pt.unionByName(extra_part)
+    d = _stage_tables(spark, tmp_path_factory, tables, "refaudit")
+    got = {
+        r.edge: r
+        for r in QUERY_REGISTRY["q185_referential_usage_audit"]
+        .fn(spark, d)
+        .collect()
+    }
+    e = got["lineitem.l_partkey->part"]
+    assert e.child_rows == n_li + 1
+    assert e.orphan_keys == 1 and e.orphan_rows == 1
+    assert e.parent_rows == n_pt + 1
+    assert e.unref_parents >= 1  # at least the planted ghost part

@@ -1128,3 +1128,77 @@ def test_round7_new_query_plan_shapes(spark):
     assert "CartesianProduct" not in p179
     assert "TakeOrderedAndProject" in p179, "top-100 must be a k-heap, not a sort"
     assert "BatchEvalPython" not in p179
+
+
+def test_round7_batch5_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-5 additions:
+
+    - q180 (KMV): the corpus relation is cache-served to its four
+      consumers; the only nested-loop joins are the broadcast-tiny
+      source-pair relations (Cross pair generation + the OR-condition
+      pair-to-sketch joins, both bounded by |sources|^2).
+    - q181 (BFS): the returned plan reads CHECKPOINTED frontier RDDs —
+      the lineage truncation that keeps iterative expansion from
+      compounding into a nested join tower.
+    - q182 (ACF): the only nested-loop joins are broadcast CROSS of
+      the 1-row span / 7-row lag relations; the (region, day)
+      aggregate is cache-served to spine and self-join consumers.
+    - q183 (skyline): exactly one bounded-domain window and one
+      broadcast join back — never a fact-sized global window.
+    - q184 (streaks): top-100 is a k-heap (TakeOrderedAndProject);
+      the island relation feeds both per-user aggregates from cache.
+    - q185 (audit): every edge joins at KEY granularity (sort-merge
+      on the aggregated key table), no nested loops anywhere.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p180 = plan("q180_kmv_distinct_sketch")
+    assert "CartesianProduct" not in p180
+    assert p180.count("BroadcastNestedLoopJoin") == p180.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ) + p180.count("BroadcastNestedLoopJoin BuildLeft")
+    assert "InMemoryTableScan" in p180, "token relation must be cache-served"
+    assert "BatchEvalPython" not in p180
+
+    p181 = plan("q181_copurchase_bfs_hops")
+    assert "CartesianProduct" not in p181
+    assert "Scan ExistingRDD" in p181, "frontiers must be checkpoint-truncated"
+    assert "BatchEvalPython" not in p181
+
+    p182 = plan("q182_daily_order_autocorrelation")
+    assert "CartesianProduct" not in p182
+    assert p182.count("BroadcastNestedLoopJoin") == p182.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert "InMemoryTableScan" in p182, "(region, day) agg must be cache-served"
+    assert "BatchEvalPython" not in p182
+
+    p183 = plan("q183_part_pareto_skyline")
+    assert "CartesianProduct" not in p183
+    assert "BroadcastNestedLoopJoin" not in p183
+    assert p183.count("Window") == 1, "one bounded-domain window only"
+    assert p183.count("BroadcastHashJoin") == 1, "member recovery must broadcast"
+    assert "BatchEvalPython" not in p183
+
+    p184 = plan("q184_activity_streaks")
+    assert "CartesianProduct" not in p184
+    assert "BroadcastNestedLoopJoin" not in p184
+    assert "TakeOrderedAndProject" in p184, "top-100 must be a k-heap"
+    assert "InMemoryTableScan" in p184, "islands must be cache-served"
+    assert "BatchEvalPython" not in p184
+
+    p185 = plan("q185_referential_usage_audit")
+    assert "CartesianProduct" not in p185
+    assert "BroadcastNestedLoopJoin" not in p185
+    assert "BatchEvalPython" not in p185
+    assert p185.count("FileScan") <= 14, "one child agg + one parent scan per edge"
