@@ -126,6 +126,11 @@ EXTRA = [
     "q183_part_pareto_skyline",     # 2-D skyline via bounded-domain reduction
     "q184_activity_streaks",        # gaps-and-islands longest streaks
     "q185_referential_usage_audit", # FK orphan / unreferenced-parent audit
+    "q186_copurchase_kcore",        # fixed-round k-core peeling
+    "q187_phrase_positional_search",     # map-side positional phrase index
+    "q188_peak_concurrency_sweep",  # interval sweep-line peaks
+    "q189_copurchase_association_rules", # support/confidence/lift rules
+    "q190_greedy_coverage_selection",    # greedy max-coverage curation
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

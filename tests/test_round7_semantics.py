@@ -612,3 +612,230 @@ def test_referential_audit_planted_orphan_and_unref(
     assert e.orphan_keys == 1 and e.orphan_rows == 1
     assert e.parent_rows == n_pt + 1
     assert e.unref_parents >= 1  # at least the planted ghost part
+
+
+def test_kcore_planted_cascade_and_corpus_convergence(
+    spark, tmp_path_factory
+):
+    """k-core peeling must CASCADE (removing a node can drop a
+    neighbor below k next round) and stop at the maximal subgraph.
+    Planted graph (k=3): a K4 clique {1,2,3,4} plus a pendant hub 5
+    joined to 4, 6, 7 (degree 3 — survives round 1) while 6 and 7
+    (degree 2 each) fall in round 1, which drops 5 to degree 1 and
+    removes it in round 2; the clique survives as the core.  Orders
+    encode edges pairwise.
+    Also asserts the CORPUS run converges inside the fixed horizon,
+    the condition that makes the R-round semantics equal true k-core."""
+    from team_aragon_spark.plans.star_queries import (
+        _KCORE_K, _KCORE_ROUNDS,
+    )
+
+    def li(ok, pk):
+        return (
+            ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+            datetime.datetime(2024, 1, 1),
+        )
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5), (5, 6), (5, 7), (6, 7),  # pendant hub + triangle tail
+    ]
+    lines, ok = [], 0
+    for a, b in edges:
+        ok += 1
+        lines += [li(ok, a), li(ok, b)]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "kcore",
+    )
+    import team_aragon_spark.plans.star_queries as sq
+
+    orig = sq._KCORE_K
+    sq._KCORE_K = 3
+    try:
+        got = {
+            r.round: (r.n_nodes, r.checksum)
+            for r in QUERY_REGISTRY["q186_copurchase_kcore"].fn(spark, d).collect()
+        }
+    finally:
+        sq._KCORE_K = orig
+    spark.catalog.clearCache()
+    # round 1 removes 6 and 7 (deg 2 each); the cascade drops 5 to
+    # deg 1 and round 2 removes it; rounds 3+ remove nothing; core = K4
+    assert got[1] == (2, -1)
+    assert got[2] == (1, -1)
+    assert got[0] == (4, 1 + 2 + 3 + 4)
+    assert set(got) == {0, 1, 2}
+
+    # corpus convergence inside the horizon: strictly fewer removal
+    # rounds than _KCORE_ROUNDS means at least one no-op round ran
+    # before the horizon, i.e. the fixpoint was reached
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERY_REGISTRY["q186_copurchase_kcore"].fn(spark, SF_SMOKE).collect()
+    spark.catalog.clearCache()
+    removal_rounds = [r.round for r in rows if r.round > 0]
+    assert len(removal_rounds) < _KCORE_ROUNDS
+
+
+def test_phrase_search_positions_and_tiebreak(spark, tmp_path_factory):
+    """The top bigram is chosen by (df DESC, tf DESC, lexicographic)
+    and hit positions are exact: 'x y' appears in 3 docs (df=3) while
+    'a a' appears 4 times in one doc (tf=4, df=1) — df must win; the
+    repeated-token doc pins overlapping-occurrence counting."""
+    rows = [
+        (1, "x y q x y", "en", "s", 9),       # 'x y' twice, pos 1 and 4
+        (2, "x y", "en", "s", 3),
+        (3, "p x y", "en", "s", 5),
+        (4, "a a a a a", "en", "s", 9),       # 'a a' tf=4 but df=1
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "documents": spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        },
+        "phrase",
+    )
+    got = {
+        r.doc_id: (r.phrase, r.n_hits, r.first_pos)
+        for r in QUERY_REGISTRY["q187_phrase_positional_search"]
+        .fn(spark, d)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {
+        1: ("x y", 2, 1),
+        2: ("x y", 1, 1),
+        3: ("x y", 1, 2),
+    }
+
+
+def test_peak_concurrency_boundary_conventions(spark, tmp_path_factory):
+    """Closed-interval semantics: a session ending at t and another
+    starting at the SAME ms t must both count (the -1 fires at
+    t_end + 1); two single-event sessions at the same instant
+    overlap.  Planted day: u1 [00:00, 01:00] (intra-session gaps
+    kept under 30 min), u2 [01:00, 02:00] — touching endpoints ->
+    peak 2 at 01:00.000; u3+u4 both at exactly 03:00 (peak 2); a
+    lone u5 on day 2."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes):
+        return (
+            i,
+            t0 + datetime.timedelta(minutes=minutes),
+            user,
+            "view",
+            1.0,
+            None,
+        )
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 25), ev(3, 1, 50), ev(4, 1, 60),
+        ev(5, 2, 60), ev(6, 2, 85), ev(7, 2, 110), ev(8, 2, 120),
+        ev(9, 3, 180), ev(10, 4, 180),      # u3, u4 at exactly 03:00
+        ev(11, 5, 24 * 60 + 30),            # u5 alone on day 2
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "conc")
+    got = {
+        r.dayno: (r.peak_concurrency, r.n_sessions_started)
+        for r in QUERY_REGISTRY["q188_peak_concurrency_sweep"]
+        .fn(spark, d)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    epoch = datetime.date(1970, 1, 1)
+    d1 = (datetime.date(2024, 1, 1) - epoch).days
+    assert got[d1] == (2, 4)
+    assert got[d1 + 1] == (1, 1)
+
+
+def test_association_rules_hand_computed(spark, tmp_path_factory):
+    """Support / confidence / lift on a hand-built basket set:
+    5 orders; {1,2} together in 2, part 1 in 3, part 2 in 2,
+    {1,3} together once (below min support 2, must be absent)."""
+    def li(ok, pk):
+        return (
+            ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+            datetime.datetime(2024, 1, 1),
+        )
+
+    def o(ok):
+        return (ok, 1, "O", 1.0, datetime.datetime(2024, 1, 1), "1-URGENT")
+
+    baskets = {100: [1, 2], 101: [1, 2, 3], 102: [1, 3], 103: [2, 9], 104: [9]}
+    lines = [li(ok, pk) for ok, pks in baskets.items() for pk in pks]
+    orders = [o(ok) for ok in baskets]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA),
+            "orders": spark.createDataFrame(
+                orders,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            ),
+        },
+        "assoc",
+    )
+    got = {
+        (r.a, r.b): (r.support, r.conf_a_to_b, r.conf_b_to_a, r.lift)
+        for r in QUERY_REGISTRY["q189_copurchase_association_rules"]
+        .fn(spark, d)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    # part 1 in orders {100,101,102} (c=3); part 2 in {100,101,103}
+    # (c=3); part 3 in {101,102} (c=2); N=5
+    assert got[(1, 2)] == (2, round(2 / 3, 6), round(2 / 3, 6),
+                           round(2 * 5 / (3 * 3), 6))
+    assert got[(1, 3)] == (2, round(2 / 3, 6), 1.0, round(2 * 5 / (3 * 2), 6))
+    # below min support: {2,3} and {2,9} co-occur once each
+    assert (2, 3) not in got and (2, 9) not in got
+    assert set(got) == {(1, 2), (1, 3)}
+
+
+def test_greedy_coverage_marginal_not_total(spark, tmp_path_factory):
+    """Greedy must rank by MARGINAL gain, not total richness: doc 1
+    covers {a b c d}, doc 2 covers {a b c e}, doc 3 covers {e f}.
+    Round 1 picks doc 1 (gain 4).  Round 2 must pick doc 3 (marginal
+    2) over the richer doc 2 (marginal 1) — the submodular property;
+    equal-gain ties resolve to the lowest doc_id."""
+    rows = [
+        (1, "a b c d", "en", "s", 7),
+        (2, "a b c e", "en", "s", 7),
+        (3, "e f", "en", "s", 3),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "documents": spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        },
+        "greedy",
+    )
+    got = [
+        (r.round, r.doc_id, r.gain, r.covered_total)
+        for r in QUERY_REGISTRY["q190_greedy_coverage_selection"]
+        .fn(spark, d)
+        .collect()
+    ]
+    spark.catalog.clearCache()
+    assert got[0] == (1, 1, 4, 4)
+    assert got[1] == (2, 3, 2, 6)
+    # after round 2 every token is covered -> doc 2's marginal is 0,
+    # the gains relation is empty, and greedy stops early
+    assert len(got) == 2

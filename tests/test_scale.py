@@ -1202,3 +1202,63 @@ def test_round7_batch5_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p185
     assert "BatchEvalPython" not in p185
     assert p185.count("FileScan") <= 14, "one child agg + one parent scan per edge"
+
+
+def test_round7_batch6_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-6 additions:
+
+    - q187 (phrase search): the positional postings are built MAP-SIDE
+      (array zip + one posexplode) — NO window and no token-granular
+      shuffle anywhere; the 1-row phrase probe broadcasts onto the
+      cached postings and both top-k's are k-heaps.
+    - q188 (sweep-line): no nested loops; the sweep windows run over
+      boundary points, the day join broadcasts.
+    - q189 (association rules): the only nested-loop join is the
+      broadcast CROSS of the 1-row order-count aggregate; item counts
+      broadcast onto the support-pruned pair table; the distinct
+      (order, part) relation is cache-served to both count consumers;
+      top-k by lift is a k-heap.
+    - q186/q190 (iterative): their returned plans read checkpointed /
+      driver-assembled results — the loop work is asserted through
+      the planted-semantics pins instead.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p187 = plan("q187_phrase_positional_search")
+    assert "CartesianProduct" not in p187
+    assert "Window" not in p187, "bigrams must be map-side zip, not lead()"
+    assert "BroadcastHashJoin" in p187, "phrase probe must broadcast"
+    assert "InMemoryTableScan" in p187, "postings feed top-1 + probe via cache"
+    assert "TakeOrderedAndProject" in p187, "top-k must be a k-heap"
+    assert "BatchEvalPython" not in p187
+
+    p188 = plan("q188_peak_concurrency_sweep")
+    assert "CartesianProduct" not in p188
+    assert "BroadcastNestedLoopJoin" not in p188
+    assert "InMemoryTableScan" in p188, "sessions feed points + starts via cache"
+    assert "BatchEvalPython" not in p188
+
+    p189 = plan("q189_copurchase_association_rules")
+    assert "CartesianProduct" not in p189
+    assert p189.count("BroadcastNestedLoopJoin") == p189.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert "BroadcastHashJoin" in p189, "item counts must broadcast"
+    assert "InMemoryTableScan" in p189, "(order, part) feeds both counts via cache"
+    assert "TakeOrderedAndProject" in p189, "top-k by lift must be a k-heap"
+    assert "BatchEvalPython" not in p189
+
+    for name in ("q186_copurchase_kcore", "q190_greedy_coverage_selection"):
+        p = plan(name)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
