@@ -131,6 +131,29 @@ EXTRA = [
     "q188_peak_concurrency_sweep",  # interval sweep-line peaks
     "q189_copurchase_association_rules", # support/confidence/lift rules
     "q190_greedy_coverage_selection",    # greedy max-coverage curation
+    # round-7 batches 7-8:
+    "q191_user_activity_bitmap",    # bit_or/bit_count engagement bitmaps
+    "q192_dq_constraint_suite",     # Deequ-style one-scan DQ verdicts
+    "q193_mann_whitney_utest",      # rank-sum test via count table
+    "q194_bipartite_hits",          # integer-exact HITS power iteration
+    "q195_pmi_collocations",        # PMI phrase mining (integer ranking)
+    "q196_session_path_analysis",   # session entry-path funnel discovery
+    "q197_capped_running_balance",  # non-associative scan (mapInPandas)
+    "q198_benford_digit_audit",     # Benford first-digit forensics
+    "q199_hourly_crosscorrelation", # lagged click->purchase correlation
+    "q200_funnel_latency_quantiles",  # time-to-convert percentiles
+    "q201_token_zipf_fit",          # Zipf power-law OLS fit
+    "q202_rfm_segmentation",        # R/F/M quintile scoring
+    "q203_label_medoids",           # exact per-label medoid (label-bounded)
+    "q204_interarrival_burstiness", # arrival-process burstiness index
+    "q205_cohort_ltv_curves",       # cohort LTV cumulative curves
+    "q206_revenue_concentration",   # exact Gini + top-20% share
+    "q207_centroid_medoid_proxy",   # linear medoid proxy (100 TB path)
+    "q208_order_volume_changepoint",  # CUSUM change-point detection
+    "q209_part_abc_classification", # ABC Pareto classifier
+    "q210_negative_sampling",       # LCG contrastive negatives
+    "q211_degree_assortativity",    # graph mixing coefficient
+    "q212_ks_two_sample_test",      # Kolmogorov-Smirnov D
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

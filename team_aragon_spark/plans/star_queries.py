@@ -9548,6 +9548,1925 @@ def q190_greedy_coverage_selection(spark, sf_dir):
     ).orderBy("round")
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 7: bitmap engagement, DQ constraint suite, rank tests,
+# bipartite HITS, PMI collocations, clickstream path analysis
+# ---------------------------------------------------------------------------
+
+_BITMAP_SLOTS = 60
+
+_BITMAP_SQL = f"""
+WITH s AS (
+  SELECT user_id,
+         bit_or(1::BIGINT << CAST((epoch_ms(ts) // 86400000) % {_BITMAP_SLOTS} AS INT)) AS bitmap
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(bitmap AS BIGINT) AS bitmap,
+       CAST(bit_count(bitmap) AS INT) AS n_active_slots,
+       round(CAST(bit_count(bitmap) AS DOUBLE) / {_BITMAP_SLOTS}, 6) AS slot_coverage
+FROM s ORDER BY user_id"""
+
+
+@register(
+    "q191_user_activity_bitmap",
+    _BITMAP_SQL,
+    ops=("ext-bitmap-engagement",),
+    doc="BITMAP-INDEX ENGAGEMENT — the roaring-bitmap retention idiom "
+    f"(one bit per active day, {_BITMAP_SLOTS} slots = epoch-day mod "
+    f"{_BITMAP_SLOTS}, inside bigint's 63 safe shift positions) "
+    "compressed into a single bit_or aggregate: per user, the "
+    "activity bitmap, its popcount, and slot coverage.  Everything "
+    "is integer bit arithmetic (shiftleft + bit_or + bit_count), so "
+    "the value oracle is exact with no rounding convention beyond "
+    "the one coverage ratio.  Scale: ONE map-combined aggregate over "
+    "events — bit_or partials merge associatively like sum, so the "
+    "100 TB plan is scan -> partial bit_or -> final bit_or, and "
+    "bitmaps for disjoint windows union with a further bit_or "
+    "(the mergeable-sketch property, cf. q164/q180).  This is also "
+    "the set-intersection primitive: cohort overlap = "
+    "bit_count(a & b) with no joins.",
+)
+def q191_user_activity_bitmap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST((unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000) "
+                f"% {_BITMAP_SLOTS} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(m)").alias("bitmap"))
+    )
+    return s.select(
+        "user_id",
+        "bitmap",
+        F.bit_count("bitmap").alias("n_active_slots"),
+        F.round(
+            F.bit_count("bitmap").cast("double") / _BITMAP_SLOTS, 6
+        ).alias("slot_coverage"),
+    ).orderBy("user_id")
+
+
+_DQ_PAT = "^[1-5]-[A-Z ]+$"
+
+_DQ_SQL = f"""
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS nn,
+         count(DISTINCT o_orderkey) AS uq,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN regexp_matches(o_orderpriority, '{_DQ_PAT}') THEN 1 ELSE 0 END) AS pat,
+         sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS ref
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey)
+SELECT * FROM (
+  SELECT 'completeness:o_custkey' AS check_name,
+         round(CAST(nn AS DOUBLE) / n, 6) AS metric, nn = n AS passed FROM m
+  UNION ALL
+  SELECT 'uniqueness:o_orderkey', round(CAST(uq AS DOUBLE) / n, 6), uq = n FROM m
+  UNION ALL
+  SELECT 'compliance:totalprice_positive', round(CAST(pos AS DOUBLE) / n, 6), pos = n FROM m
+  UNION ALL
+  SELECT 'pattern:orderpriority_format', round(CAST(pat AS DOUBLE) / n, 6), pat = n FROM m
+  UNION ALL
+  SELECT 'referential:custkey_in_customer', round(CAST(ref AS DOUBLE) / n, 6), ref = n FROM m)
+ORDER BY check_name"""
+
+
+@register(
+    "q192_dq_constraint_suite",
+    _DQ_SQL,
+    ops=("ext-dq-suite",),
+    doc="DATA-QUALITY CONSTRAINT SUITE (the Deequ/expectations idiom): "
+    "five declarative checks over orders — column completeness, key "
+    "uniqueness, range compliance, regex pattern compliance, and "
+    "referential containment in customer — evaluated in ONE scan "
+    "and unpivoted to a (check_name, metric, passed) verdict table.  "
+    "All five metrics are ratios of integer counts (round 6), so "
+    "the oracle is exact.  Scale: a single scan + one broadcast "
+    "left join against the distinct dimension keys feeds every "
+    "check (Deequ's shared-scan analyzer design); uniqueness is a "
+    "TWO-LEVEL aggregate (group on the key, count groups) rather "
+    "than count(DISTINCT) — mixing distinct with other aggregates "
+    "plans an Expand that doubles the shuffled rows (measured 31 s "
+    "→ 5.9 s steady at 100x).  Adding a sixth check is another "
+    "conditional aggregate on the same pass.  Verdict unpivot is "
+    "5 rows.",
+)
+def q192_dq_constraint_suite(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ck = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
+    # Two-level aggregate instead of count(DISTINCT ...): grouping on
+    # the checked key and counting groups gives the same uniqueness
+    # metric WITHOUT the Expand that count-distinct-plus-other-aggs
+    # plans (which doubles the shuffled row count — measured 31 s ->
+    # ~14 s at 100x).  Every other check rides the same per-key pass.
+    per_key = (
+        o.join(F.broadcast(ck), o.o_custkey == ck.c_custkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("o_custkey").alias("nn_p"),
+            F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias(
+                "pos_p"
+            ),
+            F.sum(
+                F.when(F.col("o_orderpriority").rlike(_DQ_PAT), 1).otherwise(0)
+            ).alias("pat_p"),
+            F.count("c_custkey").alias("ref_p"),
+        )
+    )
+    m = per_key.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("nn_p").alias("nn"),
+        F.count(F.lit(1)).alias("uq"),
+        F.sum("pos_p").alias("pos"),
+        F.sum("pat_p").alias("pat"),
+        F.sum("ref_p").alias("ref"),
+    )
+    checks = [
+        ("completeness:o_custkey", "nn"),
+        ("uniqueness:o_orderkey", "uq"),
+        ("compliance:totalprice_positive", "pos"),
+        ("pattern:orderpriority_format", "pat"),
+        ("referential:custkey_in_customer", "ref"),
+    ]
+    stack = ", ".join(f"'{name}', {col}" for name, col in checks)
+    return (
+        m.select(
+            F.expr(f"stack({len(checks)}, {stack}) AS (check_name, x)"), "n"
+        )
+        .select(
+            "check_name",
+            F.round(F.col("x").cast("double") / F.col("n"), 6).alias("metric"),
+            (F.col("x") == F.col("n")).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
+_MWU_SQL = """
+WITH s AS (
+  SELECT value AS v, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('click', 'purchase')),
+c AS (SELECT v, count(*) AS cnt, sum(g1) AS n1v FROM s GROUP BY v),
+r AS (
+  SELECT v, cnt, n1v,
+         COALESCE(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM c),
+t AS (
+  SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+         CAST(sum(cnt - n1v) AS BIGINT) AS n2,
+         sum(n1v * (cb + (cnt + 1) / 2.0)) AS r1,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+  FROM r)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt((n1 * n2 / 12.0)
+                    * ((n1 + n2 + 1) - tsum / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z,
+       abs(round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt((n1 * n2 / 12.0)
+                    * ((n1 + n2 + 1) - tsum / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)) > 1.96
+         AS significant
+FROM t"""
+
+
+@register(
+    "q193_mann_whitney_utest",
+    _MWU_SQL,
+    ops=("ext-rank-test",),
+    doc="MANN-WHITNEY U (Wilcoxon rank-sum) comparing the value "
+    "distribution of click vs purchase events — the NON-PARAMETRIC "
+    "member of the hypothesis family (z-test q143, chi-square q129): "
+    "no normality assumption, rank-based.  Average ranks come from "
+    "the COUNT TABLE, not a per-row rank: group by value, window "
+    "cumsum of counts, avg rank of a tied block = cum_before + "
+    "(cnt+1)/2 — the q154 count-table trick, so the rank pass "
+    "touches #distinct-values rows, not #events.  Every rank term "
+    "n1v*(cb + (cnt+1)/2) is an exact half-integer, so the R1 sum "
+    "is order-independent in doubles; the tie-corrected variance "
+    "sigma^2 = (n1*n2/12) * ((N+1) - sum(t^3-t)/(N(N-1))) is "
+    "spelled identically in both engines (integer inputs, one "
+    "division chain, round 6 at the end).  Scale: count table "
+    "shuffles on value; the final moment aggregate is map-combined; "
+    "the ordered window runs over distinct values only (two-level "
+    "prefix-sum composable, cf. q93/q188).",
+)
+def q193_mann_whitney_utest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    c = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("g1").alias("n1v")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = c.withColumn("cb", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    t = r.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("n1v") * (F.col("cb") + (F.col("cnt") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("bigint").alias("tsum"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    nn = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        (F.col("n1") * F.col("n2") / 12.0)
+        * ((nn + 1) - F.col("tsum") / (nn * (nn - 1.0)))
+    )
+    z = F.round((u1 - mu) / sigma, 6)
+    return t.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        F.round(u1, 2).alias("u_stat"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+_HITS_ITERS = 4
+_HITS_TOPK = 20
+
+
+def _hits_sql(iters: int) -> str:
+    sql = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+h0 AS (SELECT DISTINCT c, 1::HUGEINT AS s FROM e)"""
+    prev = "h0"
+    for k in range(1, iters + 1):
+        sql += f""",
+a{k} AS (SELECT p, sum({prev}.s) AS s FROM e JOIN {prev} USING (c) GROUP BY p),
+h{k} AS (SELECT c, sum(a{k}.s) AS s FROM e JOIN a{k} USING (p) GROUP BY c)"""
+        prev = f"h{k}"
+    return sql + f""",
+am AS (SELECT max(s) AS m FROM a{iters}),
+hm AS (SELECT max(s) AS m FROM h{iters})
+SELECT * FROM (
+  (SELECT 'authority' AS role, p AS id, CAST(s AS BIGINT) AS score,
+          round(CAST(s AS DOUBLE) / CAST(am.m AS DOUBLE), 6) AS norm_score
+   FROM a{iters}, am ORDER BY s DESC, p LIMIT {_HITS_TOPK})
+  UNION ALL
+  (SELECT 'hub', c, CAST(s AS BIGINT),
+          round(CAST(s AS DOUBLE) / CAST(hm.m AS DOUBLE), 6)
+   FROM h{iters}, hm ORDER BY s DESC, c LIMIT {_HITS_TOPK}))
+ORDER BY role, score DESC, id"""
+
+
+@register(
+    "q194_bipartite_hits",
+    _hits_sql(_HITS_ITERS),
+    ops=("ext-graph-hits",),
+    doc=f"HITS HUBS & AUTHORITIES ({_HITS_ITERS} unrolled iterations) "
+    "on the bipartite customer->part purchase graph: hub customers "
+    "(buy influential parts) and authority parts (bought by "
+    "influential customers) — Kleinberg's power iteration next to "
+    "PageRank q132 and k-core q186.  DELIBERATELY INTEGER-EXACT: "
+    "per-iteration L2 normalization would make every score an "
+    "order-dependent float sum, so instead the un-normalized "
+    "recurrence a_k = A^T h_{k-1}, h_k = A a_k runs on bigints "
+    "(h0 = 1; growth per full iteration is bounded by "
+    "max_deg_c * max_deg_p ~ 1.2e3 on this generator, so "
+    f"{_HITS_ITERS} iterations stay < 2^53 — normalization is "
+    "scale-invariant, so dividing ONCE by the final max gives the "
+    "same ranking with a single rounded float op; the oracle "
+    "carries HUGEINT headroom).  Ranking and top-k selection use "
+    "the exact integer score (score DESC, id).  Scale: the distinct "
+    "edge relation is persisted and reused by all iterations; each "
+    "half-step is one shuffle-join + map-combined sum keyed on c or "
+    "p (skew = popular part fan-in, handled by AQE + partial "
+    "aggregation); per-iteration localCheckpoint truncates lineage "
+    "(the q132 convention).",
+)
+def q194_bipartite_hits(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    h = e.select("c").distinct().withColumn("s", F.lit(1).cast("bigint"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("s").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("s").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+    am = a.agg(F.max("s").alias("m"))
+    hm = h.agg(F.max("s").alias("m"))
+    top_a = (
+        a.orderBy(F.desc("s"), "p")
+        .limit(_HITS_TOPK)
+        .crossJoin(F.broadcast(am))
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").alias("id"),
+            F.col("s").alias("score"),
+            F.round(F.col("s").cast("double") / F.col("m").cast("double"), 6).alias(
+                "norm_score"
+            ),
+        )
+    )
+    top_h = (
+        h.orderBy(F.desc("s"), "c")
+        .limit(_HITS_TOPK)
+        .crossJoin(F.broadcast(hm))
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("id"),
+            F.col("s").alias("score"),
+            F.round(F.col("s").cast("double") / F.col("m").cast("double"), 6).alias(
+                "norm_score"
+            ),
+        )
+    )
+    return top_a.unionByName(top_h).orderBy(
+        "role", F.desc("score"), "id"
+    )
+
+
+_PMI_MIN, _PMI_TOPK = 5, 100
+_PMI_SCALE = 1_000_000_000_000
+
+_PMI_SQL = rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+u AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uc),
+i AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+bc AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS c_ab
+       FROM i GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN}),
+j AS (SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b
+      FROM bc JOIN uc ua ON ua.w = bc.a JOIN uc ub ON ub.w = bc.b)
+SELECT a, b, CAST(c_ab AS BIGINT) AS n_pair,
+       round(ln(CAST(c_ab AS DOUBLE) * tot.t / (c_a * c_b)), 6) AS pmi
+FROM j, tot
+ORDER BY (c_ab::HUGEINT * {_PMI_SCALE}) // (c_a * c_b) DESC, a, b
+LIMIT {_PMI_TOPK}"""
+
+
+@register(
+    "q195_pmi_collocations",
+    _PMI_SQL,
+    ops=("ext-pmi-collocations",),
+    doc=f"PMI COLLOCATION MINING (min pair count {_PMI_MIN}, top "
+    f"{_PMI_TOPK}): adjacent-token pairs whose co-occurrence beats "
+    "the unigram-independence baseline — pmi = ln(c_ab * T / "
+    "(c_a * c_b)) with T = total tokens (Church & Hanks; the "
+    "phrase-detection screen LM pipelines run before merging "
+    "multiword units into the vocabulary).  The FLOAT is never the "
+    "ranking key: pmi is monotonic in the exact rational "
+    "c_ab/(c_a*c_b) (T constant), so top-k orders by the "
+    f"scaled integer quotient c_ab*{_PMI_SCALE} DIV (c_a*c_b) — "
+    "deterministic across engines even when two pmi values differ "
+    "by an ulp; ln + round(6) is display only.  Bigrams reuse "
+    "q123's zip_with formation (no posexplode self-join); unigram "
+    "counts broadcast onto the min-count-surviving pair table, so "
+    "the heavy relation is filtered BEFORE the joins.  Scale: two "
+    "hash aggregates + one top-k heap; the 1-row total broadcasts.",
+)
+def q195_pmi_collocations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(text.tokens(F.col("text")).alias("t"))
+        .persist()
+    )
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uc.agg(F.sum("c").cast("bigint").alias("t"))
+    bc = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                    " (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.a", "bg.b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN)
+    )
+    ua = uc.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    j = bc.join(F.broadcast(ua), "a").join(F.broadcast(ub), "b").crossJoin(
+        F.broadcast(tot)
+    )
+    key = F.expr(f"(c_ab * CAST({_PMI_SCALE} AS BIGINT)) DIV (c_a * c_b)")
+    return (
+        j.select(
+            "a",
+            "b",
+            F.col("c_ab").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("t")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+            key.alias("rank_key"),
+        )
+        .orderBy(F.desc("rank_key"), "a", "b")
+        .limit(_PMI_TOPK)
+        .drop("rank_key")
+    )
+
+
+_PATH_TOPK = 50
+
+_PATH_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, sid) AS n_ev
+  FROM s),
+p AS (
+  SELECT user_id, sid, max(n_ev) AS n_ev,
+         max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+         max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+         max(CASE WHEN rn = 3 THEN event_type END) AS e3
+  FROM r GROUP BY user_id, sid)
+SELECT concat_ws('>', e1, e2, e3) AS path,
+       count(*) AS n_sessions,
+       round(avg(n_ev), 2) AS avg_events
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}"""
+
+
+@register(
+    "q196_session_path_analysis",
+    _PATH_SQL,
+    ops=("ext-clickstream-paths",),
+    doc="CLICKSTREAM PATH ANALYSIS: sessionize (q29's 30-min "
+    "lag+cumsum convention), take each session's first three event "
+    "types IN ORDER, and rank the resulting entry paths by session "
+    "count with the session's average length alongside — the "
+    "'how do users start a session' funnel-discovery query.  The "
+    "path prefix is extracted with rank-conditional max(CASE rn=k) "
+    "pivots, NOT an ordered string_agg, so no engine's "
+    "collect-order nondeterminism is in play; concat_ws skips the "
+    "NULL slots of short sessions identically in both engines.  "
+    "avg_events is a ratio of exact integer sums (round 2).  "
+    "Scale: everything up to the path aggregate is partitioned by "
+    "user (one shuffle); the path table is at most "
+    "|event_types|^3 + short-path variants ~ 155 rows, and top-k "
+    "is a heap.",
+)
+def q196_session_path_analysis(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.withColumn("prev", F.lag("ts").over(wu))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.unix_millis(F.col("ts").cast("timestamp"))
+                    - F.unix_millis(F.col("prev").cast("timestamp"))
+                    > 1800000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    # n_ev comes from the group-by (NOT a count() window): the rn
+    # window and the aggregate share the (user_id, sid) exchange, so
+    # this saves a whole WindowExec pass over the event stream.
+    r = s.withColumn("rn", F.row_number().over(ws))
+    p = r.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+    )
+    return (
+        p.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"), "n_ev"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_ev"), 2).alias("avg_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 8: stateful per-key scan, forensic audit, cross-series
+# stats, funnel latency, power-law fit
+# ---------------------------------------------------------------------------
+
+_BAL_CAP, _BAL_FLOOR = 100.0, 0.0
+
+_BAL_SQL = f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+d AS (
+  SELECT user_id, rn,
+         CASE WHEN event_type = 'purchase' THEN value
+              WHEN event_type = 'error' THEN -value
+              ELSE 0.0 END AS delta
+  FROM s),
+b AS (
+  SELECT user_id, rn,
+         least({_BAL_CAP}, greatest({_BAL_FLOOR}, delta)) AS bal,
+         CASE WHEN delta > {_BAL_CAP} THEN 1 ELSE 0 END AS ct,
+         CASE WHEN delta < {_BAL_FLOOR} THEN 1 ELSE 0 END AS cb
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.user_id, d.rn,
+         least({_BAL_CAP}, greatest({_BAL_FLOOR}, b.bal + d.delta)),
+         b.ct + CASE WHEN b.bal + d.delta > {_BAL_CAP} THEN 1 ELSE 0 END,
+         b.cb + CASE WHEN b.bal + d.delta < {_BAL_FLOOR} THEN 1 ELSE 0 END
+  FROM b JOIN d ON d.user_id = b.user_id AND d.rn = b.rn + 1),
+fin AS (SELECT user_id, max(rn) AS rn FROM b GROUP BY user_id)
+SELECT b.user_id, CAST(b.rn AS BIGINT) AS n_events,
+       round(b.bal, 2) AS final_balance,
+       CAST(b.ct AS BIGINT) AS n_clamped_top,
+       CAST(b.cb AS BIGINT) AS n_clamped_bottom
+FROM b JOIN fin ON b.user_id = fin.user_id AND b.rn = fin.rn
+ORDER BY b.user_id"""
+
+
+@register(
+    "q197_capped_running_balance",
+    _BAL_SQL,
+    ops=("ext-stateful-scan",),
+    doc="CAPPED RUNNING BALANCE — the canonical NON-ASSOCIATIVE "
+    f"per-key scan (credit ledger clamped to [{_BAL_FLOOR}, "
+    f"{_BAL_CAP}]: purchases add value, errors subtract, the clamp "
+    "after every step makes prefix sums wrong): no window frame can "
+    "express it, so this is the showcase for the Arrow-batched "
+    "applyInPandas escape hatch (operators/stateful.py) — group by "
+    "user, sort the group by (ts, event_id), run the clamp "
+    "recurrence in vectorized-read numpy, emit ONE summary row per "
+    "user.  The oracle replays the recurrence as a DuckDB RECURSIVE "
+    "CTE stepping rn -> rn+1, proving the Python state machine "
+    "against declarative SQL.  Both engines run the identical "
+    "double add/clamp sequence in event order, so values match "
+    "bit-for-bit before the final round(2).  Scale: one shuffle on "
+    "user_id; state is O(1) per key; Arrow batches keep the Python "
+    "boundary columnar (q103/q115's multimodal convention) — and "
+    "per-user event counts bound the group size, not corpus size.",
+)
+def q197_capped_running_balance(spark, sf_dir):
+    from team_aragon_spark.operators.stateful import capped_running_balance
+
+    ev = _t(spark, sf_dir, "events")
+    return capped_running_balance(
+        ev, cap=_BAL_CAP, floor=_BAL_FLOOR
+    ).orderBy("user_id")
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CASE WHEN o_totalprice >= 100000000 THEN CAST(floor(o_totalprice / 100000000) AS INT)
+              WHEN o_totalprice >= 10000000 THEN CAST(floor(o_totalprice / 10000000) AS INT)
+              WHEN o_totalprice >= 1000000 THEN CAST(floor(o_totalprice / 1000000) AS INT)
+              WHEN o_totalprice >= 100000 THEN CAST(floor(o_totalprice / 100000) AS INT)
+              WHEN o_totalprice >= 10000 THEN CAST(floor(o_totalprice / 10000) AS INT)
+              WHEN o_totalprice >= 1000 THEN CAST(floor(o_totalprice / 1000) AS INT)
+              WHEN o_totalprice >= 100 THEN CAST(floor(o_totalprice / 100) AS INT)
+              WHEN o_totalprice >= 10 THEN CAST(floor(o_totalprice / 10) AS INT)
+              ELSE CAST(floor(o_totalprice) AS INT) END AS digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS observed_p,
+       round(log10(1 + 1.0 / digit), 6) AS benford_p,
+       round(pow(n - tot * log10(1 + 1.0 / digit), 2)
+             / (tot * log10(1 + 1.0 / digit)), 6) AS chi2_term
+FROM c, t ORDER BY digit"""
+
+
+@register(
+    "q198_benford_digit_audit",
+    _BENFORD_SQL,
+    ops=("ext-benford-audit",),
+    doc="BENFORD'S-LAW FORENSIC AUDIT of order totals: first "
+    "significant digit distribution vs the log10(1+1/d) law, with "
+    "per-digit chi-square contributions — the fraud/synthetic-data "
+    "screen auditors run on financial columns (Nigrini), joining "
+    "the drift family (chi2 q129, PSI q141, SPC q160) as its "
+    "digit-distribution member.  The digit is extracted WITHOUT "
+    "log10 on data: a magnitude-bin CASE + one double division + "
+    "floor per row (log10 near an exact power of 10 can land on "
+    "either side of the integer in different libm builds; "
+    "comparisons and IEEE division cannot) — log10 appears only "
+    "over the nine digit CONSTANTS.  Magnitude bins cover [1, 1e9) "
+    "(generator totals stay under 1e7; a planted-boundary pytest "
+    "pins exact powers of 10 in every bin).  Scale: one "
+    "map-combined 9-group aggregate + a broadcast 1-row total.",
+)
+def q198_benford_digit_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    digit = (
+        F.when(x >= 100000000, F.floor(x / 100000000).cast("int"))
+        .when(x >= 10000000, F.floor(x / 10000000).cast("int"))
+        .when(x >= 1000000, F.floor(x / 1000000).cast("int"))
+        .when(x >= 100000, F.floor(x / 100000).cast("int"))
+        .when(x >= 10000, F.floor(x / 10000).cast("int"))
+        .when(x >= 1000, F.floor(x / 1000).cast("int"))
+        .when(x >= 100, F.floor(x / 100).cast("int"))
+        .when(x >= 10, F.floor(x / 10).cast("int"))
+        .otherwise(F.floor(x).cast("int"))
+    )
+    c = (
+        o.filter(x >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    bp = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias(
+                "observed_p"
+            ),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(
+                F.pow(F.col("n") - F.col("tot") * bp, 2)
+                / (F.col("tot") * bp),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_XCORR_MAX_LAG = 3
+
+_XCORR_SQL = f"""
+WITH h AS (
+  SELECT epoch_ms(ts) // 3600000 AS hourno,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY hourno),
+l AS (SELECT unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})) AS lag),
+p AS (
+  SELECT l.lag, a.x AS x, b.y AS y
+  FROM l JOIN h a ON TRUE JOIN h b ON b.hourno = a.hourno + l.lag),
+m AS (
+  SELECT lag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY lag)
+SELECT lag, n AS n_pairs,
+       round((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+FROM m ORDER BY lag"""
+
+
+@register(
+    "q199_hourly_crosscorrelation",
+    _XCORR_SQL,
+    ops=("ext-cross-correlation",),
+    doc=f"LAGGED CROSS-CORRELATION (lags -{_XCORR_MAX_LAG}.."
+    f"+{_XCORR_MAX_LAG}) between the hourly click series and the "
+    "hourly purchase series — 'do purchases track clicks, and with "
+    "what delay', the cross-series member next to q182's "
+    "autocorrelation.  Same exact-integer-moment discipline: hourly "
+    "counts are integers, every moment (n, Sx, Sy, Sxx, Syy, Sxy) "
+    "is an exact bigint sum over the lag-joined pairs, and Pearson "
+    "r is ONE double expression at the end (round 6).  Missing "
+    "hours pair only where both endpoints exist (inner join on hour "
+    "arithmetic — the documented gap convention; q100 is the "
+    "gap-fill operator when a dense grid is wanted).  Scale: the "
+    "hourly aggregate is map-combined; the 7-row lag relation "
+    "broadcast-joins the hour table against itself shifted (hour "
+    "count grows with time span, not event volume).",
+)
+def q199_hourly_crosscorrelation(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            F.expr(
+                "unix_millis(CAST(ts AS TIMESTAMP)) DIV 3600000"
+            ).alias("hourno")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .persist()
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = h.select("hourno", "x")
+    b = h.select(F.col("hourno").alias("hb"), "y")
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("hourno") + F.col("lag"))
+    )
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("r"),
+    ).orderBy("lag")
+
+
+_FUNNEL_SQL = """
+WITH fc AS (
+  SELECT user_id, min(epoch_ms(ts)) AS t_click FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS t_purchase
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > fc.t_click
+  GROUP BY e.user_id),
+lat AS (
+  SELECT fp.t_purchase - fc.t_click AS latency_ms
+  FROM fc JOIN fp ON fc.user_id = fp.user_id)
+SELECT round(quantile_cont(latency_ms, 0.5), 6) AS p_50,
+       round(quantile_cont(latency_ms, 0.9), 6) AS p_90,
+       round(quantile_cont(latency_ms, 0.99), 6) AS p_99,
+       count(*) AS n
+FROM lat"""
+
+
+@register(
+    "q200_funnel_latency_quantiles",
+    _FUNNEL_SQL,
+    ops=("ext-funnel-latency",),
+    doc="TIME-TO-CONVERT DISTRIBUTION: per user, the latency from "
+    "first click to the first STRICTLY-LATER purchase; exact "
+    "p50/p90/p99 over those latencies — the funnel family's (q96) "
+    "latency member, answering 'how long does conversion take', "
+    "not just 'how many convert'.  The first-click/first-purchase "
+    "extraction is two map-combined min-aggregates joined on user "
+    "(integer epoch-ms end to end); the quantiles reuse "
+    "operators/stats.exact_grouped_percentiles — count-table rank "
+    "arithmetic, no one-reducer value buffer — proven equal to "
+    "quantile_cont by this oracle.  Scale: everything keys on "
+    "user_id (one shuffle family); the percentile count table is "
+    "bounded by the distinct-latency domain.",
+)
+def q200_funnel_latency_quantiles(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_millis(F.col("ts").cast("timestamp"))
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("tp"))
+        .join(fc, "user_id")
+        .filter(F.col("tp") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t_purchase"))
+    )
+    lat = fp.join(fc, "user_id").select(
+        (F.col("t_purchase") - F.col("t_click")).alias("latency_ms")
+    )
+    return exact_grouped_percentiles(
+        lat, "latency_ms", [], [0.5, 0.9, 0.99]
+    )
+
+
+_ZIPF_MIN_COUNT = 5
+
+_ZIPF_SQL = rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+u AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*) AS c FROM u GROUP BY w HAVING count(*) >= {_ZIPF_MIN_COUNT}),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM uc),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m"""
+
+
+@register(
+    "q201_token_zipf_fit",
+    _ZIPF_SQL,
+    ops=("ext-zipf-fit",),
+    doc="ZIPF POWER-LAW FIT of the token frequency distribution: OLS "
+    "of ln(frequency) on ln(rank) over tokens with count >= "
+    f"{_ZIPF_MIN_COUNT} — natural text follows slope ~ -1 "
+    "(Zipf), so a corpus whose slope drifts flags synthetic / "
+    "boilerplate / template contamination; the corpus-level screen "
+    "next to the per-doc quality scores (q20) and entropy (q161).  "
+    "Rank is the exact integer row_number (c DESC, w — total "
+    "order); the only floats are the per-token ln() pairs and the "
+    "q178 closed-form moment arithmetic (slope/intercept/R^2 from "
+    "one aggregate, round 6; ln-term sums carry ~1e-13 relative "
+    "accumulation error against a 1e-6 round grid — the q130/q161 "
+    "precedent).  Scale: token counts are map-combined; the ranked "
+    "relation is vocabulary-sized; the moment aggregate is one "
+    "pass.  The rank window is the q154 caveat: vocabulary-bounded, "
+    "composable as the q93 two-level prefix sum if the vocab "
+    "outgrew one task.",
+)
+def q201_token_zipf_fit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    uc = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _ZIPF_MIN_COUNT)
+    )
+    r = uc.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "w")).alias("rank"),
+    )
+    xy = r.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 9: RFM scoring, medoids, burstiness, cohort LTV,
+# revenue concentration
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH p AS (
+  SELECT user_id, max(epoch_ms(ts)) AS last_p, count(*) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon_c
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+mx AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events),
+base AS (
+  SELECT user_id, CAST((now_ms - last_p) // 86400000 AS BIGINT) AS recency_days,
+         freq, mon_c FROM p, mx),
+s AS (
+  SELECT *,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY freq ASC, user_id) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY mon_c ASC, user_id) AS INT) AS m_score
+  FROM base)
+SELECT user_id, recency_days, CAST(freq AS BIGINT) AS frequency,
+       round(mon_c / 100.0, 2) AS monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM s ORDER BY user_id"""
+
+
+@register(
+    "q202_rfm_segmentation",
+    _RFM_SQL,
+    ops=("ext-rfm-scoring",),
+    doc="RFM SEGMENTATION (recency / frequency / monetary quintile "
+    "scores, the classic CRM cohorting primitive): per purchasing "
+    "user, days since last purchase relative to the corpus max "
+    "timestamp (integer epoch-day arithmetic), purchase count, and "
+    "purchase value total — scored 1-5 by ntile over TOTAL orders "
+    "(recency DESC so most-recent lands in bucket 5; user_id "
+    "tie-break makes every quintile boundary deterministic).  "
+    "Monetary sums CENTS (round(value*100) per row, a bigint) so "
+    "ordering and the ntile boundaries never depend on float "
+    "accumulation order — the displayed dollars are one final "
+    "division.  Scale: one map-combined per-user aggregate; the "
+    "three ntile windows run over purchasing USERS (user-bounded, "
+    "q154's count-table caveat: composable as two-level prefix "
+    "sums), and the 1-row corpus max broadcasts.",
+)
+def q202_rfm_segmentation(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_millis(F.col("ts").cast("timestamp"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(t).alias("last_p"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("mon_c"),
+        )
+    )
+    mx = ev.agg(F.max(t).alias("now_ms"))
+    base = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("(now_ms - last_p) DIV 86400000").alias("recency_days"),
+        "freq",
+        "mon_c",
+    )
+    s = (
+        base.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "user_id")),
+        )
+        .withColumn(
+            "f_score", F.ntile(5).over(Window.orderBy("freq", "user_id"))
+        )
+        .withColumn(
+            "m_score", F.ntile(5).over(Window.orderBy("mon_c", "user_id"))
+        )
+    )
+    return s.select(
+        "user_id",
+        "recency_days",
+        F.col("freq").alias("frequency"),
+        F.round(F.col("mon_c") / 100.0, 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_code"),
+    ).orderBy("user_id")
+
+
+_MEDOID_SQL = """
+WITH c AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+                  i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))) AS cos
+  FROM c a JOIN c b ON a.label = b.label AND a.vec_id <> b.vec_id),
+tot AS (
+  SELECT label, vec_id, round(sum(cos), 4) AS total_cos, count(*) AS n_others
+  FROM pairs GROUP BY label, vec_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY total_cos DESC, vec_id) AS rn
+  FROM tot)
+SELECT label, vec_id AS medoid_id, total_cos,
+       CAST(n_others + 1 AS BIGINT) AS n_members
+FROM r WHERE rn = 1 ORDER BY label"""
+
+
+@register(
+    "q203_label_medoids",
+    _MEDOID_SQL,
+    ops=("ext-medoid-selection",),
+    doc="PER-LABEL MEDOID (the member vector maximizing total cosine "
+    "similarity to its label-mates) — k-medoids/PAM initialization "
+    "and the 'most representative real example per class' primitive "
+    "(centroids q87 average to a POINT that exists nowhere; the "
+    "medoid is an actual member).  Pairwise cosines stay WITHIN "
+    "labels (label-bounded quadratic, never corpus-quadratic — the "
+    "q23/q127 boundedness convention); dot products are the q22 "
+    "left-to-right double folds, bit-identical in both engines; the "
+    "per-candidate total is rounded to 4 BEFORE the arg-max so an "
+    "accumulation-order ulp can never flip which vector wins "
+    "(vec_id breaks exact ties).  Scale: group-bounded self-join "
+    "(shuffle on label) + one aggregate + per-label top-1; for "
+    "labels too large for exact pairing, q26/q70's IVF cells are "
+    "the documented approximate path.",
+)
+def q203_label_medoids(spark, sf_dir):
+    from team_aragon_spark.operators.similarity import _DOT, _norm_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # Precompute each vector's norm ONCE (n rows), not per pair: the
+    # naive cosine_expr re-derives both norms inside every pair (3
+    # folds/pair); with label-bounded fanout that tripled the fold
+    # work (measured 7.8 s -> 2.7 s at sf0.1).  The pair cosine
+    # divides by the product of the SAME sqrt values, so the doubles
+    # are bit-identical to the oracle's per-pair spelling.
+    nv = emb.select(
+        "label",
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(_norm_expr("embedding")).alias("nrm"),
+    )
+    a = nv.select(
+        "label", "vec_id", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = nv.select(
+        "label",
+        F.col("vec_id").alias("vb_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("vb_id"))
+    cos = F.expr(
+        f"try_divide({_DOT.format(a='va', b='vb')}, (na * nb))"
+    )
+    tot = (
+        pairs.select("label", "vec_id", cos.alias("cos"))
+        .groupBy("label", "vec_id")
+        .agg(
+            F.round(F.sum("cos"), 4).alias("total_cos"),
+            F.count(F.lit(1)).alias("n_others"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("total_cos"), "vec_id")
+    return (
+        tot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            "total_cos",
+            (F.col("n_others") + 1).alias("n_members"),
+        )
+        .orderBy("label")
+    )
+
+
+_BURST_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY event_type, epoch_ms(ts) // 86400000
+           ORDER BY ts, event_id)) // 1000 AS gap
+  FROM events),
+m AS (
+  SELECT event_type, count(gap) AS n,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(gap * gap) AS BIGINT) AS sg2
+  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+SELECT event_type, n AS n_gaps,
+       round(sg * 1.0 / n, 6) AS mean_gap_s,
+       round(sqrt(n * 1.0 * sg2 - sg * 1.0 * sg) / n / (sg * 1.0 / n), 6) AS cv,
+       round((sqrt(n * 1.0 * sg2 - sg * 1.0 * sg) / n - sg * 1.0 / n)
+             / (sqrt(n * 1.0 * sg2 - sg * 1.0 * sg) / n + sg * 1.0 / n), 6)
+         AS burstiness
+FROM m ORDER BY event_type"""
+
+
+@register(
+    "q204_interarrival_burstiness",
+    _BURST_SQL,
+    ops=("ext-burstiness",),
+    doc="INTER-ARRIVAL BURSTINESS per event type: mean gap, "
+    "coefficient of variation, and the Goh-Barabasi burstiness "
+    "index B = (sigma - mu)/(sigma + mu) (B=0 for a Poisson "
+    "process, ->1 for bursty traffic, ->-1 for a regular clock) — "
+    "the arrival-process screen next to the seasonal baseline "
+    "(q171) and SPC (q160) monitors.  Gaps are SECOND-resolution "
+    "integer diffs (epoch-ms difference DIV 1000 — ms-resolution "
+    "squares overflow bigint sums past ~1e7 gaps; the truncation "
+    "is the pinned convention); mean and sigma come from exact "
+    "bigint moments (n, sum g, sum g^2) with population sigma = "
+    "sqrt(n*Sg2 - Sg^2)/n where only the variance NUMERATOR runs "
+    "in doubles (Sg^2 alone exceeds bigint; the >2^53 double "
+    "rounding is IEEE-deterministic and spelled identically in "
+    "both engines).  Gap windows are bounded by (event_type, "
+    "epoch-day) "
+    "partitions — cross-day gaps are dropped BY CONVENTION, which "
+    "is what keeps the lag() window key-bounded at any corpus size "
+    "instead of one partition per type.  Scale: day-partitioned "
+    "windows then a map-combined 5-group moment aggregate.",
+)
+def q204_interarrival_burstiness(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy(
+        "event_type", F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000")
+    ).orderBy("ts", "event_id")
+    g = (
+        ev.select("event_type", (t - F.lag(t).over(w)).alias("gap_ms"))
+        .select("event_type", F.expr("gap_ms DIV 1000").alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    m = g.groupBy("event_type").agg(
+        F.count("gap").alias("n"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sg2"),
+    )
+    # variance numerator in DOUBLE: sg*sg overflows bigint once a
+    # type's gap total passes ~3e9 ms (sf0.01 already does); the
+    # double rounding on the >2^53 products is IEEE-deterministic and
+    # spelled identically in the oracle (n*1.0*sg2 - sg*1.0*sg)
+    mean = F.col("sg") * 1.0 / F.col("n")
+    sigma = (
+        F.sqrt(
+            F.col("n") * 1.0 * F.col("sg2") - F.col("sg") * 1.0 * F.col("sg")
+        )
+        / F.col("n")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sigma / mean, 6).alias("cv"),
+        F.round((sigma - mean) / (sigma + mean), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+_LTV_SQL = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+coh AS (SELECT user_id,
+               CAST(date_trunc('month', first_ts) AS TIMESTAMP) AS cohort
+        FROM f),
+sz AS (SELECT cohort, count(*) AS n_users FROM coh GROUP BY cohort),
+rev AS (
+  SELECT e.user_id, CAST(date_trunc('month', e.ts) AS TIMESTAMP) AS m,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM events e WHERE event_type = 'purchase' GROUP BY 1, 2),
+j AS (
+  SELECT c.cohort, date_diff('month', c.cohort, r.m) AS age_months,
+         CAST(sum(r.rev_c) AS BIGINT) AS rev_c
+  FROM rev r JOIN coh c ON r.user_id = c.user_id
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, age_months, rev_c,
+         CAST(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age_months
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+  FROM j)
+SELECT cum.cohort, CAST(age_months AS INT) AS age_months,
+       CAST(sz.n_users AS BIGINT) AS n_users,
+       round(rev_c / 100.0, 2) AS month_revenue,
+       round(cum_c / 100.0 / sz.n_users, 4) AS cum_ltv_per_user
+FROM cum JOIN sz ON cum.cohort = sz.cohort
+ORDER BY cum.cohort, age_months"""
+
+
+@register(
+    "q205_cohort_ltv_curves",
+    _LTV_SQL,
+    ops=("ext-cohort-ltv",),
+    doc="COHORT LIFETIME-VALUE CURVES: users grouped by first-seen "
+    "month, purchase revenue rolled up by cohort x months-since-"
+    "cohort, cumulated along age, normalized per cohort user — the "
+    "revenue companion to q119's retention triangle (how much a "
+    "cohort is WORTH by age k, not just how many come back).  "
+    "Revenue is summed in cents (per-row round(value*100) bigint) "
+    "so the running cumulative is exact integer arithmetic; the "
+    "age axis is date_diff('month') on month-truncated timestamps "
+    "(exact integers in both engines); dollars and per-user LTV "
+    "are single final divisions (round 2/4).  Scale: two "
+    "map-combined aggregates keyed on user, one broadcast-sized "
+    "(cohort, age) matrix, and the running sum windows over "
+    "cohort-count x age rows — months, not events.",
+)
+def q205_cohort_ltv_curves(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    coh = f.select(
+        "user_id",
+        F.date_trunc("month", "first_ts").alias("cohort"),
+    )
+    sz = coh.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("month", "ts").alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    j = (
+        rev.join(coh, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(F.months_between(F.col("m"), F.col("cohort")))
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = j.withColumn("cum_c", F.sum("rev_c").over(wc).cast("bigint"))
+    return (
+        cum.join(F.broadcast(sz), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("month_revenue"),
+            F.round(F.col("cum_c") / 100.0 / F.col("n_users"), 4).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+_GINI_SQL = """
+WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders),
+r AS (SELECT xc, row_number() OVER (ORDER BY xc) AS i FROM x),
+t AS (SELECT count(*) AS n, CAST(sum(xc) AS BIGINT) AS s FROM x),
+g AS (SELECT sum(CAST(xc AS DOUBLE) * (2 * i - n - 1)) AS gnum
+      FROM r CROSS JOIN t),
+tk AS (SELECT CAST(sum(xc) AS BIGINT) AS top_c
+       FROM r CROSS JOIN t WHERE i > n - n // 5)
+SELECT t.n AS n_orders,
+       round(t.s / 100.0, 2) AS total_revenue,
+       round(g.gnum / (CAST(t.n AS DOUBLE) * t.s), 6) AS gini,
+       round(CAST(tk.top_c AS DOUBLE) / t.s, 6) AS top20_share
+FROM t, g, tk"""
+
+
+@register(
+    "q206_revenue_concentration",
+    _GINI_SQL,
+    ops=("ext-gini-concentration",),
+    doc="REVENUE CONCENTRATION: exact Gini coefficient and top-20% "
+    "revenue share over order totals (the Lorenz/Pareto '80/20' "
+    "audit).  The engine NEVER ranks raw rows: group by the cents "
+    "value (exact bigint) into a count table, window-cumulate "
+    "counts over distinct values only, and use the closed-form "
+    "tied-block identity sum_{i=s}^{s+m-1}(2i-n-1) = m*(2*cb+m-n) "
+    "— the q154/q193 count-table discipline applied to Lorenz "
+    "arithmetic; the top-20% share takes per-block overlap with "
+    "the top-k rank range (k = n DIV 5), so ties straddling the "
+    "cut contribute identically in both engines.  The oracle is "
+    "the naive row_number formulation — sound because tied rows "
+    "carry equal values, so which tied row gets which rank changes "
+    "no sum.  The only doubles are the final weighted sum (exact "
+    "integer terms; pairwise accumulation error ~1e-15 relative "
+    "against the 1e-6 round grid) and two ratios.  Scale: "
+    "map-combined count table; windows over distinct prices.",
+)
+def q206_revenue_concentration(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc")
+    )
+    cnt = x.groupBy("xc").agg(F.count(F.lit(1)).alias("m"))
+    wv = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = cnt.withColumn("cb", F.coalesce(F.sum("m").over(wv), F.lit(0)))
+    tot = cnt.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("xc") * F.col("m")).cast("bigint").alias("s"),
+    )
+    b = blocks.crossJoin(F.broadcast(tot))
+    # tied-block Gini contribution: xc * m * (2*cb + m - n), summed
+    # as doubles of exact integer terms
+    gterm = (
+        F.col("xc").cast("double")
+        * F.col("m")
+        * (2 * F.col("cb") + F.col("m") - F.col("n"))
+    )
+    # top-k overlap: items strictly above this block = n - cb - m
+    above = F.col("n") - F.col("cb") - F.col("m")
+    kk = F.expr("n DIV 5")
+    overlap = F.greatest(
+        F.lit(0), F.least(F.col("m"), kk - above)
+    )
+    agg = b.agg(
+        F.first("n").alias("n"),
+        F.first("s").alias("s"),
+        F.sum(gterm).alias("gnum"),
+        F.sum(F.col("xc") * overlap).cast("bigint").alias("top_c"),
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("s") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            F.col("gnum") / (F.col("n").cast("double") * F.col("s")), 6
+        ).alias("gini"),
+        F.round(F.col("top_c").cast("double") / F.col("s"), 6).alias(
+            "top20_share"
+        ),
+    )
+
+
+_CENTROID_MEDOID_SQL = """
+WITH c AS (
+  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY label, i),
+d AS (
+  SELECT e.label, e.vec_id, t.i, CAST(e.embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings e, generate_series(1, 64) t(i)),
+j AS (
+  SELECT d.label, d.vec_id,
+         sum(d.x * c.c) AS dot, sum(d.x * d.x) AS na, sum(c.c * c.c) AS nb
+  FROM d JOIN c ON d.label = c.label AND d.i = c.i
+  GROUP BY 1, 2),
+s AS (
+  SELECT label, vec_id,
+         round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_to_centroid,
+         count(*) OVER (PARTITION BY label) AS n_members,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                     vec_id) AS rn
+  FROM j)
+SELECT label, vec_id AS proxy_medoid_id, cos_to_centroid,
+       CAST(n_members AS BIGINT) AS n_members
+FROM s WHERE rn = 1 ORDER BY label"""
+
+
+@register(
+    "q207_centroid_medoid_proxy",
+    _CENTROID_MEDOID_SQL,
+    ops=("ext-medoid-proxy",),
+    doc="LINEAR MEDOID PROXY — the 100 TB path for q203: instead of "
+    "the label-quadratic exact medoid (which is the right call only "
+    "while labels stay small — at 100x this corpus has ~20k vectors "
+    "per label and the exact pairing is 4e9 cosines, recorded DNF "
+    "in PLANS.md), pick the member closest to its label CENTROID — "
+    "one posexplode + per-(label, dim) average + one member-vs-"
+    "centroid cosine per vector, strictly linear in corpus size.  "
+    "Centroid dims are rounded to 6 BEFORE the cosine stage (the "
+    "q87 convention that keeps accumulation-order ulps from "
+    "crossing engines); the member cosine is computed on the "
+    "(label, dim) join with grouped sums, mirrored exactly in the "
+    "oracle, and the per-label arg-max ranks by the ROUNDED cosine "
+    "with vec_id tie-break.  For near-spherical clusters the proxy "
+    "agrees with the exact medoid (pinned on a planted cluster in "
+    "pytest, alongside a constructed case where they legitimately "
+    "differ).",
+)
+def q207_centroid_medoid_proxy(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select(
+        "label", "vec_id", (F.col("i") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    c = d.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+    j = (
+        d.join(F.broadcast(c), ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("na"),
+            F.sum(F.col("c") * F.col("c")).alias("nb"),
+        )
+    )
+    cosr = F.round(
+        F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
+    )
+    w = Window.partitionBy("label")
+    s = j.select(
+        "label",
+        "vec_id",
+        cosr.alias("cos_to_centroid"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        F.row_number()
+        .over(w.orderBy(F.desc(cosr), "vec_id"))
+        .alias("rn"),
+    )
+    return (
+        s.filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("proxy_medoid_id"),
+            "cos_to_centroid",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 10: change-point, ABC classes, negative sampling,
+# assortativity, KS test
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH d AS (
+  SELECT epoch_ms(o_orderdate) // 86400000 AS dayno, count(*) AS x
+  FROM orders GROUP BY dayno),
+t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM d),
+c AS (
+  SELECT dayno, x,
+         CAST(sum(x) OVER (ORDER BY dayno ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st,
+         CAST(row_number() OVER (ORDER BY dayno) AS BIGINT) AS t_idx
+  FROM d),
+k AS (
+  SELECT c.dayno, c.st, c.t_idx, t.n, t.s,
+         abs(c.st * t.n - c.t_idx * t.s) AS dev
+  FROM c CROSS JOIN t),
+p AS (SELECT * FROM k ORDER BY dev DESC, dayno LIMIT 1)
+SELECT CAST(dayno AS BIGINT) AS change_dayno,
+       round(CAST(dev AS DOUBLE) / n, 6) AS cusum_peak,
+       round(CAST(st AS DOUBLE) / t_idx, 6) AS mean_before,
+       round(CAST(s - st AS DOUBLE) / (n - t_idx), 6) AS mean_after
+FROM p"""
+
+
+@register(
+    "q208_order_volume_changepoint",
+    _CUSUM_SQL,
+    ops=("ext-cusum-changepoint",),
+    doc="CUSUM CHANGE-POINT DETECTION on the daily order-count "
+    "series: the day t maximizing |CUSUM_t| = |sum_{i<=t}(x_i - "
+    "mean)| marks the most likely level shift (Page's CUSUM / "
+    "binary-segmentation step 1) — the retrospective member of the "
+    "monitoring family (SPC q160 is the sequential one).  The "
+    "arg-max never touches floats: |CUSUM_t| * n = |n*S_t - t*S| "
+    "is EXACT bigint arithmetic (prefix sum S_t, day index t, "
+    "totals n, S), so the peak day is deterministic; the reported "
+    "peak and the two segment means are single final divisions "
+    "(round 6).  The mean_after division is safe: the arg-max of a "
+    "mean-centered CUSUM can never land on the last day (CUSUM_n = "
+    "0 exactly while some interior |dev| > 0 whenever the series "
+    "is non-constant).  Scale: the day series is map-combined out "
+    "of the fact scan; prefix sums run over DAYS (two-level "
+    "composable, q93); top-1 is a 1-row heap.",
+)
+def q208_order_volume_changepoint(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    t = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("bigint").alias("s")
+    )
+    wd = Window.orderBy("dayno")
+    c = d.withColumn(
+        "st", F.sum("x").over(wd.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint")
+    ).withColumn("t_idx", F.row_number().over(wd).cast("bigint"))
+    k = c.crossJoin(F.broadcast(t)).withColumn(
+        "dev",
+        F.abs(F.col("st") * F.col("n") - F.col("t_idx") * F.col("s")),
+    )
+    p = k.orderBy(F.desc("dev"), "dayno").limit(1)
+    return p.select(
+        F.col("dayno").alias("change_dayno"),
+        F.round(F.col("dev").cast("double") / F.col("n"), 6).alias(
+            "cusum_peak"
+        ),
+        F.round(F.col("st").cast("double") / F.col("t_idx"), 6).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("s") - F.col("st")).cast("double")
+            / (F.col("n") - F.col("t_idx")),
+            6,
+        ).alias("mean_after"),
+    )
+
+
+_ABC_SQL = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT count(*) AS n, CAST(sum(rev_c) AS BIGINT) AS s FROM pr),
+r AS (
+  SELECT l_partkey, rev_c,
+         CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+  FROM pr),
+cls AS (
+  SELECT CASE WHEN (cum_c - rev_c) * 100 < s * 80 THEN 'A'
+              WHEN (cum_c - rev_c) * 100 < s * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev_c
+  FROM r CROSS JOIN t)
+SELECT abc_class, count(*) AS n_parts,
+       round(CAST(sum(rev_c) AS DOUBLE) / t.s, 6) AS revenue_share
+FROM cls CROSS JOIN t GROUP BY abc_class, t.s ORDER BY abc_class"""
+
+
+@register(
+    "q209_part_abc_classification",
+    _ABC_SQL,
+    ops=("ext-abc-analysis",),
+    doc="ABC INVENTORY CLASSIFICATION: parts ranked by net revenue, "
+    "classed A/B/C at the 80% / 95% cumulative-share boundaries "
+    "(Pareto analysis as a CLASSIFIER, complementing q206's scalar "
+    "concentration metrics).  Class membership is decided by the "
+    "EXACT integer inequality (cum_before) * 100 < S * p — revenue "
+    "in cents, cumulative sums bigint, no float ever enters the "
+    "boundary decision (a part exactly ON the boundary classes "
+    "deterministically by the strict <, pinned in pytest).  The "
+    "cum-share uses the share BEFORE the part (a part that STARTS "
+    "below 80% belongs to A even if it crosses the line — the "
+    "standard convention).  The running sum orders by (rev_c DESC, "
+    "partkey) — a total order, so ties cannot reshuffle classes "
+    "between engines.  Scale: per-part aggregate map-combines the "
+    "fact scan; the ranked cumulation runs over PARTS (two-level "
+    "composable); output is 3 rows.",
+)
+def q209_part_abc_classification(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    t = pr.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_c").cast("bigint").alias("s")
+    )
+    wr = Window.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = pr.withColumn("cum_c", F.sum("rev_c").over(wr).cast("bigint"))
+    cls = r.crossJoin(F.broadcast(t)).select(
+        F.when(
+            (F.col("cum_c") - F.col("rev_c")) * 100 < F.col("s") * 80, "A"
+        )
+        .when((F.col("cum_c") - F.col("rev_c")) * 100 < F.col("s") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_c",
+        "s",
+    )
+    return (
+        cls.groupBy("abc_class", "s")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_c").cast("bigint").alias("class_c"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.round(F.col("class_c").cast("double") / F.col("s"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_NEG_K = 8
+_NEG_A, _NEG_C, _NEG_M = 1103515245, 12345, 2147483648
+
+_NEG_SQL = f"""
+WITH purch AS (
+  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+u AS (SELECT DISTINCT user_id FROM purch),
+mx AS (SELECT max(p_partkey) AS mpk FROM part),
+cand AS (
+  SELECT u.user_id, j,
+         (({_NEG_A} * (u.user_id * {_NEG_K + 1} + j) + {_NEG_C}) % {_NEG_M})
+           % mx.mpk + 1 AS partkey
+  FROM u CROSS JOIN mx, unnest(generate_series(1, {_NEG_K})) t(j)),
+neg AS (
+  SELECT c.user_id, c.j, c.partkey
+  FROM cand c
+  JOIN part p ON p.p_partkey = c.partkey
+  LEFT JOIN purch pu ON pu.user_id = c.user_id AND pu.partkey = c.partkey
+  WHERE pu.user_id IS NULL)
+SELECT user_id, CAST(j AS INT) AS j, partkey AS neg_partkey
+FROM neg ORDER BY user_id, j"""
+
+
+@register(
+    "q210_negative_sampling",
+    _NEG_SQL,
+    ops=("ext-negative-sampling",),
+    doc=f"DETERMINISTIC NEGATIVE SAMPLING for contrastive training "
+    f"pairs: for every purchasing user, {_NEG_K} candidate part ids "
+    "drawn by an LCG hash (a*(u*k+j)+c mod 2^31, mod max_partkey) — "
+    "pure integer arithmetic both engines share, NO engine RNG — "
+    "kept only if the part exists (semi join) and the user never "
+    "bought it (anti join).  This is the linear-cost formulation of "
+    "'sample negatives per user': k hashes per user, never a "
+    "user x parts cross product (the naive anti-join-then-sample is "
+    "quadratic at 100 TB).  Per-user yield is k minus existence/"
+    "collision losses — the training-set convention that accepts "
+    "variable negatives per anchor; j is kept so downstream can "
+    "take the first k' < k deterministically.  Scale: candidates "
+    "are |users| x k rows; both joins are broadcast-able (part "
+    "keys) or key-shuffled (purchase pairs).",
+)
+def q210_negative_sampling(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    purch = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .persist()
+    )
+    u = purch.select("user_id").distinct()
+    mx = part.agg(F.max("p_partkey").alias("mpk"))
+    cand = (
+        u.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "mpk",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_NEG_K))
+            ).alias("j"),
+        )
+        .select(
+            "user_id",
+            "j",
+            (
+                (
+                    (
+                        F.lit(_NEG_A)
+                        * (F.col("user_id") * (_NEG_K + 1) + F.col("j"))
+                        + _NEG_C
+                    )
+                    % _NEG_M
+                )
+                % F.col("mpk")
+                + 1
+            ).alias("partkey"),
+        )
+    )
+    neg = (
+        cand.join(
+            F.broadcast(part),
+            cand.partkey == part.p_partkey,
+            "left_semi",
+        )
+        .join(purch, ["user_id", "partkey"], "left_anti")
+    )
+    return neg.select(
+        "user_id", F.col("j").cast("int").alias("j"),
+        F.col("partkey").alias("neg_partkey"),
+    ).orderBy("user_id", "j")
+
+
+_ASSORT_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                  greatest(l1.l_partkey, l2.l_partkey) AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+de AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM e0 JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(dx + dy) AS BIGINT) AS sxy_sum,
+         sum(dx * dy) AS sp,
+         sum(dx * dx + dy * dy) AS sq
+  FROM de)
+SELECT n AS n_edges,
+       round((4.0 * n * CAST(sp AS DOUBLE)
+              - CAST(sxy_sum AS DOUBLE) * CAST(sxy_sum AS DOUBLE))
+             / (2.0 * n * CAST(sq AS DOUBLE)
+                - CAST(sxy_sum AS DOUBLE) * CAST(sxy_sum AS DOUBLE)), 6)
+         AS assortativity
+FROM m"""
+
+
+@register(
+    "q211_degree_assortativity",
+    _ASSORT_SQL,
+    ops=("ext-graph-assortativity",),
+    doc="DEGREE ASSORTATIVITY of the co-purchase graph (Newman 2002, "
+    "the symmetrized Pearson correlation of degrees across edges): "
+    "do high-degree parts co-occur with other hubs (r > 0) or with "
+    "leaves (r < 0)?  Completes the graph-stats family (PageRank "
+    "q132, triangles q155, k-core q186, HITS q194, BFS q181) with "
+    "its mixing-structure member.  Everything before the final "
+    "division is EXACT bigint arithmetic over the undirected edge "
+    "list: degree join, then one aggregate of the symmetric moments "
+    "sum(dx+dy), sum(dx*dy), sum(dx^2+dy^2); r = (4nSp - T^2) / "
+    "(2nSq - T^2) is the standard undirected estimator with both "
+    "edge orientations counted once symmetrically.  Scale: the "
+    "distinct pair relation is the q189 machinery (map-combined); "
+    "degrees broadcast back onto edges; the moment aggregate is one "
+    "pass.  Overflow posture: the degree-product moments sum in "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — hub degrees make "
+    "sum(d^2) exceed bigint at 100x — and only the FINAL r "
+    "expression casts the exact integers to double (the identical "
+    "round-to-nearest conversion in both engines).",
+)
+def q211_degree_assortativity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct().persist()
+    l1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    l2 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e0 = (
+        l1.join(l2, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionAll(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    de = e0.join(da, "a").join(db, "b")
+    dxd = F.col("dx").cast("decimal(19,0)")
+    dyd = F.col("dy").cast("decimal(19,0)")
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx") + F.col("dy")).cast("bigint").alias("sxy_sum"),
+        F.sum(dxd * dyd).alias("sp"),
+        F.sum(dxd * dxd + dyd * dyd).alias("sq"),
+    )
+    t2 = F.col("sxy_sum").cast("double") * F.col("sxy_sum").cast("double")
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(
+            (4.0 * F.col("n") * F.col("sp").cast("double") - t2)
+            / (2.0 * F.col("n") * F.col("sq").cast("double") - t2),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+_KS_SQL = """
+WITH s AS (
+  SELECT value AS v, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('click', 'purchase')),
+c AS (SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+             CAST(sum(1 - g1) AS BIGINT) AS c2 FROM s GROUP BY v),
+t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+cum AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+  FROM c),
+dev AS (
+  SELECT cum.v, abs(cum.f1 * t.n2 - cum.f2 * t.n1) AS cross_dev, t.n1, t.n2
+  FROM cum CROSS JOIN t),
+p AS (SELECT * FROM dev ORDER BY cross_dev DESC, v LIMIT 1)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       round(CAST(cross_dev AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+       round(v, 6) AS ks_at_value,
+       round(sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 1.358, 6) AS crit_05,
+       CAST(cross_dev AS DOUBLE) / (n1 * n2)
+         > sqrt((n1 + n2) * 1.0 / (n1 * n2)) * 1.358 AS reject_05
+FROM p"""
+
+
+@register(
+    "q212_ks_two_sample_test",
+    _KS_SQL,
+    ops=("ext-ks-test",),
+    doc="TWO-SAMPLE KOLMOGOROV-SMIRNOV TEST (click vs purchase value "
+    "distributions): D = max |F1(v) - F2(v)| over the pooled "
+    "support, against the asymptotic 5% critical value "
+    "c(alpha)*sqrt((n1+n2)/(n1*n2)), c(0.05)=1.358 — the "
+    "DISTRIBUTION-SHAPE member of the hypothesis family (mean z "
+    "q143, rank MWU q193, categorical chi2 q129).  The arg-max is "
+    "float-free: |F1 - F2| maximized via the cross-multiplied "
+    "integer |f1*n2 - f2*n1| over the COUNT TABLE's cumulative "
+    "sums (the q193 machinery), with the value itself as "
+    "tie-break; D, the critical value, and the verdict are final "
+    "float ops on exact integers.  Scale: count table map-combines "
+    "events; the ordered cumulation runs over distinct values "
+    "(two-level composable); top-1 is a 1-row heap.",
+)
+def q212_ks_two_sample_test(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    c = s.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "v",
+        F.sum("c1").over(wv).cast("bigint").alias("f1"),
+        F.sum("c2").over(wv).cast("bigint").alias("f2"),
+    )
+    dev = cum.crossJoin(F.broadcast(t)).withColumn(
+        "cross_dev",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")),
+    )
+    p = dev.orderBy(F.desc("cross_dev"), "v").limit(1)
+    d_stat = F.col("cross_dev").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = F.sqrt(
+        (F.col("n1") + F.col("n2")) * 1.0 / (F.col("n1") * F.col("n2"))
+    ) * 1.358
+    return p.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        F.round(d_stat, 6).alias("ks_d"),
+        F.round(F.col("v"), 6).alias("ks_at_value"),
+        F.round(crit, 6).alias("crit_05"),
+        (d_stat > crit).alias("reject_05"),
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -9615,9 +11534,10 @@ STAMP_PRIORITY: list[str] = [
     "q184_activity_streaks",
     "q185_referential_usage_audit",
     # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped batch-6 rows q186-q190 (registered after
-    # this window filled), then continue the r04 block (q11-q98),
-    # then r05.
+    # with the never-stamped batch-6..10 rows q186-q212 (registered
+    # after this window filled; all pre-verified by the pytest oracle
+    # replica at sf0.001 AND full driver-replica sweeps at sf0.01 —
+    # zero fails), then continue the r04 block (q11-q98), then r05.
     "q10_bottom10_nations_by_balance",
 ]
 

@@ -839,3 +839,758 @@ def test_greedy_coverage_marginal_not_total(spark, tmp_path_factory):
     # after round 2 every token is covered -> doc 2's marginal is 0,
     # the gains relation is empty, and greedy stops early
     assert len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# Batch-7 pins (q191-q196)
+# ---------------------------------------------------------------------------
+
+
+def test_activity_bitmap_planted_slots(spark, tmp_path_factory):
+    """Three events on epoch-days whose mod-60 slots are 0, 5, and 59
+    (plus a repeat on slot 5 that must NOT double-count) must yield
+    bitmap 2^0 + 2^5 + 2^59 with popcount 3."""
+    day = 86400000
+
+    def ev(eid, dayno):
+        return (
+            eid,
+            datetime.datetime.utcfromtimestamp(dayno * day / 1000),
+            7,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    # epoch days 60 (slot 0), 5 (slot 5), 119 (slot 59), 65 (slot 5 again)
+    d = _stage_events(
+        spark,
+        tmp_path_factory,
+        [ev(1, 60), ev(2, 5), ev(3, 119), ev(4, 65)],
+        "bitmap",
+    )
+    rows = QUERY_REGISTRY["q191_user_activity_bitmap"].fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bitmap == (1 << 0) + (1 << 5) + (1 << 59)
+    assert r.n_active_slots == 3
+    assert r.slot_coverage == round(3 / 60, 6)
+
+
+def test_dq_suite_planted_violations(spark, tmp_path_factory):
+    """Each check must fail on exactly its own planted violation:
+    5 orders with one NULL custkey, one duplicated orderkey, one
+    negative total, one malformed priority, one orphan custkey."""
+    orders = [
+        (1, 10, "O", 5.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+        (1, 10, "O", 5.0, datetime.datetime(2024, 1, 1), "2-HIGH"),  # dup key
+        (2, None, "O", 5.0, datetime.datetime(2024, 1, 1), "3-MEDIUM"),
+        (3, 10, "O", -1.0, datetime.datetime(2024, 1, 1), "bogus"),
+        (4, 99, "O", 5.0, datetime.datetime(2024, 1, 1), "5-LOW"),  # orphan
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(
+                orders,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            ),
+            "customer": spark.createDataFrame(
+                [(10, "c", 1, 0.0, "BUILDING")],
+                "c_custkey long, c_name string, c_nationkey int, "
+                "c_acctbal double, c_mktsegment string",
+            ),
+        },
+        "dq",
+    )
+    got = {
+        r.check_name: (r.metric, r.passed)
+        for r in QUERY_REGISTRY["q192_dq_constraint_suite"].fn(spark, d).collect()
+    }
+    assert got["completeness:o_custkey"] == (0.8, False)  # 4/5 non-null
+    assert got["uniqueness:o_orderkey"] == (0.8, False)  # 4 distinct / 5
+    assert got["compliance:totalprice_positive"] == (0.8, False)
+    assert got["pattern:orderpriority_format"] == (0.8, False)  # 'bogus'
+    # custkey NULL and orphan 99 both miss the customer join -> 3/5
+    assert got["referential:custkey_in_customer"] == (0.6, False)
+
+
+def test_mann_whitney_hand_computed(spark, tmp_path_factory):
+    """Dual reproduction: the textbook tie-corrected U/z on a planted
+    sample (click values [1,2,2,5], purchase [2,3,3]) computed in pure
+    Python must equal the engine's output after its round."""
+
+    def ev(eid, etype, v):
+        return (eid, datetime.datetime(2024, 1, 1, 0, 0, eid), 1, etype, v, "{}")
+
+    clicks = [1.0, 2.0, 2.0, 5.0]
+    purchases = [2.0, 3.0, 3.0]
+    rows = [ev(i, "click", v) for i, v in enumerate(clicks)] + [
+        ev(10 + i, "purchase", v) for i, v in enumerate(purchases)
+    ] + [ev(50, "view", 100.0)]  # other types must be ignored
+    d = _stage_events(spark, tmp_path_factory, rows, "mwu")
+
+    # pure-python replay of the count-table formulation
+    from collections import Counter
+
+    c1, call = Counter(clicks), Counter(clicks + purchases)
+    n1, n2 = len(clicks), len(purchases)
+    nn = n1 + n2
+    r1 = 0.0
+    cum = 0
+    for v in sorted(call):
+        cnt = call[v]
+        r1 += c1.get(v, 0) * (cum + (cnt + 1) / 2.0)
+        cum += cnt
+    tsum = sum(c**3 - c for c in call.values())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    sigma = ((n1 * n2 / 12.0) * ((nn + 1) - tsum / (nn * (nn - 1.0)))) ** 0.5
+    z = round((u1 - mu) / sigma, 6)
+
+    got = QUERY_REGISTRY["q193_mann_whitney_utest"].fn(spark, d).collect()[0]
+    assert (got.n_click, got.n_purchase) == (n1, n2)
+    assert got.u_stat == round(u1, 2)
+    assert got.z == z
+    assert got.significant == (abs(z) > 1.96)
+
+
+def test_hits_planted_bipartite_matrix(spark, tmp_path_factory):
+    """Pure-python matrix replay on a planted 3-customer / 3-part
+    graph: the engine's un-normalized integer scores must equal
+    A^T h and A a iterated exactly _HITS_ITERS times from h0 = 1."""
+    from team_aragon_spark.plans.star_queries import _HITS_ITERS
+
+    edges = {
+        100: [1, 2],
+        101: [2, 3],
+        102: [2],
+    }  # customer -> parts; part 2 is the hub-favorite (authority)
+    lines = [
+        (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         datetime.datetime(2024, 1, 1))
+        for ok, pks in edges.items()
+        for pk in pks
+    ]
+    orders = [
+        (ok, 200 + ok, "O", 1.0, datetime.datetime(2024, 1, 1), "1-URGENT")
+        for ok in edges
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA),
+            "orders": spark.createDataFrame(
+                orders,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            ),
+        },
+        "hits",
+    )
+    custs = sorted(200 + ok for ok in edges)
+    parts = sorted({p for pks in edges.values() for p in pks})
+    adj = {(200 + ok, p) for ok, pks in edges.items() for p in pks}
+    h = {c: 1 for c in custs}
+    a = {}
+    for _ in range(_HITS_ITERS):
+        a = {p: sum(h[c] for c in custs if (c, p) in adj) for p in parts}
+        h = {c: sum(a[p] for p in parts if (c, p) in adj) for c in custs}
+    got = QUERY_REGISTRY["q194_bipartite_hits"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    got_a = {r.id: (r.score, r.norm_score) for r in got if r.role == "authority"}
+    got_h = {r.id: (r.score, r.norm_score) for r in got if r.role == "hub"}
+    ma, mh = max(a.values()), max(h.values())
+    assert got_a == {p: (a[p], round(a[p] / ma, 6)) for p in parts}
+    assert got_h == {c: (h[c], round(h[c] / mh, 6)) for c in custs}
+    # part 2 is bought by every customer -> strictly top authority
+    assert max(got_a, key=lambda p: got_a[p][0]) == 2
+
+
+def test_pmi_planted_always_together_pair(spark, tmp_path_factory):
+    """A bigram that always co-occurs ('new york' x5) must rank above
+    an independent high-frequency pair, with pmi = ln(c_ab*T/(ca*cb))
+    replayed in pure python; pairs below min count must be absent."""
+    import math
+
+    from team_aragon_spark.plans.star_queries import _PMI_MIN
+
+    # 5 docs 'new york', 5 docs 'the cat', 5 docs 'the dog', and one
+    # 'rare pair' (below min count 5)
+    texts = (
+        ["new york"] * 5 + ["the cat"] * 5 + ["the dog"] * 5 + ["rare pair"]
+    )
+    rows = [
+        (i, t, "en", "s", len(t)) for i, t in enumerate(texts)
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "documents": spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        },
+        "pmi",
+    )
+    got = {
+        (r.a, r.b): (r.n_pair, r.pmi)
+        for r in QUERY_REGISTRY["q195_pmi_collocations"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    t_total = 32  # 16 docs x 2 tokens
+    assert got[("new", "york")] == (
+        5,
+        round(math.log(5 * t_total / (5 * 5)), 6),
+    )
+    # 'the cat' : c_the = 10 dilutes the association
+    assert got[("the", "cat")] == (
+        5,
+        round(math.log(5 * t_total / (10 * 5)), 6),
+    )
+    assert ("rare", "pair") not in got  # n_pair 1 < min count
+    assert all(n >= _PMI_MIN for n, _ in got.values())
+    assert got[("new", "york")][1] > got[("the", "cat")][1]
+
+
+def test_session_paths_planted_prefix_and_boundary(spark, tmp_path_factory):
+    """One user, two sessions: a 4-event session whose 4th event must
+    NOT appear in the path, split from a 2nd session by a gap of
+    exactly 1800001 ms; a 1800000 ms gap must MERGE (strict-> pin,
+    the q151 convention)."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ms, etype):
+        return (
+            eid,
+            t0 + datetime.timedelta(milliseconds=ms),
+            1,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, "view"),
+        ev(2, 1000, "click"),
+        # exactly 30 min after previous -> SAME session (strict >)
+        ev(3, 1000 + 1800000, "purchase"),
+        ev(4, 1000 + 1800000 + 1, "signup"),  # 4th event, not in path
+        # 30 min + 1 ms after previous -> NEW session
+        ev(5, 1000 + 1800000 + 1 + 1800001, "error"),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "paths")
+    got = {
+        r.path: (r.n_sessions, r.avg_events)
+        for r in QUERY_REGISTRY["q196_session_path_analysis"].fn(spark, d).collect()
+    }
+    assert got == {"view>click>purchase": (1, 4.0), "error": (1, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# Batch-8 pins (q197-q201)
+# ---------------------------------------------------------------------------
+
+
+def test_capped_balance_planted_clamps(spark, tmp_path_factory):
+    """Hand-traced clamp recurrence for one user (cap 100, floor 0):
+    purchases +80, +50 (clamp top at 130 -> 100), error -120 (clamp
+    bottom -> 0), purchase +30, click +999 ignored -> final 30,
+    one top clamp, one bottom clamp.  Prefix-sum semantics would
+    give 80+50-120+30 = 40 — the test distinguishes the two."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, etype, v):
+        return (eid, t0 + datetime.timedelta(seconds=eid), 1, etype, v, "{}")
+
+    rows = [
+        ev(1, "purchase", 80.0),
+        ev(2, "purchase", 50.0),
+        ev(3, "error", 120.0),
+        ev(4, "purchase", 30.0),
+        ev(5, "click", 999.0),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "bal")
+    got = QUERY_REGISTRY["q197_capped_running_balance"].fn(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_events, r.final_balance) == (5, 30.0)
+    assert (r.n_clamped_top, r.n_clamped_bottom) == (1, 1)
+    assert r.final_balance != 40.0  # the prefix-sum wrong answer
+
+
+def test_benford_digit_extraction_boundaries(spark, tmp_path_factory):
+    """First-digit binning on planted totals spanning every magnitude
+    bin, including exact powers of 10 (the log10-library hazard the
+    CASE formulation exists to avoid)."""
+    totals = [1.0, 9.99, 10.0, 99.0, 100.0, 999.0, 1000.0, 123456.0,
+              1000000.0, 9999999.0, 0.5]  # 0.5 filtered (< 1)
+    rows = [
+        (i, 1, "O", v, datetime.datetime(2024, 1, 1), "1-URGENT")
+        for i, v in enumerate(totals)
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            )
+        },
+        "benford",
+    )
+    got = {
+        r.digit: r.n
+        for r in QUERY_REGISTRY["q198_benford_digit_audit"].fn(spark, d).collect()
+    }
+    # digits: 1,9,1,9,1,9,1,1,1,9 -> six 1s, four 9s; 0.5 excluded
+    assert got == {1: 6, 9: 4}
+
+
+def test_crosscorrelation_planted_shifted_series(spark, tmp_path_factory):
+    """Purchases exactly one hour after clicks: r must be 1.0 at
+    lag +1 (perfect linear track) and the lag-0 pairing must see the
+    misaligned (weaker) relation."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    clicks_per_hour = [1, 5, 2, 8, 3, 9, 4]
+    for h, n in enumerate(clicks_per_hour):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(hours=h, seconds=eid % 60),
+                         1, "click", 1.0, "{}"))
+        for _ in range(n):  # same count, one hour later
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(hours=h + 1, seconds=eid % 60),
+                         1, "purchase", 1.0, "{}"))
+    d = _stage_events(spark, tmp_path_factory, rows, "xcorr")
+    got = {r.lag: r.r for r in
+           QUERY_REGISTRY["q199_hourly_crosscorrelation"].fn(spark, d).collect()}
+    assert got[1] == 1.0
+    assert got[0] < 1.0
+
+
+def test_funnel_latency_strictly_later_purchase(spark, tmp_path_factory):
+    """A purchase BEFORE the first click must not count; the first
+    strictly-later purchase defines the latency.  Two users with
+    hand-known latencies 60s and 120s -> p50 = 90s (interpolated)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, secs):
+        return (eid, t0 + datetime.timedelta(seconds=secs), uid, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "purchase", 0),   # before first click: ignored
+        ev(2, 1, "click", 10),
+        ev(3, 1, "purchase", 70),  # latency 60 s
+        ev(4, 1, "purchase", 500),  # not first
+        ev(5, 2, "click", 0),
+        ev(6, 2, "purchase", 120),  # latency 120 s
+        ev(7, 3, "click", 0),       # never converts
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "funnel")
+    got = QUERY_REGISTRY["q200_funnel_latency_quantiles"].fn(spark, d).collect()[0]
+    assert got.n == 2
+    assert got.p_50 == round((60000 + 120000) / 2, 6)
+    assert got.p_99 == round(60000 + 0.99 * 60000, 6)
+
+
+def test_zipf_fit_perfect_power_law(spark, tmp_path_factory):
+    """A corpus built so token counts follow EXACTLY c = 64/rank
+    (counts 64,32,16,8 for ranks 1..4 after the min-count cut) must
+    fit slope -1 with R^2 = 1 under ln-ln OLS... but 64/rank is only
+    a power law at slope -1 for rank in powers of 2 — so plant counts
+    64,32,16,8 at ranks 1,2,3,4: ln(c) = ln(64) - ln(2)*log2(rank),
+    which is linear in ln(rank) ONLY at ranks {1,2,4,8}.  Use ranks
+    {1,2,4,8} padding with below-threshold noise tokens."""
+    import math
+
+    counts = {"a": 64, "b": 32, "c": 16, "d": 8}
+    words = []
+    for w, n in counts.items():
+        words += [w] * n
+    rows = [(i, w, "en", "s", len(w)) for i, w in enumerate(words)]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "documents": spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        },
+        "zipf",
+    )
+    got = QUERY_REGISTRY["q201_token_zipf_fit"].fn(spark, d).collect()[0]
+    assert got.n_tokens == 4
+    # replay the OLS in pure python over (ln rank, ln count)
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (64, 32, 16, 8)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert got.zipf_slope == round(slope, 6)
+    assert got.intercept == round((sy - slope * sx) / n, 6)
+    assert got.r2 == round(r2, 6)
+
+
+# ---------------------------------------------------------------------------
+# Batch-9 pins (q202-q206)
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_planted_quintiles(spark, tmp_path_factory):
+    """Five purchasing users with strictly ordered R/F/M -> with
+    ntile(5) each lands alone in a bucket; hand-computed scores.
+    A sixth user with only clicks must be absent, and a later view
+    event pins 'now'."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, days, v):
+        return (eid, t0 + datetime.timedelta(days=days), uid, etype, v, "{}")
+
+    rows = []
+    eid = 0
+    # user u: last purchase at day u*2, freq = u purchases, monetary u*10
+    for u in range(1, 6):
+        for k in range(u):
+            eid += 1
+            rows.append(ev(eid, u, "purchase", u * 2 - k, 10.0))
+    rows.append(ev(99, 9, "click", 50, 1.0))  # non-purchaser; also 'now'
+    d = _stage_events(spark, tmp_path_factory, rows, "rfm")
+    got = {
+        r.user_id: (r.recency_days, r.frequency, r.monetary,
+                    r.r_score, r.f_score, r.m_score, r.rfm_code)
+        for r in QUERY_REGISTRY["q202_rfm_segmentation"].fn(spark, d).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    # recency: now = day 50; user u last purchase day u*2
+    for u in range(1, 6):
+        rec, freq, mon, r, f, m, code = got[u]
+        assert rec == 50 - u * 2
+        assert freq == u
+        assert mon == u * 10.0
+        # user 5: most recent (r=5), most frequent (f=5), highest spend (m=5)
+        assert (r, f, m) == (u, u, u)
+        assert code == u * 111
+
+
+def test_label_medoid_planted_and_tie(spark, tmp_path_factory):
+    """Label 0: v2 = [0.8, 0.6] sits between [1,0] and [0,1] ->
+    medoid with total cosine 1.4.  Label 1: two orthogonal vectors
+    tie at 0.0 -> the LOWER vec_id must win."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.8, 0.6], 0),
+        (3, [0.0, 1.0], 0),
+        (10, [1.0, 0.0], 1),
+        (11, [0.0, 1.0], 1),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "embeddings": spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            )
+        },
+        "medoid",
+    )
+    got = {
+        r.label: (r.medoid_id, r.total_cos, r.n_members)
+        for r in QUERY_REGISTRY["q203_label_medoids"].fn(spark, d).collect()
+    }
+    assert got[0] == (2, 1.4, 3)
+    assert got[1] == (10, 0.0, 2)
+
+
+def test_burstiness_regular_clock_and_hand_gaps(spark, tmp_path_factory):
+    """A metronome (every 60 s) has cv 0 and burstiness -1; gaps
+    [10 s, 40 s] give mean 25, population sigma 15, cv 0.6,
+    burstiness -0.25.  A cross-midnight gap must NOT count."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, etype, secs):
+        return (eid, t0 + datetime.timedelta(seconds=secs), 1, etype, 1.0, "{}")
+
+    rows = [ev(i, "click", 60 * i) for i in range(5)]  # 4 gaps of 60 s
+    rows += [ev(10, "error", 0), ev(11, "error", 10), ev(12, "error", 50)]
+    # purchase: one event at 23:59:50, one at 00:00:10 next day -> no gap
+    rows += [ev(20, "purchase", 86390), ev(21, "purchase", 86410)]
+    d = _stage_events(spark, tmp_path_factory, rows, "burst")
+    got = {
+        r.event_type: (r.n_gaps, r.mean_gap_s, r.cv, r.burstiness)
+        for r in QUERY_REGISTRY["q204_interarrival_burstiness"].fn(spark, d).collect()
+    }
+    assert got["click"] == (4, 60.0, 0.0, -1.0)
+    assert got["error"] == (2, 25.0, 0.6, -0.25)
+    # purchase's only adjacent pair straddles midnight -> zero gaps,
+    # so the type must be absent entirely
+    assert "purchase" not in got
+
+
+def test_cohort_ltv_hand_triangle(spark, tmp_path_factory):
+    """Two Jan users (one buys $100 in Jan and $50 in Feb), one Feb
+    user ($20 in Feb): the cumulative per-user curve is hand-known,
+    including the divide-by-cohort-size convention."""
+    def ev(eid, uid, etype, month, day, v):
+        return (eid, datetime.datetime(2024, month, day), uid, etype, v, "{}")
+
+    rows = [
+        ev(1, 1, "signup", 1, 5, 0.0),
+        ev(2, 1, "purchase", 1, 10, 100.0),
+        ev(3, 1, "purchase", 2, 10, 50.0),
+        ev(4, 2, "click", 1, 20, 0.0),     # Jan cohort, never buys
+        ev(5, 3, "purchase", 2, 15, 20.0),  # Feb cohort
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "ltv")
+    got = {
+        (r.cohort.month, r.age_months): (r.n_users, r.month_revenue, r.cum_ltv_per_user)
+        for r in QUERY_REGISTRY["q205_cohort_ltv_curves"].fn(spark, d).collect()
+    }
+    assert got[(1, 0)] == (2, 100.0, 50.0)
+    assert got[(1, 1)] == (2, 50.0, 75.0)
+    assert got[(2, 0)] == (1, 20.0, 20.0)
+    assert len(got) == 3
+
+
+def test_gini_hand_computed_and_uniform(spark, tmp_path_factory):
+    """Orders [1,1,1,1,6] dollars: Gini = 0.4, top-20% share = 0.6
+    (k = 1, the 6).  All-equal orders: Gini 0, top-20% share exactly
+    k/n (tie block straddles the cut, overlap arithmetic)."""
+    def orders_dir(name, totals):
+        rows = [
+            (i, 1, "O", v, datetime.datetime(2024, 1, 1), "1-URGENT")
+            for i, v in enumerate(totals)
+        ]
+        return _stage_tables(
+            spark,
+            tmp_path_factory,
+            {
+                "orders": spark.createDataFrame(
+                    rows,
+                    "o_orderkey long, o_custkey long, o_orderstatus string, "
+                    "o_totalprice double, o_orderdate timestamp, "
+                    "o_orderpriority string",
+                )
+            },
+            name,
+        )
+
+    fn = QUERY_REGISTRY["q206_revenue_concentration"].fn
+    g1 = fn(spark, orders_dir("gini1", [1.0, 1.0, 1.0, 1.0, 6.0])).collect()[0]
+    assert (g1.n_orders, g1.total_revenue) == (5, 10.0)
+    assert g1.gini == 0.4
+    assert g1.top20_share == 0.6
+    g2 = fn(spark, orders_dir("gini2", [2.0] * 5)).collect()[0]
+    assert g2.gini == 0.0
+    assert g2.top20_share == round(1 / 5, 6)
+
+
+def test_centroid_medoid_proxy_agreement_and_divergence(
+    spark, tmp_path_factory
+):
+    """Label 0 (the q203 planted cluster): proxy and exact medoid
+    agree on [1,0] / [0.8,0.6] / [0,1] -> both pick vec 2.
+    Label 7: a LONG outlier [10,0] drags the centroid toward itself
+    (centroid uses magnitudes, cosine-medoid does not), so the proxy
+    picks the outlier while the exact medoid is the middle vector —
+    the documented divergence mode of the linear approximation."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.8, 0.6], 0),
+        (3, [0.0, 1.0], 0),
+        (10, [10.0, 0.0], 7),
+        (11, [0.0, 1.0], 7),
+        (12, [0.7, 0.7], 7),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "embeddings": spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            )
+        },
+        "cmed",
+    )
+    proxy = {
+        r.label: r.proxy_medoid_id
+        for r in QUERY_REGISTRY["q207_centroid_medoid_proxy"].fn(spark, d).collect()
+    }
+    exact = {
+        r.label: r.medoid_id
+        for r in QUERY_REGISTRY["q203_label_medoids"].fn(spark, d).collect()
+    }
+    assert proxy[0] == exact[0] == 2
+    assert exact[7] == 12  # cosine medoid: the 45-degree middle vector
+    assert proxy[7] == 10  # centroid dragged to the long outlier
+
+
+# ---------------------------------------------------------------------------
+# Batch-10 pins (q208-q212)
+# ---------------------------------------------------------------------------
+
+
+def _orders_dir(spark, tmp_path_factory, name, rows):
+    return _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            )
+        },
+        name,
+    )
+
+
+def test_cusum_planted_level_shift(spark, tmp_path_factory):
+    """10 days at 10 orders/day then 10 days at 30/day: the CUSUM
+    arg-max must land exactly on the last low day, with segment
+    means 10 and 30 and peak |S_t - t*mean| = 10*|10-20| = 100."""
+    rows = []
+    ok = 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for day in range(20):
+        n = 10 if day < 10 else 30
+        for _ in range(n):
+            ok += 1
+            rows.append((ok, 1, "O", 1.0, t0 + datetime.timedelta(days=day),
+                         "1-URGENT"))
+    d = _orders_dir(spark, tmp_path_factory, "cusum", rows)
+    got = QUERY_REGISTRY["q208_order_volume_changepoint"].fn(spark, d).collect()[0]
+    day9 = int((t0 + datetime.timedelta(days=9)).timestamp() // 86400)
+    assert got.change_dayno == day9
+    assert (got.mean_before, got.mean_after) == (10.0, 30.0)
+    assert got.cusum_peak == 100.0
+
+
+def test_abc_boundary_is_strict(spark, tmp_path_factory):
+    """Revenues 80/15/5: the 15-part STARTS exactly at the 80% line,
+    so the strict < places it in B (and the 5-part starts exactly at
+    95% -> C).  One lineitem per part, no discount."""
+    lines = [
+        (1, 1, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+        (2, 2, 1, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+        (3, 3, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "abc",
+    )
+    got = {
+        r.abc_class: (r.n_parts, r.revenue_share)
+        for r in QUERY_REGISTRY["q209_part_abc_classification"].fn(spark, d).collect()
+    }
+    assert got == {"A": (1, 0.8), "B": (1, 0.15), "C": (1, 0.05)}
+
+
+def test_negative_sampling_pure_python_replay(spark, tmp_path_factory):
+    """The LCG candidate stream replayed in pure python must equal
+    the engine's output exactly: existing parts only, purchased
+    pairs excluded, j preserved."""
+    from team_aragon_spark.plans.star_queries import (
+        _NEG_A, _NEG_C, _NEG_K, _NEG_M,
+    )
+
+    parts = [(pk, f"p{pk}", "B", "T", 1, 1.0) for pk in range(1, 8)]  # mpk=7
+    lines = [
+        (100, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+        (101, 5, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+    ]
+    orders = [
+        (100, 42, "O", 1.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+        (101, 42, "O", 1.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "part": spark.createDataFrame(rows := parts, PART_SCHEMA),
+            "lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA),
+            "orders": spark.createDataFrame(
+                orders,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string",
+            ),
+        },
+        "negsamp",
+    )
+    expected = []
+    purchased = {3, 5}
+    for j in range(1, _NEG_K + 1):
+        pk = ((_NEG_A * (42 * (_NEG_K + 1) + j) + _NEG_C) % _NEG_M) % 7 + 1
+        if pk not in purchased:  # all 1..7 exist
+            expected.append((42, j, pk))
+    got = [
+        (r.user_id, r.j, r.neg_partkey)
+        for r in QUERY_REGISTRY["q210_negative_sampling"].fn(spark, d).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+    assert all(pk not in purchased for _, _, pk in got)
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path_factory):
+    """A star co-purchase graph (hub part in 3 orders, each with one
+    distinct leaf) is maximally disassortative: r = -1 exactly."""
+    lines = []
+    for i, leaf in enumerate([2, 3, 4]):
+        ok = 100 + i
+        lines.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                      datetime.datetime(2024, 1, 1)))
+        lines.append((ok, leaf, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                      datetime.datetime(2024, 1, 1)))
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "assort",
+    )
+    got = QUERY_REGISTRY["q211_degree_assortativity"].fn(spark, d).collect()[0]
+    spark.catalog.clearCache()
+    assert got.n_edges == 3
+    assert got.assortativity == -1.0
+
+
+def test_ks_disjoint_supports_d_is_one(spark, tmp_path_factory):
+    """Fully separated samples (clicks at 1,2; purchases at 10,20):
+    D = 1.0 exactly, attained at the last click value; the tiny-n
+    critical value exceeds 1, so reject_05 is False."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0, 1, "click", 2.0, "{}"),
+        (3, t0, 1, "purchase", 10.0, "{}"),
+        (4, t0, 1, "purchase", 20.0, "{}"),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "ks")
+    got = QUERY_REGISTRY["q212_ks_two_sample_test"].fn(spark, d).collect()[0]
+    assert (got.n_click, got.n_purchase) == (2, 2)
+    assert got.ks_d == 1.0
+    assert got.ks_at_value == 2.0
+    assert got.crit_05 == round(1.358 * (4 / 4) ** 0.5, 6)
+    assert got.reject_05 is False

@@ -1262,3 +1262,257 @@ def test_round7_batch6_plan_shapes(spark):
         p = plan(name)
         assert "CartesianProduct" not in p
         assert "BatchEvalPython" not in p
+
+
+def test_round7_batch7_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-7 additions:
+
+    - q191 (activity bitmap): ONE partial->final aggregate pair (the
+      bit_or partials merge map-side like sum); no join, no window,
+      no Python.
+    - q192 (DQ suite): a single scan of orders feeds all five checks
+      — one broadcast join against the distinct dimension keys, no
+      second Exchange of the fact table, verdict unpivot is a
+      5-row Expand/Generate.
+    - q193 (Mann-Whitney): the ordered rank window runs over the
+      COUNT TABLE (post-aggregate), never over raw events; final
+      moment aggregate is map-combined.
+    - q194 (HITS): returned plan reads checkpointed score relations;
+      the loop is pinned by the planted matrix-replay test.
+    - q195 (PMI): unigram counts BROADCAST onto the min-count-pruned
+      pair table; top-k by the scaled integer key is a k-heap; no
+      cartesian; bigrams are map-side zip_with (no Window).
+    - q196 (session paths): windows partitioned by user (no global
+      ordered window over events); path aggregate + k-heap.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p191 = plan("q191_user_activity_bitmap")
+    assert "Join" not in p191 and "Window" not in p191
+    assert "BatchEvalPython" not in p191
+    assert p191.count("HashAggregate") >= 2, "bit_or must partial-aggregate"
+
+    p192 = plan("q192_dq_constraint_suite")
+    assert "CartesianProduct" not in p192
+    assert "BroadcastHashJoin" in p192, "dimension keys must broadcast"
+    assert "SortMergeJoin" not in p192
+    assert "BatchEvalPython" not in p192
+
+    p193 = plan("q193_mann_whitney_utest")
+    assert "CartesianProduct" not in p193
+    assert "BatchEvalPython" not in p193
+    # the single-partition window must consume the count table: the
+    # plan's Window sits above a HashAggregate, not above the scan
+    assert "Window" in p193 and "HashAggregate" in p193
+
+    p194 = plan("q194_bipartite_hits")
+    assert "CartesianProduct" not in p194
+    assert "BatchEvalPython" not in p194
+    assert "Scan ExistingRDD" in p194, "scores must read checkpoints"
+
+    p195 = plan("q195_pmi_collocations")
+    assert "CartesianProduct" not in p195
+    assert "BroadcastHashJoin" in p195, "unigram counts must broadcast"
+    assert "Window" not in p195, "bigrams must be map-side zip, not lead()"
+    assert "TakeOrderedAndProject" in p195, "top-k must be a k-heap"
+    assert "BatchEvalPython" not in p195
+
+    p196 = plan("q196_session_path_analysis")
+    assert "CartesianProduct" not in p196
+    assert "BatchEvalPython" not in p196
+    assert "TakeOrderedAndProject" in p196, "top-k must be a k-heap"
+
+
+def test_round7_batch8_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-8 additions:
+
+    - q197 (capped balance): exactly ONE Python boundary — a
+      MapInPandas over user-repartitioned, (user, ts, id)-sorted
+      partitions (NOT grouped-map applyInPandas: one pandas frame
+      per key cost 7.8 s vs 0.8 s at sf0.1) — and one exchange on
+      user_id feeding it; the non-associative scan is the one
+      operator ALLOWED a Python stage.
+    - q192 (rewritten): NO Expand in the plan — uniqueness rides the
+      two-level aggregate, not count(DISTINCT) (the Expand doubled
+      shuffled rows at 100x).
+    - q198 (Benford): no join but the broadcast 1-row total; two
+      aggregate pairs (9-group digit counts + total).
+    - q199 (cross-correlation): hour table persisted and reused for
+      both sides of the lag join; the 7-row lag relation broadcasts;
+      no cartesian against raw events.
+    - q200 (funnel latency): first-click/first-purchase aggregates
+      are map-combined; no window over raw events.
+    - q201 (Zipf): the rank window runs over the min-count-filtered
+      vocabulary (post-aggregate), never raw tokens.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p197 = plan("q197_capped_running_balance")
+    assert p197.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in p197, "per-key pandas frames banned"
+    assert "BatchEvalPython" not in p197, "scalar Python UDFs stay banned"
+    assert "CartesianProduct" not in p197
+    assert "Sort" in p197, "per-partition (user, ts, id) sort must exist"
+
+    p192 = plan("q192_dq_constraint_suite")
+    assert "Expand" not in p192, "uniqueness must not plan count(DISTINCT) Expand"
+    assert "BroadcastHashJoin" in p192
+    assert "BatchEvalPython" not in p192
+
+    p198 = plan("q198_benford_digit_audit")
+    assert "Join" not in p198 or "BroadcastNestedLoopJoin BuildRight, Cross" in p198
+    assert "BatchEvalPython" not in p198
+    assert "CartesianProduct" not in p198
+
+    p199 = plan("q199_hourly_crosscorrelation")
+    assert "CartesianProduct" not in p199
+    assert "InMemoryTableScan" in p199, "hour table must be cache-served twice"
+    assert "BatchEvalPython" not in p199
+
+    p200 = plan("q200_funnel_latency_quantiles")
+    assert "CartesianProduct" not in p200
+    assert "BatchEvalPython" not in p200
+
+    p201 = plan("q201_token_zipf_fit")
+    assert "CartesianProduct" not in p201
+    assert "BatchEvalPython" not in p201
+    # Window must consume the aggregated vocabulary, not raw tokens:
+    # a Generate (explode) below the Window would mean raw-token ranks
+    w_idx, g_idx = p201.find("Window"), p201.find("Generate")
+    assert w_idx != -1 and g_idx != -1 and w_idx < g_idx
+
+
+def test_round7_batch9_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-9 additions:
+
+    - q202 (RFM): the ntile windows consume the per-user AGGREGATE
+      (Window above HashAggregate), never raw events; the corpus-max
+      is a broadcast 1-row cross.
+    - q203 (medoids): the pairwise join is label-keyed equi (no
+      cartesian); per-label top-1 via Window over the aggregate.
+    - q204 (burstiness): the lag window is (type, day)-partitioned —
+      asserted by the day expression appearing in the Window spec —
+      then one map-combined moment aggregate.
+    - q205 (cohort LTV): cohort sizes broadcast; running sum windows
+      over the (cohort, age) matrix, not events.
+    - q206 (Gini): the rank/cumulation window consumes the
+      value-count table (Window above HashAggregate); no raw-row
+      global sort anywhere.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name in (
+        "q202_rfm_segmentation",
+        "q203_label_medoids",
+        "q204_interarrival_burstiness",
+        "q205_cohort_ltv_curves",
+        "q206_revenue_concentration",
+        "q207_centroid_medoid_proxy",
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        # broadcast nested loops only as 1-row cross joins
+        assert p.count("BroadcastNestedLoopJoin") == p.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        ) + p.count("BroadcastNestedLoopJoin BuildLeft, Cross"), name
+
+    # "window consumes an aggregate, not raw rows" = some
+    # HashAggregate must appear BELOW the window in the printed tree
+    # (the final moment/first aggregates legitimately sit above it)
+    p202 = plan("q202_rfm_segmentation")
+    assert p202.find("HashAggregate", p202.find("Window")) != -1, (
+        "ntile must rank the per-user aggregate, not raw events"
+    )
+    p204 = plan("q204_interarrival_burstiness")
+    assert "86400000" in p204, "lag window must be day-partitioned"
+    p206 = plan("q206_revenue_concentration")
+    assert p206.find("HashAggregate", p206.find("Window")) != -1, (
+        "Lorenz cumulation must run over the value-count table"
+    )
+    p205 = plan("q205_cohort_ltv_curves")
+    assert "BroadcastHashJoin" in p205, "cohort sizes must broadcast"
+
+
+def test_round7_batch10_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-10 additions:
+
+    - q208/q212 (CUSUM, KS): arg-max over an AGGREGATED series/count
+      table (HashAggregate below the Window), 1-row top via
+      TakeOrderedAndProject; integer cross-multiplied ranking keys.
+    - q209 (ABC): per-part aggregate below the ranked cumulation;
+      3-row output.
+    - q210 (negative sampling): candidates = |users| x k via explode
+      — NO user x parts join anywhere (the quadratic trap); part
+      existence via broadcast semi join; purchase exclusion via
+      anti join on the persisted pair relation.
+    - q211 (assortativity): distinct pair relation cache-served;
+      degree joins; one moment aggregate.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name in (
+        "q208_order_volume_changepoint",
+        "q209_part_abc_classification",
+        "q210_negative_sampling",
+        "q211_degree_assortativity",
+        "q212_ks_two_sample_test",
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert p.count("BroadcastNestedLoopJoin") == p.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        ) + p.count("BroadcastNestedLoopJoin BuildLeft, Cross"), name
+
+    p208 = plan("q208_order_volume_changepoint")
+    assert "TakeOrderedAndProject" in p208
+    assert p208.find("HashAggregate", p208.find("Window")) != -1
+    p212 = plan("q212_ks_two_sample_test")
+    assert "TakeOrderedAndProject" in p212
+    assert p212.find("HashAggregate", p212.find("Window")) != -1
+    p210 = plan("q210_negative_sampling")
+    assert "Generate" in p210, "candidates must come from explode, not a join"
+    assert "BroadcastHashJoin" in p210, "part existence must broadcast"
+    p211 = plan("q211_degree_assortativity")
+    assert "InMemoryTableScan" in p211, "pair relation must be cache-served"
