@@ -154,6 +154,13 @@ EXTRA = [
     "q210_negative_sampling",       # LCG contrastive negatives
     "q211_degree_assortativity",    # graph mixing coefficient
     "q212_ks_two_sample_test",      # Kolmogorov-Smirnov D
+    "q213_markov_heldout_accuracy", # train/test model evaluation
+    "q214_feature_hashing",         # hashing-trick featurizer
+    "q215_source_quantile_normalization",  # per-source rank normalize
+    "q216_copurchase_link_prediction",     # common-neighbor Jaccard
+    "q217_prediction_calibration",  # reliability diagram / ECE
+    "q218_mann_kendall_trend",      # non-parametric trend test
+    "q219_hash_bootstrap_ci",       # deterministic Poisson bootstrap
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

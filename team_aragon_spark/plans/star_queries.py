@@ -11467,6 +11467,689 @@ def q212_ks_two_sample_test(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 11: model eval loop, feature hashing, rank
+# normalization, link prediction
+# ---------------------------------------------------------------------------
+
+_MARKOV_EVAL_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt,
+         user_id % 5 = 0 AS is_test
+  FROM events),
+tr AS (SELECT * FROM o WHERE nxt IS NOT NULL),
+cnt AS (
+  SELECT event_type AS a, nxt AS b, count(*) AS c
+  FROM tr WHERE NOT is_test GROUP BY a, b),
+pred AS (
+  SELECT a, b AS pred_b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a
+                                    ORDER BY c DESC, b) AS rn
+    FROM cnt) WHERE rn = 1),
+base AS (
+  SELECT b AS base_b FROM (
+    SELECT b, row_number() OVER (ORDER BY sum(c) DESC, b) AS rn
+    FROM cnt GROUP BY b) WHERE rn = 1),
+ev AS (
+  SELECT t.nxt = p.pred_b AS hit, t.nxt = base.base_b AS base_hit
+  FROM tr t JOIN pred p ON t.event_type = p.a CROSS JOIN base
+  WHERE t.is_test)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr WHERE NOT is_test) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS markov_accuracy,
+       round(CAST(sum(CASE WHEN base_hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS baseline_accuracy
+FROM ev"""
+
+
+@register(
+    "q213_markov_heldout_accuracy",
+    _MARKOV_EVAL_SQL,
+    ops=("ext-model-eval",),
+    doc="HELD-OUT MODEL EVALUATION of the q147 Markov chain — the "
+    "train/score/evaluate loop every behavioral model ships with: "
+    "users hash-split 80/20 (user_id % 5, the q97/q112 deterministic "
+    "split convention), first-order transition counts fitted on "
+    "train users only, the per-state arg-max prediction (count "
+    "DESC, type — total order) scored top-1 against test users' "
+    "actual next events, beside the predict-the-global-mode "
+    "baseline that tells you whether the chain learned anything.  "
+    "All counts integer; the two accuracies are final divisions "
+    "(round 6).  Scale: one user-partitioned lead() window over "
+    "events; the model is |types|^2 rows and BROADCASTS onto the "
+    "test stream — training data never joins test data directly.",
+)
+def q213_markov_heldout_accuracy(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(wu).alias("nxt"),
+        (F.col("user_id") % 5 == 0).alias("is_test"),
+    ).filter(F.col("nxt").isNotNull()).persist()
+    cnt = (
+        o.filter(~F.col("is_test"))
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("a").orderBy(F.desc("c"), "b")
+    pred = (
+        cnt.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("a", F.col("b").alias("pred_b"))
+    )
+    base = (
+        cnt.groupBy("b")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), "b")
+        .limit(1)
+        .select(F.col("b").alias("base_b"))
+    )
+    n_train = o.filter(~F.col("is_test")).count()
+    evald = (
+        o.filter(F.col("is_test"))
+        .join(F.broadcast(pred), F.col("event_type") == F.col("a"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("nxt") == F.col("pred_b")).alias("hit"),
+            (F.col("nxt") == F.col("base_b")).alias("base_hit"),
+        )
+    )
+    return evald.agg(
+        F.lit(n_train).cast("bigint").alias("n_train"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("markov_accuracy"),
+        F.round(
+            F.sum(F.when(F.col("base_hit"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("baseline_accuracy"),
+    )
+
+
+_FH_BUCKETS, _FH_TOPK = 1024, 50
+
+_FH_SQL = rf"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+h AS (
+  SELECT w, count(*) AS c,
+         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS hv
+  FROM t GROUP BY w),
+b AS (
+  SELECT hv % {_FH_BUCKETS} AS bucket,
+         CASE WHEN (hv // {_FH_BUCKETS}) % 2 = 0 THEN 1 ELSE -1 END AS sgn,
+         w, c
+  FROM h)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(sgn * c) AS BIGINT) AS signed_sum
+FROM b GROUP BY bucket
+ORDER BY n_occurrences DESC, bucket LIMIT {_FH_TOPK}"""
+
+
+@register(
+    "q214_feature_hashing",
+    _FH_SQL,
+    ops=("ext-feature-hashing",),
+    doc=f"FEATURE HASHING (the hashing trick, Weinberger et al. 2009): "
+    f"tokens mapped into {_FH_BUCKETS} buckets by a PORTABLE md5 "
+    "integer (the q63 '0x'+substr idiom both engines share — no "
+    "engine-specific string hash), with the signed variant's "
+    "+/-1 drawn from the next hash bits so collisions cancel in "
+    "expectation — the fixed-width featurizer that replaces an "
+    "unbounded vocabulary with a constant-size vector at 100 TB "
+    "(no vocab broadcast, no OOV).  Output: the top buckets with "
+    "occurrence mass, how many distinct tokens collided into each "
+    "(the collision audit), and the signed sum.  All integer "
+    "arithmetic.  Scale: one token aggregate (map-combined, "
+    "vocabulary-sized) then a bucket aggregate (fixed "
+    f"{_FH_BUCKETS} keys); top-k is a heap.",
+)
+def q214_feature_hashing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "hv",
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    b = h.select(
+        (F.col("hv") % _FH_BUCKETS).alias("bucket"),
+        F.when((F.expr(f"hv DIV {_FH_BUCKETS}") % 2) == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+        "c",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("sgn") * F.col("c")).cast("bigint").alias("signed_sum"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bucket")
+        .limit(_FH_TOPK)
+    )
+
+
+_QNORM_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d)
+SELECT doc_id, source, n_tokens,
+       round(CASE WHEN n > 1 THEN (rn - 1) * 1.0 / (n - 1) ELSE 0.0 END, 6)
+         AS pct_rank
+FROM r ORDER BY doc_id"""
+
+
+@register(
+    "q215_source_quantile_normalization",
+    _QNORM_SQL,
+    ops=("ext-quantile-normalization",),
+    doc="PER-SOURCE QUANTILE NORMALIZATION of document length: each "
+    "doc's token count mapped to its percentile WITHIN its source "
+    "((rank-1)/(n-1), the scipy 'rankdata' convention with doc_id "
+    "breaking ties into a total order) — the curriculum/"
+    "re-weighting primitive that makes 'long for arXiv' comparable "
+    "to 'long for chat logs' before cross-source mixing (q94) or "
+    "curriculum bucketing (q117).  Rank is an exact integer "
+    "row_number; the single division is the only float (round 6).  "
+    "Scale: source-partitioned windows (high-cardinality partition "
+    "key; two-level composable per the q154 caveat).",
+)
+def q215_source_quantile_normalization(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "source", text.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    ws = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(ws)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("rn") - 1) * 1.0 / (F.col("n") - 1),
+            ).otherwise(0.0),
+            6,
+        ).alias("pct_rank"),
+    ).orderBy("doc_id")
+
+
+_LP_SCALE, _LP_TOPK, _LP_MIN_SUPPORT = 1_000_000_000_000, 50, 2
+
+_LP_SQL = f"""
+WITH e AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_LP_MIN_SUPPORT}),
+adj AS (SELECT a AS m, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT m AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY m),
+w AS (
+  SELECT a1.n AS x, a2.n AS y, count(*) AS common
+  FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+  GROUP BY 1, 2),
+cand AS (
+  SELECT w.x, w.y, w.common
+  FROM w LEFT JOIN e ON e.a = w.x AND e.b = w.y
+  WHERE e.a IS NULL),
+j AS (
+  SELECT c.x, c.y, CAST(c.common AS BIGINT) AS common,
+         dx.d + dy.d - c.common AS un
+  FROM cand c JOIN deg dx ON dx.node = c.x JOIN deg dy ON dy.node = c.y)
+SELECT x AS part_a, y AS part_b, common AS common_neighbors,
+       round(CAST(common AS DOUBLE) / un, 6) AS jaccard
+FROM j
+ORDER BY (common::HUGEINT * {_LP_SCALE}) // un DESC, x, y
+LIMIT {_LP_TOPK}"""
+
+
+@register(
+    "q216_copurchase_link_prediction",
+    _LP_SQL,
+    ops=("ext-link-prediction",),
+    doc="LINK PREDICTION on the SUPPORT-PRUNED co-purchase graph "
+    f"(edges = part pairs co-purchased in >= {_LP_MIN_SUPPORT} "
+    "orders — the q189 min-support convention): for pairs NOT yet "
+    "connected (anti-join on the edge set) sharing a neighbor, "
+    "rank by neighbor-set Jaccard |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — "
+    "the 'frequently bought with' recommender primitive "
+    "(Liben-Nowell & Kleinberg), completing the graph family with "
+    "its missing-edge member.  Support pruning IS the scale "
+    "decision: the raw support-1 graph is co-occurrence noise "
+    "(1.2M edges at sf0.1, wedge cost sum(deg^2) = 288M — "
+    "measured 49.7 s) while the support-2 graph keeps the signal "
+    "(3.6k edges, wedge cost 9.9k, sub-second) — prune the noise "
+    "BEFORE the quadratic step, exactly like q24's LSH banding.  "
+    "Ranking never touches floats: top-k orders by the scaled "
+    "integer quotient common*1e12 DIV (dx+dy-common) (the q195 "
+    "idiom); the displayed jaccard is one rounded division.  "
+    "Degrees broadcast; the anti-join hits the cached edge set; "
+    "top-k is a heap.",
+)
+def q216_copurchase_link_prediction(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    l1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    l2 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e = (
+        l1.join(l2, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= _LP_MIN_SUPPORT)
+        .select("a", "b")
+        .persist()
+    )
+    adj = e.select(F.col("a").alias("m"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("m"), F.col("a").alias("n"))
+    ).persist()
+    deg = adj.groupBy(F.col("m").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a1 = adj.select("m", F.col("n").alias("x"))
+    a2 = adj.select("m", F.col("n").alias("y"))
+    w = (
+        a1.join(a2, "m")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = w.join(
+        e, (w.x == e.a) & (w.y == e.b), "left_anti"
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    j = (
+        cand.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            F.col("common").cast("bigint").alias("common"),
+            (F.col("dx") + F.col("dy") - F.col("common")).alias("un"),
+        )
+    )
+    key = F.expr(f"common * CAST({_LP_SCALE} AS BIGINT) DIV un")
+    return (
+        j.select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            F.round(F.col("common").cast("double") / F.col("un"), 6).alias(
+                "jaccard"
+            ),
+            key.alias("rk"),
+        )
+        .orderBy(F.desc("rk"), "part_a", "part_b")
+        .limit(_LP_TOPK)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 12: calibration, trend test, deterministic bootstrap
+# ---------------------------------------------------------------------------
+
+_CALIB_BINS = 10
+
+_CALIB_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt,
+         user_id % 5 = 0 AS is_test
+  FROM events),
+tr AS (SELECT * FROM o WHERE nxt IS NOT NULL),
+cnt AS (
+  SELECT event_type AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+  FROM tr WHERE NOT is_test GROUP BY a, b),
+tot AS (SELECT a, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY a),
+pred AS (
+  SELECT cnt.a, cnt.b AS pred_b, cnt.c, tot.ct FROM cnt JOIN tot USING (a)
+  QUALIFY row_number() OVER (PARTITION BY cnt.a
+                             ORDER BY cnt.c DESC, cnt.b) = 1),
+ev AS (
+  SELECT CAST(least(p.c * {_CALIB_BINS} // p.ct,
+                    {_CALIB_BINS - 1}) AS INT) AS bin,
+         p.c * 1.0 / p.ct AS conf,
+         CASE WHEN t.nxt = p.pred_b THEN 1 ELSE 0 END AS hit
+  FROM tr t JOIN pred p ON t.event_type = p.a
+  WHERE t.is_test)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(avg(conf), 6) AS mean_confidence,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS observed_accuracy,
+       round(abs(avg(conf) - CAST(sum(hit) AS DOUBLE) / count(*)), 6)
+         AS calibration_gap
+FROM ev GROUP BY bin ORDER BY bin"""
+
+
+@register(
+    "q217_prediction_calibration",
+    _CALIB_SQL,
+    ops=("ext-calibration-curve",),
+    doc="RELIABILITY DIAGRAM for the q213 Markov predictor: each test "
+    "transition lands in a confidence decile (the train-side "
+    "arg-max probability c/ct, binned by the exact integer "
+    "c*10 DIV ct — no float boundary), and the bin compares mean "
+    "claimed confidence against observed top-1 accuracy; the gap "
+    "column is the per-bin ECE contribution.  A well-calibrated "
+    "model tracks the diagonal — THE production-ML monitoring "
+    "artifact next to accuracy (q213).  conf is a ratio of train "
+    "bigints; avg(conf) is a mean over identical rational values "
+    "per (state) group — each distinct state contributes one "
+    "constant, so accumulation order cannot change the rounded "
+    "mean beyond the 1e-6 grid (q161-class).  Scale: model "
+    "broadcasts onto the test stream; output is <= 10 rows.",
+)
+def q217_prediction_calibration(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(wu).alias("nxt"),
+        (F.col("user_id") % 5 == 0).alias("is_test"),
+    ).filter(F.col("nxt").isNotNull()).persist()
+    cnt = (
+        o.filter(~F.col("is_test"))
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("a").agg(F.sum("c").cast("bigint").alias("ct"))
+    wp = Window.partitionBy("a").orderBy(F.desc("c"), "b")
+    pred = (
+        cnt.join(tot, "a")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("a", F.col("b").alias("pred_b"), "c", "ct")
+    )
+    evald = (
+        o.filter(F.col("is_test"))
+        .join(F.broadcast(pred), F.col("event_type") == F.col("a"))
+        .select(
+            F.least(
+                F.expr(f"c * {_CALIB_BINS} DIV ct"),
+                F.lit(_CALIB_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+            (F.col("c") * 1.0 / F.col("ct")).alias("conf"),
+            F.when(F.col("nxt") == F.col("pred_b"), 1).otherwise(0).alias(
+                "hit"
+            ),
+        )
+    )
+    acc = F.sum("hit").cast("double") / F.count(F.lit(1))
+    return (
+        evald.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("conf"), 6).alias("mean_confidence"),
+            F.round(acc, 6).alias("observed_accuracy"),
+            F.round(F.abs(F.avg("conf") - acc), 6).alias("calibration_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+_MK_SQL = """
+WITH d AS (
+  SELECT epoch_ms(o_orderdate) // 86400000 AS dayno,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY dayno),
+pairs AS (
+  SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM d a JOIN d b ON b.dayno > a.dayno),
+sstat AS (SELECT CAST(sum(sgn) AS BIGINT) AS s, count(*) AS n_pairs FROM pairs),
+t AS (SELECT count(*) AS n FROM d),
+ties AS (
+  SELECT COALESCE(CAST(sum(m * (m - 1) * (2 * m + 5)) AS BIGINT), 0) AS tsum
+  FROM (SELECT x, count(*) AS m FROM d GROUP BY x HAVING count(*) > 1)),
+z AS (
+  SELECT s, n, tsum,
+         (n * (n - 1.0) * (2 * n + 5) - tsum) / 18.0 AS var_s
+  FROM sstat CROSS JOIN t CROSS JOIN ties)
+SELECT CAST(n AS BIGINT) AS n_days, s AS s_stat,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z,
+       abs(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                ELSE 0.0 END) > 1.96 AS trend_05
+FROM z"""
+
+
+@register(
+    "q218_mann_kendall_trend",
+    _MK_SQL,
+    ops=("ext-trend-test",),
+    doc="MANN-KENDALL TREND TEST on the daily order-count series: "
+    "S = sum of sign(x_j - x_i) over all ordered day pairs, "
+    "tie-corrected variance, continuity-corrected z — the "
+    "NON-PARAMETRIC 'is this metric drifting' answer (no "
+    "linearity/normality assumed), completing the monitoring "
+    "family: CUSUM q208 finds WHERE the shift is, Mann-Kendall "
+    "says WHETHER a monotone trend exists.  S and the tie term "
+    "are exact bigints; z is one float chain (round 6).  The "
+    "pairwise join is DAY x DAY — the day count grows with "
+    "calendar time, not data volume (~1000 days = 500k pairs at "
+    "any sf), the same bounded-domain argument as q183's skyline; "
+    "the day series itself map-combines out of the fact scan.",
+)
+def q218_mann_kendall_trend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x")).persist()
+    a = d.select(F.col("dayno").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("dayno").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    sstat = pairs.agg(F.sum("sgn").cast("bigint").alias("s"))
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    z0 = (
+        sstat.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ties))
+        .withColumn(
+            "var_s",
+            (
+                F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5)
+                - F.col("tsum")
+            )
+            / 18.0,
+        )
+    )
+    zexpr = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt("var_s"))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    return z0.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(zexpr, 6).alias("z"),
+        (F.abs(zexpr) > 1.96).alias("trend_05"),
+    )
+
+
+_BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds scaled to 2^31: P(K>=1)=1-e^-1,
+# P(K>=2)=1-2e^-1, P(K>=3)=1-2.5e^-1, P(K>=4)=1-(8/3)e^-1 — a row's
+# uniform hash u < threshold_k contributes its k-th copy.  Weights
+# 0..4 cover 0.99634 of Poisson(1) mass; the truncation is part of
+# the pinned semantics (identical constants in both engines).
+_BOOT_T1 = 1358187913  # floor((1 - e^-1) * 2^31)
+_BOOT_T2 = 568213821   # floor((1 - 2e^-1) * 2^31)
+_BOOT_T3 = 173220298   # floor((1 - 2.5e^-1) * 2^31)
+_BOOT_T4 = 41555790    # floor((1 - (8/3)e^-1) * 2^31)
+_BOOT_A, _BOOT_C, _BOOT_M = 1103515245, 12345, 2147483648
+
+_BOOT_SQL = f"""
+WITH x AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+  FROM orders),
+reps AS (
+  SELECT b, o_orderkey, xc,
+         ({_BOOT_A} * ((o_orderkey * {_BOOT_B + 1} + b) % {_BOOT_M})
+          + {_BOOT_C}) % {_BOOT_M} AS u
+  FROM x, unnest(generate_series(1, {_BOOT_B})) t(b)),
+w AS (
+  SELECT b, xc,
+         (CASE WHEN u < {_BOOT_T1} THEN 1 ELSE 0 END
+          + CASE WHEN u < {_BOOT_T2} THEN 1 ELSE 0 END
+          + CASE WHEN u < {_BOOT_T3} THEN 1 ELSE 0 END
+          + CASE WHEN u < {_BOOT_T4} THEN 1 ELSE 0 END) AS wt
+  FROM reps),
+means AS (
+  SELECT b, CAST(sum(wt * xc) AS BIGINT) AS num,
+         CAST(sum(wt) AS BIGINT) AS den
+  FROM w GROUP BY b),
+r AS (
+  SELECT b, num * 1.0 / den / 100 AS mean_price,
+         row_number() OVER (ORDER BY num * 1.0 / den, b) AS rn,
+         count(*) OVER () AS n_live
+  FROM means WHERE den > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+       round(min(mean_price), 4) AS ci_low,
+       round(max(mean_price), 4) AS ci_high,
+       round(avg(mean_price), 4) AS boot_mean
+FROM r WHERE rn > 1 AND rn < n_live"""
+
+
+@register(
+    "q219_hash_bootstrap_ci",
+    _BOOT_SQL,
+    ops=("ext-bootstrap-ci",),
+    doc=f"DETERMINISTIC POISSON BOOTSTRAP ({_BOOT_B} resamples) for "
+    "the mean order price: each (row, replicate) draws a Poisson(1)"
+    "-ish weight 0..4 by comparing a shared LCG hash against fixed "
+    "inverse-CDF thresholds (floor((1-cum)*2^31) constants spelled "
+    "in BOTH engines — no RNG, replayable forever), per-replicate "
+    "means from cents-exact integer sums, and the ~94% CI "
+    "(drop the min and max surviving resamples, report the "
+    "envelope; a replicate whose every weight is 0 is dropped — "
+    "P = e^-n, the planted pin's convention) — the "
+    "error-bar machinery every metric pipeline needs, made "
+    "distributed exactly the way production systems do it "
+    "(Poisson/online bootstrap: one pass, no resample "
+    "materialization, weights independent per row).  The trimmed "
+    "envelope selection orders by the exact rational mean "
+    "(num*1.0/den is the same double both sides; b breaks ties).  "
+    "Scale: |rows| x B is one map-side explode feeding a "
+    f"{_BOOT_B}-group map-combined aggregate; nothing shuffles "
+    "more than B rows.",
+)
+def q219_hash_bootstrap_ci(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc"),
+    )
+    reps = x.select(
+        "xc",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        F.col("o_orderkey"),
+    ).select(
+        "b",
+        "xc",
+        (
+            (
+                F.lit(_BOOT_A)
+                * (
+                    (F.col("o_orderkey") * (_BOOT_B + 1) + F.col("b"))
+                    % _BOOT_M
+                )
+                + _BOOT_C
+            )
+            % _BOOT_M
+        ).alias("u"),
+    )
+    wt = (
+        F.when(F.col("u") < _BOOT_T1, 1).otherwise(0)
+        + F.when(F.col("u") < _BOOT_T2, 1).otherwise(0)
+        + F.when(F.col("u") < _BOOT_T3, 1).otherwise(0)
+        + F.when(F.col("u") < _BOOT_T4, 1).otherwise(0)
+    )
+    means = (
+        reps.select("b", "xc", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("xc")).cast("bigint").alias("num"),
+            F.sum("wt").cast("bigint").alias("den"),
+        )
+    )
+    mp = (F.col("num") * 1.0 / F.col("den") / 100).alias("mean_price")
+    # a replicate where EVERY row drew weight 0 has no sample — drop
+    # it (P = e^-n per replicate, nil at corpus size; the planted
+    # pytest pin exercises the convention)
+    r = (
+        means.filter(F.col("den") > 0)
+        .select("b", mp)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("mean_price", "b"))
+        )
+        .withColumn("n_live", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    return r.filter(
+        (F.col("rn") > 1) & (F.col("rn") < F.col("n_live"))
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resamples"),
+        F.round(F.min("mean_price"), 4).alias("ci_low"),
+        F.round(F.max("mean_price"), 4).alias("ci_high"),
+        F.round(F.avg("mean_price"), 4).alias("boot_mean"),
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle

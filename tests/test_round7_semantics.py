@@ -1594,3 +1594,237 @@ def test_ks_disjoint_supports_d_is_one(spark, tmp_path_factory):
     assert got.ks_at_value == 2.0
     assert got.crit_05 == round(1.358 * (4 / 4) ** 0.5, 6)
     assert got.reject_05 is False
+
+
+# ---------------------------------------------------------------------------
+# Batch-11 pins (q213-q216)
+# ---------------------------------------------------------------------------
+
+
+def test_markov_heldout_hand_computed(spark, tmp_path_factory):
+    """Hand-built split: train users 1-2 fit pred(click)=purchase,
+    pred(purchase)=click, global-mode baseline=purchase; test user 5
+    scores 2/3 (the click->error transition misses) and the
+    error->click transition is EXCLUDED (state unseen in training
+    can't be scored — the inner-join convention)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, secs):
+        return (eid, t0 + datetime.timedelta(seconds=secs), uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1 (train): click > purchase > click > purchase
+        ev(1, 1, "click", 0), ev(2, 1, "purchase", 10),
+        ev(3, 1, "click", 20), ev(4, 1, "purchase", 30),
+        # user 2 (train): click > error
+        ev(5, 2, "click", 0), ev(6, 2, "error", 10),
+        # user 5 (test): click > purchase > click > error > click
+        ev(7, 5, "click", 0), ev(8, 5, "purchase", 10),
+        ev(9, 5, "click", 20), ev(10, 5, "error", 30), ev(11, 5, "click", 40),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "markov")
+    got = QUERY_REGISTRY["q213_markov_heldout_accuracy"].fn(spark, d).collect()[0]
+    spark.catalog.clearCache()
+    assert (got.n_train, got.n_test) == (4, 3)
+    assert got.markov_accuracy == round(2 / 3, 6)
+    assert got.baseline_accuracy == round(1 / 3, 6)
+
+
+def test_feature_hashing_pure_python_replay(spark, tmp_path_factory):
+    """The md5 bucket/sign assignment replayed with hashlib must
+    equal the engine's bucket rows exactly (collisions included)."""
+    import hashlib
+
+    from team_aragon_spark.plans.star_queries import _FH_BUCKETS
+
+    words = ["alpha", "beta", "gamma", "alpha", "beta", "alpha"]
+    rows = [(1, " ".join(words), "en", "s", 1)]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "documents": spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        },
+        "fh",
+    )
+    from collections import Counter, defaultdict
+
+    exp = defaultdict(lambda: [0, 0, 0])  # bucket -> [occ, tokens, signed]
+    for w, c in Counter(words).items():
+        hv = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        b, sgn = hv % _FH_BUCKETS, 1 if (hv // _FH_BUCKETS) % 2 == 0 else -1
+        exp[b][0] += c
+        exp[b][1] += 1
+        exp[b][2] += sgn * c
+    got = {
+        r.bucket: [r.n_occurrences, r.n_tokens, r.signed_sum]
+        for r in QUERY_REGISTRY["q214_feature_hashing"].fn(spark, d).collect()
+    }
+    assert got == dict(exp)
+
+
+def test_quantile_normalization_ties_and_singleton(spark, tmp_path_factory):
+    """Lengths 1/2/3 in one source -> pct 0 / 0.5 / 1; a singleton
+    source pins the n=1 -> 0.0 convention; equal lengths take
+    DISTINCT pct ranks in doc_id order (total-order ranking, not
+    average ranks)."""
+    rows = [
+        (1, "a", "s1", "s1", 1),
+        (2, "a b", "s1", "s1", 3),
+        (3, "a b c", "s1", "s1", 5),
+        (4, "solo doc here", "s2", "s2", 13),
+        (10, "x y", "s3", "s3", 3),
+        (11, "p q", "s3", "s3", 3),
+    ]
+    rows = [(i, t, "en", src, n) for (i, t, src, _, n) in rows]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "documents": spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        },
+        "qnorm",
+    )
+    got = {
+        r.doc_id: r.pct_rank
+        for r in QUERY_REGISTRY["q215_source_quantile_normalization"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert (got[1], got[2], got[3]) == (0.0, 0.5, 1.0)
+    assert got[4] == 0.0
+    assert (got[10], got[11]) == (0.0, 1.0)  # tie broken by doc_id
+
+
+def test_link_prediction_square_graph(spark, tmp_path_factory):
+    """Baskets {1,2},{1,3},{4,2},{4,3} (each duplicated so every
+    edge clears min support 2) build a 4-cycle; the two diagonals
+    (1,4) and (2,3) are the only common-neighbor non-edges, each
+    with Jaccard 1.0 (two degree-2 neighborhoods that coincide)."""
+    baskets = {
+        100: [1, 2], 101: [1, 3], 102: [4, 2], 103: [4, 3],
+        200: [1, 2], 201: [1, 3], 202: [4, 2], 203: [4, 3],
+    }
+    lines = [
+        (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         datetime.datetime(2024, 1, 1))
+        for ok, pks in baskets.items()
+        for pk in pks
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "linkpred",
+    )
+    got = [
+        (r.part_a, r.part_b, r.common_neighbors, r.jaccard)
+        for r in QUERY_REGISTRY["q216_copurchase_link_prediction"]
+        .fn(spark, d)
+        .collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == [(1, 4, 2, 1.0), (2, 3, 2, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# Batch-12 pins (q217-q219)
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_hand_computed(spark, tmp_path_factory):
+    """On the q213 planted split: pred(click)=purchase at confidence
+    2/3 (bin 6), pred(purchase)=click at 1.0 (clamped to bin 9).
+    Test transitions: two from state click (one hit, one miss) and
+    one from purchase (hit) -> bin 6 shows the 2/3-vs-0.5 gap,
+    bin 9 is perfectly calibrated."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, secs):
+        return (eid, t0 + datetime.timedelta(seconds=secs), uid, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "click", 0), ev(2, 1, "purchase", 10),
+        ev(3, 1, "click", 20), ev(4, 1, "purchase", 30),
+        ev(5, 2, "click", 0), ev(6, 2, "error", 10),
+        ev(7, 5, "click", 0), ev(8, 5, "purchase", 10),
+        ev(9, 5, "click", 20), ev(10, 5, "error", 30), ev(11, 5, "click", 40),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "calib")
+    got = {
+        r.bin: (r.n, r.mean_confidence, r.observed_accuracy, r.calibration_gap)
+        for r in QUERY_REGISTRY["q217_prediction_calibration"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    conf = round(2 / 3, 6)
+    assert got[6] == (2, conf, 0.5, round(2 / 3 - 0.5, 6))
+    assert got[9] == (1, 1.0, 1.0, 0.0)
+    assert set(got) == {6, 9}
+
+
+def test_mann_kendall_monotone_and_constant(spark, tmp_path_factory):
+    """A strictly increasing 10-day series: S = 45, no ties,
+    z = 44/sqrt(125), trend flagged.  A constant series: S = 0 and
+    the all-tied variance collapses to 0 — the z CASE must return 0
+    without dividing."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def orders_for(counts, name):
+        rows = []
+        ok = 0
+        for day, n in enumerate(counts):
+            for _ in range(n):
+                ok += 1
+                rows.append((ok, 1, "O", 1.0,
+                             t0 + datetime.timedelta(days=day), "1-URGENT"))
+        return _orders_dir(spark, tmp_path_factory, name, rows)
+
+    fn = QUERY_REGISTRY["q218_mann_kendall_trend"].fn
+    up = fn(spark, orders_for(list(range(1, 11)), "mk_up")).collect()[0]
+    assert (up.n_days, up.s_stat) == (10, 45)
+    assert up.z == round(44 / 125 ** 0.5, 6)
+    assert up.trend_05 is True
+    flat = fn(spark, orders_for([3] * 8, "mk_flat")).collect()[0]
+    assert (flat.s_stat, flat.z, flat.trend_05) == (0, 0.0, False)
+
+
+def test_bootstrap_pure_python_replay(spark, tmp_path_factory):
+    """The Poisson-bootstrap weights and trimmed CI replayed in pure
+    python over 5 planted orders must equal the engine exactly."""
+    from team_aragon_spark.plans.star_queries import (
+        _BOOT_A, _BOOT_B, _BOOT_C, _BOOT_M,
+        _BOOT_T1, _BOOT_T2, _BOOT_T3, _BOOT_T4,
+    )
+
+    totals = {ok: 100.0 * ok for ok in range(1, 21)}  # 20 orders
+    rows = [
+        (ok, 1, "O", v, datetime.datetime(2024, 1, 1), "1-URGENT")
+        for ok, v in totals.items()
+    ]
+    d = _orders_dir(spark, tmp_path_factory, "boot", rows)
+
+    means = []
+    for b in range(1, _BOOT_B + 1):
+        num = den = 0
+        for ok, v in totals.items():
+            u = (_BOOT_A * ((ok * (_BOOT_B + 1) + b) % _BOOT_M) + _BOOT_C) % _BOOT_M
+            wt = sum(u < t for t in (_BOOT_T1, _BOOT_T2, _BOOT_T3, _BOOT_T4))
+            num += wt * int(round(v * 100))
+            den += wt
+        if den > 0:  # the engine's empty-resample drop convention
+            means.append((num * 1.0 / den / 100, b))
+    means.sort()
+    trimmed = [m for m, _ in means[1:-1]]
+    got = QUERY_REGISTRY["q219_hash_bootstrap_ci"].fn(spark, d).collect()[0]
+    assert got.n_resamples == len(trimmed)
+    assert got.ci_low == round(min(trimmed), 4)
+    assert got.ci_high == round(max(trimmed), 4)
+    assert got.boot_mean == round(sum(trimmed) / len(trimmed), 4)

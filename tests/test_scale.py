@@ -1516,3 +1516,102 @@ def test_round7_batch10_plan_shapes(spark):
     assert "BroadcastHashJoin" in p210, "part existence must broadcast"
     p211 = plan("q211_degree_assortativity")
     assert "InMemoryTableScan" in p211, "pair relation must be cache-served"
+
+
+def test_round7_batch11_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-11 additions:
+
+    - q213 (Markov eval): the fitted model and baseline BROADCAST
+      onto the test stream (train never joins test by shuffle); one
+      user-partitioned lead() window.
+    - q214 (feature hashing): token aggregate then a fixed-width
+      bucket aggregate; top-k heap; no join at all.
+    - q215 (quantile normalization): source-partitioned windows, no
+      global Window, no join.
+    - q216 (link prediction): min-common filter before the degree
+      joins; degrees broadcast; anti-join against the cached edge
+      set; top-k by the integer key is a heap.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name in (
+        "q213_markov_heldout_accuracy",
+        "q214_feature_hashing",
+        "q215_source_quantile_normalization",
+        "q216_copurchase_link_prediction",
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert p.count("BroadcastNestedLoopJoin") == p.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        ) + p.count("BroadcastNestedLoopJoin BuildLeft, Cross"), name
+
+    p213 = plan("q213_markov_heldout_accuracy")
+    assert "BroadcastHashJoin" in p213, "model must broadcast onto test"
+    p214 = plan("q214_feature_hashing")
+    assert "Join" not in p214
+    assert "TakeOrderedAndProject" in p214
+    p215 = plan("q215_source_quantile_normalization")
+    assert "Join" not in p215
+    p216 = plan("q216_copurchase_link_prediction")
+    assert "BroadcastHashJoin" in p216, "degrees must broadcast"
+    assert "TakeOrderedAndProject" in p216
+    assert "InMemoryTableScan" in p216, "edge set must be cache-served"
+
+
+def test_round7_batch12_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-12 additions:
+
+    - q217 (calibration): the fitted model broadcasts onto the test
+      stream (q213's rule); output bounded by the bin count.
+    - q218 (Mann-Kendall): the pairwise join runs over the DAY
+      aggregate on both sides (cache-served), never raw orders.
+    - q219 (bootstrap): one Generate (explode) feeds a B-group
+      map-combined aggregate; no join of data against data.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name in (
+        "q217_prediction_calibration",
+        "q218_mann_kendall_trend",
+        "q219_hash_bootstrap_ci",
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        if name != "q218_mann_kendall_trend":
+            assert p.count("BroadcastNestedLoopJoin") == p.count(
+                "BroadcastNestedLoopJoin BuildRight, Cross"
+            ) + p.count("BroadcastNestedLoopJoin BuildLeft, Cross"), name
+    # q218's day-pair inequality join IS a conditioned BNLJ by
+    # design — over the calendar-bounded day aggregate (cache-served
+    # on both sides), never over raw orders
+
+    p217 = plan("q217_prediction_calibration")
+    assert "BroadcastHashJoin" in p217, "model must broadcast onto test"
+    p218 = plan("q218_mann_kendall_trend")
+    assert "InMemoryTableScan" in p218, "day series must be cache-served"
+    p219 = plan("q219_hash_bootstrap_ci")
+    assert "Generate" in p219, "replicates must come from explode"
+    assert "Join" not in p219 or "BroadcastNestedLoopJoin" in p219
