@@ -161,6 +161,15 @@ EXTRA = [
     "q217_prediction_calibration",  # reliability diagram / ECE
     "q218_mann_kendall_trend",      # non-parametric trend test
     "q219_hash_bootstrap_ci",       # deterministic Poisson bootstrap
+    "q221_point_in_time_feature_join",  # SCD2 PIT join (zero-join as-of)
+    "q222_process_conformance",     # session-signature rule audit
+    # (q220 is a streaming drain — excluded like q46/q47: its wall is
+    # source staging, not engine work)
+    "q223_wasserstein_value_drift", # earth-mover drift in value units
+    "q224_daily_order_peaks",       # local-maxima spike screen
+    "q225_theil_sen_slope",         # robust median-of-slopes trend
+    "q226_windowed_funnel",         # time-windowed funnel depths
+    "q227_weighted_quantiles",      # unit-weighted price percentiles
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -12150,6 +12150,695 @@ def q219_hash_bootstrap_ci(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 13: streaming histogram, point-in-time feature join,
+# process conformance
+# ---------------------------------------------------------------------------
+
+_SHIST_BINS, _SHIST_W = 64, 8  # fixed bins over the [0, 512) value domain
+
+_SHIST_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         least(CAST(floor(value / {_SHIST_W}) AS INT), {_SHIST_BINS - 1}) AS bin,
+         count(*) AS m
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, m,
+         COALESCE(CAST(sum(m) OVER (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb,
+         CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM b),
+p AS (SELECT unnest([0.5, 0.9, 0.99]) AS pv),
+q AS (
+  SELECT c.event_type, p.pv, c.bin, c.m, c.cb, c.n,
+         CAST(p.pv AS DOUBLE) * (c.n - 1) AS target
+  FROM c CROSS JOIN p
+  WHERE CAST(p.pv AS DOUBLE) * (c.n - 1) >= c.cb
+    AND CAST(p.pv AS DOUBLE) * (c.n - 1) < c.cb + c.m)
+SELECT event_type, round(CAST(pv AS DOUBLE), 2) AS p, n,
+       round(bin * {_SHIST_W} + (target - cb) / m * {_SHIST_W}, 6) AS est
+FROM q ORDER BY event_type, p"""
+
+
+@register(
+    "q220_streaming_value_histogram",
+    _SHIST_SQL,
+    ops=("ext-streaming-histogram",),
+    doc="STREAMING QUANTILE MONITORING: a fixed-bin value histogram "
+    f"({_SHIST_BINS} bins of width {_SHIST_W} over the value "
+    "domain) maintained per event type by Structured Streaming in "
+    "update mode — the streaming member of the sketch family "
+    "(q172 is its batch twin; FIXED bins are what make the sketch "
+    "maintainable online: no global min/max pre-pass, counts only "
+    "grow, partials merge by addition).  After the availableNow "
+    "drain, the converged histogram (latest emit per cell = max "
+    "count, since cell counts are monotone across update emits) is "
+    "read back into p50/p90/p99 by the q154-convention rank "
+    "interpolation (target = p*(n-1), in-bin linear) — spelled "
+    "identically in the oracle, which computes the SAME fixed-bin "
+    "histogram in batch SQL: streaming == batch convergence, the "
+    "q46/q47 proof shape.  Scale: streaming state is "
+    f"|types| x {_SHIST_BINS} cells regardless of volume.",
+)
+def q220_streaming_value_histogram(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    name = f"q220_out_{uuid.uuid4().hex[:8]}"
+    binc = F.least(
+        F.floor(F.col("value") / _SHIST_W).cast("int"),
+        F.lit(_SHIST_BINS - 1),
+    )
+    q = (
+        stream.groupBy("event_type", binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("event_type", "bin")
+        .agg(F.max("m").alias("m"))
+    )
+    we = Window.partitionBy("event_type")
+    c = hist.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("m").over(we.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint"),
+    ).withColumn("n", F.sum("m").over(we).cast("bigint"))
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "pv double")
+    qq = c.crossJoin(F.broadcast(ps)).withColumn(
+        "target", F.col("pv") * (F.col("n") - 1)
+    ).filter(
+        (F.col("target") >= F.col("cb"))
+        & (F.col("target") < F.col("cb") + F.col("m"))
+    )
+    return qq.select(
+        "event_type",
+        F.round("pv", 2).alias("p"),
+        "n",
+        F.round(
+            F.col("bin") * _SHIST_W
+            + (F.col("target") - F.col("cb")) / F.col("m") * _SHIST_W,
+            6,
+        ).alias("est"),
+    ).orderBy("event_type", "p")
+
+
+_PIT_SQL = """
+WITH dim AS (
+  SELECT user_id, value, ts AS valid_from, event_id,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'purchase'),
+probe AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       round(d.value, 2) AS value_at_click
+FROM probe p LEFT JOIN dim d
+  ON d.user_id = p.user_id AND d.valid_from <= p.ts
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+ORDER BY p.event_id"""
+
+
+@register(
+    "q221_point_in_time_feature_join",
+    _PIT_SQL,
+    ops=("ext-pit-join",),
+    doc="POINT-IN-TIME FEATURE JOIN — the feature-store correctness "
+    "primitive: every click is enriched with the purchase value "
+    "that was VALID at click time (the q118 SCD2 intervals: "
+    "valid_from inclusive, valid_to exclusive, NULL-open current "
+    "row), never a later one — the join that prevents "
+    "training-serving skew / feature leakage.  The oracle spells "
+    "the interval containment join; the ENGINE never builds "
+    "intervals at all: operators/asof.py's union-merge as-of "
+    "(one hash partition on user, last(ignorenulls) carry-forward, "
+    "build rows sorting before probes at equal ts so the "
+    "from-inclusive boundary matches, event_id tie-break matching "
+    "lead()'s order for same-ts updates) — interval semantics and "
+    "as-of semantics provably coincide when intervals come from "
+    "lead(), which is exactly how q118 builds them.  Scale: one "
+    "shuffle on user_id, no range join, no interval explosion.",
+)
+def q221_point_in_time_feature_join(spark, sf_dir):
+    from team_aragon_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        probe,
+        build,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value_at_click"),
+    ).orderBy("event_id")
+
+
+_CONFORM_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags),
+sig AS (
+  SELECT user_id, session_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS sg
+  FROM s GROUP BY user_id, session_id),
+f AS (
+  SELECT CASE WHEN regexp_matches(sg, '^[^c]*p') THEN 1 ELSE 0 END AS unattr,
+         CASE WHEN regexp_matches(sg, '^e') THEN 1 ELSE 0 END AS estart
+  FROM sig)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(unattr) AS BIGINT) AS n_unattributed_purchase,
+       CAST(sum(estart) AS BIGINT) AS n_error_start,
+       CAST(sum(CASE WHEN unattr = 0 AND estart = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_conforming,
+       round(CAST(sum(CASE WHEN unattr = 0 AND estart = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS conforming_share
+FROM f"""
+
+
+@register(
+    "q222_process_conformance",
+    _CONFORM_SQL,
+    ops=("ext-process-conformance",),
+    doc="PROCESS CONFORMANCE CHECKING (process-mining): each session "
+    "becomes its ordered event-initial signature string (the q98 "
+    "array_sort(collect_list) transcript, initials are unique per "
+    "type), and declarative conformance rules run as REGEXES over "
+    "signatures — shipped rules: a purchase with no prior click in "
+    "its session ('^[^c]*p', the unattributed-conversion audit) "
+    "and sessions opening with an error ('^e', the broken-landing "
+    "audit); a session violating neither conforms.  Rule "
+    "evaluation is per-session string matching — adding a rule is "
+    "another regex, not another pass over events (the Deequ-style "
+    "declarative-audit idea applied to SEQUENCES, complementing "
+    "q192's row-level checks).  Scale: sessionize (one user "
+    "shuffle) + one (user, session) aggregate; signature length is "
+    "session-bounded; the final rollup is map-combined.",
+)
+def q222_process_conformance(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = windows.sessionize(ev)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        )
+    )
+    sig = (
+        s.groupBy("user_id", "session_id")
+        .agg(ordered.alias("__ord"))
+        .select(
+            F.concat_ws(
+                "",
+                F.expr("transform(__ord, x -> substr(x.event_type, 1, 1))"),
+            ).alias("sg")
+        )
+    )
+    unattr = F.when(F.col("sg").rlike("^[^c]*p"), 1).otherwise(0)
+    estart = F.when(F.col("sg").rlike("^e"), 1).otherwise(0)
+    f = sig.select(unattr.alias("unattr"), estart.alias("estart"))
+    conf = F.sum(
+        F.when((F.col("unattr") == 0) & (F.col("estart") == 0), 1).otherwise(0)
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("unattr").cast("bigint").alias("n_unattributed_purchase"),
+        F.sum("estart").cast("bigint").alias("n_error_start"),
+        conf.cast("bigint").alias("n_conforming"),
+        F.round(
+            conf.cast("double") / F.count(F.lit(1)), 6
+        ).alias("conforming_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 14: distribution distance, peak detection, robust slope
+# ---------------------------------------------------------------------------
+
+_W1_BINW = 8
+
+_W1_SQL = f"""
+WITH half AS (SELECT max(epoch_ms(ts)) / 2 + min(epoch_ms(ts)) / 2 AS mid
+              FROM events),
+b AS (
+  SELECT event_type,
+         least(CAST(floor(value / {_W1_BINW}) AS INT), 63) AS bin,
+         CAST(sum(CASE WHEN epoch_ms(ts) < mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN epoch_ms(ts) >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events CROSS JOIN half GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM b GROUP BY event_type),
+c AS (
+  SELECT b.event_type, b.bin,
+         CAST(sum(c1) OVER (PARTITION BY b.event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (PARTITION BY b.event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+  FROM b)
+SELECT c.event_type, t.n1 AS n_first_half, t.n2 AS n_second_half,
+       round(sum(abs(CAST(c.f1 * t.n2 - c.f2 * t.n1 AS DOUBLE)))
+             * {_W1_BINW} / (t.n1 * t.n2), 6) AS w1_distance
+FROM c JOIN t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.n1, t.n2 ORDER BY c.event_type"""
+
+
+@register(
+    "q223_wasserstein_value_drift",
+    _W1_SQL,
+    ops=("ext-wasserstein-drift",),
+    doc="WASSERSTEIN-1 (earth-mover) DRIFT between the first and "
+    "second half of the event stream, per type: W1 = integral of "
+    "|CDF1 - CDF2| over the binned value axis — the drift metric "
+    "that, unlike KL (q130) or PSI (q141), is finite on "
+    "non-overlapping supports and reports drift in VALUE UNITS "
+    "('the distribution moved ~X dollars'), completing the drift "
+    "family with its transport-distance member.  Per-bin CDF "
+    "deviations are the exact cross-multiplied integers "
+    "|f1*n2 - f2*n1| (the q212 KS machinery — KS takes the max, "
+    "W1 takes the sum), one final scale-and-divide (round 6).  "
+    "The epoch-midpoint split is integer arithmetic on the 1-row "
+    "broadcast extremes.  Scale: one map-combined (type, bin) "
+    "aggregate; windows run over 64-bin histograms.",
+)
+def q223_wasserstein_value_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    half = ev.agg(
+        (F.max(t_ms) / 2 + F.min(t_ms) / 2).alias("mid")
+    )
+    binc = F.least(
+        F.floor(F.col("value") / _W1_BINW).cast("int"), F.lit(63)
+    )
+    b = (
+        ev.crossJoin(F.broadcast(half))
+        .groupBy("event_type", binc.alias("bin"))
+        .agg(
+            F.sum(F.when(t_ms < F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(t_ms >= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        .persist()
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    we = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = b.select(
+        "event_type",
+        "bin",
+        F.sum("c1").over(we).cast("bigint").alias("f1"),
+        F.sum("c2").over(we).cast("bigint").alias("f2"),
+    )
+    j = c.join(F.broadcast(t), "event_type")
+    dev = F.abs(
+        (F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).cast("double")
+    )
+    return (
+        j.groupBy("event_type", "n1", "n2")
+        .agg(
+            F.round(
+                F.sum(dev) * _W1_BINW / (F.col("n1") * F.col("n2")), 6
+            ).alias("w1_distance")
+        )
+        .select(
+            "event_type",
+            F.col("n1").alias("n_first_half"),
+            F.col("n2").alias("n_second_half"),
+            "w1_distance",
+        )
+        .orderBy("event_type")
+    )
+
+
+_PEAK_MIN = 1.2
+
+_PEAK_SQL = f"""
+WITH d AS (
+  SELECT epoch_ms(o_orderdate) // 86400000 AS dayno,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY dayno),
+w AS (
+  SELECT dayno, x,
+         lag(x) OVER (ORDER BY dayno) AS xp,
+         lead(x) OVER (ORDER BY dayno) AS xn,
+         lag(dayno) OVER (ORDER BY dayno) AS dp,
+         lead(dayno) OVER (ORDER BY dayno) AS dn
+  FROM d),
+m AS (SELECT CAST(sum(x) AS BIGINT) AS s, count(*) AS n FROM d)
+SELECT dayno AS peak_dayno, x AS orders,
+       round(x * 1.0 * m.n / m.s, 6) AS vs_mean
+FROM w CROSS JOIN m
+WHERE xp IS NOT NULL AND xn IS NOT NULL
+  AND dp = dayno - 1 AND dn = dayno + 1
+  AND x > xp AND x > xn
+  AND x * m.n * 10 > m.s * {int(_PEAK_MIN * 10)}
+ORDER BY dayno"""
+
+
+@register(
+    "q224_daily_order_peaks",
+    _PEAK_SQL,
+    ops=("ext-peak-detection",),
+    doc="LOCAL PEAK DETECTION on the daily order series: days that "
+    "strictly beat BOTH calendar-adjacent neighbors (gap days "
+    "disqualify — lag/lead must be dayno±1, the missing-day "
+    f"convention) and clear {_PEAK_MIN}x the series mean — the "
+    "spike-inventory screen feeding alerting/capacity review, the "
+    "pointwise member of the monitoring family (q160 control "
+    "limits, q171 seasonal baseline, q208 change point, q218 "
+    "trend).  The height gate never touches floats: "
+    "x*n*10 > S*12 is exact bigint cross-multiplication; vs_mean "
+    "is display-only (round 6).  Scale: the day series "
+    "map-combines out of the scan; windows run over days.",
+)
+def q224_daily_order_peaks(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x")).persist()
+    wd = Window.orderBy("dayno")
+    w = (
+        d.withColumn("xp", F.lag("x").over(wd))
+        .withColumn("xn", F.lead("x").over(wd))
+        .withColumn("dp", F.lag("dayno").over(wd))
+        .withColumn("dn", F.lead("dayno").over(wd))
+    )
+    m = d.agg(
+        F.sum("x").cast("bigint").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        w.crossJoin(F.broadcast(m))
+        .filter(
+            F.col("xp").isNotNull()
+            & F.col("xn").isNotNull()
+            & (F.col("dp") == F.col("dayno") - 1)
+            & (F.col("dn") == F.col("dayno") + 1)
+            & (F.col("x") > F.col("xp"))
+            & (F.col("x") > F.col("xn"))
+            & (
+                F.col("x") * F.col("n") * 10
+                > F.col("s") * int(_PEAK_MIN * 10)
+            )
+        )
+        .select(
+            F.col("dayno").alias("peak_dayno"),
+            F.col("x").alias("orders"),
+            F.round(
+                F.col("x") * 1.0 * F.col("n") / F.col("s"), 6
+            ).alias("vs_mean"),
+        )
+        .orderBy("peak_dayno")
+    )
+
+
+_TS_SQL = """
+WITH d AS (
+  SELECT epoch_ms(o_orderdate) // 86400000 AS dayno,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY dayno),
+sl AS (
+  SELECT (b.x - a.x) * 1.0 / (b.dayno - a.dayno) AS slope
+  FROM d a JOIN d b ON b.dayno > a.dayno)
+SELECT round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope,
+       count(*) AS n_slopes
+FROM sl"""
+
+
+@register(
+    "q225_theil_sen_slope",
+    _TS_SQL,
+    ops=("ext-robust-slope",),
+    doc="THEIL-SEN ROBUST SLOPE of the daily order series: the median "
+    "of all pairwise slopes (y_j - y_i)/(t_j - t_i) — the "
+    "breakdown-resistant trend ESTIMATE beside q218's trend "
+    "VERDICT and q178's outlier-sensitive OLS (up to 29% "
+    "contamination cannot move it).  Pairs are calendar-bounded "
+    "(the q218/q183 day x day argument: grows with time-span "
+    "squared, not volume); each slope is ONE double division of "
+    "exact integers (bit-identical in both engines), and the "
+    "median reuses operators/stats.exact_grouped_percentiles — "
+    "count-table rank arithmetic over DISTINCT slope values, "
+    "proven equal to quantile_cont by q154/q200.  Scale: day "
+    "aggregate map-combines; the slope count table is "
+    "pair-bounded; no raw-row buffer anywhere.",
+)
+def q225_theil_sen_slope(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    o = _t(spark, sf_dir, "orders")
+    # both sides of the pair join consume the day series — persist
+    # (the multi-consumer convention; q218's shape)
+    d = o.groupBy(
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x")).persist()
+    a = d.select(F.col("dayno").alias("da"), F.col("x").alias("xa"))
+    bb = d.select(F.col("dayno").alias("db"), F.col("x").alias("xb"))
+    sl = a.join(bb, F.col("db") > F.col("da")).select(
+        (
+            (F.col("xb") - F.col("xa"))
+            * 1.0
+            / (F.col("db") - F.col("da"))
+        ).alias("slope")
+    )
+    out = exact_grouped_percentiles(sl, "slope", [], [0.5])
+    return out.select(
+        F.col("p_50").alias("theil_sen_slope"),
+        F.col("n").alias("n_slopes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 15: windowed funnel, weighted quantiles
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_MS = 1800000  # 30 min per step
+
+_WFUNNEL_SQL = f"""
+WITH anchor AS (
+  SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT a.user_id, a.t1, min(epoch_ms(e.ts)) AS t2
+  FROM anchor a JOIN events e
+    ON e.user_id = a.user_id AND e.event_type = 'click'
+   AND epoch_ms(e.ts) >= a.t1 AND epoch_ms(e.ts) <= a.t1 + {_WF_WINDOW_MS}
+  GROUP BY a.user_id, a.t1),
+s3 AS (
+  SELECT s2.user_id, min(epoch_ms(e.ts)) AS t3
+  FROM s2 JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND epoch_ms(e.ts) >= s2.t2 AND epoch_ms(e.ts) <= s2.t2 + {_WF_WINDOW_MS}
+  GROUP BY s2.user_id),
+depth AS (
+  SELECT a.user_id,
+         1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS d
+  FROM anchor a LEFT JOIN s2 ON a.user_id = s2.user_id
+  LEFT JOIN s3 ON a.user_id = s3.user_id),
+t AS (SELECT count(*) AS n_anchored FROM depth)
+SELECT CAST(d AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE) / t.n_anchored, 6) AS share
+FROM depth CROSS JOIN t GROUP BY d, t.n_anchored ORDER BY depth"""
+
+
+@register(
+    "q226_windowed_funnel",
+    _WFUNNEL_SQL,
+    ops=("ext-windowed-funnel",),
+    doc="TIME-WINDOWED FUNNEL (ClickHouse windowFunnel parity): "
+    "view -> click -> purchase where EACH step must land within 30 "
+    "minutes of the PREVIOUS step's first occurrence — the funnel "
+    "q96 (ordered, unwindowed) cannot express: a purchase hours "
+    "after the click no longer converts.  Per user, the anchor is "
+    "the first view; step k+1 is the EARLIEST qualifying event in "
+    "[t_k, t_k + 30min] (>= inclusive, the q221 boundary "
+    "convention); output is the depth histogram with shares.  The "
+    "ENGINE chains two forward as-of joins with tolerance "
+    "(operators/asof.py — union-merge, zero range joins) against "
+    "the oracle's correlated min-aggregate spelling.  All "
+    "timestamps integer epoch-ms; shares are final divisions.  "
+    "Scale: every stage keys on user_id — one shuffle family, "
+    "state one row per user per stage.",
+)
+def q226_windowed_funnel(spark, sf_dir):
+    from team_aragon_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    anchor = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(t_ms).alias("t1"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", t_ms.alias("tc"), F.col("event_id").alias("cid")
+    )
+    s2 = asof_join(
+        anchor,
+        clicks.select("user_id", "tc", F.col("tc").alias("t2"), "cid"),
+        on=["user_id"],
+        left_ts="t1",
+        right_ts="tc",
+        value_cols=["t2"],
+        tiebreak="cid",
+        direction="forward",
+        tolerance=str(_WF_WINDOW_MS),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", t_ms.alias("tp"), F.col("event_id").alias("pid")
+    )
+    s3 = asof_join(
+        s2.filter(F.col("t2").isNotNull()).select("user_id", "t2"),
+        purchases.select("user_id", "tp", F.col("tp").alias("t3"), "pid"),
+        on=["user_id"],
+        left_ts="t2",
+        right_ts="tp",
+        value_cols=["t3"],
+        tiebreak="pid",
+        direction="forward",
+        tolerance=str(_WF_WINDOW_MS),
+    ).select("user_id", "t3")
+    depth = (
+        s2.select("user_id", "t2")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+            ).alias("d"),
+        )
+    )
+    t = depth.agg(F.count(F.lit(1)).alias("n_anchored"))
+    return (
+        depth.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("d").cast("int").alias("depth"),
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_anchored"), 6
+            ).alias("share"),
+        )
+        .orderBy("depth")
+    )
+
+
+_WQ_SQL = """
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT flag, v, wt,
+         CAST(sum(wt) OVER (PARTITION BY flag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM w),
+p AS (
+  SELECT flag, tw,
+         min(CASE WHEN cw * 2 >= tw THEN v END) AS p_50,
+         min(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS p_90
+  FROM c GROUP BY flag, tw)
+SELECT flag, round(p_50, 2) AS p_50, round(p_90, 2) AS p_90,
+       tw AS total_weight
+FROM p ORDER BY flag"""
+
+
+@register(
+    "q227_weighted_quantiles",
+    _WQ_SQL,
+    ops=("ext-weighted-quantiles",),
+    doc="WEIGHTED QUANTILES (quantity-weighted price percentiles per "
+    "return flag): the LOWER weighted quantile convention — the "
+    "smallest value whose cumulative weight reaches p * W — "
+    "decided entirely by exact integer cross-multiplication "
+    "(cw*2 >= tw, cw*10 >= 9*tw: no interpolation, no float "
+    "boundary, the convention weighted-sampling literature calls "
+    "the inverse-CDF quantile).  Extends the percentile family "
+    "(q154 unweighted exact, q172 sketch, q200 latency) with its "
+    "weighted member — 'the price under which half the UNITS "
+    "(not line items) sold'.  Scale: the (flag, value) -> weight "
+    "count table map-combines the fact scan; windows run over "
+    "distinct values per flag (two-level composable).",
+)
+def q227_weighted_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt")
+    )
+    wf = Window.partitionBy("flag")
+    c = w.withColumn(
+        "cw",
+        F.sum("wt").over(
+            wf.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    ).withColumn("tw", F.sum("wt").over(wf).cast("bigint"))
+    p = c.groupBy("flag", "tw").agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))
+        ).alias("p_50"),
+        F.min(
+            F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("v"))
+        ).alias("p_90"),
+    )
+    return p.select(
+        "flag",
+        F.round("p_50", 2).alias("p_50"),
+        F.round("p_90", 2).alias("p_90"),
+        F.col("tw").alias("total_weight"),
+    ).orderBy("flag")
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle

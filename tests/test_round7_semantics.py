@@ -1828,3 +1828,237 @@ def test_bootstrap_pure_python_replay(spark, tmp_path_factory):
     assert got.ci_low == round(min(trimmed), 4)
     assert got.ci_high == round(max(trimmed), 4)
     assert got.boot_mean == round(sum(trimmed) / len(trimmed), 4)
+
+
+# ---------------------------------------------------------------------------
+# Batch-13 pins (q220-q222)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_histogram_hand_bins_and_clamp(spark, tmp_path_factory):
+    """Clicks at values 0,0,8,8 -> bins {0:2, 1:2}: p50 lands at
+    rank 1.5 in bin 0 (est 6.0), p90 at 2.7 in bin 1 (est 10.8),
+    p99 at 2.97 (est 11.88).  A 600-valued error event must clamp
+    into the last bin (63) and interpolate inside it."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0, 1, "click", 0.0, "{}"),
+        (3, t0, 1, "click", 8.0, "{}"),
+        (4, t0, 1, "click", 8.0, "{}"),
+        (5, t0, 1, "error", 600.0, "{}"),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "shist")
+    got = {
+        (r.event_type, r.p): (r.n, r.est)
+        for r in QUERY_REGISTRY["q220_streaming_value_histogram"].fn(spark, d).collect()
+    }
+    assert got[("click", 0.5)] == (4, 6.0)
+    assert got[("click", 0.9)] == (4, 10.8)
+    assert got[("click", 0.99)] == (4, 11.88)
+    # clamped: bin 63 starts at 504; single row -> target 0 -> est 504
+    assert got[("error", 0.5)] == (1, 504.0)
+
+
+def test_pit_join_boundaries_and_same_ts_update(spark, tmp_path_factory):
+    """Interval semantics pinned end to end: click before any
+    purchase -> NULL; click exactly AT a purchase ts -> that
+    purchase (from-inclusive); between versions -> earlier version;
+    two purchases at the SAME ts -> the higher event_id wins (the
+    lead()-order zero-width-interval convention)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, secs, v):
+        return (eid, t0 + datetime.timedelta(seconds=secs), uid, etype, v, "{}")
+
+    rows = [
+        ev(10, 1, "purchase", 100, 10.0),
+        ev(20, 1, "purchase", 200, 20.0),
+        ev(1, 1, "click", 50, 0.0),    # before -> NULL
+        ev(2, 1, "click", 100, 0.0),   # at v1 -> 10
+        ev(3, 1, "click", 150, 0.0),   # between -> 10
+        ev(4, 1, "click", 200, 0.0),   # at v2 -> 20
+        ev(5, 1, "click", 300, 0.0),   # after -> 20
+        # user 2: same-ts double update, click at that ts
+        ev(30, 2, "purchase", 100, 30.0),
+        ev(31, 2, "purchase", 100, 40.0),
+        ev(6, 2, "click", 100, 0.0),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "pit")
+    got = {
+        r.event_id: r.value_at_click
+        for r in QUERY_REGISTRY["q221_point_in_time_feature_join"].fn(spark, d).collect()
+    }
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0, 6: 40.0}
+
+
+def test_process_conformance_planted_rules(spark, tmp_path_factory):
+    """Four planted single-user sessions (separated by > 30 min):
+    'vcp' conforms, 'pv' violates unattributed-purchase, 'ev'
+    violates error-start, 'ecp' violates ONLY error-start (its
+    purchase has a prior click)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, secs, etype):
+        return (eid, t0 + datetime.timedelta(seconds=secs), 1, etype, 1.0, "{}")
+
+    sessions = [
+        ["view", "click", "purchase"],
+        ["purchase", "view"],
+        ["error", "view"],
+        ["error", "click", "purchase"],
+    ]
+    rows = []
+    eid = 0
+    base = 0
+    for sess in sessions:
+        for k, etype in enumerate(sess):
+            eid += 1
+            rows.append(ev(eid, base + k, etype))
+        base += 10000  # > 30 min gap
+    d = _stage_events(spark, tmp_path_factory, rows, "conform")
+    got = QUERY_REGISTRY["q222_process_conformance"].fn(spark, d).collect()[0]
+    assert got.n_sessions == 4
+    assert got.n_unattributed_purchase == 1  # 'pv'
+    assert got.n_error_start == 2  # 'ev', 'ecp'
+    assert got.n_conforming == 1  # 'vcp'
+    assert got.conforming_share == 0.25
+
+
+# ---------------------------------------------------------------------------
+# Batch-14 pins (q223-q225)
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_one_bin_shift_and_zero(spark, tmp_path_factory):
+    """Clicks move from value 0 (first half) to value 8 (second
+    half): all mass shifts exactly one 8-wide bin -> W1 = 8.0.
+    Views identical in both halves -> W1 = 0.0."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, etype, secs, v):
+        return (eid, t0 + datetime.timedelta(seconds=secs), 1, etype, v, "{}")
+
+    rows = [
+        ev(1, "click", 0, 0.0), ev(2, "click", 1, 0.0),
+        ev(3, "click", 999, 8.0), ev(4, "click", 1000, 8.0),
+        ev(10, "view", 0, 16.0), ev(11, "view", 1000, 16.0),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "w1")
+    got = {
+        r.event_type: (r.n_first_half, r.n_second_half, r.w1_distance)
+        for r in QUERY_REGISTRY["q223_wasserstein_value_drift"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got["click"] == (2, 2, 8.0)
+    assert got["view"] == (1, 1, 0.0)
+
+
+def test_daily_peaks_height_gate_and_gap_day(spark, tmp_path_factory):
+    """Series 10,12,10,30,10: the 12-peak fails the 1.2x-mean gate
+    (mean 14.4), the 30-peak passes.  A second window 10,[gap],40,10
+    must NOT flag 40 (its lag neighbor is not calendar-adjacent)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def orders_for(day_counts, name):
+        rows = []
+        ok = 0
+        for day, n in day_counts:
+            for _ in range(n):
+                ok += 1
+                rows.append((ok, 1, "O", 1.0,
+                             t0 + datetime.timedelta(days=day), "1-URGENT"))
+        return _orders_dir(spark, tmp_path_factory, name, rows)
+
+    fn = QUERY_REGISTRY["q224_daily_order_peaks"].fn
+    d1 = orders_for([(0, 10), (1, 12), (2, 10), (3, 30), (4, 10)], "pk1")
+    got = [(r.orders, r.vs_mean) for r in fn(spark, d1).collect()]
+    assert got == [(30, round(30 * 5 / 72, 6))]
+    spark.catalog.clearCache()
+    # gap: days 0,1,3,4 — 40 at day 3 has no day-2 neighbor
+    d2 = orders_for([(0, 10), (1, 10), (3, 40), (4, 10)], "pk2")
+    assert fn(spark, d2).collect() == []
+
+
+def test_theil_sen_perfect_line_and_outlier(spark, tmp_path_factory):
+    """Counts 3,5,7,9,11 over consecutive days: every pairwise slope
+    is 2.0 -> median 2.0 over 10 slopes.  One day blown up to 1000
+    still leaves the majority of slopes at 2.0 -> the median holds
+    (the 29%-breakdown robustness OLS lacks)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def orders_for(counts, name):
+        rows = []
+        ok = 0
+        for day, n in enumerate(counts):
+            for _ in range(n):
+                ok += 1
+                rows.append((ok, 1, "O", 1.0,
+                             t0 + datetime.timedelta(days=day), "1-URGENT"))
+        return _orders_dir(spark, tmp_path_factory, name, rows)
+
+    fn = QUERY_REGISTRY["q225_theil_sen_slope"].fn
+    line = fn(spark, orders_for([3, 5, 7, 9, 11], "ts1")).collect()[0]
+    assert (line.theil_sen_slope, line.n_slopes) == (2.0, 10)
+    spark.catalog.clearCache()
+    out = fn(spark, orders_for([3, 5, 1000, 9, 11], "ts2")).collect()[0]
+    assert out.theil_sen_slope == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Batch-15 pins (q226-q227)
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_funnel_step_windows(spark, tmp_path_factory):
+    """Per-user journeys pin every depth and both boundary rules:
+    A converts fully within windows (depth 3); B's click misses the
+    30-min window (depth 1); C's purchase misses ITS window even
+    though it is near the view (depth 2); D has no view (absent);
+    E's click lands exactly ON the 30-min boundary (inclusive ->
+    depth 2)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, secs):
+        return (eid, t0 + datetime.timedelta(seconds=secs), uid, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "view", 0), ev(2, 1, "click", 600), ev(3, 1, "purchase", 1200),
+        ev(4, 2, "view", 0), ev(5, 2, "click", 2400),          # 40 min: out
+        ev(6, 3, "view", 0), ev(7, 3, "click", 600),
+        ev(8, 3, "purchase", 600 + 2400),                      # 40 min after click
+        ev(9, 4, "click", 0),                                  # never viewed
+        ev(10, 5, "view", 0), ev(11, 5, "click", 1800),        # exactly 30 min
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "wfunnel")
+    got = {
+        r.depth: (r.n_users, r.share)
+        for r in QUERY_REGISTRY["q226_windowed_funnel"].fn(spark, d).collect()
+    }
+    # anchored users: 1, 2, 3, 5 -> depths 3, 1, 2, 2
+    assert got[3] == (1, 0.25)
+    assert got[2] == (2, 0.5)
+    assert got[1] == (1, 0.25)
+    assert set(got) == {1, 2, 3}
+
+
+def test_weighted_quantiles_lower_convention(spark, tmp_path_factory):
+    """Prices 10/20/30 with quantities 1/1/8: half the UNITS sit at
+    30 (cum weights 1,2,10 of W=10: first cw*2 >= 10 is price 30),
+    while the unweighted median would be 20 — the test separates the
+    weighted from the unweighted semantics; p90 also lands on 30."""
+    lines = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+        (2, 2, 1, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+        (3, 3, 1, 1, 8.0, 30.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 1)),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "wq",
+    )
+    got = QUERY_REGISTRY["q227_weighted_quantiles"].fn(spark, d).collect()[0]
+    assert (got.flag, got.total_weight) == ("N", 10)
+    assert got.p_50 == 30.0
+    assert got.p_90 == 30.0

@@ -1615,3 +1615,110 @@ def test_round7_batch12_plan_shapes(spark):
     p219 = plan("q219_hash_bootstrap_ci")
     assert "Generate" in p219, "replicates must come from explode"
     assert "Join" not in p219 or "BroadcastNestedLoopJoin" in p219
+
+
+def test_round7_batch13_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-13 additions:
+
+    - q221 (point-in-time join): the interval join compiles to ZERO
+      joins — union-merge + one user-partitioned window (the asof.py
+      shape); no BroadcastNestedLoopJoin, no range explosion.
+    - q222 (conformance): sessionize + one (user, session) aggregate;
+      regex rules evaluate on the aggregated signatures.
+    - q220 is a streaming drain (its returned plan reads the memory
+      sink); its semantics are pinned by the planted histogram test
+      and the batch oracle.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p221 = plan("q221_point_in_time_feature_join")
+    assert "Join" not in p221, "as-of must be union-merge, not a join"
+    assert "Window" in p221
+    assert "BatchEvalPython" not in p221
+
+    p222 = plan("q222_process_conformance")
+    assert "CartesianProduct" not in p222
+    assert "BatchEvalPython" not in p222
+    assert "ObjectHashAggregate" in p222 or "HashAggregate" in p222
+
+
+def test_round7_batch14_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-14 additions:
+
+    - q223 (W1 drift): one (type, bin) aggregate persisted for its
+      two consumers (totals + CDF windows); windows run over 64-bin
+      histograms, never raw events.
+    - q224 (peaks): day series cache-served to the window pass and
+      the mean aggregate; height gate is integer arithmetic.
+    - q225 (Theil-Sen): day series cache-served to both pair-join
+      sides; the median runs on the slope COUNT TABLE (the q154
+      operator), no raw-slope buffer.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name in (
+        "q223_wasserstein_value_drift",
+        "q224_daily_order_peaks",
+        "q225_theil_sen_slope",
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "InMemoryTableScan" in p, f"{name}: multi-consumer relation must be cached"
+
+
+def test_round7_batch15_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-15 additions:
+
+    - q226 (windowed funnel): BOTH step joins compile to union-merge
+      as-ofs — zero range joins; depth rollup joins on user_id only.
+    - q227 (weighted quantiles): the cumulative-weight windows run
+      over the (flag, value) count table (HashAggregate below
+      Window), never raw lineitem.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p226 = plan("q226_windowed_funnel")
+    assert "CartesianProduct" not in p226
+    assert "BroadcastNestedLoopJoin" not in p226 or (
+        p226.count("BroadcastNestedLoopJoin")
+        == p226.count("BroadcastNestedLoopJoin BuildRight, Cross")
+    ), "no range joins — steps must be union-merge as-ofs"
+    assert "BatchEvalPython" not in p226
+
+    p227 = plan("q227_weighted_quantiles")
+    assert "CartesianProduct" not in p227
+    assert "BatchEvalPython" not in p227
+    assert p227.find("HashAggregate", p227.find("Window")) != -1, (
+        "weight cumulation must run over the value count table"
+    )
