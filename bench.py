@@ -170,6 +170,11 @@ EXTRA = [
     "q225_theil_sen_slope",         # robust median-of-slopes trend
     "q226_windowed_funnel",         # time-windowed funnel depths
     "q227_weighted_quantiles",      # unit-weighted price percentiles
+    "q228_kaplan_meier_survival",   # right-censored churn curve
+    "q229_ses_forecast",            # exponential-smoothing fold
+    "q230_forecast_backtest",       # rolling-origin MAE/RMSE
+    "q231_misra_gries_heavy_hitters",  # two-pass exact heavy hitters
+    "q232_llr_keywords",            # Dunning G2 keyword extraction
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -731,3 +731,45 @@ def bpe_learn(
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)
     return merges.orderBy("step"), cur
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter candidates (capacity ``k``).
+
+    Streams each partition ONCE through at most ``k`` decrement
+    counters (Misra & Gries 1982): a new item either takes a free
+    counter or decrements all of them, so any item whose count within
+    the partition exceeds ``n_p / (k + 1)`` is guaranteed to survive.
+    By pigeonhole, an item with GLOBAL frequency > n / (k + 1) must
+    exceed that bound in at least one partition, so the UNION of
+    per-partition summaries is a superset of every true heavy hitter —
+    regardless of how rows are split across partitions.
+
+    The returned DataFrame holds the distinct candidate values
+    (<= k per input partition).  A second exact counting pass over
+    rows semi-joined to the (broadcast) candidates makes the final
+    heavy-hitter set exact AND partition-layout-independent, without
+    ever shuffling the full-cardinality (value, count) space.
+
+    Scale: pass 1 is shuffle-free (mapInPandas, O(k) state per
+    executor thread); only |partitions| * k candidate rows move.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col].to_numpy().tolist():
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key, c in counters.items() if c == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: pd.Series(list(counters), dtype="object")})
+
+    return df.select(col).mapInPandas(mg, f"{col} string").distinct()

@@ -12839,6 +12839,426 @@ def q227_weighted_quantiles(spark, sf_dir):
     ).orderBy("flag")
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 17: survival analysis, forecasting, heavy hitters, keywords
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_MS = 90 * 86400000  # last order within 90 days of corpus end = censored
+
+_KM_SQL = f"""
+WITH mx AS (SELECT max(epoch_ms(o_orderdate)) AS mx_ms FROM orders),
+per AS (
+  SELECT (max(epoch_ms(o_orderdate)) - min(epoch_ms(o_orderdate))) // 86400000 AS t,
+         CASE WHEN mx.mx_ms - max(epoch_ms(o_orderdate)) >= {_KM_CENSOR_MS}
+              THEN 1 ELSE 0 END AS ev
+  FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.mx_ms),
+tot AS (SELECT count(*) AS nc FROM per),
+ct AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS c FROM per GROUP BY t),
+r AS (SELECT t, d, c, tot.nc - (sum(c) OVER (ORDER BY t) - c) AS n_risk
+      FROM ct CROSS JOIN tot),
+km AS (SELECT t, d, n_risk,
+              exp(sum(ln(1 - d * 1.0 / n_risk)) OVER (ORDER BY t)) AS s
+       FROM r WHERE d > 0)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events, round(s, 6) AS survival
+FROM km ORDER BY t_days"""
+
+
+@register(
+    "q228_kaplan_meier_survival",
+    _KM_SQL,
+    ops=("ext-survival-km",),
+    doc="KAPLAN-MEIER SURVIVAL CURVE over customer lifetimes — the "
+    "right-censored churn estimate no naive average can produce: a "
+    "customer's lifetime is first-to-last order in days, and a "
+    "customer whose last order falls within 90 days of corpus end "
+    "is CENSORED (still alive), entering every risk set it survives "
+    "but never the event count.  S(t) = prod_{{t_i <= t}} "
+    "(1 - d_i / n_i) over distinct EVENT times, computed as "
+    "exp(cumsum(ln)) in both engines (identical op sequence; the "
+    "~1e-15 libm ulp sits far below round 6).  Censored-only times "
+    "contribute ln(1) = 0, so filtering to d > 0 rows first is "
+    "exact.  Scale: one map-combined per-customer aggregate (the "
+    "only corpus-sized shuffle), then day-bounded count tables; the "
+    "unpartitioned windows run over <= |distinct lifetimes| <= "
+    "calendar-days rows.",
+)
+def q228_kaplan_meier_survival(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    mx = o.agg(F.max(ms).alias("mx_ms"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mx_ms")
+        .agg(
+            F.expr(
+                "(max(unix_millis(CAST(o_orderdate AS TIMESTAMP)))"
+                " - min(unix_millis(CAST(o_orderdate AS TIMESTAMP)))) DIV 86400000"
+            ).alias("t"),
+            F.max(ms).alias("last_ms"),
+        )
+        .select(
+            "t",
+            (
+                (F.col("mx_ms") - F.col("last_ms") >= F.lit(_KM_CENSOR_MS))
+            ).cast("int").alias("ev"),
+        )
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("nc"))
+    ct = per.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.orderBy("t")
+    r = (
+        ct.crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("nc") - (F.sum("c").over(wt) - F.col("c")))
+    )
+    km = r.filter(F.col("d") > 0).withColumn(
+        "s",
+        F.exp(F.sum(F.log(1 - F.col("d") * 1.0 / F.col("n_risk"))).over(wt)),
+    )
+    return km.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("t_days")
+
+
+_SES_ALPHA = "0.25"  # exact binary fraction: bit-identical folds in both engines
+
+_SES_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT o_orderpriority AS p, epoch_ms(o_orderdate) // 86400000 AS dayno,
+         count(*) AS x
+  FROM orders GROUP BY p, dayno),
+r AS (SELECT p, x, row_number() OVER (PARTITION BY p ORDER BY dayno) AS rn FROM d),
+ses AS (
+  SELECT p, rn, CAST(x AS DOUBLE) AS lev, CAST(0.0 AS DOUBLE) AS sse
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.p, r.rn,
+         CAST({_SES_ALPHA} AS DOUBLE) * r.x
+           + CAST(1 - {_SES_ALPHA} AS DOUBLE) * ses.lev,
+         ses.sse + (r.x - ses.lev) * (r.x - ses.lev)
+  FROM ses JOIN r ON r.p = ses.p AND r.rn = ses.rn + 1),
+last AS (SELECT p, rn, lev, sse,
+                row_number() OVER (PARTITION BY p ORDER BY rn DESC) AS rr
+         FROM ses)
+SELECT p AS priority, CAST(rn AS BIGINT) AS n_days, round(lev, 6) AS level,
+       CASE WHEN rn > 1 THEN round(sqrt(sse / (rn - 1)), 6) END AS rmse
+FROM last WHERE rr = 1 ORDER BY priority"""
+
+
+@register(
+    "q229_ses_forecast",
+    _SES_SQL,
+    ops=("ext-forecast-ses",),
+    doc="SIMPLE EXPONENTIAL SMOOTHING of each priority's daily order "
+    "series: s_1 = x_1, s_t = a*x_t + (1-a)*s_(t-1) with a = 0.25 "
+    "(an EXACT binary fraction, so the fold is bit-identical across "
+    "engines) — the final level IS the one-step-ahead forecast, and "
+    "the carried sum of squared one-step errors yields in-sample "
+    "RMSE.  An inherently SEQUENTIAL recurrence: the ENGINE folds "
+    "the day series with a JVM-side higher-order aggregate() over "
+    "array_sort(collect_list) — legal because the series is "
+    "CALENDAR-BOUNDED (~2.4k days regardless of volume; the q108 "
+    "HOF argument), never a raw-row buffer — while the ORACLE "
+    "replays the identical recurrence as a DuckDB RECURSIVE CTE "
+    "(the q136 BPE-replay discipline).  Scale: the (priority, day) "
+    "aggregate map-combines out of the scan; everything after is "
+    "volume-flat.",
+)
+def q229_ses_forecast(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ser = d.groupBy("p").agg(
+        F.array_sort(F.collect_list(F.struct("dayno", "x"))).alias("series")
+    )
+    a = _SES_ALPHA
+    fold = ser.withColumn(
+        "acc",
+        F.expr(
+            f"""aggregate(series,
+  named_struct('lev', CAST(NULL AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE)),
+  (acc, e) -> named_struct(
+    'lev', CASE WHEN acc.lev IS NULL THEN CAST(e.x AS DOUBLE)
+                ELSE {a} * e.x + (1 - {a}) * acc.lev END,
+    'sse', CASE WHEN acc.lev IS NULL THEN CAST(0.0 AS DOUBLE)
+                ELSE acc.sse + (e.x - acc.lev) * (e.x - acc.lev) END))"""
+        ),
+    )
+    return fold.select(
+        F.col("p").alias("priority"),
+        F.size("series").cast("bigint").alias("n_days"),
+        F.round(F.col("acc.lev"), 6).alias("level"),
+        F.when(
+            F.size("series") > 1,
+            F.round(F.sqrt(F.col("acc.sse") / (F.size("series") - 1)), 6),
+        ).alias("rmse"),
+    ).orderBy("priority")
+
+
+_BT_SQL = """
+WITH d AS (
+  SELECT epoch_ms(l_shipdate) // 86400000 AS dayno, count(*) AS x
+  FROM lineitem GROUP BY dayno),
+w AS (
+  SELECT x, row_number() OVER (ORDER BY dayno) AS rn,
+         lag(x, 7) OVER (ORDER BY dayno) AS naive7,
+         avg(x) OVER (ORDER BY dayno
+                      ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS mean28
+  FROM d),
+e AS (
+  SELECT 'naive_lag7' AS model, CAST(x - naive7 AS DOUBLE) AS err
+  FROM w WHERE rn > 28
+  UNION ALL
+  SELECT 'trailing_mean28' AS model, x - mean28 AS err FROM w WHERE rn > 28)
+SELECT model, CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(abs(err)), 6) AS mae,
+       round(sqrt(avg(err * err)), 6) AS rmse
+FROM e GROUP BY model ORDER BY model"""
+
+
+@register(
+    "q230_forecast_backtest",
+    _BT_SQL,
+    ops=("ext-forecast-backtest",),
+    doc="ROLLING-ORIGIN FORECAST BACKTEST of the daily shipment "
+    "series: two leakage-free one-step-ahead baselines — seasonal "
+    "naive (the value 7 OBSERVATIONS back; row-based, so calendar "
+    "gaps count as adjacent observations, documented) and the "
+    "trailing 28-observation mean (frame ends at 1 PRECEDING — the "
+    "current day never forecasts itself) — scored by MAE and RMSE "
+    "over every day where both are defined (rn > 28).  This is the "
+    "model-EVALUATION half of the forecasting family (q229 fits, "
+    "this backtests; q213 is the same discipline for the Markov "
+    "model).  Scale: the day aggregate map-combines; the "
+    "unpartitioned windows run over the calendar-bounded day series "
+    "(~2.4k rows at any volume); the final stack+agg is trivial.",
+)
+def q230_forecast_backtest(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.expr(
+            "unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wd = Window.orderBy("dayno")
+    wm = Window.orderBy("dayno").rowsBetween(-28, -1)
+    w = (
+        d.withColumn("rn", F.row_number().over(wd))
+        .withColumn("naive7", F.lag("x", 7).over(wd))
+        .withColumn("mean28", F.avg("x").over(wm))
+        .filter(F.col("rn") > 28)
+    )
+    e = w.select(
+        F.expr(
+            "stack(2, 'naive_lag7', CAST(x - naive7 AS DOUBLE),"
+            " 'trailing_mean28', x - mean28) AS (model, err)"
+        )
+    )
+    return (
+        e.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.abs(F.col("err"))), 6).alias("mae"),
+            F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rmse"),
+        )
+        .orderBy("model")
+    )
+
+
+_MG_K = 299  # exact heavy hitters above share 1/(k+1)
+
+_MG_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+t2 AS (SELECT term FROM tok WHERE term <> ''),
+tot AS (SELECT count(*) AS n FROM t2),
+tc AS (SELECT term, count(*) AS c FROM t2 GROUP BY term)
+SELECT term, CAST(c AS BIGINT) AS cnt, round(c * 1.0 / tot.n, 6) AS share
+FROM tc CROSS JOIN tot
+WHERE c * {_MG_K + 1} > tot.n
+ORDER BY cnt DESC, term"""
+
+
+@register(
+    "q231_misra_gries_heavy_hitters",
+    _MG_SQL,
+    ops=("ext-heavy-hitters-mg",),
+    doc="EXACT corpus heavy hitters (token share > 1/300) by the "
+    "TWO-PASS MISRA-GRIES plan — the deterministic counterpart of "
+    "q163's probabilistic count-min: pass 1 streams each partition "
+    "once through 299 decrement counters (shuffle-free mapInPandas; "
+    "operators/corpus.misra_gries_candidates), whose union is a "
+    "GUARANTEED superset of every global heavy hitter (pigeonhole "
+    "over the per-partition MG bound, proven partition-adversarially "
+    "in pytest); pass 2 exactly counts ONLY the <= |partitions|*k "
+    "broadcast candidates via left-semi, so the full-cardinality "
+    "(term, count) space never shuffles.  The integer "
+    "cross-multiplied threshold c*(k+1) > n makes the final set "
+    "EXACT and partition-layout-independent — hence a full value "
+    "oracle (plain GROUP BY + HAVING).  Scale: at 100 TB the token "
+    "groupBy this avoids is the dominant shuffle; MG state is O(k) "
+    "per executor thread.",
+)
+def q231_misra_gries_heavy_hitters(spark, sf_dir):
+    from team_aragon_spark.operators import corpus
+    from team_aragon_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .persist()  # three consumers: MG pass, total, exact candidate count
+    )
+    cand = corpus.misra_gries_candidates(toks, "term", _MG_K)
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * (_MG_K + 1) > F.col("n"))
+        .select(
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "term")
+    )
+
+
+_LLR_TOP = 5
+
+_LLR_SQL = rf"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+tc AS (SELECT source, term, count(*) AS a FROM t2 GROUP BY source, term),
+st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM tc GROUP BY source),
+tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS at FROM tc GROUP BY term),
+g  AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM tc),
+m AS (
+  SELECT tc.source, tc.term, CAST(tc.a AS BIGINT) AS a,
+         tt.at - tc.a AS b, st.ns - tc.a AS c,
+         g.n - tt.at - st.ns + tc.a AS d2, st.ns, tt.at, g.n
+  FROM tc JOIN st USING (source) JOIN tt USING (term) CROSS JOIN g
+  WHERE tc.a * g.n > tt.at * st.ns),
+llr AS (
+  SELECT source, term, a, b,
+         round(2.0 * (
+             (CASE WHEN a > 0 THEN a * ln((a * 1.0 * n) / (at * 1.0 * ns)) ELSE 0 END)
+           + (CASE WHEN b > 0 THEN b * ln((b * 1.0 * n) / (at * 1.0 * (n - ns))) ELSE 0 END)
+           + (CASE WHEN c > 0 THEN c * ln((c * 1.0 * n) / ((n - at) * 1.0 * ns)) ELSE 0 END)
+           + (CASE WHEN d2 > 0 THEN d2 * ln((d2 * 1.0 * n) / ((n - at) * 1.0 * (n - ns))) ELSE 0 END)
+         ), 4) AS llr
+  FROM m),
+rk AS (SELECT source, term, a AS cnt_in, b AS cnt_out, llr,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY llr DESC, term) AS rank
+       FROM llr)
+SELECT source, CAST(rank AS INT) AS rank, term, llr, cnt_in, cnt_out
+FROM rk WHERE rank <= {_LLR_TOP} ORDER BY source, rank"""
+
+
+@register(
+    "q232_llr_keywords",
+    _LLR_SQL,
+    ops=("ext-keyword-llr",),
+    doc="PER-SOURCE KEYWORD EXTRACTION by Dunning's log-likelihood "
+    "ratio (G2) — the corpus-linguistics standard that stays "
+    "calibrated at low counts where q129's chi-square inflates and "
+    "q195's PMI explodes: per (source, term), G2 = 2 * sum over the "
+    "2x2 contingency cells of O*ln(O/E), enrichment-gated by the "
+    "exact integer cross-multiplication a*n > at*ns (over-represented "
+    "terms only), top-5 per source ranked by the ROUNDED statistic "
+    "(round 4) with a term tie-break so rank boundaries are "
+    "cross-engine deterministic.  All four ln() terms take "
+    "bit-identical double inputs (integer-valued doubles), written "
+    "in the same operand order in both engines.  Scale: one token "
+    "explode into a map-combined (source, term) aggregate; the "
+    "marginals are vocab/source-bounded broadcasts; the window "
+    "partitions by source.",
+)
+def q232_llr_keywords(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from team_aragon_spark.operators.text import tokens as _tokens
+
+    tc = (
+        docs.select(
+            "source", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .persist()  # feeds the three marginals AND the contingency join
+    )
+    st = tc.groupBy("source").agg(F.sum("a").cast("bigint").alias("ns"))
+    tt = tc.groupBy("term").agg(F.sum("a").cast("bigint").alias("at"))
+    g = tc.agg(F.sum("a").cast("bigint").alias("n"))
+    m = (
+        tc.join(F.broadcast(st), "source")
+        .join(tt, "term")
+        .crossJoin(F.broadcast(g))
+        .filter(F.col("a") * F.col("n") > F.col("at") * F.col("ns"))
+        .select(
+            "source",
+            "term",
+            F.col("a").cast("bigint").alias("a"),
+            (F.col("at") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("at") - F.col("ns") + F.col("a")).alias("d2"),
+            "ns",
+            "at",
+            "n",
+        )
+    )
+    term = lambda o, e: F.when(  # noqa: E731 — O * ln(O/E), 0 when O = 0
+        o > 0, o * F.log(e)
+    ).otherwise(F.lit(0.0))
+    a, b, c, d2 = F.col("a"), F.col("b"), F.col("c"), F.col("d2")
+    ns, at, n = F.col("ns"), F.col("at"), F.col("n")
+    llr = m.select(
+        "source",
+        "term",
+        a.alias("cnt_in"),
+        b.alias("cnt_out"),
+        F.round(
+            2.0
+            * (
+                term(a, (a * 1.0 * n) / (at * 1.0 * ns))
+                + term(b, (b * 1.0 * n) / (at * 1.0 * (n - ns)))
+                + term(c, (c * 1.0 * n) / ((n - at) * 1.0 * ns))
+                + term(d2, (d2 * 1.0 * n) / ((n - at) * 1.0 * (n - ns)))
+            ),
+            4,
+        ).alias("llr"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("llr"), "term")
+    return (
+        llr.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _LLR_TOP)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "llr",
+            "cnt_in",
+            "cnt_out",
+        )
+        .orderBy("source", "rank")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle

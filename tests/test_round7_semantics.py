@@ -2062,3 +2062,176 @@ def test_weighted_quantiles_lower_convention(spark, tmp_path_factory):
     assert (got.flag, got.total_weight) == ("N", 10)
     assert got.p_50 == 30.0
     assert got.p_90 == 30.0
+
+
+# ---------------------------------------------------------------------------
+# Batch 17: survival, forecasting, heavy hitters, keywords
+# ---------------------------------------------------------------------------
+
+_ORDERS_SCHEMA_B17 = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+_DOCS_SCHEMA_B17 = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_kaplan_meier_censoring_and_risk_sets(spark, tmp_path_factory):
+    """Hand-computed KM curve: censored customers enter every risk set
+    they survive but never the event count; S multiplies only at
+    event times.  c1 (t=10, event), c2 (t=20, event), c3 (t=150,
+    censored: last order 50d before corpus end), c4 (t=0, censored
+    anchor) => S(10) = 2/3, S(20) = 2/3 * 1/2 = 1/3."""
+    day0 = datetime.datetime(2024, 1, 1)
+
+    def at(days):
+        return day0 + datetime.timedelta(days=days)
+
+    orders = [
+        (1, 1, "O", 1.0, at(0), "1-URGENT"),
+        (2, 1, "O", 1.0, at(10), "1-URGENT"),
+        (3, 2, "O", 1.0, at(0), "1-URGENT"),
+        (4, 2, "O", 1.0, at(20), "1-URGENT"),
+        (5, 3, "O", 1.0, at(0), "1-URGENT"),
+        (6, 3, "O", 1.0, at(150), "1-URGENT"),
+        (7, 4, "O", 1.0, at(200), "1-URGENT"),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17)},
+        "km",
+    )
+    rows = [
+        (r.t_days, r.n_risk, r.n_events, r.survival)
+        for r in QUERY_REGISTRY["q228_kaplan_meier_survival"].fn(spark, d).collect()
+    ]
+    assert rows == [(10, 3, 1, 0.666667), (20, 2, 1, 0.333333)]
+
+
+def test_ses_fold_recurrence_exact(spark, tmp_path_factory):
+    """The smoothing fold on counts [4, 8, 8] (alpha = 0.25, an exact
+    binary fraction): s = 4 -> 5 -> 5.75, one-step SSE = 16 + 9 = 25,
+    RMSE = sqrt(25/2).  Gap days (0, 5, 6) are consecutive
+    OBSERVATIONS — the documented row-sequence convention."""
+    day0 = datetime.datetime(2024, 1, 1)
+    orders, ok = [], 0
+    for dayno, cnt in ((0, 4), (5, 8), (6, 8)):
+        for _ in range(cnt):
+            ok += 1
+            orders.append(
+                (ok, 1, "O", 1.0,
+                 day0 + datetime.timedelta(days=dayno), "1-URGENT")
+            )
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17)},
+        "ses",
+    )
+    rows = QUERY_REGISTRY["q229_ses_forecast"].fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.priority, r.n_days, r.level) == ("1-URGENT", 3, 5.75)
+    assert r.rmse == round((25 / 2) ** 0.5, 6)
+
+
+def test_backtest_naive7_exact_on_weekly_pattern(spark, tmp_path_factory):
+    """A perfectly 7-periodic daily series makes the seasonal-naive
+    model EXACT (mae = rmse = 0) while the trailing mean stays wrong —
+    the separation that proves lag-7 is measured per observation and
+    the evaluation window starts at rn > 28."""
+    day0 = datetime.datetime(2024, 1, 1)
+    lines, lk = [], 0
+    for i in range(36):
+        for _ in range((i % 7) + 1):
+            lk += 1
+            lines.append(
+                (lk, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 day0 + datetime.timedelta(days=i))
+            )
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "bt",
+    )
+    got = {
+        r.model: (r.n_days, r.mae, r.rmse)
+        for r in QUERY_REGISTRY["q230_forecast_backtest"].fn(spark, d).collect()
+    }
+    assert got["naive_lag7"] == (8, 0.0, 0.0)
+    n_days, mae, rmse = got["trailing_mean28"]
+    assert n_days == 8 and mae > 0 and rmse >= mae
+
+
+def test_misra_gries_superset_guarantee_adversarial(spark):
+    """The pigeonhole guarantee under adversarial layout: a global
+    heavy hitter diluted across 10 round-robin partitions (never
+    locally dominant) must still survive SOME partition's k=9
+    summary — the property the q231 two-pass plan rests on."""
+    from team_aragon_spark.operators.corpus import misra_gries_candidates
+
+    rows = [("hh",)] * 50 + [(f"f{i}",) for i in range(60) for _ in range(6)]
+    df = spark.createDataFrame(rows, "term string").repartition(10)
+    cand = {r.term for r in misra_gries_candidates(df, "term", 9).collect()}
+    assert "hh" in cand  # 50 > n/(k+1) = 410/10
+
+
+def test_misra_gries_query_equals_brute_force(spark, tmp_path_factory):
+    """End-to-end q231 on planted documents equals the brute-force
+    full groupBy with the same integer threshold."""
+    docs = [
+        (i, "common common rare%d filler%d" % (i, i), "en", "s", 0)
+        for i in range(40)
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"documents": spark.createDataFrame(docs, _DOCS_SCHEMA_B17)},
+        "mg",
+    )
+    got = [
+        (r.term, r.cnt)
+        for r in QUERY_REGISTRY["q231_misra_gries_heavy_hitters"].fn(spark, d).collect()
+    ]
+    spark.catalog.clearCache()
+    # 160 tokens total; threshold n/300 < 1 token, so EVERY distinct
+    # term with cnt*300 > 160 qualifies -> brute force = all terms
+    # with cnt >= 1; sharpen by checking against explicit counts.
+    assert ("common", 80) == got[0]
+    assert len(got) == 81 and all(c * 300 > 160 for _, c in got)
+
+
+def test_llr_keywords_enrichment_gate_and_value(spark, tmp_path_factory):
+    """Hand-computed G2 for a source-exclusive token; the enrichment
+    gate (a*n > at*ns) must drop a token whose in-source share does
+    not exceed its corpus share."""
+    import math
+
+    docs = [
+        (1, "zzz zzz zzz common", "en", "A", 0),
+        (2, "common common common yyy", "en", "B", 0),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"documents": spark.createDataFrame(docs, _DOCS_SCHEMA_B17)},
+        "llr",
+    )
+    rows = QUERY_REGISTRY["q232_llr_keywords"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # A: zzz is rank 1; 'common' (share 1/4 vs corpus 4/8) is gated out
+    assert by_src["A"][0].term == "zzz"
+    assert all(r.term != "common" for r in by_src["A"])
+    # hand-computed G2 for zzz in A: a=3 b=0 c=1 d=4, n=8 at=3 ns=4
+    expect = round(2.0 * (3 * math.log(2.0) + math.log(0.4)
+                          + 4 * math.log(1.6)), 4)
+    assert by_src["A"][0].llr == expect
+    # B: both common and yyy are enriched; ranks are 1..k dense
+    assert [r.rank for r in by_src["B"]] == list(range(1, len(by_src["B"]) + 1))

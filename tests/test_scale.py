@@ -1722,3 +1722,51 @@ def test_round7_batch15_plan_shapes(spark):
     assert p227.find("HashAggregate", p227.find("Window")) != -1, (
         "weight cumulation must run over the value count table"
     )
+
+
+def test_round7_batch17_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-17 additions:
+
+    - q228/q230 (survival, backtest): the unpartitioned windows run
+      over day/lifetime-bounded HashAggregate output, never raw facts.
+    - q229 (SES): the sequential fold is a JVM higher-order aggregate
+      — no Python anywhere in the plan.
+    - q231 (Misra-Gries): exactly one Arrow MapInPandas stage (pass
+      1), and the exact pass semi-joins the BROADCAST candidate set.
+    - q232 (LLR): source marginal + grand total broadcast; no
+      cartesian products beyond broadcast-tiny crossJoins.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name in ("q228_kaplan_meier_survival", "q230_forecast_backtest"):
+        p = plan(name)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p
+        assert p.find("HashAggregate", p.find("Window")) != -1, (
+            f"{name}: windows must run over the aggregated series"
+        )
+
+    p229 = plan("q229_ses_forecast")
+    assert "CartesianProduct" not in p229
+    assert "BatchEvalPython" not in p229 and "MapInPandas" not in p229
+
+    p231 = plan("q231_misra_gries_heavy_hitters")
+    assert p231.count("MapInPandas") == 1, "one shuffle-free MG pass"
+    assert "BroadcastHashJoin" in p231 and "LeftSemi" in p231, (
+        "exact pass must semi-join broadcast candidates"
+    )
+    assert "CartesianProduct" not in p231
+
+    p232 = plan("q232_llr_keywords")
+    assert "CartesianProduct" not in p232
+    assert "BatchEvalPython" not in p232 and "MapInPandas" not in p232
