@@ -13259,6 +13259,361 @@ def q232_llr_keywords(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 18: rank correlation, YoY report, l-diversity, classifier eval
+# ---------------------------------------------------------------------------
+
+_SPEAR_VARS = ("l_quantity", "l_discount", "l_tax")
+
+_SPEAR_RANKS_SQL = "\n".join(
+    f"""r_{v} AS (
+  SELECT val AS {v}, sum(c) OVER (ORDER BY val) - c + (c + 1) / 2.0 AS rk
+  FROM (SELECT {v} AS val, count(*) AS c FROM lineitem GROUP BY val)),"""
+    for v in _SPEAR_VARS
+)
+
+_SPEAR_PAIRS = [
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+_SPEAR_SQL = f"""
+WITH {_SPEAR_RANKS_SQL}
+j AS (
+  SELECT {", ".join(f"r_{v}.rk AS rk_{v}" for v in _SPEAR_VARS)}
+  FROM lineitem
+  {" ".join(f"JOIN r_{v} USING ({v})" for v in _SPEAR_VARS)}),
+s AS (
+  SELECT count(*) AS n,
+         {", ".join(f"sum(rk_{v}) AS s_{v}, sum(rk_{v} * rk_{v}) AS ss_{v}"
+                    for v in _SPEAR_VARS)},
+         {", ".join(f"sum(rk_{x} * rk_{y}) AS sp_{x}_{y}"
+                    for x, y in _SPEAR_PAIRS)}
+  FROM j)
+{" UNION ALL ".join(
+    f'''SELECT '{x}' AS var_x, '{y}' AS var_y, CAST(n AS BIGINT) AS n,
+               round((n * sp_{x}_{y} - s_{x} * s_{y})
+                     / (sqrt(n * ss_{x} - s_{x} * s_{x})
+                        * sqrt(n * ss_{y} - s_{y} * s_{y})), 6) AS spearman_rho
+        FROM s'''
+    for x, y in _SPEAR_PAIRS)}
+ORDER BY var_x, var_y"""
+
+
+@register(
+    "q233_spearman_corr",
+    _SPEAR_SQL,
+    ops=("ext-rank-correlation",),
+    doc="SPEARMAN RANK CORRELATION over the discrete lineitem "
+    "measures (quantity, discount, tax) with the exact AVERAGE-RANK "
+    "tie convention — the monotone-association complement to q135's "
+    "Pearson matrix (outlier/curvature-immune) where ties dominate "
+    "(50/11/9 distinct values).  Ranks come from per-variable COUNT "
+    "TABLES (rk = cum_count - c + (c+1)/2), so the rank windows run "
+    "over <= 50 rows and the rank maps broadcast back onto the fact "
+    "scan; one map-combined sum pass collects every moment, and rho "
+    "is assembled from identical-operand-order arithmetic in both "
+    "engines.  Continuous variables (l_extendedprice) are "
+    "deliberately excluded: their rank map is row-cardinality and "
+    "needs range-partitioned two-pass ranking — the documented "
+    "scale path, not a hidden single-partition window.  Scale: ONE "
+    "fact scan into the joint (q, d, t) count table (<= 4950 "
+    "cells); marginals, rank maps and every weighted moment derive "
+    "from the cells, so no raw row is touched twice.",
+)
+def q233_spearman_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # ONE fact scan: the joint (quantity, discount, tax) count table
+    # (<= 50 * 11 * 9 cells) carries every moment — marginals, rank
+    # maps, and all weighted rank products derive from it, so nothing
+    # downstream ever touches raw rows again.  (Cell-grouped double
+    # sums differ from the oracle's row-level accumulation only in
+    # ulp-order, ~1e-12 relative — far below round 6.)
+    cnt3 = (
+        li.groupBy(*_SPEAR_VARS)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # marginal + moment consumers below
+    )
+    j = cnt3
+    for v in _SPEAR_VARS:
+        marg = cnt3.groupBy(F.col(v).alias("val")).agg(
+            F.sum("c").alias("cv")
+        )
+        wv = Window.orderBy("val")
+        rmap = marg.select(
+            F.col("val").alias(v),
+            (
+                F.sum("cv").over(wv) - F.col("cv") + (F.col("cv") + 1) / 2.0
+            ).alias(f"rk_{v}"),
+        )
+        j = j.join(F.broadcast(rmap), v)
+    c = F.col("c")
+    aggs = [F.sum("c").alias("n")]
+    for v in _SPEAR_VARS:
+        aggs.append(F.sum(c * F.col(f"rk_{v}")).alias(f"s_{v}"))
+        aggs.append(
+            F.sum(c * F.col(f"rk_{v}") * F.col(f"rk_{v}")).alias(f"ss_{v}")
+        )
+    for x, y in _SPEAR_PAIRS:
+        aggs.append(
+            F.sum(c * F.col(f"rk_{x}") * F.col(f"rk_{y}")).alias(f"sp_{x}_{y}")
+        )
+    s = j.agg(*aggs).persist()  # three consumer rows below
+    rows = None
+    for x, y in _SPEAR_PAIRS:
+        n, sx, sy = F.col("n"), F.col(f"s_{x}"), F.col(f"s_{y}")
+        sxx, syy = F.col(f"ss_{x}"), F.col(f"ss_{y}")
+        sxy = F.col(f"sp_{x}_{y}")
+        row = s.select(
+            F.lit(x).alias("var_x"),
+            F.lit(y).alias("var_y"),
+            n.cast("bigint").alias("n"),
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ).alias("spearman_rho"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("var_x", "var_y")
+
+
+_YOY_SQL = """
+WITH yr AS (
+  SELECT c.c_mktsegment AS segment, year(o.o_orderdate) AS yr,
+         count(*) AS n_orders, sum(o.o_totalprice) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, yr)
+SELECT segment, CAST(yr AS INT) AS yr, CAST(n_orders AS BIGINT) AS n_orders,
+       round(rev, 2) AS revenue,
+       round((rev - lag(rev) OVER (PARTITION BY segment ORDER BY yr))
+             / lag(rev) OVER (PARTITION BY segment ORDER BY yr), 6)
+         AS yoy_growth
+FROM yr ORDER BY segment, yr"""
+
+
+@register(
+    "q234_yoy_growth",
+    _YOY_SQL,
+    ops=("ext-bi-yoy",),
+    doc="YEAR-OVER-YEAR GROWTH report per market segment — the "
+    "executive-BI staple beside q65 (month partitions), q146 "
+    "(period contribution) and q119 (cohorts): revenue and order "
+    "counts at (segment, year) grain with the growth ratio off a "
+    "LAG window; first year of each segment is NULL growth by "
+    "definition.  Scale: the (segment, year) aggregate map-combines "
+    "out of the join; the growth window runs over <= |segments| x "
+    "|years| (~35) rows.",
+)
+def q234_yoy_growth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    yr = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    wseg = Window.partitionBy("segment").orderBy("yr")
+    prev = F.lag("rev").over(wseg)
+    return yr.select(
+        "segment",
+        F.col("yr").cast("int").alias("yr"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("rev", 2).alias("revenue"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("yoy_growth"),
+    ).orderBy("segment", "yr")
+
+
+_LDIV_L = 3
+
+_LDIV_SQL = f"""
+WITH lv AS (
+  {" UNION ALL ".join(
+      f'''SELECT {i} AS level, CAST({s} AS BIGINT) AS bal_scale, c_nationkey,
+                 CAST(floor(c_acctbal / {s}) AS BIGINT) AS bal_bucket,
+                 c_mktsegment
+          FROM customer'''
+      for i, s in enumerate(_KANON_SCALES))}),
+g AS (
+  SELECT level, bal_scale, c_nationkey, bal_bucket,
+         count(*) AS sz, count(DISTINCT c_mktsegment) AS l
+  FROM lv GROUP BY 1, 2, 3, 4)
+SELECT level, bal_scale,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_groups,
+       CAST(sum(CASE WHEN l < {_LDIV_L} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_records_at_risk,
+       round(sum(CASE WHEN l < {_LDIV_L} THEN sz ELSE 0 END)
+             / CAST(sum(sz) AS DOUBLE), 6) AS pct_at_risk
+FROM g GROUP BY level, bal_scale ORDER BY level"""
+
+
+@register(
+    "q235_l_diversity_audit",
+    _LDIV_SQL,
+    ops=("ext-curation-privacy",),
+    doc="L-DIVERSITY audit (Machanavajjhala 2007) — the privacy screen "
+    "k-anonymity (q176) misses: a QI group can be large yet leak its "
+    "SENSITIVE attribute when every member shares one value "
+    "(homogeneity attack).  Same generalization ladder as q176 with "
+    "the market segment moved from quasi-identifier to SENSITIVE "
+    "role: per (nation, balance-bucket) group, l = distinct "
+    "segments; per level, groups below l=3, records at disclosure "
+    "risk, and the at-risk fraction.  Scale: q176's one-scan 4-way "
+    "level explode; the distinct-count runs inside the same "
+    "map-combined aggregate; shuffle volume is group cardinality.",
+)
+def q235_l_diversity_audit(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    lv = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("level"),
+                        F.lit(s).cast("bigint").alias("bal_scale"),
+                        F.floor(F.col("c_acctbal") / s)
+                        .cast("bigint")
+                        .alias("bal_bucket"),
+                    )
+                    for i, s in enumerate(_KANON_SCALES)
+                ]
+            )
+        ).alias("l"),
+        "c_nationkey",
+        "c_mktsegment",
+    ).select("l.level", "l.bal_scale", "c_nationkey", "l.bal_bucket", "c_mktsegment")
+    g = lv.groupBy("level", "bal_scale", "c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    low = F.col("l") < _LDIV_L
+    return (
+        g.groupBy("level", "bal_scale")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("l").cast("bigint").alias("min_l"),
+            F.sum(F.when(low, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_diversity_groups"),
+            F.sum(F.when(low, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_records_at_risk"),
+            F.round(
+                F.sum(F.when(low, F.col("sz")).otherwise(0))
+                / F.sum("sz").cast("double"),
+                6,
+            ).alias("pct_at_risk"),
+        )
+        .select(
+            "level",
+            "bal_scale",
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            "min_l",
+            "n_low_diversity_groups",
+            "n_records_at_risk",
+            "pct_at_risk",
+        )
+        .orderBy("level")
+    )
+
+
+_PRF_SQL = f"""
+WITH cm AS (
+  SELECT lang, {_LANG_CASE_SQL} AS predicted_lang FROM (
+    SELECT doc_id, lang,
+           {', '.join(f'{e} AS s_{l}' for l, e in _LANG_SCORE_SQL.items())},
+           greatest({', '.join(_LANG_SCORE_SQL.values())}) AS mx
+    FROM documents)),
+tp AS (SELECT lang, count(*) AS tp FROM cm WHERE lang = predicted_lang
+       GROUP BY lang),
+act AS (SELECT lang, count(*) AS n_true FROM cm GROUP BY lang),
+prd AS (SELECT predicted_lang AS lang, count(*) AS n_pred FROM cm
+        GROUP BY predicted_lang)
+SELECT act.lang, CAST(act.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(prd.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+       round(CASE WHEN coalesce(prd.n_pred, 0) > 0
+                  THEN coalesce(tp.tp, 0) * 1.0 / prd.n_pred ELSE 0 END, 6)
+         AS precision,
+       round(coalesce(tp.tp, 0) * 1.0 / act.n_true, 6) AS recall,
+       round(CASE WHEN coalesce(tp.tp, 0) > 0
+                  THEN 2.0 * (coalesce(tp.tp, 0) * 1.0 / prd.n_pred)
+                       * (coalesce(tp.tp, 0) * 1.0 / act.n_true)
+                       / ((coalesce(tp.tp, 0) * 1.0 / prd.n_pred)
+                          + (coalesce(tp.tp, 0) * 1.0 / act.n_true))
+                  ELSE 0 END, 6) AS f1
+FROM act LEFT JOIN tp USING (lang) LEFT JOIN prd USING (lang)
+ORDER BY act.lang"""
+
+
+@register(
+    "q236_langid_prf1",
+    _PRF_SQL,
+    ops=("ext-classifier-eval",),
+    doc="PER-CLASS PRECISION / RECALL / F1 of the q19 language-ID "
+    "heuristic against gold labels — the metric sheet distilled "
+    "from q85's confusion matrix (tp from the diagonal, fp/fn from "
+    "the margins), joining the model-eval family (q213 held-out "
+    "accuracy, q217 calibration).  Zero-denominator classes "
+    "(never-predicted language) report precision 0 by convention; "
+    "f1 is 0 whenever tp = 0, avoiding 0/0.  Scale: classifier "
+    "columns fold into the scan's partial agg; every relation after "
+    "is |langs| rows.",
+)
+def q236_langid_prf1(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cm = text.language_id(docs).select("lang", "predicted_lang").persist()
+    tp = (
+        cm.filter(F.col("lang") == F.col("predicted_lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    act = cm.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    prd = cm.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = (
+        act.join(tp, "lang", "left")
+        .join(prd, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") * 1.0 / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.col("tp") * 1.0 / F.col("n_true")
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                F.col("tp") > 0, 2.0 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("lang")
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle

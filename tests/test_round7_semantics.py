@@ -2235,3 +2235,123 @@ def test_llr_keywords_enrichment_gate_and_value(spark, tmp_path_factory):
     assert by_src["A"][0].llr == expect
     # B: both common and yyy are enriched; ranks are 1..k dense
     assert [r.rank for r in by_src["B"]] == list(range(1, len(by_src["B"]) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Batch 18: rank correlation, YoY, l-diversity, classifier eval
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_SCHEMA_B18 = (
+    "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+    "c_mktsegment string"
+)
+
+
+def test_spearman_monotone_ties_and_nonlinearity(spark, tmp_path_factory):
+    """Spearman must hit exactly +1 on any strictly monotone pair —
+    even a nonlinear one where Pearson < 1 — and the average-rank tie
+    convention yields the hand-computed 0.866025 for x = [1,1,2]
+    against a strictly increasing partner."""
+    lines = [
+        # (x=l_quantity, d=l_discount, t=l_tax): q ties, d/t monotone
+        (1, 1, 1, 1, 1.0, 1.0, 0.01, 0.01, "N", "O",
+         datetime.datetime(2024, 1, 1)),
+        (2, 1, 1, 1, 1.0, 1.0, 0.02, 0.02, "N", "O",
+         datetime.datetime(2024, 1, 1)),
+        (3, 1, 1, 1, 2.0, 1.0, 0.08, 0.08, "N", "O",
+         datetime.datetime(2024, 1, 1)),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "spear",
+    )
+    got = {
+        (r.var_x, r.var_y): (r.n, r.spearman_rho)
+        for r in QUERY_REGISTRY["q233_spearman_corr"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    # hand-computed with average ranks [1.5, 1.5, 3] vs [1, 2, 3]:
+    # rho = 4.5 / sqrt(4.5 * 6) = 0.866025
+    assert got[("l_quantity", "l_discount")] == (3, 0.866025)
+    assert got[("l_quantity", "l_tax")] == (3, 0.866025)
+    # discount vs tax: identical strictly monotone (nonlinear) -> exactly 1
+    assert got[("l_discount", "l_tax")] == (3, 1.0)
+
+
+def test_yoy_growth_first_year_null_and_ratio(spark, tmp_path_factory):
+    """First year per segment reports NULL growth; 100 -> 150 reports
+    exactly 0.5; segments window independently."""
+    orders = [
+        (1, 1, "O", 100.0, datetime.datetime(2020, 3, 1), "1-URGENT"),
+        (2, 1, "O", 150.0, datetime.datetime(2021, 3, 1), "1-URGENT"),
+        (3, 2, "O", 70.0, datetime.datetime(2021, 6, 1), "1-URGENT"),
+    ]
+    custs = [(1, "c1", 1, 0.0, "SA"), (2, "c2", 1, 0.0, "SB")]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17),
+            "customer": spark.createDataFrame(custs, _CUSTOMER_SCHEMA_B18),
+        },
+        "yoy",
+    )
+    rows = [
+        (r.segment, r.yr, r.revenue, r.yoy_growth)
+        for r in QUERY_REGISTRY["q234_yoy_growth"].fn(spark, d).collect()
+    ]
+    assert rows == [
+        ("SA", 2020, 100.0, None),
+        ("SA", 2021, 150.0, 0.5),
+        ("SB", 2021, 70.0, None),
+    ]
+
+
+def test_l_diversity_homogeneous_group_flagged(spark, tmp_path_factory):
+    """A 3-member group sharing ONE segment is k-anonymous (k=3) yet
+    l-deficient (l=1) — the homogeneity case q176 cannot flag; at the
+    next generalization level the merged group reaches l=3."""
+    custs = [
+        (1, "a", 1, 5.0, "S1"), (2, "b", 1, 6.0, "S1"), (3, "c", 1, 7.0, "S1"),
+        (4, "d", 1, 15.0, "S1"), (5, "e", 1, 16.0, "S2"), (6, "f", 1, 17.0, "S3"),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"customer": spark.createDataFrame(custs, _CUSTOMER_SCHEMA_B18)},
+        "ldiv",
+    )
+    got = {
+        r.level: (r.n_groups, r.min_l, r.n_low_diversity_groups,
+                  r.n_records_at_risk, r.pct_at_risk)
+        for r in QUERY_REGISTRY["q235_l_diversity_audit"].fn(spark, d).collect()
+    }
+    assert got[0] == (2, 1, 1, 3, 0.5)
+    for level in (1, 2, 3):
+        assert got[level] == (1, 3, 0, 0, 0.0)
+
+
+def test_langid_prf1_hand_computed(spark, tmp_path_factory):
+    """A German doc written with English markers: en gets precision
+    2/3 / recall 1; de gets the 0-convention everywhere (never
+    predicted, tp = 0 -> precision = recall = f1 = 0, no 0/0)."""
+    docs = [
+        (1, "the a and of to", "en", "s", 0),
+        (2, "the a and of to the", "en", "s", 0),
+        (3, "the a and", "de", "s", 0),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"documents": spark.createDataFrame(docs, _DOCS_SCHEMA_B17)},
+        "prf",
+    )
+    got = {
+        r.lang: (r.n_true, r.n_pred, r.tp, r.precision, r.recall, r.f1)
+        for r in QUERY_REGISTRY["q236_langid_prf1"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got["en"] == (2, 3, 2, 0.666667, 1.0, 0.8)
+    assert got["de"] == (1, 0, 0, 0.0, 0.0, 0.0)

@@ -1770,3 +1770,50 @@ def test_round7_batch17_plan_shapes(spark):
     p232 = plan("q232_llr_keywords")
     assert "CartesianProduct" not in p232
     assert "BatchEvalPython" not in p232 and "MapInPandas" not in p232
+
+
+def test_round7_batch18_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-18 additions:
+
+    - q233 (Spearman): all three rank maps join BROADCAST (count
+      tables, <= 50 rows) — the fact side never shuffles for ranking;
+      rank windows run over HashAggregate output.
+    - q234 (YoY): the growth window runs over the (segment, year)
+      aggregate, never raw orders.
+    - q235 (l-diversity): ONE scan of customer feeds all four
+      generalization levels (the explode plan, q176's shape).
+    - q236 (PRF1): pure JVM expressions, no Python.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p233 = plan("q233_spearman_corr")
+    assert p233.count("BroadcastHashJoin") >= 3, "rank maps must broadcast"
+    assert "SortMergeJoin" not in p233
+    assert "CartesianProduct" not in p233
+    assert "BatchEvalPython" not in p233 and "MapInPandas" not in p233
+
+    p234 = plan("q234_yoy_growth")
+    assert "CartesianProduct" not in p234
+    assert "BatchEvalPython" not in p234
+    assert p234.find("HashAggregate", p234.find("Window")) != -1, (
+        "growth window must run over the (segment, year) aggregate"
+    )
+
+    p235 = plan("q235_l_diversity_audit")
+    assert p235.count("Scan parquet") == 1, "one scan feeds all levels"
+    assert "Generate" in p235  # the level explode
+    assert "BatchEvalPython" not in p235
+
+    p236 = plan("q236_langid_prf1")
+    assert "CartesianProduct" not in p236
+    assert "BatchEvalPython" not in p236 and "MapInPandas" not in p236
