@@ -175,6 +175,10 @@ EXTRA = [
     "q230_forecast_backtest",       # rolling-origin MAE/RMSE
     "q231_misra_gries_heavy_hitters",  # two-pass exact heavy hitters
     "q232_llr_keywords",            # Dunning G2 keyword extraction
+    "q233_spearman_corr",           # tie-aware rank correlation
+    "q234_yoy_growth",              # segment YoY revenue report
+    "q235_l_diversity_audit",       # sensitive-attribute diversity
+    "q236_langid_prf1",             # per-class precision/recall/F1
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string
