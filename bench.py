@@ -179,6 +179,10 @@ EXTRA = [
     "q234_yoy_growth",              # segment YoY revenue report
     "q235_l_diversity_audit",       # sensitive-attribute diversity
     "q236_langid_prf1",             # per-class precision/recall/F1
+    "q237_weighted_shortest_path",  # Bellman-Ford relaxation rounds
+    "q238_mutual_nn_pairs",         # reciprocal-top-1 mining (brute pin)
+    "q239_info_gain_split",         # decision-stump feature selection
+    "q240_popularity_rec_hitk",     # leave-last-out recommender eval
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -13614,6 +13614,482 @@ def q236_langid_prf1(spark, sf_dir):
     ).orderBy("lang")
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 19: weighted SSSP, mutual-NN, info gain, recommender eval
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+
+_SSSP_RELAX_SQL = "\n".join(
+    f"""d{i + 1} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.b AS node, d{i}.dist + e.w AS dist
+    FROM d{i} JOIN e ON e.a = d{i}.node) GROUP BY node),"""
+    for i in range(_SSSP_ROUNDS)
+)
+
+_SSSP_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+pw AS (SELECT a, b, 1 + (a * 7 + b * 3) % 10 AS w FROM pairs),
+e AS (SELECT a, b, w FROM pw UNION ALL SELECT b AS a, a AS b, w FROM pw),
+d0 AS (SELECT (SELECT min(l_partkey) FROM lineitem) AS node,
+              CAST(0 AS BIGINT) AS dist),
+{_SSSP_RELAX_SQL}
+x AS (SELECT 1)
+SELECT node AS partkey, CAST(dist AS BIGINT) AS dist
+FROM d{_SSSP_ROUNDS} ORDER BY partkey"""
+
+
+@register(
+    "q237_weighted_shortest_path",
+    _SSSP_SQL,
+    ops=("ext-graph-sssp",),
+    doc="SINGLE-SOURCE WEIGHTED SHORTEST PATHS over the co-purchase "
+    f"graph, {_SSSP_ROUNDS} Bellman-Ford relaxation rounds from the "
+    "min partkey — the WEIGHTED sibling of q181's BFS (hop counts "
+    "cannot see that a cheap 2-hop beats an expensive edge; the "
+    "relaxation min can).  Edge weight is a deterministic integer "
+    "toll 1 + (7a + 3b) mod 10 on the canonical a<b half (identical "
+    "in both engines; a production weight like inverse co-occurrence "
+    "is the same plan plus one pair-count aggregate — deliberately "
+    "avoided here because q181 MEASURED that pair-grouping shuffle "
+    "at ~100 s per 100x pass).  Each round relaxes the full "
+    "node-bounded dist table against the cached edge halves "
+    "(broadcast, never an edge shuffle) and re-minimizes; "
+    "localCheckpoint per round keeps the lineage flat, exactly the "
+    "q181/q132 iteration discipline.  The ORACLE replays the "
+    f"{_SSSP_ROUNDS} relaxations as chained CTEs — the bounded "
+    "fixpoint, declaratively.  Integer dists make every value "
+    "exact.  Scale: dist is node-bounded, edges scan from cache "
+    "per round; rounds are a constant.",
+)
+def q237_weighted_shortest_path(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pw = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        # NO distinct: duplicate (a, b) pairs carry the SAME weight
+        # (w is a function of the keys), so the min-relaxation is
+        # duplicate-invariant — and q181 measured the pair-dedup
+        # shuffle at ~100 s per 100x pass for <0.5% removed.
+        .withColumn(
+            "w", 1 + F.pmod(F.col("a") * 7 + F.col("b") * 3, F.lit(10))
+        )
+    )
+    edges = pw.unionByName(
+        pw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).persist()
+    dist = (
+        li.agg(F.min("l_partkey").alias("node"))
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            F.broadcast(dist)
+            .join(edges, dist["node"] == edges["a"])
+            .select(F.col("b").alias("node"), (dist["dist"] + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("node").alias("partkey"), F.col("dist").cast("bigint").alias("dist")
+    ).orderBy("partkey")
+
+
+_MNN_SQL = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4)
+           AS cosine
+  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+nn AS (
+  SELECT qid, nid, cosine FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) = 1)
+SELECT x.qid AS a, x.nid AS b, x.cosine
+FROM nn x JOIN nn y ON x.nid = y.qid AND y.nid = x.qid AND x.qid < x.nid
+ORDER BY a"""
+
+
+@register(
+    "q238_mutual_nn_pairs",
+    _MNN_SQL,
+    ops=("ext-similarity-mnn",),
+    doc="MUTUAL NEAREST-NEIGHBOR pairs over the embedding corpus — "
+    "the reciprocal-top-1 criterion bitext/parallel-corpus mining "
+    "uses (Artetxe & Schwenk margin-mining's exact core): vector a "
+    "pairs with b only when each is the other's SINGLE closest "
+    "neighbor (rounded cosine, neighbor-id tie-break — the q22 "
+    "determinism), which kills the asymmetric hub matches a plain "
+    "top-1 join keeps.  Exact brute-force top-1 via the q22 "
+    "machinery (broadcast query side), then a self-join on the "
+    "reciprocity condition over the n-row top-1 relation.  Scale: "
+    "the all-pairs stage is the documented BRUTE BASELINE (the q23 "
+    "pattern); at corpus scale the same reciprocity join runs over "
+    "IVF-blocked top-1s (q26/q70 cells) — the mutual filter itself "
+    "is node-bounded either way.",
+)
+def q238_mutual_nn_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = similarity.cosine_topk_bruteforce(emb, emb, k=1).persist()
+    a, b = nn.alias("x"), nn.alias("y")
+    return (
+        a.join(
+            b,
+            (F.col("x.neighbor_id") == F.col("y.query_id"))
+            & (F.col("y.neighbor_id") == F.col("x.query_id"))
+            & (F.col("x.query_id") < F.col("x.neighbor_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("a"),
+            F.col("x.neighbor_id").alias("b"),
+            F.col("x.cosine").alias("cosine"),
+        )
+        .orderBy("a")
+    )
+
+
+_IG_FEATURES = ("l_quantity", "l_discount", "l_tax")
+_IG_FLAGS = ("A", "N", "R")
+
+
+def _ig_entropy_sql(cols: tuple[str, str, str], total: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN ({c} * 1.0 / {total}) * ln({c} * 1.0 / {total}) ELSE 0 END)"
+        for c in cols
+    )
+    return f"-({terms})"
+
+
+_IG_SQL = f"""
+WITH s AS (
+  SELECT feature, val, l_returnflag AS flag, count(*) AS c
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT '{f}' AS feature, {f} AS val, l_returnflag FROM lineitem"
+        for f in _IG_FEATURES)})
+  GROUP BY 1, 2, 3),
+v AS (
+  SELECT feature, val,
+         {", ".join(
+             f"CAST(sum(CASE WHEN flag = '{fl}' THEN c ELSE 0 END) AS BIGINT) AS c_{fl.lower()}"
+             for fl in _IG_FLAGS)}
+  FROM s GROUP BY feature, val),
+cum AS (
+  SELECT feature, val,
+         {", ".join(
+             f"sum(c_{fl.lower()}) OVER (PARTITION BY feature ORDER BY val) AS l_{fl.lower()}"
+             for fl in _IG_FLAGS)},
+         {", ".join(
+             f"sum(c_{fl.lower()}) OVER (PARTITION BY feature) AS t_{fl.lower()}"
+             for fl in _IG_FLAGS)}
+  FROM v),
+g AS (
+  SELECT feature, val,
+         l_a + l_n + l_r AS nl,
+         (t_a + t_n + t_r) - (l_a + l_n + l_r) AS nr,
+         t_a + t_n + t_r AS n,
+         {_ig_entropy_sql(("t_a", "t_n", "t_r"), "(t_a + t_n + t_r)")} AS h0,
+         {_ig_entropy_sql(("l_a", "l_n", "l_r"), "(l_a + l_n + l_r)")} AS hl,
+         {_ig_entropy_sql(("(t_a - l_a)", "(t_n - l_n)", "(t_r - l_r)"),
+                          "((t_a + t_n + t_r) - (l_a + l_n + l_r))")} AS hr
+  FROM cum),
+gain AS (
+  SELECT feature, val,
+         round(h0 - (nl * 1.0 / n) * hl - (nr * 1.0 / n) * hr, 6) AS info_gain,
+         CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right
+  FROM g WHERE nr > 0)
+SELECT feature, CAST(val AS DOUBLE) AS best_threshold, info_gain,
+       n_left, n_right
+FROM gain
+QUALIFY row_number() OVER (PARTITION BY feature
+                           ORDER BY info_gain DESC, val) = 1
+ORDER BY feature"""
+
+
+@register(
+    "q239_info_gain_split",
+    _IG_SQL,
+    ops=("ext-feature-selection",),
+    doc="BEST DECISION-STUMP SPLIT per feature by INFORMATION GAIN "
+    "against the return flag — the feature-selection / tree-root "
+    "computation (C4.5's core step) joining the featurization "
+    "family (q214 hashing, q215 normalization, q117 curriculum): "
+    "for every candidate threshold t of each discrete measure, gain "
+    "= H(flag) - weighted H(flag | x <= t vs x > t), thresholds "
+    "with an empty right side excluded, best picked on the ROUNDED "
+    "gain with a threshold tie-break (cross-engine-deterministic).  "
+    "All class-count cumulatives come from the per-feature count "
+    "tables (one stacked scan, the q233 discipline), so entropy "
+    "arithmetic runs over <= 50 rows per feature with bit-identical "
+    "integer-ratio inputs.  Scale: one fact scan map-combines into "
+    "(feature, val, flag) cells; windows are distinct-value-bounded.",
+)
+def q239_info_gain_split(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack({n}, {args}) AS (feature, val)".format(
+                n=len(_IG_FEATURES),
+                args=", ".join(f"'{f}', {f}" for f in _IG_FEATURES),
+            )
+        ),
+        "l_returnflag",
+    )
+    s = stacked.groupBy("feature", "val", F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    v = s.groupBy("feature", "val").agg(
+        *[
+            F.sum(F.when(F.col("flag") == fl, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{fl.lower()}")
+            for fl in _IG_FLAGS
+        ]
+    )
+    wcum = Window.partitionBy("feature").orderBy("val")
+    wtot = Window.partitionBy("feature")
+    cum = v.select(
+        "feature",
+        "val",
+        *[
+            F.sum(f"c_{fl.lower()}").over(wcum).alias(f"l_{fl.lower()}")
+            for fl in _IG_FLAGS
+        ],
+        *[
+            F.sum(f"c_{fl.lower()}").over(wtot).alias(f"t_{fl.lower()}")
+            for fl in _IG_FLAGS
+        ],
+    )
+
+    def ent(cols, total):
+        terms = None
+        for c in cols:
+            t = F.when(
+                c > 0, (c * 1.0 / total) * F.log(c * 1.0 / total)
+            ).otherwise(F.lit(0.0))
+            terms = t if terms is None else terms + t
+        return -terms
+
+    la, ln_, lr = F.col("l_a"), F.col("l_n"), F.col("l_r")
+    ta, tn, tr = F.col("t_a"), F.col("t_n"), F.col("t_r")
+    nl = la + ln_ + lr
+    n = ta + tn + tr
+    nr = n - nl
+    g = cum.select(
+        "feature",
+        "val",
+        nl.alias("nl"),
+        nr.alias("nr"),
+        n.alias("n"),
+        ent((ta, tn, tr), n).alias("h0"),
+        ent((la, ln_, lr), nl).alias("hl"),
+        ent((ta - la, tn - ln_, tr - lr), nr).alias("hr"),
+    ).filter(F.col("nr") > 0)
+    gain = g.select(
+        "feature",
+        "val",
+        F.round(
+            F.col("h0")
+            - (F.col("nl") * 1.0 / F.col("n")) * F.col("hl")
+            - (F.col("nr") * 1.0 / F.col("n")) * F.col("hr"),
+            6,
+        ).alias("info_gain"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+    )
+    wbest = Window.partitionBy("feature").orderBy(
+        F.desc("info_gain"), F.asc("val")
+    )
+    return (
+        gain.withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "feature",
+            F.col("val").cast("double").alias("best_threshold"),
+            "info_gain",
+            "n_left",
+            "n_right",
+        )
+        .orderBy("feature")
+    )
+
+
+_REC_K = 10
+
+_REC_SQL = f"""
+WITH lp AS (
+  SELECT o.o_custkey AS ck, o.o_orderkey AS ok, o.o_orderdate AS od,
+         l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3, 4),
+ords AS (SELECT DISTINCT ck, ok, od FROM lp),
+lastord AS (
+  SELECT ck, ok FROM (
+    SELECT ck, ok,
+           row_number() OVER (PARTITION BY ck ORDER BY od DESC, ok DESC) AS rn
+    FROM ords) WHERE rn = 1),
+elig AS (SELECT ck FROM ords GROUP BY ck HAVING count(*) >= 2),
+hist AS (
+  SELECT DISTINCT lp.ck, lp.pk
+  FROM lp JOIN elig ON elig.ck = lp.ck
+  LEFT JOIN lastord lo ON lo.ck = lp.ck AND lo.ok = lp.ok
+  WHERE lo.ok IS NULL),
+tgt AS (
+  SELECT DISTINCT lp.ck, lp.pk
+  FROM lp JOIN lastord lo ON lo.ck = lp.ck AND lo.ok = lp.ok
+  JOIN elig ON elig.ck = lp.ck),
+pop AS (SELECT pk, count(*) AS cnt FROM hist GROUP BY pk),
+maxh AS (SELECT max(h) AS mh FROM (
+  SELECT ck, count(*) AS h FROM hist GROUP BY ck)),
+topm AS (
+  SELECT pk, pr FROM (
+    SELECT pk, row_number() OVER (ORDER BY cnt DESC, pk) AS pr FROM pop)
+  CROSS JOIN maxh WHERE pr <= {_REC_K} + mh),
+recs AS (
+  SELECT ck, pk, rn FROM (
+    SELECT e.ck, t.pk,
+           row_number() OVER (PARTITION BY e.ck ORDER BY t.pr) AS rn
+    FROM elig e CROSS JOIN topm t
+    LEFT JOIN hist h ON h.ck = e.ck AND h.pk = t.pk
+    WHERE h.pk IS NULL)
+  WHERE rn <= {_REC_K}),
+scored AS (
+  SELECT r.ck,
+         max(CASE WHEN t.pk IS NOT NULL THEN 1 ELSE 0 END) AS hit10,
+         max(CASE WHEN t.pk IS NOT NULL AND r.rn = 1 THEN 1 ELSE 0 END) AS hit1
+  FROM recs r LEFT JOIN tgt t ON t.ck = r.ck AND t.pk = r.pk
+  GROUP BY r.ck)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(hit1) AS BIGINT) AS hits_at_1,
+       CAST(sum(hit10) AS BIGINT) AS hits_at_{_REC_K},
+       round(sum(hit1) * 1.0 / count(*), 6) AS hit_rate_1,
+       round(sum(hit10) * 1.0 / count(*), 6) AS hit_rate_{_REC_K}
+FROM scored"""
+
+
+@register(
+    "q240_popularity_rec_hitk",
+    _REC_SQL,
+    ops=("ext-recsys-eval",),
+    doc="LEAVE-LAST-ORDER-OUT RECOMMENDER EVALUATION — hit@1 / "
+    f"hit@{_REC_K} of the popularity prior, the baseline every "
+    "recommender must beat and the eval-harness shape (temporal "
+    "split, per-user exclusion, top-k matching) any real model "
+    "plugs into: each customer's last order (date then orderkey "
+    "tie-break) is held out, popularity is counted on histories "
+    "ONLY (no leakage from targets), and each customer is served "
+    "the top-10 popular parts they have NOT already bought — "
+    "correctness of the per-user exclusion is guaranteed by taking "
+    "the global top-(10 + max-history) prefix, so at least 10 "
+    "candidates always survive.  A hit = any held-out part among "
+    "the 10 (novel-item convention: repurchases cannot hit, "
+    "documented).  Scale: every relation keys on customer or part; "
+    "the only widening is |eligible customers| x (10 + max-history) "
+    "rows — constant per customer; no all-pairs stage.",
+)
+def q240_popularity_rec_hitk(spark, sf_dir):
+    # Measured rewrite (100x: 323 s -> see PLANS.md): the naive
+    # formulation materialized a 60M-row 4-column DISTINCT order-part
+    # grain (99 s) that orders ALREADY provide at order grain, and
+    # cross-expanded every customer by the GLOBAL max history (170M
+    # candidate rows).  Here eligibility + last-order flags resolve on
+    # the 15M-row orders projection BEFORE the one big join, and each
+    # customer expands by only 10 + THEIR history size.
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").alias("od"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    # Universe = LINE-BEARING orders (an empty basket cannot be a
+    # held-out target); the key-only distinct is 60M -> 15M, far
+    # cheaper than a distinct on the full order-part grain.
+    oks = li.select("ok").distinct()
+    ob = o.join(oks, "ok")
+    wlast = Window.partitionBy("ck").orderBy(F.desc("od"), F.desc("ok"))
+    omap = (
+        ob.withColumn("rn", F.row_number().over(wlast))
+        .withColumn("no", F.count(F.lit(1)).over(Window.partitionBy("ck")))
+        .filter(F.col("no") >= 2)  # eligibility resolved at order grain
+        .select("ck", "ok", (F.col("rn") == 1).alias("is_last"))
+    )
+    jj = li.join(omap, "ok").select("ck", "pk", "is_last").persist()
+    hist = (
+        jj.filter(~F.col("is_last"))
+        .select("ck", "pk")
+        .distinct()
+        .persist()  # popularity + exclusion + sizing consumers
+    )
+    tgt = jj.filter(F.col("is_last")).select("ck", "pk").distinct()
+    pop = hist.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    hsz = hist.groupBy("ck").agg(F.count(F.lit(1)).alias("h"))
+    maxh = hsz.agg(F.max("h").alias("mh"))
+    wpop = Window.orderBy(F.desc("cnt"), F.asc("pk"))
+    topm = (
+        pop.withColumn("pr", F.row_number().over(wpop))
+        .crossJoin(F.broadcast(maxh))
+        .filter(F.col("pr") <= _REC_K + F.col("mh"))
+        .select("pk", "pr")
+    )
+    wrec = Window.partitionBy("ck").orderBy("pr")
+    recs = (
+        hsz.crossJoin(F.broadcast(topm))
+        .filter(F.col("pr") <= _REC_K + F.col("h"))  # per-customer sizing
+        .join(hist, ["ck", "pk"], "left_anti")
+        .withColumn("rn", F.row_number().over(wrec))
+        .filter(F.col("rn") <= _REC_K)
+    )
+    scored = (
+        recs.join(
+            tgt.withColumn("__hit", F.lit(1)), ["ck", "pk"], "left"
+        )
+        .groupBy("ck")
+        .agg(
+            F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit10"),
+            F.max(
+                F.when(
+                    (F.col("rn") == 1) & F.col("__hit").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("hit1"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("hit1").cast("bigint").alias("hits_at_1"),
+        F.sum("hit10").cast("bigint").alias(f"hits_at_{_REC_K}"),
+        F.round(F.sum("hit1") * 1.0 / F.count(F.lit(1)), 6).alias("hit_rate_1"),
+        F.round(F.sum("hit10") * 1.0 / F.count(F.lit(1)), 6).alias(
+            f"hit_rate_{_REC_K}"
+        ),
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle

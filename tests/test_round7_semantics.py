@@ -2355,3 +2355,130 @@ def test_langid_prf1_hand_computed(spark, tmp_path_factory):
     spark.catalog.clearCache()
     assert got["en"] == (2, 3, 2, 0.666667, 1.0, 0.8)
     assert got["de"] == (1, 0, 0, 0.0, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Batch 19: weighted SSSP, mutual-NN, info gain, recommender eval
+# ---------------------------------------------------------------------------
+
+_EMB_SCHEMA_B19 = "vec_id long, embedding array<float>, label int"
+
+
+def test_weighted_sssp_relay_beats_direct_edge(spark, tmp_path_factory):
+    """With the deterministic toll w = 1 + (7a + 3b) % 10, the parts
+    {1,4,5} triangle has w(1,4) = 10 but w(1,5) + w(5,4) = 3 + 4 = 7 —
+    the relaxation must route through the relay (hop counting would
+    call both 1 hop).  Single-line orders create no edges, so part 9
+    stays unreachable and absent."""
+    day = datetime.datetime(2024, 1, 1)
+    lines, lk = [], 0
+    for ok, parts in ((1, (1, 5)), (2, (4, 5)), (3, (1, 4)), (4, (9,))):
+        for pk in parts:
+            lk += 1
+            lines.append((ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day))
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "sssp",
+    )
+    rows = sorted(
+        (r.partkey, r.dist)
+        for r in QUERY_REGISTRY["q237_weighted_shortest_path"].fn(spark, d).collect()
+    )
+    spark.catalog.clearCache()
+    assert rows == [(1, 0), (4, 7), (5, 3)]
+
+
+def test_mutual_nn_kills_asymmetric_hub_match(spark, tmp_path_factory):
+    """Hub H is nearest neighbor of both A and B, but only A is H's
+    top-1 (equal cosines, neighbor-id tie-break) — so (H, A) is the
+    ONLY mutual pair; B->H and C->A stay asymmetric and are dropped."""
+    vecs = [
+        (1, [1.0, 0.0], 0),    # H
+        (2, [1.0, 0.1], 0),    # A (ties with B for H's top-1; lower id wins)
+        (3, [1.0, -0.1], 0),   # B
+        (4, [0.0, 1.0], 0),    # C
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"embeddings": spark.createDataFrame(vecs, _EMB_SCHEMA_B19)},
+        "mnn",
+    )
+    rows = [
+        (r.a, r.b, r.cosine)
+        for r in QUERY_REGISTRY["q238_mutual_nn_pairs"].fn(spark, d).collect()
+    ]
+    spark.catalog.clearCache()
+    assert rows == [(1, 2, 0.995)]  # 1/sqrt(1.01) rounded at 4
+
+
+def test_info_gain_perfect_split_and_no_split_feature(spark, tmp_path_factory):
+    """A feature that separates the classes perfectly earns gain
+    exactly H0 = ln 2; a single-valued feature has NO legal threshold
+    (empty right side) and is absent; a weak feature earns the
+    hand-computed 0.056633."""
+    import math
+
+    day = datetime.datetime(2024, 1, 1)
+    rows = [
+        # (quantity, flag, tax): q=1 -> A, q=2 -> N; discount constant
+        (1, 1, 1, 1, 1.0, 1.0, 0.05, 0.01, "A", "O", day),
+        (2, 1, 1, 1, 1.0, 1.0, 0.05, 0.02, "A", "O", day),
+        (3, 1, 1, 1, 1.0, 1.0, 0.05, 0.01, "A", "O", day),
+        (4, 1, 1, 1, 2.0, 1.0, 0.05, 0.02, "N", "O", day),
+        (5, 1, 1, 1, 2.0, 1.0, 0.05, 0.01, "N", "O", day),
+        (6, 1, 1, 1, 2.0, 1.0, 0.05, 0.02, "N", "O", day),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(rows, LINEITEM_SCHEMA)},
+        "ig",
+    )
+    got = {
+        r.feature: (r.best_threshold, r.info_gain, r.n_left, r.n_right)
+        for r in QUERY_REGISTRY["q239_info_gain_split"].fn(spark, d).collect()
+    }
+    assert got["l_quantity"] == (1.0, round(math.log(2), 6), 3, 3)
+    h13 = -(1 / 3 * math.log(1 / 3) + 2 / 3 * math.log(2 / 3))
+    assert got["l_tax"] == (0.01, round(math.log(2) - h13, 6), 3, 3)
+    assert "l_discount" not in got  # single value -> no legal split
+
+
+def test_rec_hitk_leave_last_out_and_novelty(spark, tmp_path_factory):
+    """Popularity counted on histories only; each customer served the
+    top-10 NOT in their history; a held-out part that never appears
+    in any history cannot hit (novelty convention); single-order
+    customers are ineligible."""
+    d1, d2 = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 5)
+    orders = [
+        (1, 1, "O", 1.0, d1, "1-URGENT"), (2, 1, "O", 1.0, d2, "1-URGENT"),
+        (3, 2, "O", 1.0, d1, "1-URGENT"), (4, 2, "O", 1.0, d2, "1-URGENT"),
+        (5, 3, "O", 1.0, d1, "1-URGENT"),
+        (6, 4, "O", 1.0, d1, "1-URGENT"), (7, 4, "O", 1.0, d2, "1-URGENT"),
+    ]
+    day = d1
+    li = []
+    for ok, parts in (
+        (1, (10, 11)), (2, (20,)),      # c1: hist {10,11}, tgt {20} -> hit
+        (3, (20, 21)), (4, (10,)),      # c2: hist {20,21}, tgt {10} -> hit
+        (5, (10,)),                     # c3: single order, ineligible
+        (6, (10,)), (7, (99,)),         # c4: tgt 99 never popular -> miss
+    ):
+        for i, pk in enumerate(parts):
+            li.append((ok, pk, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day))
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17),
+            "lineitem": spark.createDataFrame(li, LINEITEM_SCHEMA),
+        },
+        "rec",
+    )
+    r = QUERY_REGISTRY["q240_popularity_rec_hitk"].fn(spark, d).collect()[0]
+    spark.catalog.clearCache()
+    assert (r.n_customers, r.hits_at_1, r.hits_at_10) == (3, 2, 2)
+    assert (r.hit_rate_1, r.hit_rate_10) == (0.666667, 0.666667)

@@ -1817,3 +1817,50 @@ def test_round7_batch18_plan_shapes(spark):
     p236 = plan("q236_langid_prf1")
     assert "CartesianProduct" not in p236
     assert "BatchEvalPython" not in p236 and "MapInPandas" not in p236
+
+
+def test_round7_batch19_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-19 additions:
+
+    - q237 (weighted SSSP): every relaxation round joins the
+      node-bounded dist table BROADCAST against cached edges — no
+      edge shuffle, no cartesian.
+    - q239 (info gain): ONE stacked fact scan; entropy windows run
+      over the per-feature count tables (HashAggregate below Window).
+    - q240 (recommender eval): the only row-widening joins are
+      broadcast (top-M prefix, max-history scalar); no cartesian
+      beyond broadcast-tiny crossJoins; no Python.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p237 = plan("q237_weighted_shortest_path")
+    assert "CartesianProduct" not in p237
+    # the relaxation rounds ran eagerly behind localCheckpoint, so the
+    # final plan must be a flat scan of the checkpointed dist — the
+    # lineage-truncation discipline itself (q181/q132 pattern)
+    assert "Scan ExistingRDD" in p237
+    assert "BatchEvalPython" not in p237 and "MapInPandas" not in p237
+
+    p239 = plan("q239_info_gain_split")
+    assert p239.count("Scan parquet") == 1, "one stacked scan"
+    assert "Generate" in p239
+    assert "CartesianProduct" not in p239
+    assert p239.find("HashAggregate", p239.find("Window")) != -1
+
+    p240 = plan("q240_popularity_rec_hitk")
+    assert "CartesianProduct" not in p240
+    assert "BatchEvalPython" not in p240 and "MapInPandas" not in p240
+    bnl = p240.count("BroadcastNestedLoopJoin")
+    assert bnl == p240.count("BroadcastNestedLoopJoin BuildRight, Cross"), (
+        "only broadcast-tiny crossJoins allowed"
+    )
