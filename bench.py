@@ -183,6 +183,10 @@ EXTRA = [
     "q238_mutual_nn_pairs",         # reciprocal-top-1 mining (brute pin)
     "q239_info_gain_split",         # decision-stump feature selection
     "q240_popularity_rec_hitk",     # leave-last-out recommender eval
+    "q241_holt_trend_forecast",     # double exponential smoothing
+    "q242_session_path_taxonomy",   # transcript edit-distance matrix
+    "q243_robust_means",            # trimmed/winsorized means
+    "q244_event_burst_compaction",  # retry-storm burst accounting
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

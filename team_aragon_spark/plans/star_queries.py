@@ -14090,6 +14090,376 @@ def q240_popularity_rec_hitk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 batch 20: Holt trend forecast, path taxonomy, robust means, bursts
+# ---------------------------------------------------------------------------
+
+_HOLT_A = "0.25"    # level gain  (exact binary fraction)
+_HOLT_G = "0.125"   # trend gain  (exact binary fraction)
+
+_HOLT_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT o_orderpriority AS p, epoch_ms(o_orderdate) // 86400000 AS dayno,
+         count(*) AS x
+  FROM orders GROUP BY p, dayno),
+r AS (SELECT p, x, row_number() OVER (PARTITION BY p ORDER BY dayno) AS rn FROM d),
+hw AS (
+  SELECT r2.p, 2 AS rn, CAST(r2.x AS DOUBLE) AS lev,
+         CAST(r2.x - r1.x AS DOUBLE) AS tr, CAST(0.0 AS DOUBLE) AS sse
+  FROM r r2 JOIN r r1 ON r1.p = r2.p AND r2.rn = 2 AND r1.rn = 1
+  UNION ALL
+  SELECT r.p, r.rn,
+         CAST({_HOLT_A} AS DOUBLE) * r.x
+           + CAST(1 - {_HOLT_A} AS DOUBLE) * (hw.lev + hw.tr),
+         CAST({_HOLT_G} AS DOUBLE)
+           * ((CAST({_HOLT_A} AS DOUBLE) * r.x
+               + CAST(1 - {_HOLT_A} AS DOUBLE) * (hw.lev + hw.tr)) - hw.lev)
+           + CAST(1 - {_HOLT_G} AS DOUBLE) * hw.tr,
+         hw.sse + (r.x - (hw.lev + hw.tr)) * (r.x - (hw.lev + hw.tr))
+  FROM hw JOIN r ON r.p = hw.p AND r.rn = hw.rn + 1),
+last AS (SELECT p, rn, lev, tr, sse,
+                row_number() OVER (PARTITION BY p ORDER BY rn DESC) AS rr
+         FROM hw)
+SELECT p AS priority, CAST(rn AS BIGINT) AS n_days,
+       round(lev, 6) AS level, round(tr, 6) AS trend,
+       round(lev + tr, 6) AS forecast_1d,
+       round(lev + 7 * tr, 6) AS forecast_7d,
+       round(lev + 28 * tr, 6) AS forecast_28d,
+       CASE WHEN rn > 2 THEN round(sqrt(sse / (rn - 2)), 6) END AS rmse
+FROM last WHERE rr = 1 ORDER BY priority"""
+
+
+@register(
+    "q241_holt_trend_forecast",
+    _HOLT_SQL,
+    ops=("ext-forecast-holt",),
+    doc="HOLT LINEAR-TREND double exponential smoothing per priority "
+    "(level gain 0.25, trend gain 0.125 — both exact binary "
+    "fractions, so the two-state fold is bit-identical across "
+    "engines): q229's SES cannot follow a trending series (its "
+    "forecasts lag by trend/alpha forever); Holt carries an "
+    "explicit trend state and extrapolates level + h*trend for the "
+    "1/7/28-day horizons, with in-sample one-step RMSE off the "
+    "(x - (lev + tr)) innovations.  Init s_2 = x_2, b_2 = x_2 - "
+    "x_1 (the textbook anchor).  ENGINE: JVM aggregate() fold over "
+    "the calendar-bounded day series (the q229 HOF argument); "
+    "ORACLE: the identical recurrence as a DuckDB RECURSIVE CTE "
+    "with the new level inlined into the trend update.  Scale: the "
+    "(priority, day) aggregate map-combines; the fold is "
+    "volume-flat.",
+)
+def q241_holt_trend_forecast(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ser = d.groupBy("p").agg(
+        F.array_sort(F.collect_list(F.struct("dayno", "x"))).alias("series")
+    )
+    a, g = _HOLT_A, _HOLT_G
+    fold = ser.withColumn(
+        "acc",
+        F.expr(
+            f"""aggregate(series,
+  named_struct('prev', CAST(NULL AS DOUBLE), 'lev', CAST(NULL AS DOUBLE),
+               'tr', CAST(NULL AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE)),
+  (acc, e) -> CASE
+    WHEN acc.prev IS NULL AND acc.lev IS NULL THEN
+      named_struct('prev', CAST(e.x AS DOUBLE), 'lev', CAST(NULL AS DOUBLE),
+                   'tr', CAST(NULL AS DOUBLE), 'sse', CAST(0.0 AS DOUBLE))
+    WHEN acc.lev IS NULL THEN
+      named_struct('prev', CAST(NULL AS DOUBLE), 'lev', CAST(e.x AS DOUBLE),
+                   'tr', CAST(e.x AS DOUBLE) - acc.prev,
+                   'sse', CAST(0.0 AS DOUBLE))
+    ELSE
+      named_struct(
+        'prev', CAST(NULL AS DOUBLE),
+        'lev', CAST({a} AS DOUBLE) * e.x
+               + CAST(1 - {a} AS DOUBLE) * (acc.lev + acc.tr),
+        'tr', CAST({g} AS DOUBLE)
+              * ((CAST({a} AS DOUBLE) * e.x
+                  + CAST(1 - {a} AS DOUBLE) * (acc.lev + acc.tr)) - acc.lev)
+              + CAST(1 - {g} AS DOUBLE) * acc.tr,
+        'sse', acc.sse + (e.x - (acc.lev + acc.tr)) * (e.x - (acc.lev + acc.tr)))
+  END)"""
+        ),
+    ).filter(F.col("acc.lev").isNotNull())
+    lev, tr = F.col("acc.lev"), F.col("acc.tr")
+    nd = F.size("series")
+    return fold.select(
+        F.col("p").alias("priority"),
+        nd.cast("bigint").alias("n_days"),
+        F.round(lev, 6).alias("level"),
+        F.round(tr, 6).alias("trend"),
+        F.round(lev + tr, 6).alias("forecast_1d"),
+        F.round(lev + 7 * tr, 6).alias("forecast_7d"),
+        F.round(lev + 28 * tr, 6).alias("forecast_28d"),
+        F.when(
+            nd > 2, F.round(F.sqrt(F.col("acc.sse") / (nd - 2)), 6)
+        ).alias("rmse"),
+    ).orderBy("priority")
+
+
+_PATHTAX_TOP = 20
+
+_PATHTAX_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flags),
+tr AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript
+  FROM s GROUP BY user_id, session_id),
+tc AS (SELECT transcript, count(*) AS c FROM tr GROUP BY transcript),
+top AS (
+  SELECT transcript, c,
+         row_number() OVER (ORDER BY c DESC, transcript) AS rk
+  FROM tc QUALIFY rk <= {_PATHTAX_TOP})
+SELECT a.rk AS rank_a, b.rk AS rank_b, a.transcript AS path_a,
+       b.transcript AS path_b, CAST(a.c AS BIGINT) AS n_a,
+       CAST(b.c AS BIGINT) AS n_b,
+       CAST(levenshtein(a.transcript, b.transcript) AS BIGINT) AS edit_dist
+FROM top a JOIN top b ON a.rk < b.rk
+ORDER BY rank_a, rank_b"""
+
+
+@register(
+    "q242_session_path_taxonomy",
+    _PATHTAX_SQL,
+    ops=("ext-path-taxonomy",),
+    doc="SESSION-PATH TAXONOMY: pairwise Levenshtein distances among "
+    f"the top-{_PATHTAX_TOP} most frequent session transcripts "
+    "(q98's '>'-joined event-type strings) — the merge-candidate "
+    "matrix behind collapsing near-identical behavioral paths "
+    "(q196 ranks paths, q222 rule-checks them; this measures how "
+    "far apart they ARE).  Frequency ties break on the transcript "
+    "string, so the top set and ranks are cross-engine "
+    "deterministic; both engines use unit-cost Levenshtein "
+    "(F.levenshtein / DuckDB levenshtein).  Scale: transcripts "
+    "aggregate per (user, session) — one user-keyed shuffle; the "
+    "distance matrix is a CONSTANT top-k x top-k (190 pairs), "
+    "never corpus-sized.",
+)
+def q242_session_path_taxonomy(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = windows.sessionize(ev)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    tr = (
+        s.groupBy("user_id", "session_id")
+        .agg(ordered.alias("__ord"))
+        .select(
+            F.concat_ws(
+                ">", F.expr("transform(__ord, x -> x.event_type)")
+            ).alias("transcript")
+        )
+    )
+    tc = tr.groupBy("transcript").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.orderBy(F.desc("c"), F.asc("transcript"))
+    top = (
+        tc.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _PATHTAX_TOP)
+        .persist()  # both sides of the pair join
+    )
+    a, b = top.alias("a"), top.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.rk") < F.col("b.rk"))
+        .select(
+            F.col("a.rk").alias("rank_a"),
+            F.col("b.rk").alias("rank_b"),
+            F.col("a.transcript").alias("path_a"),
+            F.col("b.transcript").alias("path_b"),
+            F.col("a.c").cast("bigint").alias("n_a"),
+            F.col("b.c").cast("bigint").alias("n_b"),
+            F.levenshtein(F.col("a.transcript"), F.col("b.transcript"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+        .orderBy("rank_a", "rank_b")
+    )
+
+
+_ROBUST_LO, _ROBUST_HI = 0.05, 0.95
+
+_ROBUST_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         round(quantile_cont(l_extendedprice, {_ROBUST_LO}), 9) AS lo,
+         round(quantile_cont(l_extendedprice, {_ROBUST_HI}), 9) AS hi,
+         count(*) AS n
+  FROM lineitem GROUP BY flag)
+SELECT b.flag, CAST(b.n AS BIGINT) AS n,
+       round(avg(l.l_extendedprice), 4) AS mean_raw,
+       round(avg(CASE WHEN l.l_extendedprice >= b.lo
+                       AND l.l_extendedprice <= b.hi
+                      THEN l.l_extendedprice END), 4) AS mean_trimmed,
+       round(avg(CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                      WHEN l.l_extendedprice > b.hi THEN b.hi
+                      ELSE l.l_extendedprice END), 4) AS mean_winsorized,
+       CAST(sum(CASE WHEN l.l_extendedprice < b.lo
+                      OR l.l_extendedprice > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM lineitem l JOIN b ON l.l_returnflag = b.flag
+GROUP BY b.flag, b.n ORDER BY b.flag"""
+
+
+@register(
+    "q243_robust_means",
+    _ROBUST_SQL,
+    ops=("ext-robust-means",),
+    doc="TRIMMED AND WINSORIZED MEANS per return flag (5%/95% "
+    "boundaries): the robust-location pair completing the family "
+    "(q157 MAD flags outliers, q154/q227 rank the distribution — "
+    "these REPORT a location the tails cannot drag): trimming "
+    "drops values outside [p05, p95], winsorizing clamps them to "
+    "the boundary.  Boundaries come from operators/stats."
+    "exact_grouped_percentiles (count-table rank arithmetic, "
+    "quantile_cont-proven by q154), broadcast back onto one "
+    "conditional-aggregate fact pass.  Scale: one count-table "
+    "shuffle + one map-combined scan; the boundary relation is "
+    "|flags| rows.",
+)
+def q243_robust_means(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = exact_grouped_percentiles(
+        li, "l_extendedprice", ["l_returnflag"], [_ROBUST_LO, _ROBUST_HI],
+        round_digits=9,
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("p_5").alias("lo"),
+        F.col("p_95").alias("hi"),
+        F.col("n").alias("n"),
+    )
+    v = F.col("l_extendedprice")
+    lo, hi = F.col("lo"), F.col("hi")
+    return (
+        li.join(F.broadcast(b), li.l_returnflag == b.flag)
+        .groupBy("flag", "n")
+        .agg(
+            F.round(F.avg(v), 4).alias("mean_raw"),
+            F.round(
+                F.avg(F.when((v >= lo) & (v <= hi), v)), 4
+            ).alias("mean_trimmed"),
+            F.round(
+                F.avg(
+                    F.when(v < lo, lo).when(v > hi, hi).otherwise(v)
+                ),
+                4,
+            ).alias("mean_winsorized"),
+            F.sum(F.when((v < lo) | (v > hi), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .select(
+            "flag", F.col("n").cast("bigint").alias("n"), "mean_raw",
+            "mean_trimmed", "mean_winsorized", "n_clipped",
+        )
+        .orderBy("flag")
+    )
+
+
+_BURST_GAP_MS = 5000
+
+_BURST_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev IS NULL
+                OR epoch_ms(ts) - epoch_ms(prev) >= {_BURST_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM o),
+sb AS (
+  SELECT user_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS burst_id
+  FROM f),
+bl AS (
+  SELECT user_id, event_type, burst_id, count(*) AS blen
+  FROM sb GROUP BY user_id, event_type, burst_id)
+SELECT event_type,
+       CAST(sum(blen) AS BIGINT) AS n_raw,
+       CAST(count(*) AS BIGINT) AS n_bursts,
+       CAST(max(blen) AS BIGINT) AS max_burst,
+       round(sum(blen) * 1.0 / count(*), 6) AS avg_burst
+FROM bl GROUP BY event_type ORDER BY event_type"""
+
+
+@register(
+    "q244_event_burst_compaction",
+    _BURST_SQL,
+    ops=("ext-burst-compaction",),
+    doc="EVENT BURST COMPACTION accounting — the duplicate-click / "
+    "retry-storm cleaner for event pipelines: per (user, type), "
+    "consecutive events closer than 5 s chain into one burst "
+    "(gap >= 5000 ms starts a new one — boundary INCLUSIVE on the "
+    "new-burst side, pinned); per type, raw rows vs burst count "
+    "(the compaction ratio), max and mean burst length.  The lag + "
+    "cumsum island machinery (q29/q184) at (user, type) grain — "
+    "integer epoch-ms gaps, so every boundary decision is exact.  "
+    "Scale: one shuffle on (user, type); burst ids are "
+    "window-local; the final aggregate is |types| rows.",
+)
+def q244_event_burst_compaction(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    f = ev.select(
+        "user_id", "event_type", "ts", "event_id", t_ms.alias("ms")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ms").over(wo).isNull()
+            | (F.col("ms") - F.lag("ms").over(wo) >= _BURST_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sb = f.withColumn(
+        "burst_id",
+        F.sum("is_new").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bl = sb.groupBy("user_id", "event_type", "burst_id").agg(
+        F.count(F.lit(1)).alias("blen")
+    )
+    return (
+        bl.groupBy("event_type")
+        .agg(
+            F.sum("blen").cast("bigint").alias("n_raw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bursts"),
+            F.max("blen").cast("bigint").alias("max_burst"),
+            F.round(F.sum("blen") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "avg_burst"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle

@@ -2482,3 +2482,112 @@ def test_rec_hitk_leave_last_out_and_novelty(spark, tmp_path_factory):
     spark.catalog.clearCache()
     assert (r.n_customers, r.hits_at_1, r.hits_at_10) == (3, 2, 2)
     assert (r.hit_rate_1, r.hit_rate_10) == (0.666667, 0.666667)
+
+
+# ---------------------------------------------------------------------------
+# Batch 20: Holt trend, path taxonomy, robust means, burst compaction
+# ---------------------------------------------------------------------------
+
+
+def test_holt_perfect_trend_zero_rmse(spark, tmp_path_factory):
+    """On the perfectly linear series [2,4,6,8] Holt locks on exactly:
+    level 8, trend 2, zero one-step error everywhere, and the h-step
+    forecasts extrapolate level + h*trend."""
+    day0 = datetime.datetime(2024, 1, 1)
+    orders, ok = [], 0
+    for dayno, cnt in enumerate((2, 4, 6, 8)):
+        for _ in range(cnt):
+            ok += 1
+            orders.append(
+                (ok, 1, "O", 1.0,
+                 day0 + datetime.timedelta(days=dayno), "1-URGENT")
+            )
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17)},
+        "holt",
+    )
+    r = QUERY_REGISTRY["q241_holt_trend_forecast"].fn(spark, d).collect()[0]
+    assert (r.priority, r.n_days, r.level, r.trend) == ("1-URGENT", 4, 8.0, 2.0)
+    assert (r.forecast_1d, r.forecast_7d, r.forecast_28d) == (10.0, 22.0, 64.0)
+    assert r.rmse == 0.0
+
+
+def test_path_taxonomy_ranks_and_distances(spark, tmp_path_factory):
+    """Transcript frequencies rank 'view' (3) > 'view>click' (2) >
+    'view>click>purchase' (1); pairwise Levenshtein runs on the
+    '>'-joined strings."""
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(uid, offset_s, etype):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(seconds=offset_s), uid,
+             etype, 0.0, "{}")
+        )
+
+    for uid in (1, 2):
+        ev(uid, 0, "view"); ev(uid, 1, "click")
+    for uid in (3, 4, 5):
+        ev(uid, 0, "view")
+    ev(6, 0, "view"); ev(6, 1, "click"); ev(6, 2, "purchase")
+    d = _stage_events(spark, tmp_path_factory, rows, "ptax")
+    got = {
+        (r.rank_a, r.rank_b): (r.path_a, r.path_b, r.edit_dist)
+        for r in QUERY_REGISTRY["q242_session_path_taxonomy"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got[(1, 2)] == ("view", "view>click", 6)
+    assert got[(1, 3)] == ("view", "view>click>purchase", 15)
+    assert got[(2, 3)] == ("view>click", "view>click>purchase", 9)
+
+
+def test_robust_means_hand_computed(spark, tmp_path_factory):
+    """Values 1..19 plus outlier 1000: lo = 1.95, hi = 68.05 (exact
+    interpolation); trimmed mean = mean(2..19) = 10.5, winsorized =
+    (1.95 + sum(2..19) + 68.05)/20 = 12.95, raw = 59.5, 2 clipped."""
+    day = datetime.datetime(2024, 1, 1)
+    vals = [float(i) for i in range(1, 20)] + [1000.0]
+    lines = [
+        (i + 1, 1, 1, 1, 1.0, v, 0.0, 0.0, "A", "O", day)
+        for i, v in enumerate(vals)
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "robm",
+    )
+    r = QUERY_REGISTRY["q243_robust_means"].fn(spark, d).collect()[0]
+    assert (r.flag, r.n, r.n_clipped) == ("A", 20, 2)
+    assert (r.mean_raw, r.mean_trimmed, r.mean_winsorized) == (
+        59.5, 10.5, 12.95,
+    )
+
+
+def test_burst_compaction_gap_boundary(spark, tmp_path_factory):
+    """Gaps under 5 s chain; a gap of EXACTLY 5000 ms starts a new
+    burst (inclusive-new convention): [0,1,2s | 10,11s | 30s] gives
+    bursts of 3/2/1, and the exact-boundary pair [0s, 5s] splits."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, off_ms in enumerate((0, 1000, 2000, 10000, 11000, 30000)):
+        rows.append(
+            (i + 1, base + datetime.timedelta(milliseconds=off_ms), 1,
+             "click", 0.0, "{}")
+        )
+    for i, off_ms in enumerate((0, 5000)):
+        rows.append(
+            (100 + i, base + datetime.timedelta(milliseconds=off_ms), 1,
+             "view", 0.0, "{}")
+        )
+    d = _stage_events(spark, tmp_path_factory, rows, "burst")
+    got = {
+        r.event_type: (r.n_raw, r.n_bursts, r.max_burst, r.avg_burst)
+        for r in QUERY_REGISTRY["q244_event_burst_compaction"].fn(spark, d).collect()
+    }
+    assert got["click"] == (6, 3, 3, 2.0)
+    assert got["view"] == (2, 2, 1, 1.0)

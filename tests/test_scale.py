@@ -1864,3 +1864,46 @@ def test_round7_batch19_plan_shapes(spark):
     assert bnl == p240.count("BroadcastNestedLoopJoin BuildRight, Cross"), (
         "only broadcast-tiny crossJoins allowed"
     )
+
+
+def test_round7_batch20_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-20 additions:
+
+    - q241 (Holt): the two-state fold is a JVM aggregate() — no
+      Python, no cartesian.
+    - q242 (path taxonomy): the pair matrix joins the BROADCAST
+      top-k relation (constant-size); transcripts aggregate once.
+    - q243 (robust means): percentile boundaries join BROADCAST onto
+      the single conditional-aggregate fact pass.
+    - q244 (bursts): lag/cumsum islands at (user, type) grain; the
+      final aggregate is types-sized; no Python.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p241 = plan("q241_holt_trend_forecast")
+    assert "CartesianProduct" not in p241
+    assert "BatchEvalPython" not in p241 and "MapInPandas" not in p241
+
+    p242 = plan("q242_session_path_taxonomy")
+    assert "CartesianProduct" not in p242
+    assert "BatchEvalPython" not in p242
+    assert "BroadcastNestedLoopJoin" in p242  # constant top-k pair matrix
+
+    p243 = plan("q243_robust_means")
+    assert "BroadcastHashJoin" in p243, "boundary relation must broadcast"
+    assert "CartesianProduct" not in p243
+    assert "BatchEvalPython" not in p243
+
+    p244 = plan("q244_event_burst_compaction")
+    assert "CartesianProduct" not in p244
+    assert "BatchEvalPython" not in p244 and "MapInPandas" not in p244
