@@ -14527,10 +14527,11 @@ STAMP_PRIORITY: list[str] = [
     "q184_activity_streaks",
     "q185_referential_usage_audit",
     # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped batch-6..10 rows q186-q212 (registered
-    # after this window filled; all pre-verified by the pytest oracle
-    # replica at sf0.001 AND full driver-replica sweeps at sf0.01 —
-    # zero fails), then continue the r04 block (q11-q98), then r05.
+    # with the never-stamped rows q186-q244 (registered after this
+    # window filled; all pre-verified by the pytest oracle replica at
+    # sf0.001 AND full driver-replica sweeps at sf0.01 — zero fails),
+    # then continue the r04 block (q11-q98), then r05.  q186-q244 are
+    # 59 rows, so they span the r8 window and spill into r9's.
     "q10_bottom10_nations_by_balance",
 ]
 
