@@ -454,3 +454,83 @@ def test_latest_wins_killed_mid_stream_recovers_from_checkpoint(
     assert "1" in os.listdir(os.path.join(ckpt, "commits"))
     ep1 = spark.read.parquet(os.path.join(state, "epoch=1"))
     assert ep1.count() >= partial_rows
+
+
+def test_watermark_drops_late_event_across_restarts(spark, tmp_path_factory):
+    """The late-data contract itself, planted: once the watermark has
+    closed and emitted an hour window, a late event for that hour
+    arriving in a LATER drain (same checkpoint — the watermark is
+    restored from state) must be silently dropped: the window is never
+    re-emitted and the late row is counted nowhere.  A companion event
+    within the watermark IS counted — proving the drop is the
+    watermark, not the restart."""
+    import datetime
+
+    from team_aragon_spark.streaming.events_stream import (
+        EVENTS_STREAM_SCHEMA,
+        hourly_event_stats_stream,
+    )
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+    ckpt = str(tmp_path_factory.mktemp("late_ckpt"))
+    emitted = str(tmp_path_factory.mktemp("late_emit"))
+    h0 = datetime.datetime(2024, 1, 1, 0, 0)
+
+    def stage(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .parquet(src)
+            .transform(hourly_event_stats_stream)
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(emitted)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def emissions():
+        try:
+            return [
+                ((r.hour.hour), r.event_type, r.n_events)
+                for r in spark.read.parquet(emitted).collect()
+            ]
+        except Exception:
+            return []
+
+    # drain 1: ten 00:xx clicks + a 12:00 driver -> watermark 10:00,
+    # hour-0 window closes and emits n=10
+    rows = [
+        (i, h0 + datetime.timedelta(minutes=5 * (i + 1)), 1, "click", 1.0, "{}")
+        for i in range(10)
+    ]
+    rows.append((100, h0 + datetime.timedelta(hours=12), 1, "click", 1.0, "{}"))
+    stage(rows)
+    drain()
+    assert (0, "click", 10) in emissions()
+
+    # drain 2: one LATE event back in hour 0 (watermark restored at
+    # 10:00 from the checkpoint) + one event at 11:50 within watermark
+    stage([
+        (200, h0 + datetime.timedelta(minutes=30), 1, "click", 1.0, "{}"),
+        (201, h0 + datetime.timedelta(hours=11, minutes=50), 1, "click", 1.0, "{}"),
+    ])
+    drain()
+
+    # drain 3: far-future driver closes every remaining window
+    stage([(300, h0 + datetime.timedelta(days=2), 1, "click", 1.0, "{}")])
+    drain()
+
+    got = emissions()
+    hour0 = [e for e in got if e[0] == 0]
+    assert hour0 == [(0, "click", 10)], (
+        f"late event must be dropped, window never re-emitted: {hour0}"
+    )
+    assert (11, "click", 1) in got  # within-watermark companion counted
+    assert (12, "click", 1) in got  # drain-1 driver emitted once closed
