@@ -187,6 +187,18 @@ EXTRA = [
     "q242_session_path_taxonomy",   # transcript edit-distance matrix
     "q243_robust_means",            # trimmed/winsorized means
     "q244_event_burst_compaction",  # retry-storm burst accounting
+    "q245_activity_lease_coverage", # interval-union lease coverage
+    "q246_label_propagation_communities",  # sync LPA communities
+    "q247_ams_f2_sketch",           # AMS F2 self-join-size sketch
+    "q248_entity_resolution_scoring",  # blocked Fellegi-Sunter linkage
+    "q249_watermark_delay_audit",   # lateness quantiles -> watermark size
+    "q250_weekday_seasonal_decomposition",  # trend/seasonal/remainder split
+    "q251_spatial_radius_join",     # grid-bucketed points-within-r join
+    "q252_ann_ndcg_eval",           # graded IVF ranking quality
+    "q253_doc_readability_scores",  # Flesch reading-ease gate
+    "q254_woe_feature_encoding",    # weight-of-evidence + IV
+    "q255_column_encoding_advisor", # NDV/entropy/run-length layout pick
+    "q256_knn_loo_classifier_eval", # label-quality kNN audit
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

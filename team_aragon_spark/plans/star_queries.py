@@ -14460,6 +14460,1291 @@ def q244_event_burst_compaction(spark, sf_dir):
     )
 
 
+_LEASE_MS = 600_000
+
+_LEASE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         epoch_ms(ts) + {_LEASE_MS} AS fin
+  FROM events),
+w AS (
+  SELECT user_id, event_id, ms, fin,
+         max(fin) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM e),
+s AS (
+  SELECT user_id, ms, fin,
+         sum(CASE WHEN pmax IS NULL OR ms >= pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM w),
+i AS (
+  SELECT user_id, island, count(*) AS n, max(fin) - min(ms) AS span
+  FROM s GROUP BY user_id, island)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(span) AS BIGINT) AS covered_ms,
+       CAST(max(span) AS BIGINT) AS max_interval_ms
+FROM i GROUP BY user_id ORDER BY user_id"""
+
+
+@register(
+    "q245_activity_lease_coverage",
+    _LEASE_SQL,
+    ops=("ext-interval-union",),
+    doc="INTERVAL UNION (merge-overlapping) coverage — the "
+    "uptime/lease primitive: every event opens a 10-minute activity "
+    "lease [ts, ts+600s); per user, overlapping leases merge into "
+    "maximal covered intervals and the report is interval count, "
+    "total covered ms, and the longest stretch.  Distinct from q188 "
+    "(sweep-line counts CONCURRENCY at instants) and q184 (streaks "
+    "are day-grain islands): this unions CONTINUOUS spans.  The "
+    "running-max-end island trick: a lease starts a new interval iff "
+    "its start >= the max end of every earlier lease (touching "
+    "intervals do NOT merge — boundary pinned in pytest); within an "
+    "island coverage is contiguous, so span = max(end) - min(start).  "
+    "All arithmetic is integer epoch-ms — every boundary decision "
+    "exact, full value oracle.  Scale: ONE shuffle on user_id; both "
+    "window passes and the island aggregate share that partitioning "
+    "(Catalyst collapses them onto one sort); output is per-user.",
+)
+def q245_activity_lease_coverage(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id", "event_id", ms.alias("ms"), (ms + _LEASE_MS).alias("fin")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = (
+        e.withColumn(
+            "pmax",
+            F.max("fin").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("pmax").isNull() | (F.col("ms") >= F.col("pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_new").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    i = s.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("fin") - F.min("ms")).alias("span"),
+    )
+    return (
+        i.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("span").cast("bigint").alias("covered_ms"),
+            F.max("span").cast("bigint").alias("max_interval_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_rounds_sql(k: int) -> str:
+    ctes = []
+    prev = "lab0"
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""v{r} AS (
+  SELECT u.node, p.label, count(*) AS c
+  FROM und u JOIN {prev} p ON p.node = u.nbr
+  GROUP BY u.node, p.label),
+lab{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM v{r}) WHERE rn = 1)"""
+        )
+        prev = f"lab{r}"
+    return ",\n".join(ctes)
+
+
+_LPA_SQL = f"""
+WITH pr AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+und AS (
+  SELECT a AS node, b AS nbr FROM pr
+  UNION ALL SELECT b AS node, a AS nbr FROM pr),
+lab0 AS (SELECT DISTINCT node, node AS label FROM und),
+{_lpa_rounds_sql(_LPA_ROUNDS)}
+SELECT label AS community, count(*) AS n_members
+FROM lab{_LPA_ROUNDS} GROUP BY label
+ORDER BY n_members DESC, community"""
+
+
+@register(
+    "q246_label_propagation_communities",
+    _LPA_SQL,
+    ops=("ext-graph-communities",),
+    doc="COMMUNITY DETECTION via synchronous label propagation "
+    "(Raghavan et al. 2007) on the co-purchase graph, the graph "
+    "family's clustering member (q186 k-core = density, q155 "
+    "triangles = local structure, q132 PageRank = centrality; this "
+    "PARTITIONS the nodes).  Deterministic formulation pinned end to "
+    "end: labels start as node ids, each of 3 synchronous rounds "
+    "re-labels every node with its neighbors' most frequent label "
+    "(neighbors only — the node's own label does not vote), ties "
+    "broken by SMALLEST label; the oracle replays the identical "
+    "rounds as unrolled CTEs.  Output = community sizes.  Scale: "
+    "per round ONE edge-shuffle join against the |V|-sized label "
+    "relation + one (node,label) count — no per-node collect, no "
+    "all-pairs; labels localCheckpoint per round so lineage stays "
+    "flat (the q132/q186 iteration convention); sync updates make "
+    "the result replica-deterministic (async LPA is not).",
+)
+def q246_label_propagation_communities(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pr = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    # persisted: the undirected edge list feeds every propagation
+    # round (cache lifetime caller-managed, bench clears per query)
+    und = (
+        pr.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(pr.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .persist()
+    )
+    labels = und.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax as a map-combined max(struct(c, -label)) — ORDER BY
+        # c DESC, label ASC without a sort window over the vote
+        # relation (measured 22.5 -> 6.0 s at sf0.1; the q175/q163
+        # argmax idiom)
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
+_AMS_R = 64  # estimators
+_AMS_G = 8  # estimators per group (median-of-means over 8 groups)
+
+_AMS_SQL = f"""
+WITH keys AS (
+  SELECT 'l_partkey' AS col, l_partkey AS key FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey' AS col, l_suppkey AS key FROM lineitem),
+cnt AS (
+  SELECT col, key, count(*) AS c FROM keys GROUP BY col, key),
+js AS (SELECT unnest(range({_AMS_R})) AS j),
+z AS (
+  SELECT cnt.col, js.j,
+         sum(cnt.c * (1 - 2 * CAST(
+           ('0x' || substr(md5('ams' || CAST(js.j AS VARCHAR) || ':'
+                           || CAST(cnt.key AS VARCHAR)), 1, 8))::UBIGINT % 2
+           AS BIGINT))) AS zj
+  FROM cnt CROSS JOIN js GROUP BY cnt.col, js.j),
+gs AS (
+  SELECT col, j // {_AMS_G} AS g, sum(zj * zj) AS gsum
+  FROM z GROUP BY col, g),
+med AS (
+  SELECT col, gsum FROM (
+    SELECT col, gsum,
+           row_number() OVER (PARTITION BY col ORDER BY gsum) AS rn
+    FROM gs) WHERE rn = {_AMS_G // 2}),
+ex AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(c * c) AS BIGINT) AS exact_f2
+  FROM cnt GROUP BY col)
+SELECT ex.col, ex.n_keys, ex.exact_f2,
+       round(med.gsum / {_AMS_G}.0, 3) AS est_f2,
+       round((med.gsum / {_AMS_G}.0 - ex.exact_f2) / ex.exact_f2, 6)
+         AS rel_err
+FROM ex JOIN med ON ex.col = med.col ORDER BY ex.col"""
+
+
+@register(
+    "q247_ams_f2_sketch",
+    _AMS_SQL,
+    ops=("ext-sketch-ams-f2",),
+    doc="AMS SECOND-MOMENT (F2) SKETCH (Alon, Matias & Szegedy 1996) "
+    "— the self-join-size estimator completing the sketch family "
+    "(q163 CMS point counts, q164/q180 HLL/KMV distinct, q172 "
+    "quantiles; F2 = sum of squared key frequencies is what an "
+    "optimizer uses to size a self-join before running it).  64 "
+    "{{-1,+1}} estimators from md5-parity signs, Z_j = sum_k f_k*s_j(k) "
+    "per key column (l_partkey, l_suppkey in one melted pass); "
+    "estimate = lower-median of the 8 group sums of Z^2 divided by "
+    "8 (median-of-means; lower median keeps it integer-exact until "
+    "the final division).  Every Z is an integer sum over md5 signs "
+    "— the whole sketch AND its error vs the exact F2 are a full "
+    "DuckDB value oracle.  Scale: the frequency table is one "
+    "map-combined aggregate; the x64 estimator fan-out explodes "
+    "key-cardinality rows (not corpus rows) and combines map-side "
+    "to 64 partials per column; the sketch is 2x64 cells whatever "
+    "the corpus, and sketches of shards merge by adding Z vectors.",
+)
+def q247_ams_f2_sketch(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.select(
+        F.lit("l_partkey").alias("col"), F.col("l_partkey").alias("key")
+    ).unionByName(
+        li.select(
+            F.lit("l_suppkey").alias("col"), F.col("l_suppkey").alias("key")
+        )
+    )
+    # persisted: the key-frequency table feeds the estimator fan-out
+    # AND the exact-F2 aggregate (persist-multi-consumer rule)
+    cnt = keys.groupBy("col", "key").agg(F.count(F.lit(1)).alias("c")).persist()
+    sign = 1 - 2 * (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ams"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("key").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    z = (
+        cnt.select(
+            "col",
+            "key",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_R - 1))).alias("j"),
+        )
+        .groupBy("col", "j")
+        .agg(F.sum(F.col("c") * sign).alias("zj"))
+    )
+    gs = z.groupBy(
+        "col", F.floor(F.col("j") / _AMS_G).alias("g")
+    ).agg(F.sum(F.col("zj") * F.col("zj")).alias("gsum"))
+    med = (
+        gs.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("col").orderBy("gsum")),
+        )
+        .filter(F.col("rn") == _AMS_G // 2)
+        .select("col", "gsum")
+    )
+    ex = cnt.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"),
+    )
+    est = F.col("gsum") / float(_AMS_G)
+    return (
+        ex.join(med, "col")
+        .select(
+            "col",
+            "n_keys",
+            "exact_f2",
+            F.round(est, 3).alias("est_f2"),
+            F.round((est - F.col("exact_f2")) / F.col("exact_f2"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("col")
+    )
+
+
+_ER_M = "0.95"  # fixed m-probability (string: exact literal in both SQLs)
+_ER_1M = "0.05"
+_ER_TOPK = 50
+
+_ER_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+p AS (
+  SELECT a.c_custkey AS a, b.c_custkey AS b,
+         CAST(CASE WHEN floor(a.cents / 50000.0) = floor(b.cents / 50000.0)
+              THEN 1 ELSE 0 END AS BIGINT) AS agree_bucket,
+         CAST(CASE WHEN abs(a.cents - b.cents) <= 10000
+              THEN 1 ELSE 0 END AS BIGINT) AS agree_close,
+         CAST(CASE WHEN (a.cents >= 0) = (b.cents >= 0)
+              THEN 1 ELSE 0 END AS BIGINT) AS agree_sign
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey),
+u AS (
+  SELECT (sum(agree_bucket) + 1.0) / (count(*) + 2.0) AS u_bucket,
+         (sum(agree_close) + 1.0) / (count(*) + 2.0) AS u_close,
+         (sum(agree_sign) + 1.0) / (count(*) + 2.0) AS u_sign
+  FROM p)
+SELECT p.a, p.b, p.agree_bucket, p.agree_close, p.agree_sign,
+       round(
+         (CASE WHEN p.agree_bucket = 1 THEN log2({_ER_M} / u.u_bucket)
+               ELSE log2({_ER_1M} / (1 - u.u_bucket)) END)
+       + (CASE WHEN p.agree_close = 1 THEN log2({_ER_M} / u.u_close)
+               ELSE log2({_ER_1M} / (1 - u.u_close)) END)
+       + (CASE WHEN p.agree_sign = 1 THEN log2({_ER_M} / u.u_sign)
+               ELSE log2({_ER_1M} / (1 - u.u_sign)) END), 6) AS fs_score
+FROM p CROSS JOIN u
+ORDER BY fs_score DESC, p.a, p.b
+LIMIT {_ER_TOPK}"""
+
+
+@register(
+    "q248_entity_resolution_scoring",
+    _ER_SQL,
+    ops=("ext-entity-resolution",),
+    doc="ENTITY RESOLUTION: blocking + Fellegi-Sunter (1969) "
+    "match scoring over customers — the record-linkage family "
+    "(q83 is string near-dup over documents; this is the "
+    "structured-record variant every warehouse consolidation runs).  "
+    "Blocking key = (nation, mktsegment) so candidate pairs are "
+    "block-local (the 100 TB mechanism: |pairs| = sum of block "
+    "C(n,2), never corpus^2); three field comparators on "
+    "integer-cent balances (same 500-unit bucket, within 100.00, "
+    "same sign — all integer-exact, no float boundary); "
+    "u-probabilities ESTIMATED from the blocked pairs with add-one "
+    "smoothing (never 0/1, so log weights stay finite on any "
+    "corpus), m fixed at 0.95; agreement weight log2(m/u), "
+    "disagreement log2((1-m)/(1-u)); top-50 scored pairs.  Scale: "
+    "one equi-shuffle self-join on the block key + a 1-row "
+    "broadcast stats crossJoin; ranking is a salted-safe global "
+    "top-k LIMIT.",
+)
+def q248_entity_resolution_scoring(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+
+    def bucket(side: str):
+        return F.floor(F.col(f"{side}.cents") / 50000.0)
+
+    # persisted: the blocked pair relation feeds the u-probability
+    # aggregate AND the final scoring pass
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a"),
+            F.col("b.c_custkey").alias("b"),
+            F.when(bucket("a") == bucket("b"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("agree_bucket"),
+            F.when(F.abs(F.col("a.cents") - F.col("b.cents")) <= 10000, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("agree_close"),
+            F.when((F.col("a.cents") >= 0) == (F.col("b.cents") >= 0), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("agree_sign"),
+        )
+        .persist()
+    )
+    u = pairs.agg(
+        *[
+            (
+                (F.sum(c) + F.lit(1.0))
+                / (F.count(F.lit(1)) + F.lit(2.0))
+            ).alias("u_" + c.removeprefix("agree_"))
+            for c in ("agree_bucket", "agree_close", "agree_sign")
+        ]
+    )
+    m, one_m = float(_ER_M), float(_ER_1M)
+
+    def w(flag: str, uc: str):
+        return F.when(F.col(flag) == 1, F.log2(m / F.col(uc))).otherwise(
+            F.log2(one_m / (1 - F.col(uc)))
+        )
+
+    return (
+        pairs.crossJoin(F.broadcast(u))  # 1-row stats (crossJoin convention)
+        .select(
+            "a",
+            "b",
+            "agree_bucket",
+            "agree_close",
+            "agree_sign",
+            F.round(
+                w("agree_bucket", "u_bucket")
+                + w("agree_close", "u_close")
+                + w("agree_sign", "u_sign"),
+                6,
+            ).alias("fs_score"),
+        )
+        .orderBy(F.desc("fs_score"), "a", "b")
+        .limit(_ER_TOPK)
+    )
+
+
+_WM_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events),
+l AS (
+  SELECT event_type,
+         max(ms) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ms AS late
+  FROM e)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(quantile_cont(late, 0.5), 6) AS p50_late_ms,
+       round(quantile_cont(late, 0.95), 6) AS p95_late_ms,
+       round(quantile_cont(late, 0.99), 6) AS p99_late_ms,
+       CAST(max(late) AS BIGINT) AS max_late_ms
+FROM l GROUP BY event_type ORDER BY event_type"""
+
+
+@register(
+    "q249_watermark_delay_audit",
+    _WM_SQL,
+    ops=("ext-watermark-audit",),
+    doc="WATERMARK DELAY AUDIT — the measurement that sizes a "
+    "streaming watermark instead of guessing it: per event type, "
+    "out-of-orderness = running max event-time (in event_id ingest "
+    "order, the arrival sequence) minus each event's own time; "
+    "report the p50/p95/p99/max lateness an operator would choose "
+    "`withWatermark` from (q168/q101's 30-min delays become a "
+    "measured choice).  Lateness is integer epoch-ms; percentiles "
+    "ride operators/stats.exact_grouped_percentiles "
+    "(quantile_cont-proven by q154).  Scale: ONE shuffle on "
+    "event_type for the running max; the percentile count-table is "
+    "lateness-value-cardinality (bounded in practice by the delay "
+    "spread, the q243 caveat); output is |types| rows.",
+)
+def q249_watermark_delay_audit(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # persisted: the lateness relation feeds the percentile operator
+    # AND the count/max aggregate (persist-multi-consumer rule)
+    late = (
+        ev.select("event_type", "event_id", ms.alias("ms"))
+        .withColumn("late", F.max("ms").over(wo) - F.col("ms"))
+        .persist()
+    )
+    pct = exact_grouped_percentiles(
+        late, "late", ["event_type"], [0.5, 0.95, 0.99], round_digits=6
+    )
+    cnts = late.groupBy("event_type").agg(
+        F.sum(F.when(F.col("late") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("late").cast("bigint").alias("max_late_ms"),
+    )
+    return (
+        pct.join(cnts, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "n_late",
+            F.col("p_50").alias("p50_late_ms"),
+            F.col("p_95").alias("p95_late_ms"),
+            F.col("p_99").alias("p99_late_ms"),
+            "max_late_ms",
+        )
+        .orderBy("event_type")
+    )
+
+
+_SEAS_SQL = """
+WITH d AS (
+  SELECT epoch_ms(o_orderdate) // 86400000 AS dayno,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY dayno),
+t AS (
+  SELECT dayno, x,
+         sum(x) OVER (ORDER BY dayno
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+         count(*) OVER (ORDER BY dayno
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7
+  FROM d),
+det AS (
+  SELECT dayno % 7 AS dow7, 7 * x - s7 AS det7
+  FROM t WHERE w7 = 7),
+s AS (
+  SELECT dow7, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(det7) AS BIGINT) AS ssum
+  FROM det GROUP BY dow7)
+SELECT s.dow7, s.n_days,
+       round(s.ssum / (7.0 * s.n_days), 6) AS seasonal,
+       round(sqrt(sum(power(CAST(s.n_days * d.det7 - s.ssum AS DOUBLE), 2))
+                  / s.n_days) / (7.0 * s.n_days), 6) AS rms_remainder
+FROM det d JOIN s ON d.dow7 = s.dow7
+GROUP BY s.dow7, s.n_days, s.ssum ORDER BY s.dow7"""
+
+
+@register(
+    "q250_weekday_seasonal_decomposition",
+    _SEAS_SQL,
+    ops=("ext-seasonal-decompose",),
+    doc="CLASSICAL SEASONAL DECOMPOSITION of the daily order series "
+    "(trend = centered 7-row moving average, seasonal = per-weekday "
+    "mean of the detrended series, remainder = what's left) — the "
+    "decomposition member of the time-series family (q171 screens "
+    "against a seasonal baseline, q241 forecasts; this SPLITS the "
+    "signal).  Integer-exact core: detrended is kept as "
+    "det7 = 7*x - sum7 (no division), the weekday index is "
+    "epoch-day mod 7 (no engine dow-convention to pin), and the "
+    "remainder RMS uses the identity (n*det7 - sum(det7))/(7n) so "
+    "the only floats are the two final rounded divisions.  Edge "
+    "days without a full 7-row window are excluded (w7 = 7 gate); "
+    "the MA runs over series ROWS, not calendar days (missing days "
+    "compress, pinned in pytest).  Scale: the day series "
+    "map-combines out of the scan (calendar-bounded, the q224 "
+    "argument); seasonal stats are a 7-row broadcast.",
+)
+def q250_weekday_seasonal_decomposition(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000"
+        ).alias("dayno")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wma = Window.orderBy("dayno").rowsBetween(-3, 3)
+    t = d.withColumn("s7", F.sum("x").over(wma)).withColumn(
+        "w7", F.count(F.lit(1)).over(wma)
+    )
+    # persisted: the detrended relation feeds the seasonal aggregate
+    # AND the remainder pass (persist-multi-consumer rule)
+    det = (
+        t.filter(F.col("w7") == 7)
+        .select(
+            (F.col("dayno") % 7).alias("dow7"),
+            (7 * F.col("x") - F.col("s7")).alias("det7"),
+        )
+        .persist()
+    )
+    s = det.groupBy("dow7").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("det7").cast("bigint").alias("ssum"),
+    )
+    rem2 = F.pow(
+        (F.col("n_days") * F.col("det7") - F.col("ssum")).cast("double"), 2
+    )
+    return (
+        det.join(F.broadcast(s), "dow7")
+        .groupBy("dow7", "n_days", "ssum")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(rem2) / F.col("n_days"))
+                / (7.0 * F.col("n_days")),
+                6,
+            ).alias("rms_remainder")
+        )
+        .select(
+            "dow7",
+            "n_days",
+            F.round(F.col("ssum") / (7.0 * F.col("n_days")), 6).alias(
+                "seasonal"
+            ),
+            "rms_remainder",
+        )
+        .orderBy("dow7")
+    )
+
+
+_SP_R = 0.01
+
+_SP_SQL = f"""
+WITH p AS (
+  SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS x,
+         round(CAST(embedding[2] AS DOUBLE), 6) AS y
+  FROM embeddings),
+g AS (
+  SELECT vec_id, x, y,
+         CAST(floor(x / {_SP_R}) AS BIGINT) AS cx,
+         CAST(floor(y / {_SP_R}) AS BIGINT) AS cy
+  FROM p),
+fan AS (
+  SELECT g.vec_id, g.x, g.y, g.cx + dx.d AS cx, g.cy + dy.d AS cy
+  FROM g
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+cand AS (
+  SELECT f.vec_id AS a, b.vec_id AS b,
+         (f.x - b.x) * (f.x - b.x) + (f.y - b.y) * (f.y - b.y) AS d2
+  FROM fan f JOIN g b ON f.cx = b.cx AND f.cy = b.cy
+  WHERE f.vec_id < b.vec_id)
+SELECT a, b, round(sqrt(d2), 6) AS dist
+FROM cand WHERE d2 <= {_SP_R} * {_SP_R}
+ORDER BY a, b"""
+
+
+@register(
+    "q251_spatial_radius_join",
+    _SP_SQL,
+    ops=("ext-spatial-join",),
+    doc="SPATIAL RADIUS JOIN via grid bucketing — the distributed "
+    "spatial-join pattern (points within distance r pair up), a "
+    "family the engine lacked: coordinates are the first two "
+    "embedding dims (rounded to 1e-6 so both engines grid the SAME "
+    "doubles), cells are r-sized squares, one side fans out to its "
+    "3x3 cell neighborhood and equi-joins the other side's home "
+    "cell — every true pair is found EXACTLY once (|dx|<=r implies "
+    "adjacent cells; home cells are unique), then the exact "
+    "squared-distance filter verifies.  The oracle is the all-pairs "
+    "formulation the grid join must reproduce verbatim.  Scale: "
+    "candidates are bounded by per-cell density (9 cells per "
+    "point), never corpus^2 — the same blocking argument as LSH "
+    "(q24) with geometry instead of hashes; skewed cells would "
+    "salt like any skewed join key.",
+)
+def q251_spatial_radius_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    # persisted: the gridded point relation is both the fan-out side
+    # and the probe side of the self-join
+    g = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double"), 6).alias("y"),
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / _SP_R).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / _SP_R).cast("bigint").alias("cy"),
+    ).persist()
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    fan = g.select(
+        "vec_id", "x", "y", "cx", "cy", F.explode(offs).alias("o")
+    ).select(
+        F.col("vec_id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    return (
+        fan.join(g, ["cx", "cy"])
+        .filter(F.col("a") < F.col("vec_id"))
+        .select(
+            "a", F.col("vec_id").alias("b"), d2.alias("d2")
+        )
+        .filter(F.col("d2") <= _SP_R * _SP_R)
+        .select("a", "b", F.round(F.sqrt("d2"), 6).alias("dist"))
+        .orderBy("a", "b")
+    )
+
+
+_NDCG_K = 10
+_NDCG_NPROBE = 2
+
+_NDCG_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id >= 16 AND vec_id < 40),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+asg AS (
+  SELECT neighbor_id, nv, cell FROM (
+    SELECT c.neighbor_id, c.nv, cent.cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+             ORDER BY {_ora_cos("c.nv", "cent.cv", 9)} DESC, cent.cell) AS rk
+    FROM c CROSS JOIN cent) WHERE rk = 1),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_ora_cos("q.qv", "cent.cv", 9)} DESC, cent.cell) AS rk
+    FROM q CROSS JOIN cent) WHERE rk <= {_NDCG_NPROBE}),
+approxk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s4 DESC, neighbor_id) AS i
+  FROM (
+    SELECT p.query_id, a.neighbor_id,
+           {_ora_cos("p.qv", "a.nv", 4)} AS s4
+    FROM asg a JOIN probes p ON a.cell = p.cell
+    WHERE a.neighbor_id <> p.query_id)
+  QUALIFY i <= {_NDCG_K}),
+exactk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s4 DESC, neighbor_id) AS tr
+  FROM (
+    SELECT q.query_id, c.neighbor_id,
+           {_ora_cos("q.qv", "c.nv", 4)} AS s4
+    FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id)
+  QUALIFY tr <= {_NDCG_K}),
+idcg AS (
+  SELECT sum(({_NDCG_K} + 1 - i) / log2(i + 1.0)) AS v
+  FROM (SELECT unnest(range(1, {_NDCG_K} + 1)) AS i)),
+dcg AS (
+  SELECT a.query_id,
+         CAST(sum(CASE WHEN e.tr IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits,
+         sum(CASE WHEN e.tr IS NOT NULL
+                  THEN ({_NDCG_K} + 1 - e.tr) ELSE 0 END
+             / log2(a.i + 1.0)) AS d
+  FROM approxk a LEFT JOIN exactk e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id)
+SELECT q.query_id,
+       CAST(coalesce(dcg.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(dcg.d, 0), 6) AS dcg,
+       round(coalesce(dcg.d, 0) / idcg.v, 6) AS ndcg
+FROM q LEFT JOIN dcg ON q.query_id = dcg.query_id CROSS JOIN idcg
+ORDER BY q.query_id"""
+
+
+@register(
+    "q252_ann_ndcg_eval",
+    _NDCG_SQL,
+    ops=("ext-similarity-ndcg",),
+    doc="GRADED RANKING QUALITY (NDCG@10) of the IVF index against "
+    "exact cosine ground truth — the position-aware member of the "
+    "eval family (q175 recall counts set overlap; NDCG penalizes "
+    "putting the true #1 at predicted #10): gain of a predicted "
+    "neighbor = 11 - its exact rank (0 if outside the true top-10), "
+    "discounted by log2(position + 1); the IVF structure, scoring "
+    "rounds and tie-breaks are exactly q175's (coarse quantizer = "
+    "first 16 vectors, nprobe=2, round(cos,4) ranking) so the two "
+    "audits measure the SAME index.  Full value oracle replays "
+    "assignment, probing, both rankings and the discounted sums; "
+    "IDCG is built from the same per-position formula in-engine "
+    "(never a hand-typed constant).  Scale: identical to q175 — "
+    "broadcast centroids, cell equi-join; the eval adds only "
+    "top-k-sized joins.",
+)
+def q252_ann_ndcg_eval(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    qdf = emb.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 40)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    s9 = F.round(F.expr(similarity.cosine_expr("nv", "cv")), 9)
+    asg = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "nv", "cell", s9.alias("s9"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s9").alias("s"), (-F.col("cell")).alias("nc")
+                )
+            ).alias("m"),
+            F.first("nv").alias("nv"),
+        )
+        .select(
+            "neighbor_id", "nv", (-F.col("m.nc")).cast("int").alias("cell")
+        )
+    )
+    sq9 = F.round(F.expr(similarity.cosine_expr("qv", "cv")), 9)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s9"), F.asc("cell"))
+    probes = (
+        qdf.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cell", sq9.alias("s9"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _NDCG_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("s4"), F.asc("neighbor_id")
+    )
+    approxk = (
+        asg.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(similarity.cosine_expr("qv", "nv")), 4).alias(
+                "s4"
+            ),
+        )
+        .withColumn("i", F.row_number().over(wk))
+        .filter(F.col("i") <= _NDCG_K)
+        .select("query_id", "neighbor_id", "i")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exactk = (
+        similarity.cosine_topk_bruteforce(
+            emb,
+            emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40)),
+            k=_NDCG_K,
+        )
+        .withColumn("tr", F.row_number().over(wt))
+        .select("query_id", "neighbor_id", "tr")
+    )
+    idcg = (
+        spark.range(1, _NDCG_K + 1)
+        .select(
+            F.sum(
+                (_NDCG_K + 1 - F.col("id")) / F.log2(F.col("id") + 1.0)
+            ).alias("v")
+        )
+    )
+    gain = F.when(
+        F.col("tr").isNotNull(), _NDCG_K + 1 - F.col("tr")
+    ).otherwise(0)
+    dcg = (
+        approxk.join(exactk, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("tr").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits"),
+            F.sum(gain / F.log2(F.col("i") + 1.0)).alias("d"),
+        )
+    )
+    return (
+        qdf.select("query_id")
+        .join(F.broadcast(dcg), "query_id", "left")
+        .crossJoin(F.broadcast(idcg))  # 1-row IDCG constant
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.round(F.coalesce("d", F.lit(0.0)), 6).alias("dcg"),
+            F.round(F.coalesce("d", F.lit(0.0)) / F.col("v"), 6).alias(
+                "ndcg"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_READ_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables,
+         len(regexp_extract_all(text, '[.!?]+')) AS sentences
+  FROM documents)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(syllables AS BIGINT) AS n_syllables,
+       CAST(sentences AS BIGINT) AS n_sentences,
+       round(CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE) * (words * 1.0 / greatest(sentences, 1))
+             - CAST(84.6 AS DOUBLE) * (syllables * 1.0 / greatest(words, 1)),
+             4) AS flesch
+FROM m ORDER BY doc_id"""
+
+
+@register(
+    "q253_doc_readability_scores",
+    _READ_SQL,
+    ops=("ext-readability",),
+    doc="READABILITY SCORING (Flesch reading ease) per document — "
+    "the curation-gate sibling of q20's quality ratios: words = "
+    "[a-z]+ runs, syllable proxy = vowel-group ([aeiouy]+) runs "
+    "(the standard cheap estimator), sentences = [.!?]+ runs, "
+    "score = 206.835 - 1.015*words/sentences - 84.6*syll/words "
+    "with greatest(...,1) floors so punctuation-free docs (this "
+    "corpus) degrade deterministically instead of dividing by zero "
+    "— the punctuated branch is pinned in pytest on planted prose.  "
+    "All counting is regexp_count on JVM/RE2 character classes "
+    "(identical across engines); no tokenizer UDF.  Scale: "
+    "embarrassingly parallel single scan, no shuffle at all until "
+    "the final sort.",
+)
+def q253_doc_readability_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+"))
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    sent = F.regexp_count(F.col("text"), F.lit("[.!?]+"))
+    m = d.select(
+        "doc_id",
+        words.alias("words"),
+        syll.alias("syllables"),
+        sent.alias("sentences"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("words").cast("bigint").alias("n_words"),
+        F.col("syllables").cast("bigint").alias("n_syllables"),
+        F.col("sentences").cast("bigint").alias("n_sentences"),
+        F.round(
+            F.lit(206.835)
+            - 1.015
+            * (F.col("words") * 1.0 / F.greatest(F.col("sentences"), F.lit(1)))
+            - 84.6
+            * (
+                F.col("syllables")
+                * 1.0
+                / F.greatest(F.col("words"), F.lit(1))
+            ),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+_WOE_SQL = """
+WITH f AS (
+  SELECT 'month' AS feature,
+         CAST(extract(month FROM o_orderdate) AS VARCHAR) AS category,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+  UNION ALL
+  SELECT 'status', o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+  FROM orders),
+t AS (
+  SELECT feature, CAST(sum(y) AS BIGINT) AS pos_tot,
+         CAST(count(*) - sum(y) AS BIGINT) AS neg_tot
+  FROM f GROUP BY feature),
+c AS (
+  SELECT feature, category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM f GROUP BY feature, category)
+SELECT c.feature, c.category, c.n, c.n_pos,
+       round(ln(((c.n_pos + 0.5) / t.pos_tot)
+                / ((c.n - c.n_pos + 0.5) / t.neg_tot)), 6) AS woe,
+       round(((c.n_pos + 0.5) / t.pos_tot
+              - (c.n - c.n_pos + 0.5) / t.neg_tot)
+             * ln(((c.n_pos + 0.5) / t.pos_tot)
+                  / ((c.n - c.n_pos + 0.5) / t.neg_tot)), 6) AS iv_term
+FROM c JOIN t ON c.feature = t.feature
+ORDER BY c.feature, c.category"""
+
+
+@register(
+    "q254_woe_feature_encoding",
+    _WOE_SQL,
+    ops=("ext-woe-encoding",),
+    doc="WEIGHT-OF-EVIDENCE ENCODING + information value — the "
+    "credit-scoring feature transform joining the featurizer family "
+    "(q214 hashes, q215 rank-normalizes; WOE encodes a CATEGORY by "
+    "its log-odds against a binary target): target = urgent order, "
+    "features = order month and status in one melted pass; "
+    "woe = ln(smoothed pos share / smoothed neg share) with +0.5 "
+    "add-half smoothing applied INSIDE both shares (never "
+    "log-of-zero on a category pure in one class, pinned), "
+    "iv_term = (share diff) * woe sums to the feature's IV.  "
+    "Scale: one map-combined pass for totals + one for categories, "
+    "joined on the |features|-row broadcast; category cardinality "
+    "bounds the output, never corpus rows.",
+)
+def q254_woe_feature_encoding(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    f = o.select(
+        F.lit("month").alias("feature"),
+        F.month("o_orderdate").cast("string").alias("category"),
+        y.alias("y"),
+    ).unionByName(
+        o.select(
+            F.lit("status").alias("feature"),
+            F.col("o_orderstatus").alias("category"),
+            y.alias("y"),
+        )
+    ).persist()  # feeds the per-feature totals AND the category table
+    t = f.groupBy("feature").agg(
+        F.sum("y").cast("bigint").alias("pos_tot"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg_tot"),
+    )
+    c = f.groupBy("feature", "category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    pos_share = (F.col("n_pos") + 0.5) / F.col("pos_tot")
+    neg_share = (F.col("n") - F.col("n_pos") + 0.5) / F.col("neg_tot")
+    woe = F.log(pos_share / neg_share)
+    return (
+        c.join(F.broadcast(t), "feature")
+        .select(
+            "feature",
+            "category",
+            "n",
+            "n_pos",
+            F.round(woe, 6).alias("woe"),
+            F.round((pos_share - neg_share) * woe, 6).alias("iv_term"),
+        )
+        .orderBy("feature", "category")
+    )
+
+
+_ENC_SQL = """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, 'returnflag' AS col,
+         l_returnflag AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'linestatus', l_linestatus
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'shipday',
+         CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'quantity',
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem),
+r AS (
+  SELECT col, val,
+         CASE WHEN lag(val) OVER (PARTITION BY col, l_orderkey
+                                  ORDER BY l_linenumber, val)
+                IS DISTINCT FROM val
+              THEN 1 ELSE 0 END AS run_start
+  FROM m),
+agg AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT val) AS BIGINT) AS ndv,
+         CAST(sum(run_start) AS BIGINT) AS n_runs
+  FROM r GROUP BY col),
+h AS (
+  SELECT col, round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
+  FROM (SELECT col, val, count(*) AS c,
+               sum(count(*)) OVER (PARTITION BY col) AS n
+        FROM r GROUP BY col, val)
+  GROUP BY col)
+SELECT agg.col, agg.n, agg.ndv, agg.n_runs,
+       round(agg.n * 1.0 / agg.n_runs, 6) AS avg_run_len,
+       h.entropy,
+       CASE WHEN agg.n >= 4 * agg.n_runs THEN 'RLE'
+            WHEN agg.ndv * 100 <= agg.n THEN 'DICT'
+            ELSE 'PLAIN' END AS encoding
+FROM agg JOIN h ON agg.col = h.col ORDER BY agg.col"""
+
+
+@register(
+    "q255_column_encoding_advisor",
+    _ENC_SQL,
+    ops=("ext-encoding-advisor",),
+    doc="COLUMN ENCODING ADVISOR — the storage-layout member beside "
+    "q144 (Z-order keys), q148 (zone maps) and q174 (ANALYZE): per "
+    "column, NDV, Shannon entropy of the value histogram, and mean "
+    "run length in write order decide dictionary vs run-length vs "
+    "plain encoding, exactly the stats a parquet writer tunes on.  "
+    "Runs are counted WITHIN the natural write unit (order, by line "
+    "number) — cross-order boundaries always start a run, the "
+    "row-group-local definition, so the window is distributed on "
+    "l_orderkey, never a global sort.  The encoding gates are "
+    "integer-exact cross-multiplications (n >= 4*n_runs for RLE, "
+    "ndv*100 <= n for DICT); values are canonicalized to strings "
+    "via engine-agreeing casts (DATE and BIGINT only — raw double "
+    "formatting differs between engines and is kept out).  Scale: "
+    "the 4x melt explodes the scan, not a shuffle; histogram and "
+    "run aggregates map-combine; output is |columns| rows.",
+)
+def q255_column_encoding_advisor(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        ("returnflag", F.col("l_returnflag")),
+        ("linestatus", F.col("l_linestatus")),
+        ("shipday", F.col("l_shipdate").cast("date").cast("string")),
+        ("quantity", F.col("l_quantity").cast("bigint").cast("string")),
+    ]
+    m = None
+    for cname, expr in parts:
+        sel = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.lit(cname).alias("col"),
+            expr.alias("val"),
+        )
+        m = sel if m is None else m.unionByName(sel)
+    # val joins the sort key: (orderkey, linenumber) is NOT unique in
+    # the corpus, so without a total order the lag() sequence — and
+    # the run count — would be nondeterministic across engines
+    wo = Window.partitionBy("col", "l_orderkey").orderBy(
+        "l_linenumber", "val"
+    )
+    # persisted: the run-tagged relation feeds the run/ndv aggregate
+    # AND the entropy histogram (persist-multi-consumer rule)
+    r = m.withColumn(
+        "run_start",
+        F.when(
+            ~F.lag("val").over(wo).eqNullSafe(F.col("val")), 1
+        ).otherwise(0),
+    ).persist()
+    agg = r.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("val").cast("bigint").alias("ndv"),
+        F.sum("run_start").cast("bigint").alias("n_runs"),
+    )
+    hist = r.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("col")
+    h = (
+        hist.withColumn("nn", F.sum("c").over(wn))
+        .groupBy("col")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") * 1.0 / F.col("nn"))
+                    * F.log(F.col("c") * 1.0 / F.col("nn"))
+                ),
+                6,
+            ).alias("entropy")
+        )
+    )
+    return (
+        agg.join(h, "col")
+        .select(
+            "col",
+            "n",
+            "ndv",
+            "n_runs",
+            F.round(F.col("n") * 1.0 / F.col("n_runs"), 6).alias(
+                "avg_run_len"
+            ),
+            "entropy",
+            F.when(F.col("n") >= 4 * F.col("n_runs"), "RLE")
+            .when(F.col("ndv") * 100 <= F.col("n"), "DICT")
+            .otherwise("PLAIN")
+            .alias("encoding"),
+        )
+        .orderBy("col")
+    )
+
+
+_KNN_K = 10
+
+_KNN_SQL = f"""
+WITH s AS (
+  SELECT q.vec_id AS query_id, q.label AS tlabel,
+         c.vec_id AS neighbor_id, c.label AS nlabel,
+         {_ora_cos("q.embedding", "c.embedding", 4)} AS s4
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+k AS (
+  SELECT query_id, tlabel, nlabel FROM s
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY s4 DESC, neighbor_id) <= {_KNN_K}),
+v AS (
+  SELECT query_id, tlabel, nlabel, count(*) AS c
+  FROM k GROUP BY query_id, tlabel, nlabel),
+p AS (
+  SELECT query_id, tlabel, nlabel AS plabel FROM v
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY c DESC, nlabel) = 1)
+SELECT tlabel AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS accuracy
+FROM p GROUP BY tlabel ORDER BY tlabel"""
+
+
+@register(
+    "q256_knn_loo_classifier_eval",
+    _KNN_SQL,
+    ops=("ext-knn-eval",),
+    doc="kNN LEAVE-ONE-OUT CLASSIFICATION accuracy over the "
+    "embedding labels — the label-quality audit of the eval family "
+    "(q236 scores a heuristic, q217 calibration, q175/q252 the "
+    "index; this scores the EMBEDDING SPACE: if 10-NN majority vote "
+    "can't recover a vector's own label, the labels or the space "
+    "are suspect).  Votes use the brute top-10 under the engine's "
+    "standard round(cos,4)/neighbor-id order (q22's operator), "
+    "majority ties to the smallest label; per-label n / correct / "
+    "accuracy.  Scale: brute scoring is the oracle-parity pin; the "
+    "blocked IVF (q26/q175) is the documented 100 TB path for the "
+    "same vote — the eval joins are top-k-sized.",
+)
+def q256_knn_loo_classifier_eval(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk_bruteforce(emb, emb, k=_KNN_K)
+    lbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    tru = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("tlabel")
+    )
+    votes = (
+        topk.join(F.broadcast(lbl), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("plabel"))
+    )
+    return (
+        pred.join(F.broadcast(tru), "query_id")
+        .groupBy(F.col("tlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -14527,11 +15812,11 @@ STAMP_PRIORITY: list[str] = [
     "q184_activity_streaks",
     "q185_referential_usage_audit",
     # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped rows q186-q244 (registered after this
+    # with the never-stamped rows q186-q256 (registered after this
     # window filled; all pre-verified by the pytest oracle replica at
     # sf0.001 AND full driver-replica sweeps at sf0.01 — zero fails),
-    # then continue the r04 block (q11-q98), then r05.  q186-q244 are
-    # 59 rows, so they span the r8 window and spill into r9's.
+    # then continue the r04 block (q11-q98), then r05.  q186-q256 are
+    # 71 rows, so they span the r8 window and spill into r9's.
     "q10_bottom10_nations_by_balance",
 ]
 

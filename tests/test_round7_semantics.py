@@ -2591,3 +2591,375 @@ def test_burst_compaction_gap_boundary(spark, tmp_path_factory):
     }
     assert got["click"] == (6, 3, 3, 2.0)
     assert got["view"] == (2, 2, 1, 1.0)
+
+
+def test_lease_coverage_touch_vs_overlap_boundary(spark, tmp_path_factory):
+    """Pins the q245 interval-merge convention: a lease starting
+    EXACTLY at the running max end (touching) starts a NEW interval;
+    one starting 1 ms earlier merges.  User 1: leases at 0 s and
+    600 s touch -> 2 intervals, 1,200,000 ms covered; user 2: leases
+    at 0 s and 599 s overlap -> 1 interval of 1,199,000 ms; user 3:
+    a lease fully inside an earlier one must NOT extend coverage
+    (span = max(end) - min(start), not sum of lengths)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "click", 0.0, "{}"),
+        (2, base + datetime.timedelta(milliseconds=600_000), 1, "click", 0.0, "{}"),
+        (3, base, 2, "click", 0.0, "{}"),
+        (4, base + datetime.timedelta(milliseconds=599_000), 2, "click", 0.0, "{}"),
+        (5, base, 3, "click", 0.0, "{}"),
+        (6, base + datetime.timedelta(milliseconds=1_000), 3, "click", 0.0, "{}"),
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "lease")
+    got = {
+        r.user_id: (r.n_events, r.n_intervals, r.covered_ms, r.max_interval_ms)
+        for r in QUERY_REGISTRY["q245_activity_lease_coverage"].fn(spark, d).collect()
+    }
+    assert got[1] == (2, 2, 1_200_000, 600_000)
+    assert got[2] == (2, 1, 1_199_000, 1_199_000)
+    assert got[3] == (2, 1, 601_000, 601_000)
+
+
+def test_lpa_two_cliques_with_bridge(spark, tmp_path_factory):
+    """Hand-replayed 3-round synchronous LPA on two triangles
+    {1,2,3} and {10,11,12} joined by bridge 3-10 (each order's parts
+    form a clique): neighbors-only votes with min-label ties settle
+    clique A on label 1 and clique B on label 3 (the bridge IMPORTS
+    A's old label into B — the sync-update artifact the oracle must
+    reproduce exactly).  Final communities: {1: 3 members, 3: 3}."""
+    day = datetime.datetime(2024, 1, 1)
+    lines, ln = [], 0
+    for okey, parts in ((1, (1, 2, 3)), (2, (10, 11, 12)), (3, (3, 10))):
+        for p in parts:
+            ln += 1
+            lines.append((okey, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "A", "O", day))
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "lpa",
+    )
+    got = {
+        r.community: r.n_members
+        for r in QUERY_REGISTRY["q246_label_propagation_communities"]
+        .fn(spark, d)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {1: 3, 3: 3}
+
+
+def test_ams_single_key_is_exact(spark, tmp_path_factory):
+    """On a single-key column every AMS estimator is Z_j = +-c, so
+    Z^2 = c^2 = the exact F2 for ALL 64 estimators and the
+    median-of-means estimate is exact with rel_err 0 — the algebraic
+    identity that distinguishes a correct sign-sketch from a buggy
+    one (any sign imbalance or double-count shifts it)."""
+    day = datetime.datetime(2024, 1, 1)
+    lines = [
+        (i + 1, 7, 3, 1, 1.0, 1.0, 0.0, 0.0, "A", "O", day) for i in range(5)
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "ams",
+    )
+    rows = QUERY_REGISTRY["q247_ams_f2_sketch"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    got = {r.col: (r.n_keys, r.exact_f2, r.est_f2, r.rel_err) for r in rows}
+    assert got["l_partkey"] == (1, 25, 25.0, 0.0)
+    assert got["l_suppkey"] == (1, 25, 25.0, 0.0)
+
+
+def test_er_scoring_smoothing_and_ordering(spark, tmp_path_factory):
+    """One block, three customers (bal 100.00, 100.00, 5000.00):
+    every pair agrees on sign, so WITHOUT add-one smoothing u_sign
+    would be 1 and the disagreement weight log2((1-m)/0) infinite —
+    the smoothing pin is that every score is finite.  The
+    identical-balance pair must outrank both distant pairs (which
+    score equal), and the u-estimates are hand-checkable:
+    u_bucket = u_close = (1+1)/(3+2) = 0.4, u_sign = (3+1)/5 = 0.8."""
+    import math
+
+    custs = [
+        (1, "Customer#1", 5, 100.0, "BUILDING"),
+        (2, "Customer#2", 5, 100.0, "BUILDING"),
+        (3, "Customer#3", 5, 5000.0, "BUILDING"),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"customer": spark.createDataFrame(custs, _CUSTOMER_SCHEMA_B18)},
+        "ers",
+    )
+    rows = QUERY_REGISTRY["q248_entity_resolution_scoring"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    assert [(r.a, r.b) for r in rows] == [(1, 2), (1, 3), (2, 3)]
+    scores = {(r.a, r.b): r.fs_score for r in rows}
+    assert all(math.isfinite(s) for s in scores.values())
+    assert scores[(1, 3)] == scores[(2, 3)] < scores[(1, 2)]
+    expected_top = round(
+        2 * math.log2(0.95 / 0.4) + math.log2(0.95 / 0.8), 6
+    )
+    assert scores[(1, 2)] == expected_top
+
+
+def test_watermark_audit_planted_lateness(spark, tmp_path_factory):
+    """Ingest order (event_id) [1s, 5s, 3s, 4s, 10s]: running max
+    gives lateness [0, 0, 2000, 1000, 0] ms — n_late counts only
+    strictly-late rows, and the interpolated percentiles over
+    sorted [0,0,0,1000,2000] are p50 = 0, p95 = 1800, p99 = 1960."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, base + datetime.timedelta(milliseconds=off), 1,
+         "click", 0.0, "{}")
+        for i, off in enumerate((1000, 5000, 3000, 4000, 10000))
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "wmaudit")
+    r = QUERY_REGISTRY["q249_watermark_delay_audit"].fn(spark, d).collect()[0]
+    spark.catalog.clearCache()
+    assert (r.event_type, r.n, r.n_late, r.max_late_ms) == ("click", 5, 2, 2000)
+    assert (r.p50_late_ms, r.p95_late_ms, r.p99_late_ms) == (0.0, 1800.0, 1960.0)
+
+
+def test_seasonal_decomposition_perfect_period(spark, tmp_path_factory):
+    """A perfectly 7-periodic daily series (count = dayno%7 + 1 over
+    21 consecutive days): every centered 7-row window sums to 28, so
+    trend = 4 everywhere, seasonal(dow) = (dow+1) - 4 exactly, and
+    the remainder RMS is 0 for every weekday; edge days without a
+    full window are excluded (21 days -> 15 decomposed)."""
+    epoch = datetime.datetime(1970, 1, 1)
+    base = datetime.datetime(2024, 1, 1)
+    orders, ok = [], 0
+    for i in range(21):
+        day = base + datetime.timedelta(days=i)
+        dayno = (day - epoch).days
+        for _ in range(dayno % 7 + 1):
+            ok += 1
+            orders.append((ok, 1, "O", 1.0, day, "1-URGENT"))
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17)},
+        "seas",
+    )
+    rows = (
+        QUERY_REGISTRY["q250_weekday_seasonal_decomposition"]
+        .fn(spark, d)
+        .collect()
+    )
+    spark.catalog.clearCache()
+    assert sum(r.n_days for r in rows) == 15
+    for r in rows:
+        assert r.seasonal == float(r.dow7 - 3), r
+        assert r.rms_remainder == 0.0, r
+
+
+def test_spatial_radius_join_boundary_equals_brute_force(
+    spark, tmp_path_factory
+):
+    """Planted boundary-straddlers: (0.0095, 0) and (0.0105, 0) sit
+    in DIFFERENT grid cells 0.001 apart — the pair the 3x3 fan-out
+    exists to find; (0.0305, 0) vs (0.0415, 0) are cell-adjacent but
+    0.011 apart — a candidate the exact verify must reject.  The
+    whole grid-join result must equal a float32-faithful Python
+    brute force."""
+    import math
+
+    coords = {
+        1: (0.0095, 0.0),
+        2: (0.0105, 0.0),
+        3: (0.0095, 0.0095),
+        4: (0.0105, 0.0105),
+        5: (0.0305, 0.0),
+        6: (0.0415, 0.0),
+    }
+    import struct
+
+    def f32(v):  # value after the float32 parquet round-trip
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    rows = [
+        (vid, [x, y, 0.0, 0.0], 0) for vid, (x, y) in coords.items()
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = _stage_table(spark, tmp_path_factory, emb, "embeddings", "spatial")
+    got = {
+        (r.a, r.b): r.dist
+        for r in QUERY_REGISTRY["q251_spatial_radius_join"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    pts = {
+        vid: (round(f32(x), 6), round(f32(y), 6))
+        for vid, (x, y) in coords.items()
+    }
+    expect = {}
+    for a in pts:
+        for b in pts:
+            if a < b:
+                d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+                if d2 <= 0.01 * 0.01:
+                    expect[(a, b)] = round(math.sqrt(d2), 6)
+    assert got == expect
+    assert (1, 2) in got and (5, 6) not in got
+
+
+def test_ann_ndcg_is_one_on_separable_clusters(spark, tmp_path_factory):
+    """Same 16 one-hot clusters as the q175 recall pin: the probed
+    cells contain every true neighbor and both rankings use the same
+    round(cos,4)/neighbor-id order, so the predicted list EQUALS the
+    ideal list — hits = 10, ndcg = 1.0, and dcg = the in-engine
+    IDCG = sum_{i=1..10} (11-i)/log2(i+1)."""
+    import math
+
+    rows = []
+    dim = 64
+    for c in range(16):
+        v = [0.0] * dim
+        v[c] = 1.0
+        rows.append((c, v, c))
+    for i in range(16, 240):
+        c = (i - 16) % 16
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[16 + (i % 48)] = 0.05
+        rows.append((i, v, c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = _stage_table(spark, tmp_path_factory, emb, "embeddings", "ndcg")
+    out = QUERY_REGISTRY["q252_ann_ndcg_eval"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    assert len(out) == 24
+    idcg = sum((11 - i) / math.log2(i + 1) for i in range(1, 11))
+    for r in out:
+        assert (r.hits, r.ndcg) == (10, 1.0), r
+        assert abs(r.dcg - idcg) < 1e-4, r
+
+
+def test_readability_planted_prose_and_degenerate(spark, tmp_path_factory):
+    """Hand-computed Flesch on real prose — 'Hello world. This is
+    fun! Right?' has 6 words, 7 vowel groups, 3 sentence marks ->
+    206.835 - 1.015*2 - 84.6*(7/6) = 106.105 — and the
+    punctuation-free branch floors sentences at 1 ('xyz xyz': y
+    counts as a vowel group, flesch = 206.835 - 2.03 - 84.6)."""
+    docs = [
+        (1, "Hello world. This is fun! Right?", "en", "a", 32),
+        (2, "xyz xyz", "en", "a", 7),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"documents": spark.createDataFrame(docs, _DOCS_SCHEMA_B17)},
+        "read",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_syllables, r.n_sentences, r.flesch)
+        for r in QUERY_REGISTRY["q253_doc_readability_scores"].fn(spark, d).collect()
+    }
+    assert got[1] == (6, 7, 3, 106.105)
+    assert got[2] == (2, 2, 0, 120.205)
+
+
+def test_woe_pure_category_stays_finite(spark, tmp_path_factory):
+    """A category pure in one class (month 1: 3 urgent, 0 other)
+    would hit ln(x/0) without smoothing; the +0.5 inside BOTH shares
+    keeps it finite and hand-checkable: woe = ln((3.5/4)/(0.5/3))."""
+    import math
+
+    day1 = datetime.datetime(2024, 1, 15)
+    day2 = datetime.datetime(2024, 2, 15)
+    orders = [
+        (1, 1, "O", 1.0, day1, "1-URGENT"),
+        (2, 1, "O", 1.0, day1, "1-URGENT"),
+        (3, 1, "O", 1.0, day1, "1-URGENT"),
+        (4, 1, "O", 1.0, day2, "1-URGENT"),
+        (5, 1, "O", 1.0, day2, "3-MEDIUM"),
+        (6, 1, "O", 1.0, day2, "3-MEDIUM"),
+        (7, 1, "O", 1.0, day2, "3-MEDIUM"),
+    ]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17)},
+        "woe",
+    )
+    got = {
+        (r.feature, r.category): (r.n, r.n_pos, r.woe, r.iv_term)
+        for r in QUERY_REGISTRY["q254_woe_feature_encoding"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+
+    def woe_iv(n, pos, pt, nt):
+        ps, ns = (pos + 0.5) / pt, (n - pos + 0.5) / nt
+        w = math.log(ps / ns)
+        return round(w, 6), round((ps - ns) * w, 6)
+
+    assert got[("month", "1")][:2] == (3, 3)
+    assert got[("month", "1")][2:] == woe_iv(3, 3, 4, 3)
+    assert got[("month", "2")][2:] == woe_iv(4, 1, 4, 3)
+    assert got[("status", "O")][2:] == woe_iv(7, 4, 4, 3)
+    assert all(
+        math.isfinite(v[2]) and math.isfinite(v[3]) for v in got.values()
+    )
+
+
+def test_encoding_advisor_runs_and_gates(spark, tmp_path_factory):
+    """Two orders x 4 lines: constant returnflag/shipday give
+    n_runs = 2 (cross-order boundaries ALWAYS start a run — the
+    row-group-local pin) and sit exactly on the RLE gate
+    (n = 8 = 4*n_runs); alternating linestatus/quantity give 8 runs,
+    entropy ln 2, and fall through to PLAIN (DICT needs
+    ndv*100 <= n)."""
+    import math
+
+    day = datetime.datetime(2024, 1, 1)
+    lines = []
+    for okey in (1, 2):
+        for ln_ in range(1, 5):
+            lines.append(
+                (okey, 1, 1, ln_, float(1 + ln_ % 2), 1.0, 0.0, 0.0,
+                 "A", "O" if ln_ % 2 else "F", day)
+            )
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "encadv",
+    )
+    got = {
+        r.col: (r.n, r.ndv, r.n_runs, r.avg_run_len, r.entropy, r.encoding)
+        for r in QUERY_REGISTRY["q255_column_encoding_advisor"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    ln2 = round(math.log(2), 6)
+    assert got["returnflag"] == (8, 1, 2, 4.0, 0.0, "RLE")
+    assert got["shipday"] == (8, 1, 2, 4.0, 0.0, "RLE")
+    assert got["linestatus"] == (8, 2, 8, 1.0, ln2, "PLAIN")
+    assert got["quantity"] == (8, 2, 8, 1.0, ln2, "PLAIN")
+
+
+def test_knn_loo_flags_mislabeled_vector(spark, tmp_path_factory):
+    """Two tight clusters; one cluster-X vector carries cluster-Y's
+    label: its 10 nearest neighbors all vote the X label, so it is
+    the ONLY miss — label 0 scores 11/11, label 1 scores 12/13."""
+    dim = 4
+    rows = []
+    for i in range(1, 13):  # cluster X on axis 0; id 12 mislabeled
+        rows.append((i, [1.0, 0.0, 0.001 * i, 0.0], 1 if i == 12 else 0))
+    for i in range(13, 25):  # cluster Y on axis 1
+        rows.append((i, [0.0, 1.0, 0.0, 0.001 * i], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = _stage_table(spark, tmp_path_factory, emb, "embeddings", "knn")
+    got = {
+        r.label: (r.n, r.n_correct, r.accuracy)
+        for r in QUERY_REGISTRY["q256_knn_loo_classifier_eval"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got[0] == (11, 11, 1.0)
+    assert got[1] == (13, 12, round(12 / 13, 4))

@@ -1907,3 +1907,141 @@ def test_round7_batch20_plan_shapes(spark):
     p244 = plan("q244_event_burst_compaction")
     assert "CartesianProduct" not in p244
     assert "BatchEvalPython" not in p244 and "MapInPandas" not in p244
+
+
+def test_round7_batch21_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-21 additions:
+
+    - q245 (lease coverage): both window passes and the island
+      aggregate share ONE user_id shuffle; no Python, no cartesian.
+    - q246 (LPA communities): per-round edge joins are hash joins on
+      the persisted edge list (InMemoryTableScan), never cartesian.
+    - q247 (AMS F2): the persisted key-frequency table feeds the
+      estimator fan-out and the exact-F2 pass (InMemoryTableScan);
+      signs are JVM md5/conv expressions, no Python.
+    - q248 (entity resolution): the only nested-loop join is the
+      1-row broadcast stats crossJoin; candidate pairs come from the
+      block-key equi-join.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p245 = plan("q245_activity_lease_coverage")
+    assert "CartesianProduct" not in p245
+    assert "BatchEvalPython" not in p245 and "MapInPandas" not in p245
+    # one user_id exchange serves both window passes and the aggregate
+    assert p245.count("hashpartitioning(user_id") <= 1
+
+    p246 = plan("q246_label_propagation_communities")
+    assert "CartesianProduct" not in p246
+    assert "BatchEvalPython" not in p246
+
+    p247 = plan("q247_ams_f2_sketch")
+    assert "CartesianProduct" not in p247
+    assert "BatchEvalPython" not in p247
+    assert "InMemoryTableScan" in p247, "key-frequency table must persist"
+
+    p248 = plan("q248_entity_resolution_scoring")
+    assert "CartesianProduct" not in p248
+    assert "BatchEvalPython" not in p248
+    assert "BroadcastNestedLoopJoin" in p248  # the 1-row stats crossJoin
+    assert "InMemoryTableScan" in p248, "blocked pairs must persist"
+
+
+def test_round7_batch22_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-22 additions:
+
+    - q249 (watermark audit): lateness window shuffles once on
+      event_type; the persisted relation feeds percentiles + counts.
+    - q250 (seasonal decomposition): the 7-row seasonal relation
+      joins back BROADCAST; no Python.
+    - q251 (spatial join): candidates come from an equi-join on the
+      grid cell — never a nested-loop or cartesian pair join.
+    - q252 (NDCG): the only nested-loop joins broadcast the constant
+      centroid/IDCG relations; cosine scoring is JVM expressions.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p249 = plan("q249_watermark_delay_audit")
+    assert "CartesianProduct" not in p249
+    assert "BatchEvalPython" not in p249 and "MapInPandas" not in p249
+    assert "InMemoryTableScan" in p249, "lateness relation must persist"
+
+    p250 = plan("q250_weekday_seasonal_decomposition")
+    assert "CartesianProduct" not in p250
+    assert "BatchEvalPython" not in p250
+    assert "BroadcastHashJoin" in p250, "seasonal stats must broadcast"
+
+    p251 = plan("q251_spatial_radius_join")
+    assert "CartesianProduct" not in p251
+    assert "BroadcastNestedLoopJoin" not in p251, "cell join must be equi"
+    assert "BatchEvalPython" not in p251
+    assert "InMemoryTableScan" in p251, "gridded points must persist"
+
+    p252 = plan("q252_ann_ndcg_eval")
+    assert "CartesianProduct" not in p252
+    assert "BatchEvalPython" not in p252 and "MapInPandas" not in p252
+
+
+def test_round7_batch23_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-23 additions:
+
+    - q253 (readability): pure projection — NO hash-partitioning
+      exchange anywhere (the only exchange is the final sort).
+    - q254 (WOE): per-feature totals join BROADCAST; the melted
+      relation persists for its two consumers.
+    - q255 (encoding advisor): the run window is distributed on
+      (col, orderkey) — hash-partitioned, never a single global
+      sort; the tagged relation persists.
+    - q256 (kNN eval): label relations broadcast; scoring is JVM.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p253 = plan("q253_doc_readability_scores")
+    assert "hashpartitioning" not in p253, "readability must not shuffle"
+    assert "BatchEvalPython" not in p253 and "MapInPandas" not in p253
+
+    p254 = plan("q254_woe_feature_encoding")
+    assert "CartesianProduct" not in p254
+    assert "BatchEvalPython" not in p254
+    assert "BroadcastHashJoin" in p254, "feature totals must broadcast"
+    assert "InMemoryTableScan" in p254, "melted relation must persist"
+
+    p255 = plan("q255_column_encoding_advisor")
+    assert "CartesianProduct" not in p255
+    assert "BatchEvalPython" not in p255
+    assert "hashpartitioning(col" in p255, "run window must distribute"
+    assert "InMemoryTableScan" in p255, "run-tagged relation must persist"
+
+    p256 = plan("q256_knn_loo_classifier_eval")
+    assert "CartesianProduct" not in p256
+    assert "BatchEvalPython" not in p256 and "MapInPandas" not in p256
