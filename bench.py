@@ -199,6 +199,13 @@ EXTRA = [
     "q254_woe_feature_encoding",    # weight-of-evidence + IV
     "q255_column_encoding_advisor", # NDV/entropy/run-length layout pick
     "q256_knn_loo_classifier_eval", # label-quality kNN audit
+    "q257_markov_removal_attribution",  # channel removal effects
+    "q258_power_iteration_pca",     # top principal component
+    "q259_simpsons_paradox_screen", # stratification-reversal audit
+    "q260_cohort_retention_triangle",   # product-analytics retention
+    "q261_geometric_median_weiszfeld",  # iterative robust center
+    "q262_scd2_state_intervals",    # event stream -> validity intervals
+    "q263_weekly_trending_parts",   # top-k movers with rank shifts
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -15745,6 +15745,774 @@ def q256_knn_loo_classifier_eval(spark, sf_dir):
     )
 
 
+_MRK_K = 12  # absorption iterations
+_MRK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _mrk_iter_sql(k: int) -> str:
+    """Unroll K value-iteration rounds: v'(s) = sum_t P(s,t) v(t),
+    with CONV pinned 1, NULL pinned 0, and the scenario's removed
+    channel pinned 0 every round."""
+    ctes = []
+    prev = "v0"
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""v{r} AS (
+  SELECT e.scenario, e.src AS state,
+         CASE WHEN e.src = e.scenario THEN 0.0
+              ELSE sum(e.p * CASE WHEN e.dst = 'CONV' THEN 1.0
+                                  WHEN e.dst = 'NULL' THEN 0.0
+                                  WHEN e.dst = e.scenario THEN 0.0
+                                  ELSE coalesce(p2.val, 0.0) END)
+         END AS val
+  FROM se e LEFT JOIN {prev} p2
+    ON p2.scenario = e.scenario AND p2.state = e.dst
+  GROUP BY e.scenario, e.src)"""
+        )
+        prev = f"v{r}"
+    return ",\n".join(ctes)
+
+
+_MRK_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id) AS conv_ts
+  FROM events),
+j AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE conv_ts IS NULL OR ts <= conv_ts),
+seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM j),
+tr AS (
+  SELECT 'START' AS src, first(event_type ORDER BY ts, event_id) AS dst
+  FROM j GROUP BY user_id
+  UNION ALL
+  SELECT src,
+         CASE WHEN src = 'purchase' THEN 'CONV'
+              WHEN nxt IS NULL THEN 'NULL' ELSE nxt END AS dst
+  FROM seq),
+cnt AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY src, dst),
+p AS (
+  SELECT src, dst,
+         c * 1.0 / sum(c) OVER (PARTITION BY src) AS p
+  FROM cnt),
+sc AS (SELECT unnest(['BASE', 'click', 'error', 'signup', 'view'])
+         AS scenario),
+se AS (SELECT sc.scenario, p.src, p.dst, p.p FROM p CROSS JOIN sc),
+v0 AS (
+  SELECT DISTINCT scenario, src AS state, 0.0 AS val FROM se),
+{_mrk_iter_sql(_MRK_K)},
+base AS (
+  SELECT val AS v_base FROM v{_MRK_K}
+  WHERE scenario = 'BASE' AND state = 'START')
+SELECT v.scenario AS channel,
+       round(base.v_base, 6) AS v_base,
+       round(v.val, 6) AS v_removed,
+       round((base.v_base - v.val) / base.v_base, 6) AS removal_effect
+FROM v{_MRK_K} v CROSS JOIN base
+WHERE v.scenario <> 'BASE' AND v.state = 'START'
+ORDER BY channel"""
+
+
+@register(
+    "q257_markov_removal_attribution",
+    _MRK_SQL,
+    ops=("ext-markov-attribution",),
+    doc="MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven member "
+    "of the attribution family (q140 splits credit linearly; this "
+    "asks what conversion is LOST without a channel): user journeys "
+    "truncate at first purchase, transitions build a first-order "
+    "chain (START -> ... -> purchase -> CONV, dead ends -> NULL), "
+    "and the 12-step absorption value v(START) is computed for the "
+    "base chain and once per channel with that channel's state "
+    "pinned to 0 (reaching it = no conversion, the standard removal "
+    "effect); effect = (v_base - v_removed)/v_base.  The oracle "
+    "replays the identical value iterations as unrolled CTEs.  "
+    "Scale: the ONLY corpus-sized work is one user-shuffled window "
+    "pass into transition counts; the chain itself is |event "
+    "types|^2 cells — collected under the same type-cardinality "
+    "bound as q163's sketch (documented), iterated driver-side in "
+    "IEEE doubles identical to the oracle's.",
+)
+def q257_markov_removal_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wconv = Window.partitionBy("user_id")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = ev.withColumn(
+        "conv_ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(wconv),
+    ).filter(F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts")))
+    seq = j.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wseq).alias("nxt"),
+    )
+    starts = (
+        j.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct("ts", "event_id", F.col("event_type").alias("et"))
+            ).alias("m")
+        )
+        .select(F.lit("START").alias("src"), F.col("m.et").alias("dst"))
+    )
+    steps = seq.select(
+        "src",
+        F.when(F.col("src") == "purchase", "CONV")
+        .when(F.col("nxt").isNull(), "NULL")
+        .otherwise(F.col("nxt"))
+        .alias("dst"),
+    )
+    cnt = (
+        starts.unionByName(steps)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # |states|^2 <= 49 cells — type-cardinality bounded
+    )
+    tot: dict[str, int] = {}
+    for r in cnt:
+        tot[r.src] = tot.get(r.src, 0) + r.c
+    p = {(r.src, r.dst): r.c * 1.0 / tot[r.src] for r in cnt}
+    states = sorted(tot)
+
+    def absorb(removed: str | None) -> float:
+        v = {s: 0.0 for s in states}
+        for _ in range(_MRK_K):
+            nv = {}
+            for s in states:
+                if s == removed:
+                    nv[s] = 0.0
+                    continue
+                acc = 0.0
+                # dst order matches the oracle's per-group sum over
+                # the same (src, dst) cells; <= 7 terms, ulp-safe
+                for (src, dst), pv in p.items():
+                    if src != s:
+                        continue
+                    if dst == "CONV":
+                        acc += pv * 1.0
+                    elif dst == "NULL" or dst == removed:
+                        acc += 0.0
+                    else:
+                        acc += pv * v.get(dst, 0.0)
+                nv[s] = acc
+            v = nv
+        return v.get("START", 0.0)
+
+    v_base = absorb(None)
+    rows = [
+        (
+            ch,
+            round(v_base, 6),
+            round(absorb(ch), 6),
+            round((v_base - absorb(ch)) / v_base, 6),
+        )
+        for ch in _MRK_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, v_base double, v_removed double, "
+        "removal_effect double"
+    ).orderBy("channel")
+
+
+_PCA_D = 16  # leading dims
+_PCA_K = 8  # power iterations
+
+
+def _pca_iter_sql(k: int) -> str:
+    # every CTE is MATERIALIZED: u{r} is referenced by n{r} AND w{r},
+    # and w{r} by the next round — without materialization DuckDB
+    # re-inlines the whole chain per reference and the oracle's cost
+    # doubles per iteration (measured: >120 s at 8 iterations vs
+    # ~1 s materialized)
+    ctes = []
+    prev = "w0"
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT c.i, sum(c.v * p.val) AS val
+  FROM cov c JOIN {prev} p ON p.i = c.j GROUP BY c.i),
+n{r} AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM u{r}),
+w{r} AS MATERIALIZED (
+  SELECT u.i, u.val / n.nrm AS val FROM u{r} u CROSS JOIN n{r} n)"""
+        )
+        prev = f"w{r}"
+    return ",\n".join(ctes)
+
+
+_PCA_SQL = f"""
+WITH x AS MATERIALIZED (
+  SELECT vec_id, i.i, CAST(embedding[i.i + 1] AS DOUBLE) AS xi
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range({_PCA_D})) AS i) i),
+m AS MATERIALIZED (
+  SELECT i, avg(xi) AS mu, count(*) AS n FROM x GROUP BY i),
+xy AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i),
+cov AS MATERIALIZED (
+  SELECT xy.i, xy.j,
+         round(xy.sxy / ma.n - ma.mu * mb.mu, 6) AS v
+  FROM xy JOIN m ma ON ma.i = xy.i JOIN m mb ON mb.i = xy.j),
+w0 AS (
+  SELECT unnest(range({_PCA_D})) AS i,
+         1.0 / sqrt({_PCA_D}.0) AS val),
+{_pca_iter_sql(_PCA_K)},
+ray AS (
+  SELECT sum(w.val * c.v * w2.val) AS eig
+  FROM cov c JOIN w{_PCA_K} w ON w.i = c.i
+  JOIN w{_PCA_K} w2 ON w2.i = c.j)
+SELECT w.i AS dim, round(w.val, 6) AS loading,
+       round(ray.eig, 6) AS eigval
+FROM w{_PCA_K} w CROSS JOIN ray ORDER BY dim"""
+
+
+@register(
+    "q258_power_iteration_pca",
+    _PCA_SQL,
+    ops=("ext-pca-power-iteration",),
+    doc="TOP PRINCIPAL COMPONENT of the leading 16 embedding dims "
+    "via 8 power iterations — the dimensionality-reduction member "
+    "the engine lacked (q86 quantizes, q113/q166 code; this finds "
+    "the dominant direction for whitening / drift monitoring): ONE "
+    "corpus pass builds the 16x16 centered covariance (sum-of-"
+    "products + means in the same melt), each cell ROUNDED to 6 "
+    "before iterating so both engines iterate the SAME matrix (the "
+    "accumulation-order pin); then v <- normalize(Cv) x8 and the "
+    "Rayleigh quotient, all on a 16-row relation replayed by the "
+    "oracle's unrolled CTEs.  Scale: the dims^2 melt explodes "
+    "key-cardinality x256, map-combines per (i,j) cell, and the "
+    "iteration work is dimension-bounded (a Pandas-UDF partial "
+    "Gram per partition is the documented path past ~64 dims).",
+)
+def q258_power_iteration_pca(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.lit(_PCA_D - 1))
+    ).alias("i")
+    x = emb.select("vec_id", "embedding", idx).select(
+        "vec_id",
+        "i",
+        F.element_at("embedding", F.col("i") + 1)
+        .cast("double")
+        .alias("xi"),
+    ).persist()  # feeds the means AND the gram pass
+    m = x.groupBy("i").agg(
+        F.avg("xi").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    a, b = x.alias("a"), x.alias("b")
+    xy = (
+        a.join(b, "vec_id")
+        .groupBy(
+            F.col("a.i").alias("i"), F.col("b.i").alias("j")
+        )
+        .agg(F.sum(F.col("a.xi") * F.col("b.xi")).alias("sxy"))
+    )
+    ma = m.select(F.col("i").alias("i"), F.col("mu").alias("mua"), "n")
+    mb = m.select(F.col("i").alias("j"), F.col("mu").alias("mub"))
+    cov_rows = (
+        xy.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy") / F.col("n") - F.col("mua") * F.col("mub"), 6
+            ).alias("v"),
+        )
+        .collect()  # 16x16 = 256 cells — dimension-bounded
+    )
+    import math
+
+    C = {(r.i, r.j): r.v for r in cov_rows}
+    v = [1.0 / math.sqrt(float(_PCA_D))] * _PCA_D
+    for _ in range(_PCA_K):
+        u = [
+            sum(C.get((i, j), 0.0) * v[j] for j in range(_PCA_D))
+            for i in range(_PCA_D)
+        ]
+        nrm = math.sqrt(sum(t * t for t in u))
+        v = [t / nrm for t in u]
+    eig = sum(
+        v[i] * C.get((i, j), 0.0) * v[j]
+        for i in range(_PCA_D)
+        for j in range(_PCA_D)
+    )
+    rows = [(i, round(v[i], 6), round(eig, 6)) for i in range(_PCA_D)]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigval double"
+    ).orderBy("dim")
+
+
+_SIMP_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS arm_f,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+strat AS (
+  SELECT segment,
+         CAST(sum(arm_f) AS BIGINT) AS n_f,
+         CAST(sum(arm_f * y) AS BIGINT) AS urgent_f,
+         CAST(sum(1 - arm_f) AS BIGINT) AS n_o,
+         CAST(sum((1 - arm_f) * y) AS BIGINT) AS urgent_o
+  FROM base GROUP BY segment),
+pool AS (
+  SELECT sum(urgent_f) * sum(n_o) - sum(urgent_o) * sum(n_f) AS pnum
+  FROM strat)
+SELECT s.segment, s.n_f, s.urgent_f, s.n_o, s.urgent_o,
+       round(s.urgent_f * 1.0 / s.n_f - s.urgent_o * 1.0 / s.n_o, 6)
+         AS rate_diff,
+       CAST(sign(s.urgent_f * s.n_o - s.urgent_o * s.n_f) AS BIGINT)
+         AS stratum_sign,
+       CAST(sign(p.pnum) AS BIGINT) AS pooled_sign,
+       CAST(CASE WHEN sign(s.urgent_f * s.n_o - s.urgent_o * s.n_f)
+                  * sign(p.pnum) = -1 THEN 1 ELSE 0 END AS BIGINT)
+         AS reversed
+FROM strat s CROSS JOIN pool p
+ORDER BY s.segment"""
+
+
+@register(
+    "q259_simpsons_paradox_screen",
+    _SIMP_SQL,
+    ops=("ext-simpson-screen",),
+    doc="SIMPSON'S PARADOX SCREEN — the aggregation-trap audit for "
+    "the experimentation family (q143 tests one comparison; this "
+    "checks whether STRATIFYING flips it): urgent-order rate of "
+    "fulfilled ('F') vs other orders, pooled and per market "
+    "segment; a stratum is flagged when its effect direction "
+    "opposes the pooled direction.  Every direction decision is an "
+    "exact integer cross-multiplication (urgent_f*n_o vs "
+    "urgent_o*n_f) — no float enters a comparison; rate_diff is "
+    "display-only.  Scale: one broadcast dim join + one "
+    "map-combined conditional aggregate; output is |segments| "
+    "rows.",
+)
+def q259_simpsons_paradox_screen(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    arm = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    y = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        arm.alias("arm_f"),
+        y.alias("y"),
+    )
+    strat = base.groupBy("segment").agg(
+        F.sum("arm_f").cast("bigint").alias("n_f"),
+        F.sum(F.col("arm_f") * F.col("y")).cast("bigint").alias("urgent_f"),
+        F.sum(1 - F.col("arm_f")).cast("bigint").alias("n_o"),
+        F.sum((1 - F.col("arm_f")) * F.col("y"))
+        .cast("bigint")
+        .alias("urgent_o"),
+    ).persist()  # feeds the pooled aggregate AND the final screen
+    pool = strat.agg(
+        (
+            F.sum("urgent_f") * F.sum("n_o")
+            - F.sum("urgent_o") * F.sum("n_f")
+        ).alias("pnum")
+    )
+    snum = F.col("urgent_f") * F.col("n_o") - F.col("urgent_o") * F.col("n_f")
+    return (
+        strat.crossJoin(F.broadcast(pool))  # 1-row pooled sign
+        .select(
+            "segment",
+            "n_f",
+            "urgent_f",
+            "n_o",
+            "urgent_o",
+            F.round(
+                F.col("urgent_f") * 1.0 / F.col("n_f")
+                - F.col("urgent_o") * 1.0 / F.col("n_o"),
+                6,
+            ).alias("rate_diff"),
+            F.signum(snum).cast("bigint").alias("stratum_sign"),
+            F.signum("pnum").cast("bigint").alias("pooled_sign"),
+            F.when(F.signum(snum) * F.signum("pnum") == -1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("reversed"),
+        )
+        .orderBy("segment")
+    )
+
+
+_RET_WEEK_MS = 604_800_000
+
+_RET_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_ms(ts) // {_RET_WEEK_MS} AS weekno
+  FROM events),
+coh AS (
+  SELECT user_id, min(weekno) AS cweek FROM uw GROUP BY user_id),
+sz AS (
+  SELECT cweek, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM coh GROUP BY cweek),
+act AS (
+  SELECT c.cweek, u.weekno - c.cweek AS offset_w,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM uw u JOIN coh c ON u.user_id = c.user_id
+  GROUP BY c.cweek, offset_w)
+SELECT a.cweek AS cohort_week, a.offset_w, sz.cohort_size, a.n_active,
+       round(a.n_active * 1.0 / sz.cohort_size, 6) AS retention
+FROM act a JOIN sz ON sz.cweek = a.cweek
+ORDER BY cohort_week, offset_w"""
+
+
+@register(
+    "q260_cohort_retention_triangle",
+    _RET_SQL,
+    ops=("ext-retention-triangle",),
+    doc="COHORT RETENTION TRIANGLE — the user-count sibling of "
+    "q205's revenue LTV curves and the product-analytics staple: "
+    "users cohort by first active week (plain 7-day epoch buckets, "
+    "no week-start convention to pin), and each (cohort, weeks-"
+    "since) cell reports how many came back — retention = active / "
+    "cohort size.  Scale: ONE distinct over (user, week) is the "
+    "only corpus-sized shuffle; cohorts derive from it map-"
+    "combined; the triangle is |weeks|^2/2 cells regardless of "
+    "volume.",
+)
+def q260_cohort_retention_triangle(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    week = (
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(_RET_WEEK_MS)
+    ).cast("bigint")
+    # persisted: the distinct (user, week) relation feeds the cohort
+    # map AND the activity join (persist-multi-consumer rule)
+    uw = ev.select("user_id", week.alias("weekno")).distinct().persist()
+    coh = uw.groupBy("user_id").agg(F.min("weekno").alias("cweek"))
+    sz = coh.groupBy("cweek").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    act = (
+        uw.join(coh, "user_id")
+        .groupBy("cweek", (F.col("weekno") - F.col("cweek")).alias("offset_w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sz), "cweek")
+        .select(
+            F.col("cweek").alias("cohort_week"),
+            "offset_w",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active") * 1.0 / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "offset_w")
+    )
+
+
+_GM_K = 8
+_GM_EPS = "0.000000001"
+
+
+def _gm_iter_sql(k: int) -> str:
+    ctes = []
+    prev = "m0"
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT p.label, p.x, p.y,
+         greatest(sqrt((p.x - m.mx) * (p.x - m.mx)
+                       + (p.y - m.my) * (p.y - m.my)),
+                  CAST({_GM_EPS} AS DOUBLE)) AS dd
+  FROM pts p JOIN {prev} m ON m.label = p.label),
+m{r} AS (
+  SELECT label,
+         round(sum(x / dd) / sum(1.0 / dd), 6) AS mx,
+         round(sum(y / dd) / sum(1.0 / dd), 6) AS my
+  FROM d{r} GROUP BY label)"""
+        )
+        prev = f"m{r}"
+    return ",\n".join(ctes)
+
+
+_GM_SQL = f"""
+WITH pts AS (
+  SELECT label, round(CAST(embedding[1] AS DOUBLE), 6) AS x,
+         round(CAST(embedding[2] AS DOUBLE), 6) AS y
+  FROM embeddings),
+m0 AS (
+  SELECT label, round(avg(x), 6) AS mx, round(avg(y), 6) AS my
+  FROM pts GROUP BY label),
+{_gm_iter_sql(_GM_K)}
+SELECT p.label, CAST(count(*) AS BIGINT) AS n,
+       m.mx AS med_x, m.my AS med_y,
+       round(avg(sqrt((p.x - m.mx) * (p.x - m.mx)
+                      + (p.y - m.my) * (p.y - m.my))), 6) AS mean_dist
+FROM pts p JOIN m{_GM_K} m ON m.label = p.label
+GROUP BY p.label, m.mx, m.my ORDER BY p.label"""
+
+
+@register(
+    "q261_geometric_median_weiszfeld",
+    _GM_SQL,
+    ops=("ext-geometric-median",),
+    doc="GEOMETRIC MEDIAN per label via 8 Weiszfeld iterations over "
+    "the 2-D embedding projection — the iterative-optimizer member "
+    "of the robust-center family (q203's medoid is restricted to "
+    "DATA points and pairwise-quadratic within labels; Weiszfeld "
+    "converges to the true L1-minimizing point in linear passes): "
+    "m' = sum(p/d) / sum(1/d) with d floored at 1e-9 (a median "
+    "landing ON a point cannot divide by zero, pinned), iterating "
+    "from the label centroid.  Cross-engine float pin: the centroid "
+    "AND every iterate are rounded to 1e-6, so accumulation-order "
+    "ulps reset each round instead of compounding (the q258 "
+    "covariance discipline applied per-iteration).  Scale: K "
+    "broadcast joins of a |labels|-row median relation onto the "
+    "persisted point set — linear passes, no pairwise stage "
+    "anywhere (the medoid's O(n^2) is exactly what this avoids).",
+)
+def q261_geometric_median_weiszfeld(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double"), 6).alias("y"),
+    ).persist()  # feeds the centroid, every iteration, and the report
+    med = pts.groupBy("label").agg(
+        F.round(F.avg("x"), 6).alias("mx"), F.round(F.avg("y"), 6).alias("my")
+    )
+    eps = float(_GM_EPS)
+    for _ in range(_GM_K):
+        j = pts.join(F.broadcast(med), "label")
+        dd = F.greatest(
+            F.sqrt(
+                (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+                + (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+            ),
+            F.lit(eps),
+        )
+        med = j.groupBy("label").agg(
+            F.round(
+                F.sum(F.col("x") / dd) / F.sum(F.lit(1.0) / dd), 6
+            ).alias("mx"),
+            F.round(
+                F.sum(F.col("y") / dd) / F.sum(F.lit(1.0) / dd), 6
+            ).alias("my"),
+        )
+    j = pts.join(F.broadcast(med), "label")
+    dist = F.sqrt(
+        (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+        + (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+    )
+    return (
+        j.groupBy("label", "mx", "my")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(dist), 6).alias("mean_dist"),
+        )
+        .select(
+            "label",
+            "n",
+            F.col("mx").alias("med_x"),
+            F.col("my").alias("med_y"),
+            "mean_dist",
+        )
+        .orderBy("label")
+    )
+
+
+_SCD_SQL = """
+WITH e AS (
+  SELECT user_id, event_type AS state, epoch_ms(ts) AS ms, event_id
+  FROM events),
+f AS (
+  SELECT user_id, state, ms, event_id,
+         CASE WHEN lag(state) OVER (PARTITION BY user_id
+                                    ORDER BY ms, event_id)
+                IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+  FROM e),
+s AS (
+  SELECT user_id, state, ms,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS episode
+  FROM f),
+ep AS (
+  SELECT user_id, episode, state, min(ms) AS valid_from
+  FROM s GROUP BY user_id, episode, state),
+iv AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY episode) AS valid_to
+  FROM ep)
+SELECT state,
+       CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
+       CAST(sum(CASE WHEN valid_to IS NOT NULL
+                     THEN valid_to - valid_from ELSE 0 END) AS BIGINT)
+         AS closed_dwell_ms,
+       round(sum(CASE WHEN valid_to IS NOT NULL
+                      THEN valid_to - valid_from END) * 1.0
+             / nullif(sum(CASE WHEN valid_to IS NOT NULL
+                               THEN 1 ELSE 0 END), 0), 6)
+         AS avg_dwell_ms
+FROM iv GROUP BY state ORDER BY state"""
+
+
+@register(
+    "q262_scd2_state_intervals",
+    _SCD_SQL,
+    ops=("ext-scd2-build",),
+    doc="SCD2 HISTORY CONSTRUCTION — the warehouse primitive that "
+    "TURNS an event stream INTO validity intervals (q221 consumes "
+    "SCD2 rows; this BUILDS them): per user, consecutive events "
+    "with the same type compress into one episode, each episode "
+    "gets [valid_from, valid_to) from its first event to the next "
+    "episode's start, and the latest episode stays open "
+    "(valid_to NULL) — the lag/cumsum island machinery at state "
+    "grain with exact epoch-ms boundaries.  The report aggregates "
+    "per state: episode count, open rows, closed dwell total and "
+    "mean.  Scale: ONE user_id shuffle; both windows and the "
+    "episode aggregate share it; output is |states| rows.",
+)
+def q262_scd2_state_intervals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            ms.alias("ms"),
+            "event_id",
+        )
+        .withColumn(
+            "chg",
+            F.when(
+                ~F.lag("state").over(wo).eqNullSafe(F.col("state")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "episode",
+            F.sum("chg").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    ep = s.groupBy("user_id", "episode", "state").agg(
+        F.min("ms").alias("valid_from")
+    )
+    we = Window.partitionBy("user_id").orderBy("episode")
+    iv = ep.withColumn("valid_to", F.lead("valid_from").over(we))
+    closed = F.when(
+        F.col("valid_to").isNotNull(),
+        F.col("valid_to") - F.col("valid_from"),
+    )
+    return (
+        iv.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_open"),
+            F.sum(F.coalesce(closed, F.lit(0)))
+            .cast("bigint")
+            .alias("closed_dwell_ms"),
+            F.round(
+                F.sum(closed)
+                * 1.0
+                / F.nullif(
+                    F.sum(
+                        F.when(F.col("valid_to").isNotNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("avg_dwell_ms"),
+        )
+        .orderBy("state")
+    )
+
+
+_TREND_TOPK = 3
+
+_TRENDK_SQL = f"""
+WITH wp AS (
+  SELECT epoch_ms(l_shipdate) // 604800000 AS weekno, l_partkey,
+         count(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem GROUP BY weekno, l_partkey),
+rk AS (
+  SELECT weekno, l_partkey, CAST(n_orders AS BIGINT) AS n_orders,
+         row_number() OVER (PARTITION BY weekno
+                            ORDER BY n_orders DESC, l_partkey) AS rnk
+  FROM wp),
+top AS (SELECT * FROM rk WHERE rnk <= {_TREND_TOPK})
+SELECT t.weekno, t.l_partkey, t.n_orders,
+       CAST(t.rnk AS BIGINT) AS rnk,
+       CAST(p.rnk AS BIGINT) AS prev_rnk,
+       CAST(p.rnk - t.rnk AS BIGINT) AS rank_delta
+FROM top t LEFT JOIN top p
+  ON p.weekno = t.weekno - 1 AND p.l_partkey = t.l_partkey
+ORDER BY t.weekno, t.rnk"""
+
+
+@register(
+    "q263_weekly_trending_parts",
+    _TRENDK_SQL,
+    ops=("ext-trending-rank",),
+    doc="WEEKLY TRENDING TOP-K with rank shifts — the dashboard "
+    "'movers' report: per 7-day epoch week, the top-3 parts by "
+    "distinct order count (full total order: count DESC, part ASC), "
+    "each joined to its own rank in the PREVIOUS week's top-3 "
+    "(NULL = new entrant; rank_delta = climb).  All integer-exact.  "
+    "Scale: one map-combined (week, part, order) distinct-count; "
+    "the rank window partitions per week; the week-over-week join "
+    "runs on the k-per-week relation, which is calendar-bounded.",
+)
+def q263_weekly_trending_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    week = F.expr(
+        "unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 604800000"
+    )
+    wp = li.groupBy(week.alias("weekno"), "l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    wr = Window.partitionBy("weekno").orderBy(
+        F.desc("n_orders"), F.asc("l_partkey")
+    )
+    # persisted: the week-ranked top-k is both sides of the
+    # week-over-week self-join
+    top = (
+        wp.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TREND_TOPK)
+        .persist()
+    )
+    prev = top.select(
+        (F.col("weekno") + 1).alias("weekno"),
+        F.col("l_partkey").alias("l_partkey"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return (
+        top.join(prev, ["weekno", "l_partkey"], "left")
+        .select(
+            "weekno",
+            "l_partkey",
+            "n_orders",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("prev_rnk").cast("bigint").alias("prev_rnk"),
+            (F.col("prev_rnk") - F.col("rnk")).cast("bigint").alias(
+                "rank_delta"
+            ),
+        )
+        .orderBy("weekno", "rnk")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -15812,11 +16580,11 @@ STAMP_PRIORITY: list[str] = [
     "q184_activity_streaks",
     "q185_referential_usage_audit",
     # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped rows q186-q256 (registered after this
+    # with the never-stamped rows q186-q263 (registered after this
     # window filled; all pre-verified by the pytest oracle replica at
     # sf0.001 AND full driver-replica sweeps at sf0.01 — zero fails),
-    # then continue the r04 block (q11-q98), then r05.  q186-q256 are
-    # 71 rows, so they span the r8 window and spill into r9's.
+    # then continue the r04 block (q11-q98), then r05.  q186-q263 are
+    # 78 rows, so they span the r8 window and spill into r9's.
     "q10_bottom10_nations_by_balance",
 ]
 

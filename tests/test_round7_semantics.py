@@ -2963,3 +2963,248 @@ def test_knn_loo_flags_mislabeled_vector(spark, tmp_path_factory):
     spark.catalog.clearCache()
     assert got[0] == (11, 11, 1.0)
     assert got[1] == (13, 12, round(12 / 13, 4))
+
+
+def test_markov_attribution_hand_chain(spark, tmp_path_factory):
+    """Three journeys (view->purchase, view->click, click->purchase)
+    give an exactly solvable DAG chain: v(click) = 0.5, v(view) =
+    0.75, v(START) = 2/3; removing click halves conversion (effect
+    0.5), removing view costs 0.75, and absent channels cost 0.
+    A post-purchase event is planted to pin journey truncation."""
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(uid, off_s, etype):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(seconds=off_s), uid, etype,
+             0.0, "{}")
+        )
+
+    ev(1, 0, "view"); ev(1, 10, "purchase"); ev(1, 20, "click")  # truncated
+    ev(2, 0, "view"); ev(2, 10, "click")
+    ev(3, 0, "click"); ev(3, 10, "purchase")
+    d = _stage_events(spark, tmp_path_factory, rows, "mrk")
+    got = {
+        r.channel: (r.v_base, r.v_removed, r.removal_effect)
+        for r in QUERY_REGISTRY["q257_markov_removal_attribution"].fn(spark, d).collect()
+    }
+    vb = round(2 / 3, 6)
+    assert got["click"] == (vb, round(1 / 3, 6), 0.5)
+    assert got["view"] == (vb, round(1 / 6, 6), 0.75)
+    assert got["error"] == (vb, vb, 0.0)
+    assert got["signup"] == (vb, vb, 0.0)
+
+
+def test_pca_axis_aligned_variance(spark, tmp_path_factory):
+    """Vectors varying only on dim 0 (values 0..9, others zero):
+    the covariance is diag(8.25, 0, ...), one power iteration locks
+    onto e0, and the Rayleigh quotient is exactly the dim-0
+    variance — loading[0] = 1, all other loadings 0, eigval 8.25."""
+    dim = 16
+    rows = [
+        (i, [float(i)] + [0.0] * (dim - 1), 0) for i in range(10)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = _stage_table(spark, tmp_path_factory, emb, "embeddings", "pca")
+    got = {
+        r.dim: (r.loading, r.eigval)
+        for r in QUERY_REGISTRY["q258_power_iteration_pca"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got[0] == (1.0, 8.25)
+    assert all(got[i] == (0.0, 8.25) for i in range(1, dim))
+
+
+def test_simpson_reversal_planted(spark, tmp_path_factory):
+    """The classic reversal: F beats O inside BOTH segments (0.8 vs
+    0.7 and 0.2 vs 0.1) yet loses pooled (28/110 vs 71/110) because
+    segment sizes confound the arms — both strata must flag
+    reversed = 1 with stratum_sign +1 against pooled_sign -1."""
+    day = datetime.datetime(2024, 1, 1)
+    custs = [(1, "c1", 1, 0.0, "SEG1"), (2, "c2", 1, 0.0, "SEG2")]
+    orders, ok = [], 0
+
+    def add(ck, status, urgent, n):
+        nonlocal ok
+        for _ in range(n):
+            ok += 1
+            orders.append(
+                (ok, ck, status, 1.0, day,
+                 "1-URGENT" if urgent else "3-MEDIUM")
+            )
+
+    add(1, "F", True, 8); add(1, "F", False, 2)      # SEG1 F: 8/10
+    add(1, "O", True, 70); add(1, "O", False, 30)    # SEG1 O: 70/100
+    add(2, "F", True, 20); add(2, "F", False, 80)    # SEG2 F: 20/100
+    add(2, "O", True, 1); add(2, "O", False, 9)      # SEG2 O: 1/10
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17),
+            "customer": spark.createDataFrame(custs, _CUSTOMER_SCHEMA_B18),
+        },
+        "simp",
+    )
+    got = {
+        r.segment: (r.stratum_sign, r.pooled_sign, r.reversed)
+        for r in QUERY_REGISTRY["q259_simpsons_paradox_screen"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got["SEG1"] == (1, -1, 1)
+    assert got["SEG2"] == (1, -1, 1)
+
+
+def test_retention_triangle_hand_counts(spark, tmp_path_factory):
+    """Cohort of 3 users in week 0 (users 1-3), user 4 arrives week
+    1: retention cells are (0,0) 3/3, (0,1) 1/3, (0,2) 2/3 and
+    (1,0) 1/1 — repeated events inside a week must not double-count
+    (the distinct (user, week) pin)."""
+    week = datetime.timedelta(milliseconds=604_800_000)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(uid, wk):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, base + wk * week, uid, "click", 0.0, "{}")
+        )
+
+    for u in (1, 2, 3):
+        ev(u, 0); ev(u, 0)  # dup inside the week
+    ev(1, 1)
+    ev(1, 2); ev(2, 2)
+    ev(4, 1)
+    d = _stage_events(spark, tmp_path_factory, rows, "ret")
+    out = QUERY_REGISTRY["q260_cohort_retention_triangle"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    w0 = min(r.cohort_week for r in out)
+    got = {
+        (r.cohort_week - w0, r.offset_w): (r.cohort_size, r.n_active, r.retention)
+        for r in out
+    }
+    assert got[(0, 0)] == (3, 3, 1.0)
+    assert got[(0, 1)] == (3, 1, round(1 / 3, 6))
+    assert got[(0, 2)] == (3, 2, round(2 / 3, 6))
+    assert got[(1, 0)] == (1, 1, 1.0)
+
+
+def test_weiszfeld_replication_and_coincident_guard(
+    spark, tmp_path_factory
+):
+    """Two pins: (a) a label whose points all coincide keeps its
+    median AT that point with mean_dist 0 — the eps floor makes
+    x/eps / (1/eps) collapse to x instead of dividing by zero; (b)
+    for a 3-vs-1 outlier label the query must equal a pure-Python
+    replication of the exact same iteration (float32 coords,
+    round-6 centroid, 8 rounds, round-6 per iterate)."""
+    import math
+    import struct
+
+    def f32(v):
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    pts0 = [(0.25, 0.25)] * 4  # label 0: all coincident
+    pts1 = [(0.1, 0.1), (0.1, 0.1), (0.1, 0.1), (0.9, 0.9)]  # label 1
+    rows = []
+    vid = 0
+    for lbl, pts in ((0, pts0), (1, pts1)):
+        for x, y in pts:
+            vid += 1
+            rows.append((vid, [x, y, 0.0, 0.0], lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = _stage_table(spark, tmp_path_factory, emb, "embeddings", "gm")
+    got = {
+        r.label: (r.n, r.med_x, r.med_y, r.mean_dist)
+        for r in QUERY_REGISTRY["q261_geometric_median_weiszfeld"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got[0] == (4, 0.25, 0.25, 0.0)
+
+    p1 = [(round(f32(x), 6), round(f32(y), 6)) for x, y in pts1]
+    mx = round(sum(x for x, _ in p1) / 4, 6)
+    my = round(sum(y for _, y in p1) / 4, 6)
+    for _ in range(8):
+        ws = [
+            1.0 / max(math.sqrt((x - mx) ** 2 + (y - my) ** 2), 1e-9)
+            for x, y in p1
+        ]
+        mx = round(sum(w * x for w, (x, _) in zip(ws, p1)) / sum(ws), 6)
+        my = round(sum(w * y for w, (_, y) in zip(ws, p1)) / sum(ws), 6)
+    md = round(
+        sum(math.sqrt((x - mx) ** 2 + (y - my) ** 2) for x, y in p1) / 4, 6
+    )
+    assert got[1] == (4, mx, my, md)
+    # the median must sit far closer to the 3-point mass than the mean
+    assert math.sqrt((mx - 0.1) ** 2 + (my - 0.1) ** 2) < 0.05
+
+
+def test_scd2_intervals_hand_timeline(spark, tmp_path_factory):
+    """Timeline click@0s, click@10s, view@20s, click@30s compresses
+    to click[0,20) -> view[20,30) -> click[30, open): click has 2
+    episodes (one open, closed dwell 20000 ms), view has 1 closed
+    episode of 10000 ms."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, base + datetime.timedelta(seconds=s), 1, et, 0.0, "{}")
+        for i, (s, et) in enumerate(
+            ((0, "click"), (10, "click"), (20, "view"), (30, "click"))
+        )
+    ]
+    d = _stage_events(spark, tmp_path_factory, rows, "scd2")
+    got = {
+        r.state: (r.n_episodes, r.n_open, r.closed_dwell_ms, r.avg_dwell_ms)
+        for r in QUERY_REGISTRY["q262_scd2_state_intervals"].fn(spark, d).collect()
+    }
+    assert got["click"] == (2, 1, 20000, 20000.0)
+    assert got["view"] == (1, 0, 10000, 10000.0)
+
+
+def test_trending_rank_shifts_hand_weeks(spark, tmp_path_factory):
+    """Week 0 top-3 = parts 1(3 orders), 2(2), 3(1, beating the tied
+    part 4 on part-id); week 1 = 2(5), 3(4), 9(3): part 2 climbs
+    rank 2 -> 1 (delta +1), part 3 climbs 3 -> 2 (+1), part 9 is a
+    new entrant (NULL delta).  Duplicate lines of one order must
+    not inflate the distinct order count."""
+    week = datetime.timedelta(milliseconds=604_800_000)
+    base = datetime.datetime(2024, 1, 6)
+    lines, ok = [], 0
+
+    def add(wk, part, n_orders, dup=1):
+        nonlocal ok
+        for _ in range(n_orders):
+            ok += 1
+            for _ in range(dup):
+                lines.append(
+                    (ok, part, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O",
+                     base + wk * week)
+                )
+
+    add(0, 1, 3, dup=2); add(0, 2, 2); add(0, 3, 1); add(0, 4, 1)
+    add(1, 2, 5); add(1, 3, 4); add(1, 9, 3); add(1, 1, 1)
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA)},
+        "trend",
+    )
+    out = QUERY_REGISTRY["q263_weekly_trending_parts"].fn(spark, d).collect()
+    spark.catalog.clearCache()
+    w0 = min(r.weekno for r in out)
+    got = {
+        (r.weekno - w0, r.rnk): (r.l_partkey, r.n_orders, r.prev_rnk, r.rank_delta)
+        for r in out
+    }
+    assert got[(0, 1)] == (1, 3, None, None)
+    assert got[(0, 2)] == (2, 2, None, None)
+    assert got[(0, 3)] == (3, 1, None, None)
+    assert got[(1, 1)] == (2, 5, 2, 1)
+    assert got[(1, 2)] == (3, 4, 3, 1)
+    assert got[(1, 3)] == (9, 3, None, None)

@@ -2045,3 +2045,91 @@ def test_round7_batch23_plan_shapes(spark):
     p256 = plan("q256_knn_loo_classifier_eval")
     assert "CartesianProduct" not in p256
     assert "BatchEvalPython" not in p256 and "MapInPandas" not in p256
+
+
+def test_round7_batch24_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-24 additions:
+
+    - q257/q258 (Markov attribution / PCA): the returned relation is
+      a LOCAL table — the bounded-collect contract (chain cells are
+      |types|^2, covariance is dims^2); the corpus-sized stages run
+      before the collect and are exercised by the oracle tests.
+    - q259 (Simpson screen): customer dim broadcasts; the stratum
+      relation persists for its two consumers; pooled sign rides a
+      1-row broadcast crossJoin.
+    - q260 (retention triangle): the distinct (user, week) relation
+      persists; cohort sizes broadcast onto the activity cells.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    def is_local(p):
+        return (
+            "LocalTableScan" in p
+            or "LocalRelation" in p
+            or "Scan ExistingRDD" in p
+        )
+
+    assert is_local(plan("q257_markov_removal_attribution"))
+    assert is_local(plan("q258_power_iteration_pca"))
+
+    p259 = plan("q259_simpsons_paradox_screen")
+    assert "CartesianProduct" not in p259
+    assert "BatchEvalPython" not in p259
+    assert "BroadcastHashJoin" in p259, "customer dim must broadcast"
+    assert "BroadcastNestedLoopJoin" in p259  # 1-row pooled sign
+    assert "InMemoryTableScan" in p259, "stratum relation must persist"
+
+    p260 = plan("q260_cohort_retention_triangle")
+    assert "CartesianProduct" not in p260
+    assert "BatchEvalPython" not in p260
+    assert "InMemoryTableScan" in p260, "(user, week) relation must persist"
+
+
+def test_round7_batch25_plan_shapes(spark):
+    """Scale-critical plan shapes of the batch-25 additions:
+
+    - q261 (Weiszfeld): the point set persists and every iteration
+      joins the |labels|-row median relation BROADCAST — linear
+      passes, never pairwise.
+    - q262 (SCD2 intervals): one user_id shuffle feeds both windows
+      and the episode aggregate; no Python.
+    - q263 (trending): the week-over-week join runs on the
+      persisted top-k relation, never on the raw counts.
+    """
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p261 = plan("q261_geometric_median_weiszfeld")
+    assert "CartesianProduct" not in p261
+    assert "BatchEvalPython" not in p261
+    assert "BroadcastHashJoin" in p261, "median relation must broadcast"
+    assert "InMemoryTableScan" in p261, "point set must persist"
+
+    p262 = plan("q262_scd2_state_intervals")
+    assert "CartesianProduct" not in p262
+    assert "BatchEvalPython" not in p262 and "MapInPandas" not in p262
+    assert p262.count("hashpartitioning(user_id") <= 1
+
+    p263 = plan("q263_weekly_trending_parts")
+    assert "CartesianProduct" not in p263
+    assert "BatchEvalPython" not in p263
+    assert "InMemoryTableScan" in p263, "top-k relation must persist"
