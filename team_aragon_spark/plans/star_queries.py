@@ -14848,9 +14848,15 @@ LIMIT {_ER_TOPK}"""
     "smoothing (never 0/1, so log weights stay finite on any "
     "corpus), m fixed at 0.95; agreement weight log2(m/u), "
     "disagreement log2((1-m)/(1-u)); top-50 scored pairs.  Scale: "
-    "one equi-shuffle self-join on the block key + a 1-row "
-    "broadcast stats crossJoin; ranking is a salted-safe global "
-    "top-k LIMIT.",
+    "u-statistics come from COUNTS, not pair enumeration (sums of "
+    "C(n,2) over refined groups; close pairs from a +-1 cent-grid "
+    "join whose cell width = the threshold), and the top-50 is "
+    "filled over the 8-point SCORE LATTICE (3 binary comparators) "
+    "from the best class down — a class enumerates only if higher "
+    "classes could not fill k, so the all-agree class (a subset of "
+    "the small grid candidates) normally ends the search and the "
+    "quadratic all-pairs pass never runs (387 s naive -> see "
+    "PLANS; degenerate corpora fall through and stay exact).",
 )
 def q248_entity_resolution_scoring(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(
@@ -14858,15 +14864,138 @@ def q248_entity_resolution_scoring(spark, sf_dir):
         "c_nationkey",
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
-    )
+    ).persist()  # feeds the count-side u stats AND both join sides
     a, b = cust.alias("a"), cust.alias("b")
 
     def bucket(side: str):
         return F.floor(F.col(f"{side}.cents") / 50000.0)
 
-    # persisted: the blocked pair relation feeds the u-probability
-    # aggregate AND the final scoring pass
-    pairs = (
+    # u-probabilities WITHOUT enumerating pairs (measured: the naive
+    # enumerate-pairs-twice-with-persist formulation ran 387 s at
+    # 100x; counts + a close-grid join keep the only full pair pass
+    # for the final streamed scoring): agreeing-pair counts are
+    # sums of C(n,2) over (block, value) groups for the exact
+    # comparators, and a +-1 grid join (cell width = the 10000
+    # threshold) enumerates only the rare close candidates.
+    def pair_count(grouped):
+        return F.sum(
+            (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+        ).alias("pc")
+
+    blk = ["c_nationkey", "c_mktsegment"]
+
+    def cnt_pairs(*extra):
+        g = cust.groupBy(*blk, *extra).agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(pair_count(g)).collect()[0].pc or 0
+
+    total_p = cnt_pairs()
+    bucket_p = cnt_pairs(F.floor(F.col("cents") / 50000.0).alias("bk"))
+    sign_p = cnt_pairs((F.col("cents") >= 0).alias("sg"))
+    grid = F.floor(F.col("cents") / 10000.0)
+    ga = cust.select(
+        *blk, F.col("c_custkey").alias("ka"), F.col("cents").alias("ca"),
+        F.explode(
+            F.array(grid - 1, grid, grid + 1)
+        ).alias("g"),
+    )
+    gb = cust.select(
+        *blk, F.col("c_custkey").alias("kb"), F.col("cents").alias("cb"),
+        grid.alias("g"),
+    )
+    close_p = (
+        ga.join(gb, [*blk, "g"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= 10000)
+        )
+        .count()
+    )
+    u_bucket = (bucket_p + 1.0) / (total_p + 2.0)
+    u_close = (close_p + 1.0) / (total_p + 2.0)
+    u_sign = (sign_p + 1.0) / (total_p + 2.0)
+    u = spark.createDataFrame(
+        [(u_bucket, u_close, u_sign)],
+        "u_bucket double, u_close double, u_sign double",
+    )
+
+    # Three binary comparators -> only EIGHT distinct scores exist.
+    # The global top-50 is filled class-by-class from the highest
+    # score down, and a class is ENUMERATED only if the strictly
+    # higher classes could not fill 50 — on any realistic corpus the
+    # all-agree class alone fills it from the small close-grid
+    # candidates, so the quadratic all-pairs pass never runs
+    # (measured 290 s -> see PLANS at 100x; tiny corpora fall
+    # through to the full enumeration and stay exact).
+    import math
+
+    def _w(agree: int, uc: float) -> float:
+        m_, om = float(_ER_M), float(_ER_1M)
+        return math.log2(m_ / uc) if agree else math.log2(om / (1 - uc))
+
+    classes = sorted(
+        (
+            (ab, ac, asg)
+            for ab in (1, 0)
+            for ac in (1, 0)
+            for asg in (1, 0)
+        ),
+        key=lambda t: -(
+            _w(t[0], u_bucket) + _w(t[1], u_close) + _w(t[2], u_sign)
+        ),
+    )
+    agree_cols = [
+        F.when(
+            F.floor(F.col("ca") / 50000.0) == F.floor(F.col("cb") / 50000.0),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("agree_bucket"),
+        F.when(F.abs(F.col("ca") - F.col("cb")) <= 10000, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("agree_close"),
+        F.when((F.col("ca") >= 0) == (F.col("cb") >= 0), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("agree_sign"),
+    ]
+    close_cand = (
+        ga.join(gb, [*blk, "g"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= 10000)
+        )
+        .select(
+            F.col("ka").alias("a"), F.col("kb").alias("b"), *agree_cols
+        )
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    bj = cust.select(
+        *blk,
+        F.col("c_custkey").alias("k"),
+        F.col("cents").alias("c"),
+        F.floor(F.col("cents") / 50000.0).alias("bk"),
+    )
+    bx, by = bj.alias("bx"), bj.alias("by")
+    bucket_cand = (
+        bx.join(
+            by,
+            (F.col("bx.c_nationkey") == F.col("by.c_nationkey"))
+            & (F.col("bx.c_mktsegment") == F.col("by.c_mktsegment"))
+            & (F.col("bx.bk") == F.col("by.bk"))
+            & (F.col("bx.k") < F.col("by.k")),
+        )
+        .select(
+            F.col("bx.k").alias("a"),
+            F.col("by.k").alias("b"),
+            F.col("bx.c").alias("ca"),
+            F.col("by.c").alias("cb"),
+        )
+        .select("a", "b", *agree_cols)
+    )
+    all_pairs = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
@@ -14876,29 +15005,39 @@ def q248_entity_resolution_scoring(spark, sf_dir):
         .select(
             F.col("a.c_custkey").alias("a"),
             F.col("b.c_custkey").alias("b"),
-            F.when(bucket("a") == bucket("b"), 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("agree_bucket"),
-            F.when(F.abs(F.col("a.cents") - F.col("b.cents")) <= 10000, 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("agree_close"),
-            F.when((F.col("a.cents") >= 0) == (F.col("b.cents") >= 0), 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("agree_sign"),
+            F.col("a.cents").alias("ca"),
+            F.col("b.cents").alias("cb"),
         )
-        .persist()
+        .select("a", "b", *agree_cols)
     )
-    u = pairs.agg(
-        *[
-            (
-                (F.sum(c) + F.lit(1.0))
-                / (F.count(F.lit(1)) + F.lit(2.0))
-            ).alias("u_" + c.removeprefix("agree_"))
-            for c in ("agree_bucket", "agree_close", "agree_sign")
-        ]
+    needed = _ER_TOPK
+    selected = []
+    for ab, ac, asg in classes:
+        if needed <= 0:
+            break
+        if ac == 1:
+            src = close_cand
+        elif ab == 1:
+            src = bucket_cand
+        else:
+            src = all_pairs
+        cls = (
+            src.filter(
+                (F.col("agree_bucket") == ab)
+                & (F.col("agree_close") == ac)
+                & (F.col("agree_sign") == asg)
+            )
+            .orderBy("a", "b")
+            .limit(needed)
+        )
+        rows = cls.collect()  # <= needed (<= 50) rows per class
+        if rows:
+            selected.extend(rows)
+            needed -= len(rows)
+    pairs = spark.createDataFrame(
+        selected,
+        "a long, b long, agree_bucket long, agree_close long, "
+        "agree_sign long",
     )
     m, one_m = float(_ER_M), float(_ER_1M)
 
