@@ -16652,6 +16652,173 @@ def q263_weekly_trending_parts(spark, sf_dir):
     )
 
 
+_KNNF_SQL = f"""
+WITH nc0 AS MATERIALIZED (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS ncells FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT ncells FROM nc0)),
+c AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, label AS nlabel, embedding AS nv
+  FROM embeddings),
+asg AS MATERIALIZED (
+  SELECT neighbor_id, nlabel, nv, cell FROM (
+    SELECT c.neighbor_id, c.nlabel, c.nv, cent.cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+             ORDER BY {_ora_cos("c.nv", "cent.cv", 9)} DESC, cent.cell) AS rk
+    FROM c CROSS JOIN cent) WHERE rk = 1),
+probes AS MATERIALIZED (
+  SELECT query_id, tlabel, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.label AS tlabel, q.embedding AS qv,
+           cent.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_ora_cos("q.embedding", "cent.cv", 9)} DESC,
+                      cent.cell) AS rk
+    FROM embeddings q CROSS JOIN cent) WHERE rk <= 2),
+cand AS MATERIALIZED (
+  SELECT p.query_id, p.tlabel, a.neighbor_id, a.nlabel,
+         {_ora_cos("p.qv", "a.nv", 4)} AS s4
+  FROM asg a JOIN probes p ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id),
+nc AS MATERIALIZED (
+  SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+k AS MATERIALIZED (
+  SELECT query_id, tlabel, nlabel FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY s4 DESC, neighbor_id) <= {_KNN_K}),
+v AS MATERIALIZED (
+  SELECT query_id, tlabel, nlabel, count(*) AS c
+  FROM k GROUP BY query_id, tlabel, nlabel),
+p AS MATERIALIZED (
+  SELECT v.query_id, v.tlabel, v.nlabel AS plabel FROM v
+  QUALIFY row_number() OVER (PARTITION BY v.query_id
+                             ORDER BY v.c DESC, v.nlabel) = 1)
+SELECT p.tlabel AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN p.plabel = p.tlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN p.plabel = p.tlabel THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS accuracy,
+       round(avg(nc.n_candidates), 2) AS avg_candidates
+FROM p JOIN nc ON nc.query_id = p.query_id
+GROUP BY p.tlabel ORDER BY label"""
+
+
+@register(
+    "q264_knn_ivf_loo_fast",
+    _KNNF_SQL,
+    ops=("ext-knn-eval-ivf",),
+    doc="IVF-BLOCKED kNN LEAVE-ONE-OUT — q256's documented 100 TB "
+    "path REGISTERED as a fast twin with its own full value oracle "
+    "(the q152/q159 twin discipline): every vector is a query, but "
+    "neighbors come from nprobe=2 IVF cells instead of the "
+    "all-pairs scan; vote and tie rules are exactly q256's, and "
+    "avg_candidates per label reports the measured fraction of the "
+    "corpus each vote actually scanned.  The engine-portable coarse "
+    "quantizer is the first ceil(sqrt(n)) vectors — the standard "
+    "IVF cell sizing, so per-query candidates stay ~2*sqrt(n) "
+    "(fixed cells made candidates grow linearly per query and the "
+    "100x run DNF'd; sqrt sizing is what restores it — measured in "
+    "PLANS).  Scale: broadcast-centroid assignment + one cell "
+    "equi-join — candidate volume is cell-density-bounded, never "
+    "corpus^2.",
+)
+def q264_knn_ivf_loo_fast(spark, sf_dir):
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ncells = int(math.ceil(math.sqrt(emb.count())))  # scalar, bounded
+    cent = emb.filter(F.col("vec_id") < ncells).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("nv"),
+    )
+    s9 = F.round(F.expr(similarity.cosine_expr("nv", "cv")), 9)
+    asg = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "nlabel", "nv", "cell", s9.alias("s9"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(F.col("s9").alias("s"), (-F.col("cell")).alias("nc"))
+            ).alias("m"),
+            F.first("nlabel").alias("nlabel"),
+            F.first("nv").alias("nv"),
+        )
+        .select(
+            "neighbor_id",
+            "nlabel",
+            "nv",
+            (-F.col("m.nc")).cast("int").alias("cell"),
+        )
+    )
+    sq9 = F.round(F.expr(similarity.cosine_expr("qv", "cv")), 9)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s9"), F.asc("cell"))
+    probes = (
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("tlabel"),
+            F.col("embedding").alias("qv"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "tlabel", "qv", "cell", sq9.alias("s9"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 2)
+        .select("query_id", "tlabel", "qv", "cell")
+    )
+    # persisted: candidates feed the volume count AND the vote top-k
+    cand = (
+        asg.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "tlabel",
+            "neighbor_id",
+            "nlabel",
+            F.round(F.expr(similarity.cosine_expr("qv", "nv")), 4).alias(
+                "s4"
+            ),
+        )
+        .persist()
+    )
+    nc = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("s4"), F.asc("neighbor_id")
+    )
+    k = (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("query_id", "tlabel", "nlabel")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nlabel"))
+    pred = (
+        k.groupBy("query_id", "tlabel", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "tlabel", F.col("nlabel").alias("plabel"))
+    )
+    hit = F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0)
+    return (
+        pred.join(F.broadcast(nc), "query_id")
+        .groupBy(F.col("tlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "accuracy"
+            ),
+            F.round(F.avg("n_candidates"), 2).alias("avg_candidates"),
+        )
+        .orderBy("label")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -16719,11 +16886,11 @@ STAMP_PRIORITY: list[str] = [
     "q184_activity_streaks",
     "q185_referential_usage_audit",
     # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped rows q186-q263 (registered after this
+    # with the never-stamped rows q186-q264 (registered after this
     # window filled; all pre-verified by the pytest oracle replica at
     # sf0.001 AND full driver-replica sweeps at sf0.01 — zero fails),
-    # then continue the r04 block (q11-q98), then r05.  q186-q263 are
-    # 78 rows, so they span the r8 window and spill into r9's.
+    # then continue the r04 block (q11-q98), then r05.  q186-q264 are
+    # 79 rows, so they span the r8 window and spill into r9's.
     "q10_bottom10_nations_by_balance",
 ]
 

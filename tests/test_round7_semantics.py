@@ -3208,3 +3208,44 @@ def test_trending_rank_shifts_hand_weeks(spark, tmp_path_factory):
     assert got[(1, 1)] == (2, 5, 2, 1)
     assert got[(1, 2)] == (3, 4, 3, 1)
     assert got[(1, 3)] == (9, 3, None, None)
+
+
+def test_knn_ivf_twin_matches_brute_on_separable_clusters(
+    spark, tmp_path_factory
+):
+    """On the 16 one-hot clusters every true neighbor lives in the
+    probed cells, so the IVF-blocked LOO vote (q264) must equal the
+    brute vote (q256) label for label — accuracy 1.0 everywhere —
+    while scanning a bounded candidate slice (avg_candidates <= two
+    cells' worth), which is the whole point of the twin."""
+    rows = []
+    dim = 64
+    for c in range(16):
+        v = [0.0] * dim
+        v[c] = 1.0
+        rows.append((c, v, c))
+    for i in range(16, 240):
+        c = (i - 16) % 16
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[16 + (i % 48)] = 0.05
+        rows.append((i, v, c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = _stage_table(spark, tmp_path_factory, emb, "embeddings", "knnivf")
+    fast = {
+        r.label: (r.n, r.accuracy, r.avg_candidates)
+        for r in QUERY_REGISTRY["q264_knn_ivf_loo_fast"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    brute = {
+        r.label: (r.n, r.accuracy)
+        for r in QUERY_REGISTRY["q256_knn_loo_classifier_eval"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(fast) == set(brute)
+    for lbl, (n, acc, cands) in fast.items():
+        assert (n, acc) == brute[lbl]
+        assert acc == 1.0
+        assert cands <= 30.0

@@ -2140,3 +2140,10 @@ def test_round7_batch25_plan_shapes(spark):
     assert "CartesianProduct" not in p263
     assert "BatchEvalPython" not in p263
     assert "InMemoryTableScan" in p263, "top-k relation must persist"
+
+    # q264 (IVF kNN twin): candidates persist for the volume count
+    # and the vote; centroid crossJoins broadcast; no Python.
+    p264 = plan("q264_knn_ivf_loo_fast")
+    assert "CartesianProduct" not in p264
+    assert "BatchEvalPython" not in p264 and "MapInPandas" not in p264
+    assert "InMemoryTableScan" in p264, "candidates must persist"
