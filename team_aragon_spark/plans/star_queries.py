@@ -14932,17 +14932,22 @@ def q248_entity_resolution_scoring(spark, sf_dir):
         m_, om = float(_ER_M), float(_ER_1M)
         return math.log2(m_ / uc) if agree else math.log2(om / (1 - uc))
 
-    classes = sorted(
-        (
-            (ab, ac, asg)
-            for ab in (1, 0)
-            for ac in (1, 0)
-            for asg in (1, 0)
-        ),
-        key=lambda t: -(
-            _w(t[0], u_bucket) + _w(t[1], u_close) + _w(t[2], u_sign)
-        ),
-    )
+    # classes sharing a score that ties at the REPORTED round-6
+    # granularity (e.g. u_bucket == u_close makes (1,0,s) tie
+    # (0,1,s) exactly) are processed as one GROUP: stopping mid-tie
+    # would hand the (a,b) tie-break to whichever class happened to
+    # be enumerated first; grouping at round 6 mirrors the final
+    # ORDER BY fs_score tie semantics
+    by_score: dict[float, list[tuple[int, int, int]]] = {}
+    for t in (
+        (ab, ac, asg)
+        for ab in (1, 0)
+        for ac in (1, 0)
+        for asg in (1, 0)
+    ):
+        s = _w(t[0], u_bucket) + _w(t[1], u_close) + _w(t[2], u_sign)
+        by_score.setdefault(round(s, 6), []).append(t)
+    class_groups = [by_score[s] for s in sorted(by_score, reverse=True)]
     agree_cols = [
         F.when(
             F.floor(F.col("ca") / 50000.0) == F.floor(F.col("cb") / 50000.0),
@@ -15012,28 +15017,32 @@ def q248_entity_resolution_scoring(spark, sf_dir):
     )
     needed = _ER_TOPK
     selected = []
-    for ab, ac, asg in classes:
+    for group in class_groups:
         if needed <= 0:
             break
-        if ac == 1:
-            src = close_cand
-        elif ab == 1:
-            src = bucket_cand
-        else:
-            src = all_pairs
-        cls = (
-            src.filter(
-                (F.col("agree_bucket") == ab)
-                & (F.col("agree_close") == ac)
-                & (F.col("agree_sign") == asg)
+        returned = 0
+        for ab, ac, asg in group:
+            if ac == 1:
+                src = close_cand
+            elif ab == 1:
+                src = bucket_cand
+            else:
+                src = all_pairs
+            cls = (
+                src.filter(
+                    (F.col("agree_bucket") == ab)
+                    & (F.col("agree_close") == ac)
+                    & (F.col("agree_sign") == asg)
+                )
+                .orderBy("a", "b")
+                .limit(needed)
             )
-            .orderBy("a", "b")
-            .limit(needed)
-        )
-        rows = cls.collect()  # <= needed (<= 50) rows per class
-        if rows:
+            rows = cls.collect()  # <= needed (<= 50) rows per class
             selected.extend(rows)
-            needed -= len(rows)
+            returned += len(rows)
+        # extra same-score rows lose the final (score, a, b) sort, so
+        # only min(needed, returned) of this group actually consume
+        needed -= min(needed, returned)
     pairs = spark.createDataFrame(
         selected,
         "a long, b long, agree_bucket long, agree_close long, "
