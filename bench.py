@@ -207,6 +207,7 @@ EXTRA = [
     "q262_scd2_state_intervals",    # event stream -> validity intervals
     "q263_weekly_trending_parts",   # top-k movers with rank shifts
     "q264_knn_ivf_loo_fast",        # IVF-blocked kNN LOO (q256 twin)
+    "q265_orderkey_gap_audit",      # bucketed key-sequence gap audit
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

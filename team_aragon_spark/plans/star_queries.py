@@ -16828,6 +16828,72 @@ def q264_knn_ivf_loo_fast(spark, sf_dir):
     )
 
 
+_GAP_B = 4096
+_GAP_TOPK = 20
+
+_GAP_SQL = f"""
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+l AS (SELECT k, lag(k) OVER (ORDER BY k) AS p FROM k)
+SELECT CAST(p + 1 AS BIGINT) AS gap_start,
+       CAST(k - 1 AS BIGINT) AS gap_end,
+       CAST(k - p - 1 AS BIGINT) AS gap_len
+FROM l WHERE p IS NOT NULL AND k > p + 1
+ORDER BY gap_len DESC, gap_start LIMIT {_GAP_TOPK}"""
+
+
+@register(
+    "q265_orderkey_gap_audit",
+    _GAP_SQL,
+    ops=("ext-sequence-gap-audit",),
+    doc="KEY-SEQUENCE GAP AUDIT — the CDC/ingest completeness check "
+    "(largest runs of missing orderkeys), and a demonstration of "
+    "distributing a classically GLOBAL-window computation: the "
+    "oracle's single lag-over-everything needs a one-partition "
+    "sort, so the engine splits keys into 4096-wide buckets, finds "
+    "in-bucket gaps with a bucket-partitioned lag, and finds "
+    "bucket-SPANNING gaps from the bucket min/max relation (key-"
+    "range/4096 rows — the only single-partition window runs "
+    "there); every maximal gap surfaces exactly once (inside one "
+    "bucket -> in-bucket lag; spanning -> boundary relation, since "
+    "the in-bucket lag never pairs keys across buckets).  Scale: "
+    "one distinct + one bucket-partitioned window; the boundary "
+    "relation is bucket-cardinality.",
+)
+def q265_orderkey_gap_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k = o.select(F.col("o_orderkey").alias("k")).distinct().withColumn(
+        "bkt", F.floor(F.col("k") / _GAP_B)
+    ).persist()  # feeds the in-bucket lag AND the bounds relation
+    wb = Window.partitionBy("bkt").orderBy("k")
+    inner = (
+        k.withColumn("p", F.lag("k").over(wb))
+        .filter(F.col("p").isNotNull() & (F.col("k") > F.col("p") + 1))
+        .select(
+            (F.col("p") + 1).cast("bigint").alias("gap_start"),
+            (F.col("k") - 1).cast("bigint").alias("gap_end"),
+            (F.col("k") - F.col("p") - 1).cast("bigint").alias("gap_len"),
+        )
+    )
+    bounds = k.groupBy("bkt").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    wg = Window.orderBy("bkt")  # bucket-cardinality relation only
+    spanning = (
+        bounds.withColumn("pmax", F.lag("mx").over(wg))
+        .filter(F.col("pmax").isNotNull() & (F.col("mn") > F.col("pmax") + 1))
+        .select(
+            (F.col("pmax") + 1).cast("bigint").alias("gap_start"),
+            (F.col("mn") - 1).cast("bigint").alias("gap_end"),
+            (F.col("mn") - F.col("pmax") - 1).cast("bigint").alias("gap_len"),
+        )
+    )
+    return (
+        inner.unionByName(spanning)
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(_GAP_TOPK)
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -16895,11 +16961,11 @@ STAMP_PRIORITY: list[str] = [
     "q184_activity_streaks",
     "q185_referential_usage_audit",
     # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped rows q186-q264 (registered after this
+    # with the never-stamped rows q186-q265 (registered after this
     # window filled; all pre-verified by the pytest oracle replica at
     # sf0.001 AND full driver-replica sweeps at sf0.01 — zero fails),
-    # then continue the r04 block (q11-q98), then r05.  q186-q264 are
-    # 79 rows, so they span the r8 window and spill into r9's.
+    # then continue the r04 block (q11-q98), then r05.  q186-q265 are
+    # 80 rows, so they span the r8 window and spill into r9's.
     "q10_bottom10_nations_by_balance",
 ]
 

@@ -3249,3 +3249,32 @@ def test_knn_ivf_twin_matches_brute_on_separable_clusters(
         assert (n, acc) == brute[lbl]
         assert acc == 1.0
         assert cands <= 30.0
+
+
+def test_gap_audit_bucket_boundaries(spark, tmp_path_factory):
+    """Planted keys [1,2,3,5,4095,4096,4200,5000,9000] around the
+    4096 bucket edge: in-bucket gaps, a bucket-SPANNING gap
+    (5001-8999 crosses buckets 1->2), and the contiguous pair
+    4095/4096 across the boundary which must NOT produce a spurious
+    gap — the exactly-once guarantee of the bucketed formulation."""
+    day = datetime.datetime(2024, 1, 1)
+    keys = [1, 2, 3, 5, 4095, 4096, 4200, 5000, 9000]
+    orders = [(kk, 1, "O", 1.0, day, "1-URGENT") for kk in keys]
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {"orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17)},
+        "gap",
+    )
+    got = [
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in QUERY_REGISTRY["q265_orderkey_gap_audit"].fn(spark, d).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == [
+        (6, 4094, 4089),
+        (5001, 8999, 3999),
+        (4201, 4999, 799),
+        (4097, 4199, 103),
+        (4, 4, 1),
+    ]

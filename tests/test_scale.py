@@ -2147,3 +2147,12 @@ def test_round7_batch25_plan_shapes(spark):
     assert "CartesianProduct" not in p264
     assert "BatchEvalPython" not in p264 and "MapInPandas" not in p264
     assert "InMemoryTableScan" in p264, "candidates must persist"
+
+    # q265 (gap audit): the key relation persists for its two
+    # consumers; the in-bucket lag is hash-distributed on the
+    # bucket — never one global sort over all keys.
+    p265 = plan("q265_orderkey_gap_audit")
+    assert "CartesianProduct" not in p265
+    assert "BatchEvalPython" not in p265
+    assert "InMemoryTableScan" in p265, "key relation must persist"
+    assert "hashpartitioning(bkt" in p265, "in-bucket lag must distribute"
