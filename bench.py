@@ -208,6 +208,7 @@ EXTRA = [
     "q263_weekly_trending_parts",   # top-k movers with rank shifts
     "q264_knn_ivf_loo_fast",        # IVF-blocked kNN LOO (q256 twin)
     "q265_orderkey_gap_audit",      # bucketed key-sequence gap audit
+    "q266_fulfillment_lead_time",   # ship-minus-order SLA percentiles
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -16894,6 +16894,80 @@ def q265_orderkey_gap_audit(spark, sf_dir):
     )
 
 
+_LEAD_SQL = """
+WITH lt AS (
+  SELECT o.o_orderpriority AS priority,
+         epoch_ms(l.l_shipdate) // 86400000
+           - epoch_ms(o.o_orderdate) // 86400000 AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(lead_days) AS BIGINT) AS min_days,
+       round(quantile_cont(lead_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(lead_days, 0.95), 6) AS p95_days,
+       CAST(max(lead_days) AS BIGINT) AS max_days,
+       CAST(sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM lt GROUP BY priority ORDER BY priority"""
+
+
+@register(
+    "q266_fulfillment_lead_time",
+    _LEAD_SQL,
+    ops=("ext-lead-time",),
+    doc="FULFILLMENT LEAD TIME per priority — the supply-chain SLA "
+    "report (ship day minus order day): exact integer day "
+    "arithmetic, p50/p95 via operators/stats.exact_grouped_"
+    "percentiles (quantile_cont-proven by q154), and an n_negative "
+    "integrity column (lines shipping BEFORE their order is placed "
+    "— a referential/clock audit for free).  Scale: the big-big "
+    "lineitem-orders equi-join shuffles once on orderkey; the "
+    "percentile count-table is lead-day-cardinality (bounded by "
+    "the calendar, not the corpus); output is |priorities| rows.",
+)
+def q266_fulfillment_lead_time(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    day = lambda c: F.expr(  # noqa: E731
+        f"unix_millis(CAST({c} AS TIMESTAMP)) DIV 86400000"
+    )
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (day("l_shipdate") - day("o_orderdate")).alias("lead_days"),
+        )
+        .persist()  # feeds the percentile operator AND the min/max agg
+    )
+    pct = exact_grouped_percentiles(
+        lt, "lead_days", ["priority"], [0.5, 0.95], round_digits=6
+    )
+    ext = lt.groupBy("priority").agg(
+        F.min("lead_days").cast("bigint").alias("min_days"),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("lead_days") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+    )
+    return (
+        pct.join(ext, "priority")
+        .select(
+            "priority",
+            F.col("n").cast("bigint").alias("n"),
+            "min_days",
+            F.col("p_50").alias("p50_days"),
+            F.col("p_95").alias("p95_days"),
+            "max_days",
+            "n_negative",
+        )
+        .orderBy("priority")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-7 window (first 50 = the driver's stamp set) ----
     # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
@@ -16961,11 +17035,11 @@ STAMP_PRIORITY: list[str] = [
     "q184_activity_streaks",
     "q185_referential_usage_audit",
     # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped rows q186-q265 (registered after this
+    # with the never-stamped rows q186-q266 (registered after this
     # window filled; all pre-verified by the pytest oracle replica at
     # sf0.001 AND full driver-replica sweeps at sf0.01 — zero fails),
-    # then continue the r04 block (q11-q98), then r05.  q186-q265 are
-    # 80 rows, so they span the r8 window and spill into r9's.
+    # then continue the r04 block (q11-q98), then r05.  q186-q266 are
+    # 81 rows, so they span the r8 window and spill into r9's.
     "q10_bottom10_nations_by_balance",
 ]
 

@@ -3278,3 +3278,40 @@ def test_gap_audit_bucket_boundaries(spark, tmp_path_factory):
         (4097, 4199, 103),
         (4, 4, 1),
     ]
+
+
+def test_lead_time_negative_flag_and_percentiles(spark, tmp_path_factory):
+    """Lead times [1,2,3,4,100] days for one priority: p50 = 3,
+    p95 = interpolated 4 + 0.8*96 = 80.8, and a line shipping the
+    day BEFORE its order counts into n_negative (the clock audit)."""
+    day0 = datetime.datetime(2024, 1, 10)
+    orders, lines = [], []
+    for i, lead in enumerate((1, 2, 3, 4, 100)):
+        ok = i + 1
+        orders.append((ok, 1, "O", 1.0, day0, "1-URGENT"))
+        lines.append(
+            (ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O",
+             day0 + datetime.timedelta(days=lead))
+        )
+    orders.append((99, 1, "O", 1.0, day0, "2-HIGH"))
+    lines.append(
+        (99, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O",
+         day0 - datetime.timedelta(days=1))
+    )
+    d = _stage_tables(
+        spark,
+        tmp_path_factory,
+        {
+            "orders": spark.createDataFrame(orders, _ORDERS_SCHEMA_B17),
+            "lineitem": spark.createDataFrame(lines, LINEITEM_SCHEMA),
+        },
+        "lead",
+    )
+    got = {
+        r.priority: (r.n, r.min_days, r.p50_days, r.p95_days, r.max_days,
+                     r.n_negative)
+        for r in QUERY_REGISTRY["q266_fulfillment_lead_time"].fn(spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert got["1-URGENT"] == (5, 1, 3.0, 80.8, 100, 0)
+    assert got["2-HIGH"] == (1, -1, -1.0, -1.0, -1, 1)

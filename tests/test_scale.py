@@ -2156,3 +2156,10 @@ def test_round7_batch25_plan_shapes(spark):
     assert "BatchEvalPython" not in p265
     assert "InMemoryTableScan" in p265, "key relation must persist"
     assert "hashpartitioning(bkt" in p265, "in-bucket lag must distribute"
+
+    # q266 (lead time): the joined lead-day relation persists for
+    # the percentile operator and the min/max pass; no Python.
+    p266 = plan("q266_fulfillment_lead_time")
+    assert "CartesianProduct" not in p266
+    assert "BatchEvalPython" not in p266 and "MapInPandas" not in p266
+    assert "InMemoryTableScan" in p266, "lead-day relation must persist"
