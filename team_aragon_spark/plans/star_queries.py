@@ -14878,9 +14878,9 @@ def q248_entity_resolution_scoring(spark, sf_dir):
     # comparators, and a +-1 grid join (cell width = the 10000
     # threshold) enumerates only the rare close candidates.
     def pair_count(grouped):
-        return F.sum(
-            (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
-        ).alias("pc")
+        # integral DIV keeps C(n,2) exact at any group size; the
+        # double-division form loses exactness past n*(n-1) > 2^53
+        return F.sum(F.expr("n * (n - 1) DIV 2")).alias("pc")
 
     blk = ["c_nationkey", "c_mktsegment"]
 
@@ -16054,18 +16054,24 @@ def q257_markov_removal_attribution(spark, sf_dir):
         return v.get("START", 0.0)
 
     v_base = absorb(None)
-    rows = [
-        (
-            ch,
-            round(v_base, 6),
-            round(absorb(ch), 6),
-            round((v_base - absorb(ch)) / v_base, 6),
-        )
-        for ch in _MRK_CHANNELS
-    ]
-    return spark.createDataFrame(
+    rows = []
+    for ch in _MRK_CHANNELS:
+        v_rm = absorb(ch)  # once per channel — feeds both columns
+        # v_base == 0 -> oracle's 0.0/0.0 division yields NULL;
+        # emit NULL instead of raising ZeroDivisionError
+        eff = None if v_base == 0.0 else (v_base - v_rm) / v_base
+        rows.append((ch, v_base, v_rm, eff))
+    out = spark.createDataFrame(
         rows, "channel string, v_base double, v_removed double, "
         "removal_effect double"
+    )
+    # F.round (half-away-from-zero, matching the oracle) — NOT
+    # Python round(), whose banker's rounding differs on .5 ties
+    return out.select(
+        "channel",
+        F.round("v_base", 6).alias("v_base"),
+        F.round("v_removed", 6).alias("v_removed"),
+        F.round("removal_effect", 6).alias("removal_effect"),
     ).orderBy("channel")
 
 
@@ -16193,10 +16199,18 @@ def q258_power_iteration_pca(spark, sf_dir):
         for i in range(_PCA_D)
         for j in range(_PCA_D)
     )
-    rows = [(i, round(v[i], 6), round(eig, 6)) for i in range(_PCA_D)]
-    return spark.createDataFrame(
-        rows, "dim int, loading double, eigval double"
-    ).orderBy("dim")
+    rows = [(i, v[i], eig) for i in range(_PCA_D)]
+    # F.round matches the oracle's half-away-from-zero; Python
+    # round() is ties-to-even and would diverge on .5 boundaries
+    return (
+        spark.createDataFrame(rows, "dim int, loading double, eigval double")
+        .select(
+            "dim",
+            F.round("loading", 6).alias("loading"),
+            F.round("eigval", 6).alias("eigval"),
+        )
+        .orderBy("dim")
+    )
 
 
 _SIMP_SQL = """
@@ -16740,47 +16754,39 @@ def q264_knn_ivf_loo_fast(spark, sf_dir):
         F.col("vec_id").cast("int").alias("cell"),
         F.col("embedding").alias("cv"),
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("nlabel"),
-        F.col("embedding").alias("nv"),
-    )
-    s9 = F.round(F.expr(similarity.cosine_expr("nv", "cv")), 9)
-    asg = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select("neighbor_id", "nlabel", "nv", "cell", s9.alias("s9"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max(
-                F.struct(F.col("s9").alias("s"), (-F.col("cell")).alias("nc"))
-            ).alias("m"),
-            F.first("nlabel").alias("nlabel"),
-            F.first("nv").alias("nv"),
-        )
-        .select(
-            "neighbor_id",
-            "nlabel",
-            "nv",
-            (-F.col("m.nc")).cast("int").alias("cell"),
-        )
-    )
-    sq9 = F.round(F.expr(similarity.cosine_expr("qv", "cv")), 9)
-    wq = Window.partitionBy("query_id").orderBy(F.desc("s9"), F.asc("cell"))
-    probes = (
-        emb.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("tlabel"),
-            F.col("embedding").alias("qv"),
-        )
-        .crossJoin(F.broadcast(cent))
-        .select("query_id", "tlabel", "qv", "cell", sq9.alias("s9"))
+    s9 = F.round(F.expr(similarity.cosine_expr("v", "cv")), 9)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("s9"), F.asc("cell"))
+    # ONE centroid-scoring pass serves both roles: rk==1 is the IVF
+    # assignment (identical argmax + smallest-cell tie rule to a
+    # max-struct) and rk<=2 are the nprobe=2 probe cells — this
+    # halves the dominant n*sqrt(n) similarity work vs scoring the
+    # corpus side and the query side separately
+    ranked = (
+        emb.select("vec_id", "label", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(cent))  # centroids are O(sqrt n): safe
+        .select("vec_id", "label", "v", "cell", s9.alias("s9"))
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= 2)
-        .select("query_id", "tlabel", "qv", "cell")
+        .persist()
     )
-    # persisted: candidates feed the volume count AND the vote top-k
+    asg = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+        "cell",
+    )
+    probes = ranked.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("tlabel"),
+        F.col("v").alias("qv"),
+        "cell",
+    )
+    # persisted: candidates feed the volume count AND the vote top-k.
+    # probes is corpus-sized (2 rows per vector, embeddings included)
+    # so it must NOT be broadcast — plain shuffle join on cell; AQE
+    # picks the physical strategy
     cand = (
-        asg.join(F.broadcast(probes), "cell")
+        asg.join(probes, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -16813,8 +16819,10 @@ def q264_knn_ivf_loo_fast(spark, sf_dir):
         .select("query_id", "tlabel", F.col("nlabel").alias("plabel"))
     )
     hit = F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0)
+    # nc is one row per query (corpus-sized): shuffle join, not
+    # broadcast — both sides key on query_id
     return (
-        pred.join(F.broadcast(nc), "query_id")
+        pred.join(nc, "query_id")
         .groupBy(F.col("tlabel").alias("label"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
