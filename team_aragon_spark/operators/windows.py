@@ -141,6 +141,74 @@ def distributed_prefix_sum(
     )
 
 
+def distributed_rank(
+    df: DataFrame,
+    order: Sequence,
+    out_col: str = "rank",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Global 1-based row rank under ``order`` (a list of Column sort
+    expressions, e.g. ``[F.desc("v"), F.asc("id")]``) — identical to
+    ``row_number().over(Window.orderBy(*order))`` whenever ``order``
+    totally orders the rows, but computed WITHOUT a global single-task
+    sort:
+
+      1. ``repartitionByRange(n_shards, *order)`` makes every
+         partition a contiguous range of the total order (equal keys
+         never straddle a boundary);
+      2. a partition-local ``row_number`` (window keyed on the
+         materialized ``spark_partition_id``) ranks within each range
+         — every window partition is ~n/n_shards rows;
+      3. per-partition row counts (an ``n_shards``-row relation, the
+         only unpartitioned window and it is shard-cardinality-
+         bounded like ``distributed_prefix_sum``'s offset pass)
+         exclusive-prefix-sum into offsets, broadcast-joined back;
+      4. rank = local rank + own partition's offset.
+
+    Range boundaries come from sampling, so partition SIZES vary run
+    to run — the ranks never do (each partition is a contiguous
+    range, offsets are exact counts).  The repartitioned projection
+    feeds both the local window and the counts aggregate, so it is
+    persisted here; cache lifetime is caller-managed (the bench
+    harness clears cache per query).  Raise ``n_shards`` for cluster
+    scale (boundaries are sampled, so any count is cheap).
+    """
+    src = (
+        df.repartitionByRange(n_shards, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    local = src.withColumn("__lrk", F.row_number().over(w))
+    sizes = src.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__lrk") + F.col("__off"))
+        .drop("__pid", "__lrk", "__off")
+    )
+
+
+def ntile_from_rank(rank_col, n_col, k: int):
+    """Column expression: the exact ``ntile(k)`` bucket of a row whose
+    global 1-based rank is ``rank_col`` among ``n_col`` total rows —
+    the first ``n mod k`` buckets get ``n DIV k + 1`` rows, the rest
+    ``n DIV k`` (Spark's and DuckDB's shared ntile definition).
+    Composes with :func:`distributed_rank` to express a global ntile
+    window without the single-task sort.
+    """
+    r, n = F.col(rank_col), F.col(n_col)
+    q = F.floor(n / k)
+    rem = n % k
+    thr = rem * (q + 1)
+    return F.when(r <= thr, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - thr - 1) / q) + 1
+    )
+
+
 def session_stats(df: DataFrame, user_col: str = "user_id", **kwargs) -> DataFrame:
     """Per-user session summary: number of sessions and events."""
     s = sessionize(df, user_col=user_col, **kwargs)

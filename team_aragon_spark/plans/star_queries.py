@@ -9300,11 +9300,11 @@ ORDER BY dayno"""
     "the deltas, take the max per day.  Integer epoch-ms end to "
     "end.  Scale: sessionization is user-partitioned; the sweep's "
     "global ordered running sum runs over BOUNDARY POINTS (2 rows "
-    "per session, ~1000x smaller than events) — and composes as "
-    "the q93 two-level prefix-sum (per-day local cumsum + tiny "
-    "carry-in of per-day delta totals) if even the boundary stream "
-    "outgrew one task.  Session count per day joins back at "
-    "day granularity.",
+    "per session, ~1000x smaller than events) AND routes through "
+    "windows.distributed_prefix_sum on the encoded (t, delta) key "
+    "(2t for -1, 2t+1 for +1), so even the boundary stream never "
+    "serializes onto one task.  Session count per day joins back "
+    "at day granularity.",
 )
 def q188_peak_concurrency_sweep(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
@@ -9335,10 +9335,21 @@ def q188_peak_concurrency_sweep(spark, sf_dir):
     ).unionByName(
         sess.select((F.col("t_end") + 1).alias("t"), F.lit(-1).alias("delta"))
     )
-    ws = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, 0
+    # The global running sum routes through the two-level prefix sum
+    # (operators/windows.py) instead of an unpartitioned window: the
+    # (t, delta) sort order is encoded as one numeric key (2t for the
+    # -1 point, 2t+1 for +1 — monotone because -1 sorts first at
+    # equal t), so no task ever sorts the whole boundary stream.
+    # Rows tied on the full key share t, dayno AND delta, so the
+    # per-day max over the prefix values is order-independent.
+    sweep = windows.distributed_prefix_sum(
+        pts.withColumn(
+            "__o", F.col("t") * 2 + F.floor((F.col("delta") + 1) / 2)
+        ),
+        "delta",
+        "__o",
+        out_col="live",
     )
-    sweep = pts.withColumn("live", F.sum("delta").over(ws))
     daily = sweep.groupBy(
         F.expr("CAST(t DIV 86400000 AS INT)").alias("dayno")
     ).agg(F.max("live").alias("peak"))
@@ -10534,10 +10545,12 @@ FROM s ORDER BY user_id"""
     "Monetary sums CENTS (round(value*100) per row, a bigint) so "
     "ordering and the ntile boundaries never depend on float "
     "accumulation order — the displayed dollars are one final "
-    "division.  Scale: one map-combined per-user aggregate; the "
-    "three ntile windows run over purchasing USERS (user-bounded, "
-    "q154's count-table caveat: composable as two-level prefix "
-    "sums), and the 1-row corpus max broadcasts.",
+    "division.  Scale: one map-combined per-user aggregate; each "
+    "quintile is windows.distributed_rank (range-repartition + "
+    "shard-local row_number + offset join — NO single-task sort "
+    "even though the relation is user-sized) composed with the "
+    "closed-form ntile_from_rank bucket over the broadcast user "
+    "count; the 1-row corpus max broadcasts.",
 )
 def q202_rfm_segmentation(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -10560,16 +10573,36 @@ def q202_rfm_segmentation(spark, sf_dir):
         "freq",
         "mon_c",
     )
+    # Global ntile WITHOUT the three single-task windows: each score's
+    # rank comes from windows.distributed_rank (range-repartition +
+    # local row_number + shard offsets — exact, every window partition
+    # ~n/shards rows), and the quintile bucket is the closed-form
+    # ntile_from_rank over the broadcast user count.  Value-identical
+    # to ntile(5) OVER (ORDER BY ...) because each ordering is total
+    # (user_id tie-break).
+    n1 = base.agg(F.count(F.lit(1)).alias("__n"))
+    s = windows.distributed_rank(
+        base, [F.desc("recency_days"), F.asc("user_id")], "__r_rank"
+    )
+    s = windows.distributed_rank(
+        s, [F.asc("freq"), F.asc("user_id")], "__f_rank"
+    )
+    s = windows.distributed_rank(
+        s, [F.asc("mon_c"), F.asc("user_id")], "__m_rank"
+    )
     s = (
-        base.withColumn(
+        s.crossJoin(F.broadcast(n1))
+        .withColumn(
             "r_score",
-            F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "user_id")),
+            windows.ntile_from_rank("__r_rank", "__n", 5).cast("int"),
         )
         .withColumn(
-            "f_score", F.ntile(5).over(Window.orderBy("freq", "user_id"))
+            "f_score",
+            windows.ntile_from_rank("__f_rank", "__n", 5).cast("int"),
         )
         .withColumn(
-            "m_score", F.ntile(5).over(Window.orderBy("mon_c", "user_id"))
+            "m_score",
+            windows.ntile_from_rank("__m_rank", "__n", 5).cast("int"),
         )
     )
     return s.select(
@@ -14271,10 +14304,16 @@ def q242_session_path_taxonomy(spark, sf_dir):
         )
     )
     tc = tr.groupBy("transcript").agg(F.count(F.lit(1)).alias("c"))
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + a k-row driver merge), NOT a global row_number window —
+    # the transcript relation grows with the corpus and a single-task
+    # sort over it would bottleneck at scale.  Ranks are assigned
+    # AFTER the limit, a constant 20-row window.
     wtop = Window.orderBy(F.desc("c"), F.asc("transcript"))
     top = (
-        tc.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= _PATHTAX_TOP)
+        tc.orderBy(F.desc("c"), F.asc("transcript"))
+        .limit(_PATHTAX_TOP)
+        .withColumn("rk", F.row_number().over(wtop))
         .persist()  # both sides of the pair join
     )
     a, b = top.alias("a"), top.alias("b")

@@ -2163,3 +2163,89 @@ def test_round7_batch25_plan_shapes(spark):
     assert "CartesianProduct" not in p266
     assert "BatchEvalPython" not in p266 and "MapInPandas" not in p266
     assert "InMemoryTableScan" in p266, "lead-day relation must persist"
+
+
+def test_distributed_rank_matches_global_window_on_skew(spark):
+    """windows.distributed_rank must return exactly the global
+    row_number answer (total order: value desc, id asc) on a fixture
+    with heavy value ties, and ntile_from_rank must reproduce
+    ntile(k) for n % k != 0 and n < k."""
+    from pyspark.sql import Window
+
+    from team_aragon_spark.operators.windows import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    rows = [(i, (i * 7) % 5, f"u{i:05d}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v long, u string")
+    got = distributed_rank(df, [F.desc("v"), F.asc("u")], "rk", n_shards=16)
+    naive = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("v"), F.asc("u")))
+    )
+    assert got.select("id", "rk").exceptAll(naive.select("id", "rk")).count() == 0
+    assert naive.select("id", "rk").exceptAll(got.select("id", "rk")).count() == 0
+    for n, k in [(3000, 5), (7, 5), (3, 5), (11, 4)]:
+        sub = df.limit(n)
+        g = distributed_rank(sub, [F.asc("u")], "rk", n_shards=8).crossJoin(
+            F.broadcast(sub.agg(F.count(F.lit(1)).alias("__n")))
+        )
+        g = g.select("u", ntile_from_rank("rk", "__n", k).cast("int").alias("b"))
+        nv = sub.select("u", F.ntile(k).over(Window.orderBy("u")).alias("b"))
+        assert g.exceptAll(nv).count() == 0 and nv.exceptAll(g).count() == 0, (n, k)
+    spark.catalog.clearCache()
+
+
+def test_round8_dewindowed_plan_shapes(spark):
+    """Round-8 single-task-window eliminations hold in the executed
+    plan:
+
+    - q202 (RFM): every row_number window is keyed on the range-
+      partition id (__pid) — no global ntile/rank sort remains; the
+      only unpartitioned windows run over the n_shards-row offset
+      relations.
+    - q242 (path taxonomy): the top-20 comes from
+      TakeOrderedAndProject (per-partition heaps), and the one
+      remaining rank window runs AFTER the 20-row limit.
+    - q188 (concurrency sweep): the boundary-point running sum is
+      sharded (__shard) via distributed_prefix_sum — no window
+      orders the full boundary stream.
+    """
+    import re
+
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    p202 = plan("q202_rfm_segmentation")
+    rn_windows = [
+        ln for ln in p202.splitlines()
+        if "row_number" in ln and re.search(r"\bWindow\b", ln)
+    ]
+    assert rn_windows, p202
+    for ln in rn_windows:
+        assert "__pid" in ln, ln
+    assert "ntile" not in p202, "global ntile window must be gone"
+
+    p242 = plan("q242_session_path_taxonomy")
+    # orderBy+limit fuses into TakeOrderedAndProject (per-partition
+    # heaps + k-row merge); the surviving rank window consumes its
+    # 20-row output, never the raw counts
+    assert "TakeOrderedAndProject" in p242, p242
+
+    p188 = plan("q188_peak_concurrency_sweep")
+    delta_windows = [
+        ln for ln in p188.splitlines()
+        if re.search(r"\bWindow\b", ln) and "delta" in ln
+    ]
+    assert delta_windows, p188
+    for ln in delta_windows:
+        assert "__shard" in ln, ln
