@@ -17016,78 +17016,145 @@ def q266_fulfillment_lead_time(spark, sf_dir):
 
 
 STAMP_PRIORITY: list[str] = [
-    # ---- round-7 window (first 50 = the driver's stamp set) ----
-    # Red-row fixes first: q160/q161 were hash-red in r06 on oracle
-    # dtype only (DuckDB HUGEINT sum -> pandas float64); the CAST AS
-    # BIGINT fix landed this round — re-stamp to return the ledger to
-    # zero red.  New round-7 registrations follow (never stamped).
-    "q160_error_rate_control_chart",
-    "q161_source_token_entropy",
-    # New round-7 registrations (never stamped, full oracles).
-    "q165_curation_pipeline",
-    "q166_pq_codes_portable",
-    "q167_bloom_membership",
-    "q168_streaming_click_error_left_outer",
-    "q169_partition_checksums",
-    "q170_delta_join_view_maintenance",
-    "q171_seasonal_residual_anomaly",
-    "q172_histogram_sketch_quantiles",
-    "q173_join_size_cms_estimate",
-    "q174_table_stats_one_pass",
-    "q175_ann_recall_audit",
-    "q176_k_anonymity_generalization",
-    "q177_hll_set_algebra",
-    "q178_grouped_ols_regression",
-    "q179_time_decay_engagement",
-    # Changed-operator re-proofs: q155's middle-node selection moved
-    # to array_sort (overflow-safe, identical values) and q157's
-    # deviation relation is now persisted (plan-only change) — cheap
-    # driver re-confirmation that neither edit moved a value.
-    "q155_trade_triangle_enum",
-    "q157_mad_robust_outliers",
-    # Rotation: the 24 rows whose latest green stamp is r03 — three
-    # rounds old, the oldest in the merged ledger (bodies unchanged
-    # and pytest-green meanwhile; this is drift insurance, per the
-    # no-stamp-older-than-2-rounds policy).
-    "q54_conditional_agg_returns",
-    "q56_customer_order_counts_left",
-    "q60_order_scalar_features",
-    "q63_md5_minhash_signatures",
-    "q64_neardup_cluster_labels",
-    "q65_partitioned_month_revenue",
-    "q66_tfidf_top_terms",
-    "q67_pii_redaction",
-    "q68_doc_token_chunks",
-    "q69_vocab_top_terms",
-    "q71_md5_simhash_bits",
-    "q72_order_value_analytics",
-    "q73_doc_repetition",
-    "q74_benchmark_contamination",
-    "q76_unigram_logprob_score",
-    "q77_grouping_sets_revenue",
-    "q83_neardup_edit_distance",
-    "q84_source_quality_filter",
-    "q85_langid_confusion",
-    "q86_embedding_int8_quant",
-    "q87_label_centroids",
-    "q89_doc_length_histogram",
-    "q90_crossdoc_boilerplate",
-    "q91_cluster_representative",
-    # Batch-5 registrations (never stamped, full oracles) — these
-    # outrank r04 stamp refreshes, so they take the remaining slots.
-    "q180_kmv_distinct_sketch",
-    "q181_copurchase_bfs_hops",
-    "q182_daily_order_autocorrelation",
-    "q183_part_pareto_skyline",
-    "q184_activity_streaks",
-    "q185_referential_usage_audit",
-    # One oldest r04 row fills the last slot.  NEXT ROUND (r8): lead
-    # with the never-stamped rows q186-q266 (registered after this
-    # window filled; all pre-verified by the pytest oracle replica at
-    # sf0.001 AND full driver-replica sweeps at sf0.01 — zero fails),
-    # then continue the r04 block (q11-q98), then r05.  q186-q266 are
-    # 81 rows, so they span the r8 window and spill into r9's.
-    "q10_bottom10_nations_by_balance",
+    # ---- round-8 window (first 50 = the driver's stamp set) ----
+    # The 81 q186-q266 registrations have never been driver-stamped
+    # (they landed after the r7 window was fixed).  Lead with
+    # q186-q230 (45 never-stamped rows, registry order), then the 5
+    # queries whose bodies changed this round and therefore need a
+    # driver stamp on the NEW plan: q242 (TakeOrdered top-20), q248
+    # (integral pair counts), q257 (guard + F.round), q258 (F.round),
+    # q264 (de-broadcast + shared centroid ranking).  q202/q188 also
+    # changed and sit inside q186-q230.  All 50 pre-verified by the
+    # full driver-replica sweep at sf0.01 before this rotation.
+    "q186_copurchase_kcore",
+    "q187_phrase_positional_search",
+    "q188_peak_concurrency_sweep",
+    "q189_copurchase_association_rules",
+    "q190_greedy_coverage_selection",
+    "q191_user_activity_bitmap",
+    "q192_dq_constraint_suite",
+    "q193_mann_whitney_utest",
+    "q194_bipartite_hits",
+    "q195_pmi_collocations",
+    "q196_session_path_analysis",
+    "q197_capped_running_balance",
+    "q198_benford_digit_audit",
+    "q199_hourly_crosscorrelation",
+    "q200_funnel_latency_quantiles",
+    "q201_token_zipf_fit",
+    "q202_rfm_segmentation",
+    "q203_label_medoids",
+    "q204_interarrival_burstiness",
+    "q205_cohort_ltv_curves",
+    "q206_revenue_concentration",
+    "q207_centroid_medoid_proxy",
+    "q208_order_volume_changepoint",
+    "q209_part_abc_classification",
+    "q210_negative_sampling",
+    "q211_degree_assortativity",
+    "q212_ks_two_sample_test",
+    "q213_markov_heldout_accuracy",
+    "q214_feature_hashing",
+    "q215_source_quantile_normalization",
+    "q216_copurchase_link_prediction",
+    "q217_prediction_calibration",
+    "q218_mann_kendall_trend",
+    "q219_hash_bootstrap_ci",
+    "q220_streaming_value_histogram",
+    "q221_point_in_time_feature_join",
+    "q222_process_conformance",
+    "q223_wasserstein_value_drift",
+    "q224_daily_order_peaks",
+    "q225_theil_sen_slope",
+    "q226_windowed_funnel",
+    "q227_weighted_quantiles",
+    "q228_kaplan_meier_survival",
+    "q229_ses_forecast",
+    "q230_forecast_backtest",
+    "q242_session_path_taxonomy",
+    "q248_entity_resolution_scoring",
+    "q257_markov_removal_attribution",
+    "q258_power_iteration_pca",
+    "q264_knn_ivf_loo_fast",
+    # ---- r9 queue (beyond the 50-slot window; doc only) ----
+    # Remaining never-stamped rows first:
+    "q231_misra_gries_heavy_hitters",
+    "q232_llr_keywords",
+    "q233_spearman_corr",
+    "q234_yoy_growth",
+    "q235_l_diversity_audit",
+    "q236_langid_prf1",
+    "q237_weighted_shortest_path",
+    "q238_mutual_nn_pairs",
+    "q239_info_gain_split",
+    "q240_popularity_rec_hitk",
+    "q241_holt_trend_forecast",
+    "q243_robust_means",
+    "q244_event_burst_compaction",
+    "q245_activity_lease_coverage",
+    "q246_label_propagation_communities",
+    "q247_ams_f2_sketch",
+    "q249_watermark_delay_audit",
+    "q250_weekday_seasonal_decomposition",
+    "q251_spatial_radius_join",
+    "q252_ann_ndcg_eval",
+    "q253_doc_readability_scores",
+    "q254_woe_feature_encoding",
+    "q255_column_encoding_advisor",
+    "q256_knn_loo_classifier_eval",
+    "q259_simpsons_paradox_screen",
+    "q260_cohort_retention_triangle",
+    "q261_geometric_median_weiszfeld",
+    "q262_scd2_state_intervals",
+    "q263_weekly_trending_parts",
+    "q265_orderkey_gap_audit",
+    "q266_fulfillment_lead_time",
+    # ...then the stale block whose latest green stamp is r04
+    # (bodies unchanged, pytest-green; no stamp should age past
+    # two rounds once the never-stamped backlog clears):
+    "q11_top20_part_types",
+    "q13_customers_without_orders",
+    "q14_customers_with_recent_orders",
+    "q15_dedup_docs_exact",
+    "q16_validation_counts",
+    "q17_quarantine_rows",
+    "q18_token_counts",
+    "q19_language_id",
+    "q20_quality_scores",
+    "q21_doc_fingerprints",
+    "q23_jaccard_neardup_pairs",
+    "q27_hourly_event_stats",
+    "q28_event_json_extract",
+    "q29_user_sessions",
+    "q30_top_events_per_user",
+    "q31_event_type_pivot",
+    "q32_event_value_percentiles",
+    "q33_distinct_users_by_type",
+    "q34_clickers_not_buyers",
+    "q40_asof_last_click_before_purchase",
+    "q41_clicks_within_day_of_error",
+    "q45_clickers_who_purchased",
+    "q49_value_mad_by_type",
+    "q55_union_all_activity",
+    "q57_click_purchase_full_outer",
+    "q58_running_user_value",
+    "q59_moving_avg_value",
+    "q61_json_struct_parse",
+    "q62_user_event_type_sets",
+    "q70_ivf_blocked_embedding_neardup",
+    "q75_variant_event_props",
+    "q78_exists_correlated_subquery",
+    "q79_top_order_per_customer_lateral",
+    "q80_user_event_histogram",
+    "q81_asof_next_purchase_after_error",
+    "q82_trailing_hour_purchase_sum",
+    "q88_engaged_user_set_ops",
+    "q92_audio_wav_meta",
+    "q94_source_mix_rebalance",
+    "q95_user_last_event_state",
+    "q96_funnel_conversion",
+    "q97_incremental_neardup",
+    "q98_session_transcripts",
 ]
 
 
