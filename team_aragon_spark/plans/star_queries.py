@@ -16789,63 +16789,176 @@ def q264_knn_ivf_loo_fast(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     ncells = int(math.ceil(math.sqrt(emb.count())))  # scalar, bounded
-    cent = emb.filter(F.col("vec_id") < ncells).select(
+    from team_aragon_spark.operators.similarity import _DOT, _norm_expr
+
+    # Norms are folded ONCE per centroid / per vector (the measured
+    # q203 discipline: cosine_expr re-derives both norms inside every
+    # pair, 3 array folds per pair; with ~2*sqrt(n) candidates per
+    # query that tripled the dominant cost at 100x).  Every pair
+    # cosine below divides the pair dot by the product of these SAME
+    # sqrt values, so the doubles are bit-identical to the oracle's
+    # per-pair spelling.  (An unrolled 64-term sum was measured
+    # SLOWER here — the giant expression falls out of codegen and
+    # tree-walks per term; the fold stays the hot-path spelling.)
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.expr(_norm_expr("embedding")).alias("vnorm"),
+    ).persist()  # feeds the centroid slice, the scoring pass, and the
+    # winner re-join
+    cent = base.filter(F.col("vec_id") < ncells).select(
         F.col("vec_id").cast("int").alias("cell"),
-        F.col("embedding").alias("cv"),
+        F.col("v").alias("cv"),
+        F.col("vnorm").alias("cnorm"),
     )
-    s9 = F.round(F.expr(similarity.cosine_expr("v", "cv")), 9)
+    s9 = F.round(
+        F.expr(
+            f"try_divide({_DOT.format(a='v', b='cv')}, vnorm * cnorm)"
+        ),
+        9,
+    )
     wq = Window.partitionBy("vec_id").orderBy(F.desc("s9"), F.asc("cell"))
     # ONE centroid-scoring pass serves both roles: rk==1 is the IVF
     # assignment (identical argmax + smallest-cell tie rule to a
     # max-struct) and rk<=2 are the nprobe=2 probe cells — this
     # halves the dominant n*sqrt(n) similarity work vs scoring the
-    # corpus side and the query side separately
+    # corpus side and the query side separately.  Only the SLIM
+    # (vec_id, cell, s9) triple goes through the ranking window
+    # (measured: carrying the embedding through the n*sqrt(n)-row
+    # shuffle was ~10x the window's byte volume); the two winners
+    # per vector re-join base to reattach v/vnorm/label.
     ranked = (
-        emb.select("vec_id", "label", F.col("embedding").alias("v"))
-        .crossJoin(F.broadcast(cent))  # centroids are O(sqrt n): safe
-        .select("vec_id", "label", "v", "cell", s9.alias("s9"))
+        base.crossJoin(F.broadcast(cent))  # centroids are O(sqrt n)
+        .select("vec_id", "cell", s9.alias("s9"))
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= 2)
+        .select("vec_id", "cell", "rk")
+        .join(base, "vec_id")
         .persist()
     )
     asg = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
+        F.col("vnorm").alias("nnorm"),
         "cell",
     )
     probes = ranked.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("tlabel"),
         F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
         "cell",
+        "rk",
     )
-    # persisted: candidates feed the volume count AND the vote top-k.
+    # Candidate volume per query WITHOUT materializing candidates:
+    # each probed cell contributes its full assigned population, minus
+    # exactly 1 for the self-match (the query's rk==1 probe IS its
+    # assignment cell, so self appears exactly once).  Identical to
+    # counting the enumerated pairs, at |cells|-relation cost.
+    sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+    nc = (
+        probes.join(F.broadcast(sizes), "cell")
+        .groupBy("query_id")
+        .agg((F.sum("csz") - 1).alias("n_candidates"))
+    )
     # probes is corpus-sized (2 rows per vector, embeddings included)
-    # so it must NOT be broadcast — plain shuffle join on cell; AQE
-    # picks the physical strategy
-    cand = (
-        asg.join(probes, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    # so it must NOT be broadcast — plain shuffle joins on cell; AQE
+    # picks the physical strategy.
+    s4 = F.round(
+        F.expr(
+            f"try_divide({_DOT.format(a='qv', b='nv')}, qnorm * nnorm)"
+        ),
+        4,
+    )
+    # SAME-CELL candidates (the query's rk==1 probe is its own
+    # assignment cell) are symmetric by construction — if n is a
+    # candidate of q, q is a candidate of n — so the cosine fold runs
+    # ONCE per unordered pair and the mirror row reuses the value
+    # (per-dim products and the norm product commute exactly in IEEE,
+    # so the mirrored s4 is bit-identical).  That removes half the
+    # within-cell folds — ~25% of all candidate folds at sqrt-n cell
+    # sizing (measured; the fold is the wall, not the enumeration).
+    own = probes.filter(F.col("rk") == 1).drop("rk")
+    other = probes.filter(F.col("rk") == 2).drop("rk")
+    sc = (
+        asg.join(own, "cell")
+        .filter(F.col("neighbor_id") < F.col("query_id"))
         .select(
+            "cell",
             "query_id",
             "tlabel",
             "neighbor_id",
             "nlabel",
-            F.round(F.expr(similarity.cosine_expr("qv", "nv")), 4).alias(
-                "s4"
-            ),
+            s4.alias("s4"),
         )
-        .persist()
+        .select(
+            "cell",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("query_id").alias("q"),
+                        F.col("tlabel").alias("t"),
+                        F.col("neighbor_id").alias("n"),
+                        F.col("nlabel").alias("nl"),
+                    ),
+                    F.struct(
+                        F.col("neighbor_id").alias("q"),
+                        F.col("nlabel").alias("t"),
+                        F.col("query_id").alias("n"),
+                        F.col("tlabel").alias("nl"),
+                    ),
+                )
+            ).alias("e"),
+            "s4",
+        )
+        .select(
+            "cell",
+            F.col("e.q").alias("query_id"),
+            F.col("e.t").alias("tlabel"),
+            F.col("e.n").alias("neighbor_id"),
+            F.col("e.nl").alias("nlabel"),
+            "s4",
+        )
     )
-    nc = cand.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_candidates")
+    # CROSS-CELL candidates (rk==2 probe): neighbor and query cells
+    # differ, so no self/mirror handling is needed.
+    cross = (
+        asg.join(other, "cell")
+        .select(
+            "cell",
+            "query_id",
+            "tlabel",
+            "neighbor_id",
+            "nlabel",
+            s4.alias("s4"),
+        )
+    )
+    # Two-level top-k, per branch: each branch's (cell, query_id)
+    # window is satisfied by its join's existing cell partitioning
+    # (no new shuffle — only an in-partition sort), and the global
+    # per-query window then ranks <= 2*k survivors per query instead
+    # of the full candidate set.  Exact: the global top-k is
+    # contained in the union of the per-cell top-k's.
+    wl = Window.partitionBy("cell", "query_id").orderBy(
+        F.desc("s4"), F.asc("neighbor_id")
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("s4"), F.asc("neighbor_id")
     )
+
+    def local_topk(df):
+        return (
+            df.withColumn("lrk", F.row_number().over(wl))
+            .filter(F.col("lrk") <= _KNN_K)
+            .drop("lrk", "cell")
+        )
+
     k = (
-        cand.withColumn("rk", F.row_number().over(wk))
+        local_topk(sc)
+        .unionByName(local_topk(cross))
+        .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _KNN_K)
         .select("query_id", "tlabel", "nlabel")
     )

@@ -2141,12 +2141,15 @@ def test_round7_batch25_plan_shapes(spark):
     assert "BatchEvalPython" not in p263
     assert "InMemoryTableScan" in p263, "top-k relation must persist"
 
-    # q264 (IVF kNN twin): candidates persist for the volume count
-    # and the vote; centroid crossJoins broadcast; no Python.
+    # q264 (IVF kNN twin): the base projection and the two-winner
+    # relation persist (candidates are never materialized — counts
+    # come from cell sizes); centroid crossJoins broadcast; no
+    # Python; no corpus-sized broadcast (the only BroadcastExchange
+    # inputs are the sqrt-n centroid slice and the |cells|-row sizes).
     p264 = plan("q264_knn_ivf_loo_fast")
     assert "CartesianProduct" not in p264
     assert "BatchEvalPython" not in p264 and "MapInPandas" not in p264
-    assert "InMemoryTableScan" in p264, "candidates must persist"
+    assert "InMemoryTableScan" in p264, "base/winner relations must persist"
 
     # q265 (gap audit): the key relation persists for its two
     # consumers; the in-bucket lag is hash-distributed on the
