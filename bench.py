@@ -209,6 +209,8 @@ EXTRA = [
     "q264_knn_ivf_loo_fast",        # IVF-blocked kNN LOO (q256 twin)
     "q265_orderkey_gap_audit",      # bucketed key-sequence gap audit
     "q266_fulfillment_lead_time",   # ship-minus-order SLA percentiles
+    # round-8 families:
+    "q267_curation_pipeline_v2",    # passage dedup + greedy coverage DAG
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -17128,6 +17128,140 @@ def q266_fulfillment_lead_time(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-8: curation DAG v2 — passage dedup + greedy coverage composed
+# ---------------------------------------------------------------------------
+
+_CUR2_MIN_KEPT = 2
+
+
+def _cur2_sql() -> str:
+    """q110's passage-dedup CTE chain feeding q190's unrolled greedy
+    coverage: reassembled documents gate on surviving-passage count,
+    and the greedy token universe comes from the REASSEMBLED text —
+    so every round's gains and the covered totals shift with the
+    upstream passage winners (the cross-stage interaction the
+    composed oracle exists to prove)."""
+    parts = [
+        rf"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id,
+             unnest(list_transform(
+                 range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                 i -> struct_pack(pos := i,
+                                  passage := array_to_string(
+                                      toks[i * 8 + 1 : i * 8 + 8], ' ')))) AS p
+      FROM t),
+p AS (SELECT doc_id, CAST(p.pos AS INT) AS pos, p.passage AS passage FROM e),
+k AS (SELECT passage, doc_id, pos,
+             row_number() OVER (PARTITION BY passage
+                                ORDER BY doc_id, pos) AS rn
+      FROM p),
+r AS MATERIALIZED (
+  SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM k WHERE rn = 1 GROUP BY doc_id),
+kept AS MATERIALIZED (
+  SELECT doc_id, clean_text FROM r WHERE n_kept >= {_CUR2_MIN_KEPT}),
+td AS MATERIALIZED (
+  SELECT DISTINCT doc_id, u.u AS tok
+  FROM kept, unnest(regexp_split_to_array(trim(clean_text), '\s+')) AS u(u)),
+c0 AS (SELECT tok FROM td WHERE 1 = 0)"""
+    ]
+    for i in range(1, _GREEDY_ROUNDS + 1):
+        parts.append(
+            f""",
+g{i} AS MATERIALIZED (
+  SELECT td.doc_id, count(*) AS gain
+  FROM td WHERE td.tok NOT IN (SELECT tok FROM c{i - 1})
+  GROUP BY td.doc_id),
+w{i} AS MATERIALIZED (
+  SELECT doc_id, gain FROM g{i} ORDER BY gain DESC, doc_id LIMIT 1),
+c{i} AS MATERIALIZED (
+  SELECT tok FROM c{i - 1}
+  UNION
+  SELECT tok FROM td WHERE td.doc_id = (SELECT doc_id FROM w{i}))"""
+        )
+    rounds_union = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS round, doc_id, gain,
+       (SELECT count(*) FROM c{i}) AS covered_total
+FROM w{i}"""
+        for i in range(1, _GREEDY_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(round AS BIGINT) AS round, doc_id, CAST(gain AS BIGINT) AS gain,
+       CAST(covered_total AS BIGINT) AS covered_total
+FROM ({rounds_union})
+ORDER BY round"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q267_curation_pipeline_v2",
+    _cur2_sql(),
+    ops=("ext-curation-dag-v2",),
+    doc="CURATION DAG v2 — the two curation operators q165 does not "
+    "compose, proven IN composition: passage-level dedup + "
+    "reassembly (q110: every 8-token passage survives only at its "
+    "first corpus-wide occurrence, documents rebuilt from surviving "
+    "passages) -> a boilerplate gate (docs keeping fewer than "
+    f"{_CUR2_MIN_KEPT} passages drop — they were mostly cross-doc "
+    "repeats) -> greedy max-coverage selection (q190) over the "
+    "REASSEMBLED texts' token sets, so each round's gains, the "
+    "winners and the covered totals all depend on the upstream "
+    "passage winners.  The oracle replays the whole DAG as one CTE "
+    "chain (q110's chain feeding q190's unrolled greedy rounds — "
+    "the q165 composed-oracle pattern).  Scale: passage dedup is a "
+    "partial-combinable min(struct) hash aggregate + a doc-bounded "
+    "reassembly (no windows, no joins); the gate is a filter; the "
+    "greedy loop is k sequential anti-join + map-combined aggregate "
+    "passes over the cached (doc, token) relation with a "
+    "vocabulary-bounded broadcast covered set (the q190 cost "
+    "model).",
+)
+def q267_curation_pipeline_v2(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # Stage 1 — passage dedup + reassembly (q110's operator).
+    re_ = text_dedup.passage_dedup_reassemble(docs, window=8)
+    # Stage 2 — boilerplate gate on surviving-passage count.
+    kept = re_.filter(F.col("n_kept") >= _CUR2_MIN_KEPT).select(
+        "doc_id", "clean_text"
+    )
+    # Stage 3 — greedy max-coverage over the reassembled token sets.
+    td = (
+        kept.select(
+            "doc_id",
+            F.explode(F.split(F.trim("clean_text"), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .persist()
+    )
+    covered = spark.createDataFrame([], "tok string").localCheckpoint()
+    out = []
+    for rnd in range(1, _GREEDY_ROUNDS + 1):
+        gains = (
+            td.join(F.broadcast(covered), "tok", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        w = gains.orderBy(F.desc("gain"), "doc_id").limit(1).collect()
+        if not w:
+            break
+        covered = (
+            covered.unionByName(
+                td.filter(F.col("doc_id") == w[0].doc_id).select("tok")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        out.append((rnd, w[0].doc_id, w[0].gain, covered.count()))
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered_total long"
+    ).orderBy("round")
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-8 window (first 50 = the driver's stamp set) ----
     # The 81 q186-q266 registrations have never been driver-stamped
@@ -17190,7 +17324,9 @@ STAMP_PRIORITY: list[str] = [
     "q258_power_iteration_pca",
     "q264_knn_ivf_loo_fast",
     # ---- r9 queue (beyond the 50-slot window; doc only) ----
-    # Remaining never-stamped rows first:
+    # Remaining never-stamped rows first (q267 is the round-8
+    # composed-DAG registration):
+    "q267_curation_pipeline_v2",
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
