@@ -211,6 +211,8 @@ EXTRA = [
     "q266_fulfillment_lead_time",   # ship-minus-order SLA percentiles
     # round-8 families:
     "q267_curation_pipeline_v2",    # passage dedup + greedy coverage DAG
+    "q268_cuped_experiment_readout",  # CUPED variance-reduced experiment
+    "q269_embedding_centroid_drift",  # per-label embedding drift monitor
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -17262,6 +17262,238 @@ def q267_curation_pipeline_v2(spark, sf_dir):
     ).orderBy("round")
 
 
+# ---------------------------------------------------------------------------
+# Round-8: CUPED experiment readout, embedding centroid drift
+# ---------------------------------------------------------------------------
+
+_CUPED_T0_DAY = 19738  # 2024-01-16: fixed pre/post cutoff (epoch days)
+_CUPED_SALT = "exp1:"
+
+_CUPED_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_ms(ts) // 86400000 < {_CUPED_T0_DAY}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS xc,
+         sum(CASE WHEN epoch_ms(ts) // 86400000 >= {_CUPED_T0_DAY}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yc
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT user_id, xc, yc,
+         CASE WHEN substr(md5('{_CUPED_SALT}' || CAST(user_id AS VARCHAR)),
+                          1, 1) < '8'
+              THEN 'treatment' ELSE 'control' END AS arm
+  FROM u),
+g AS (
+  SELECT count(*) AS n, sum(xc) AS sx, sum(yc) AS sy,
+         sum(xc * xc) AS sxx, sum(yc * yc) AS syy, sum(xc * yc) AS sxy
+  FROM a),
+st AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cv,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vx,
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vy,
+         CAST(sx AS DOUBLE) / n / 100.0 AS mx_all
+  FROM g),
+arm AS (
+  SELECT arm, count(*) AS n_arm, sum(xc) AS sxa, sum(yc) AS sya
+  FROM a GROUP BY arm)
+SELECT arm.arm, CAST(arm.n_arm AS BIGINT) AS n,
+       round(CAST(arm.sxa AS DOUBLE) / arm.n_arm / 100.0, 6) AS mean_x,
+       round(CAST(arm.sya AS DOUBLE) / arm.n_arm / 100.0, 6) AS mean_y,
+       round(CAST(arm.sya AS DOUBLE) / arm.n_arm / 100.0
+             - (st.cv / st.vx)
+               * (CAST(arm.sxa AS DOUBLE) / arm.n_arm / 100.0 - st.mx_all),
+             6) AS mean_y_cuped,
+       round(st.cv / st.vx, 6) AS theta,
+       round((st.cv * st.cv) / (st.vx * st.vy), 6) AS r2
+FROM arm CROSS JOIN st ORDER BY arm.arm"""
+
+
+@register(
+    "q268_cuped_experiment_readout",
+    _CUPED_SQL,
+    ops=("ext-cuped-adjustment",),
+    doc="CUPED VARIANCE-REDUCED EXPERIMENT READOUT (Deng et al. 2013, "
+    "the pre-period-covariate adjustment every large experimentation "
+    "platform applies before q143's significance test): per user, "
+    "pre-period spend X (days before the fixed 2024-01-16 cutoff) "
+    "and post-period spend Y in exact CENTS; a portable md5 hash "
+    "splits users 50/50 into arms (the q112 determinism convention "
+    "— assignment survives reruns and corpus growth); theta = "
+    "cov(X,Y)/var(X) and the adjusted mean Y - theta*(mean_x_arm - "
+    "mean_x_all) per arm, plus r^2 = the fraction of Y-variance the "
+    "covariate removes.  Cross-engine exactness: every sufficient "
+    "statistic (sums, sums of squares/products of cents) is an "
+    "EXACT integer in both engines (Spark decimal(38,0) partials, "
+    "DuckDB HUGEINT), so the double conversions and divisions see "
+    "identical scalars — no accumulation-order rounding anywhere "
+    "before the final round(6).  Scale: ONE map-combined pass over "
+    "events into per-user sums, one 1-row stats aggregate, one "
+    "2-row arm aggregate — no joins, no windows, no shuffle beyond "
+    "the user-keyed combine.",
+)
+def q268_cuped_experiment_readout(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(day < _CUPED_T0_DAY, cents).otherwise(0)).alias("xc"),
+        F.sum(F.when(day >= _CUPED_T0_DAY, cents).otherwise(0)).alias("yc"),
+    )
+    a = u.withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_CUPED_SALT), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            "treatment",
+        ).otherwise("control"),
+    ).persist()  # feeds the global stats AND the per-arm aggregate
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact sums
+    g = a.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("xc"))).alias("sx"),
+        F.sum(d38(F.col("yc"))).alias("sy"),
+        F.sum(d38(F.col("xc") * F.col("xc"))).alias("sxx"),
+        F.sum(d38(F.col("yc") * F.col("yc"))).alias("syy"),
+        F.sum(d38(F.col("xc") * F.col("yc"))).alias("sxy"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    st = g.select(
+        (dd("n") * dd("sxy") - dd("sx") * dd("sy")).alias("cv"),
+        (dd("n") * dd("sxx") - dd("sx") * dd("sx")).alias("vx"),
+        (dd("n") * dd("syy") - dd("sy") * dd("sy")).alias("vy"),
+        (dd("sx") / F.col("n") / 100.0).alias("mx_all"),
+    )
+    arm = a.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum(d38(F.col("xc"))).alias("sxa"),
+        F.sum(d38(F.col("yc"))).alias("sya"),
+    )
+    mx_arm = dd("sxa") / F.col("n_arm") / 100.0
+    my_arm = dd("sya") / F.col("n_arm") / 100.0
+    theta = F.col("cv") / F.col("vx")
+    return (
+        arm.crossJoin(F.broadcast(st))
+        .select(
+            "arm",
+            F.col("n_arm").cast("bigint").alias("n"),
+            F.round(mx_arm, 6).alias("mean_x"),
+            F.round(my_arm, 6).alias("mean_y"),
+            F.round(
+                my_arm - theta * (mx_arm - F.col("mx_all")), 6
+            ).alias("mean_y_cuped"),
+            F.round(theta, 6).alias("theta"),
+            F.round(
+                (F.col("cv") * F.col("cv")) / (F.col("vx") * F.col("vy")), 6
+            ).alias("r2"),
+        )
+        .orderBy("arm")
+    )
+
+
+_DRIFT_SQL = """
+WITH x AS MATERIALIZED (
+  SELECT e.label, e.vec_id % 2 AS snap, i.i AS i,
+         CAST(e.embedding[i.i + 1] AS DOUBLE) AS xi
+  FROM embeddings e, unnest(range(len(e.embedding))) AS i(i)),
+cent AS MATERIALIZED (
+  SELECT label, snap, i, round(avg(xi), 6) AS c
+  FROM x GROUP BY label, snap, i),
+n AS (
+  SELECT label, vec_id % 2 AS snap, count(*) AS n
+  FROM embeddings GROUP BY label, vec_id % 2),
+j AS (
+  SELECT a.label,
+         sum(a.c * b.c) AS dot,
+         sum(a.c * a.c) AS sa,
+         sum(b.c * b.c) AS sb
+  FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+  WHERE a.snap = 0 AND b.snap = 1
+  GROUP BY a.label)
+SELECT j.label, CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       round(dot / (sqrt(sa) * sqrt(sb)), 6) AS cos_drift,
+       round(sqrt(sa), 6) AS norm_a, round(sqrt(sb), 6) AS norm_b
+FROM j JOIN n na ON na.label = j.label AND na.snap = 0
+JOIN n nb ON nb.label = j.label AND nb.snap = 1
+ORDER BY j.label"""
+
+
+@register(
+    "q269_embedding_centroid_drift",
+    _DRIFT_SQL,
+    ops=("ext-embedding-drift",),
+    doc="EMBEDDING CENTROID DRIFT — the ML-ops monitor for embedding "
+    "snapshots (q141 PSI watches scalar distributions; this watches "
+    "the VECTOR space): the corpus splits into two deterministic "
+    "snapshots (vec_id parity — stands in for model-version or "
+    "time-window partitions), per (label, snapshot) the centroid is "
+    "the per-dimension mean ROUNDED to 6 before any cross-engine "
+    "comparison (the q258 accumulation-order pin: both engines then "
+    "compare the SAME matrix), and per label the report is the "
+    "cosine between its two centroids plus both norms and member "
+    "counts — cosine near 1 means the class's region is stable, a "
+    "drop flags drift/label noise.  Scale: the melt is one narrow "
+    "posexplode pass, the centroid aggregate map-combines into "
+    "|labels| x 2 x dim cells, and everything after runs on that "
+    "dimension-bounded relation.",
+)
+def q269_embedding_centroid_drift(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("snap"),
+        F.posexplode(F.col("embedding")).alias("i", "xf"),
+    ).select("label", "snap", "i", F.col("xf").cast("double").alias("xi"))
+    cent = x.groupBy("label", "snap", "i").agg(
+        F.round(F.avg("xi"), 6).alias("c")
+    )
+    n = emb.groupBy(
+        "label", F.pmod(F.col("vec_id"), F.lit(2)).alias("snap")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cent.filter(F.col("snap") == 0).select(
+        "label", "i", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("snap") == 1).select(
+        "label", "i", F.col("c").alias("cb")
+    )
+    j = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sa"),
+            F.sum(F.col("cb") * F.col("cb")).alias("sb"),
+        )
+    )
+    na = n.filter(F.col("snap") == 0).select("label", F.col("n").alias("n_a"))
+    nb = n.filter(F.col("snap") == 1).select("label", F.col("n").alias("n_b"))
+    return (
+        j.join(F.broadcast(na), "label")
+        .join(F.broadcast(nb), "label")
+        .select(
+            "label",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("dot") / (F.sqrt("sa") * F.sqrt("sb")), 6
+            ).alias("cos_drift"),
+            F.round(F.sqrt("sa"), 6).alias("norm_a"),
+            F.round(F.sqrt("sb"), 6).alias("norm_b"),
+        )
+        .orderBy("label")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-8 window (first 50 = the driver's stamp set) ----
     # The 81 q186-q266 registrations have never been driver-stamped
@@ -17324,9 +17556,11 @@ STAMP_PRIORITY: list[str] = [
     "q258_power_iteration_pca",
     "q264_knn_ivf_loo_fast",
     # ---- r9 queue (beyond the 50-slot window; doc only) ----
-    # Remaining never-stamped rows first (q267 is the round-8
-    # composed-DAG registration):
+    # Remaining never-stamped rows first (q267-q269 are the round-8
+    # registrations):
     "q267_curation_pipeline_v2",
+    "q268_cuped_experiment_readout",
+    "q269_embedding_centroid_drift",
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
