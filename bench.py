@@ -213,6 +213,7 @@ EXTRA = [
     "q267_curation_pipeline_v2",    # passage dedup + greedy coverage DAG
     "q268_cuped_experiment_readout",  # CUPED variance-reduced experiment
     "q269_embedding_centroid_drift",  # per-label embedding drift monitor
+    "q270_knn_ivf_loo_arrow",       # Arrow-kernel IVF kNN twin (10x q264)
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -732,3 +732,163 @@ def pq_assign_arrow(
                 )
 
     return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+
+
+def cell_knn_topk_arrow(
+    asg: DataFrame,
+    probes: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-(cell, query) top-``k`` cosine candidates as a cogrouped
+    numpy kernel — the Arrow-batch twin of the JVM candidate scoring
+    inside q264's IVF leave-one-out audit.
+
+    Inputs: ``asg`` (cell, neighbor_id, nlabel, nv, nnorm) — one row
+    per corpus vector in its assigned cell; ``probes`` (qcell,
+    query_id, tlabel, qv, qnorm) — one row per (query, probed cell);
+    the key is named differently per side so callers whose two sides
+    descend from one relation dodge the self-join ambiguity check.
+    Output: (query_id, tlabel, neighbor_id, nlabel, s4) — the top-k
+    per (cell, query) by (s4 DESC, neighbor_id ASC), self-pairs
+    excluded, with ``s4 = round(dot / (qnorm * nnorm), 4)``.
+
+    Exactness contract (why this can twin the JVM path): the dot
+    accumulates over dimensions in a python loop of vectorized
+    numpy adds — per scalar pair the order is ((0 + t1) + t2) + ...,
+    bit-identical to the SQL ``aggregate(zip_with(...))`` fold; the
+    division sees the SAME precomputed norms.  The one documented
+    seam is round-half-up: numpy has no decimal-string HALF_UP, so
+    the kernel uses copysign(floor(|x| * 1e4 + 0.5)) — equal to the
+    JVM/DuckDB rounding except for doubles whose shortest decimal
+    lands exactly on a .00005 boundary, which the equivalence pin
+    (tests/test_round8_semantics.py) would surface on a real corpus.
+    Hence the REGISTERED twin (q270) is rows-only + pinned-equal to
+    the value-oracled q264, the q152/q153 discipline.
+
+    Why Python here: the per-pair interpreted HOF fold measured
+    ~18 us/core at 100x (PLANS.md q264 row); one (|cell| x dim)
+    matmul-shaped batch per cell runs the same arithmetic at memory
+    bandwidth.  Plan shape: ONE cogroup shuffle on cell (the same
+    key the JVM join shuffles on), kernel output is k rows per
+    (cell, query) — candidates never materialize.
+    """
+    import numpy as np
+
+    out_schema = (
+        "query_id long, tlabel int, neighbor_id long, nlabel int, s4 double"
+    )
+    empty = {
+        "query_id": np.array([], dtype=np.int64),
+        "tlabel": np.array([], dtype=np.int32),
+        "neighbor_id": np.array([], dtype=np.int64),
+        "nlabel": np.array([], dtype=np.int32),
+        "s4": np.array([], dtype=np.float64),
+    }
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(empty)
+        nv = np.array(left["nv"].tolist(), dtype=np.float64)
+        qv = np.array(right["qv"].tolist(), dtype=np.float64)
+        nn = left["nnorm"].to_numpy(dtype=np.float64)
+        qn = right["qnorm"].to_numpy(dtype=np.float64)
+        nid = left["neighbor_id"].to_numpy(dtype=np.int64)
+        nlb = left["nlabel"].to_numpy(dtype=np.int32)
+        qid = right["query_id"].to_numpy(dtype=np.int64)
+        tlb = right["tlabel"].to_numpy(dtype=np.int32)
+        # exact fold order: ((0 + t1) + t2) + ... per scalar pair
+        acc = np.zeros((len(qv), len(nv)), dtype=np.float64)
+        for d in range(nv.shape[1]):
+            acc += qv[:, d : d + 1] * nv[None, :, d][0]
+        cos = acc / (qn[:, None] * nn[None, :])
+        s4 = np.copysign(np.floor(np.abs(cos) * 1e4 + 0.5), cos) / 1e4
+        rows_q, rows_t, rows_n, rows_nl, rows_s = [], [], [], [], []
+        for i in range(len(qv)):
+            order = np.lexsort((nid, -s4[i]))
+            taken = 0
+            for j in order:
+                if nid[j] == qid[i]:
+                    continue
+                rows_q.append(qid[i])
+                rows_t.append(tlb[i])
+                rows_n.append(nid[j])
+                rows_nl.append(nlb[j])
+                rows_s.append(s4[i, j])
+                taken += 1
+                if taken == k:
+                    break
+        return pd.DataFrame(
+            {
+                "query_id": np.array(rows_q, dtype=np.int64),
+                "tlabel": np.array(rows_t, dtype=np.int32),
+                "neighbor_id": np.array(rows_n, dtype=np.int64),
+                "nlabel": np.array(rows_nl, dtype=np.int32),
+                "s4": np.array(rows_s, dtype=np.float64),
+            }
+        )
+
+    return (
+        asg.groupBy("cell")
+        .cogroup(probes.groupBy("qcell"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
+def centroid_top2_arrow(
+    base: DataFrame,
+    cent_rows,
+) -> DataFrame:
+    """Top-2 probe cells per vector as a numpy mapInPandas kernel —
+    the Arrow twin of q264's centroid-scoring pass (dot every vector
+    against every centroid, rank by (round9(cos) DESC, cell ASC),
+    keep two).  ``cent_rows`` is the collected centroid slice:
+    (cell, vector, norm) triples — sqrt(n)-bounded, rides in the
+    task closure (~50 MB at a 10^10-vector corpus, the documented
+    ceiling; shard the centroid set if ever past that).
+
+    Same exactness contract as :func:`cell_knn_topk_arrow`: the dot
+    accumulates per dimension in the SQL fold's IEEE order and the
+    only seam is float half-up rounding, so consumers must be pinned
+    engine twins (q270), never value-oracled queries.  Plan shape:
+    narrow map over the base projection — the n*sqrt(n) scoring
+    never becomes rows and never crosses a shuffle (the JVM path
+    shuffles the slim scored triple into its ranking window).
+    """
+    import numpy as np
+
+    cells = np.array([r[0] for r in cent_rows], dtype=np.int32)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    cn = np.array([r[2] for r in cent_rows], dtype=np.float64)
+    order0 = np.argsort(cells, kind="stable")
+    cells, C, cn = cells[order0], C[order0], cn[order0]
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vn = pdf["vnorm"].to_numpy(dtype=np.float64)
+            acc = np.zeros((n, len(cells)), dtype=np.float64)
+            for d in range(C.shape[1]):
+                acc += V[:, d : d + 1] * C[None, :, d][0]
+            cos = acc / (vn[:, None] * cn[None, :])
+            s9 = np.copysign(np.floor(np.abs(cos) * 1e9 + 0.5), cos) / 1e9
+            # top-2 by (s9 DESC, cell ASC): cells are pre-sorted
+            # ascending, so a stable argsort on -s9 breaks ties by cell
+            idx = np.argsort(-s9, axis=1, kind="stable")[:, :2]
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            take = min(2, len(cells))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec_ids, take),
+                    "cell": cells[idx[:, :take]].reshape(-1),
+                    "rk": np.tile(
+                        np.arange(1, take + 1, dtype=np.int32), n
+                    ),
+                }
+            )
+
+    return base.select("vec_id", "v", "vnorm").mapInPandas(
+        fn, schema="vec_id long, cell int, rk int"
+    )

@@ -16765,26 +16765,15 @@ FROM p JOIN nc ON nc.query_id = p.query_id
 GROUP BY p.tlabel ORDER BY label"""
 
 
-@register(
-    "q264_knn_ivf_loo_fast",
-    _KNNF_SQL,
-    ops=("ext-knn-eval-ivf",),
-    doc="IVF-BLOCKED kNN LEAVE-ONE-OUT — q256's documented 100 TB "
-    "path REGISTERED as a fast twin with its own full value oracle "
-    "(the q152/q159 twin discipline): every vector is a query, but "
-    "neighbors come from nprobe=2 IVF cells instead of the "
-    "all-pairs scan; vote and tie rules are exactly q256's, and "
-    "avg_candidates per label reports the measured fraction of the "
-    "corpus each vote actually scanned.  The engine-portable coarse "
-    "quantizer is the first ceil(sqrt(n)) vectors — the standard "
-    "IVF cell sizing, so per-query candidates stay ~2*sqrt(n) "
-    "(fixed cells made candidates grow linearly per query and the "
-    "100x run DNF'd; sqrt sizing is what restores it — measured in "
-    "PLANS).  Scale: broadcast-centroid assignment + one cell "
-    "equi-join — candidate volume is cell-density-bounded, never "
-    "corpus^2.",
-)
-def q264_knn_ivf_loo_fast(spark, sf_dir):
+def _ivf_loo_sides(spark, sf_dir, arrow: bool = False):
+    """Shared IVF leave-one-out machinery of q264 and its Arrow twin
+    q270: assignment + probe-cell selection via one centroid-scoring
+    pass, and the per-query candidate counts from cell sizes.
+    Returns (asg, probes, nc) — see q264's doc for the plan shape.
+    With ``arrow=True`` the centroid scoring runs as the numpy
+    mapInPandas kernel (similarity.centroid_top2_arrow) instead of
+    the oracle-exact JVM fold — only the pinned twin may use it.
+    """
     import math
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -16828,15 +16817,18 @@ def q264_knn_ivf_loo_fast(spark, sf_dir):
     # (measured: carrying the embedding through the n*sqrt(n)-row
     # shuffle was ~10x the window's byte volume); the two winners
     # per vector re-join base to reattach v/vnorm/label.
-    ranked = (
-        base.crossJoin(F.broadcast(cent))  # centroids are O(sqrt n)
-        .select("vec_id", "cell", s9.alias("s9"))
-        .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 2)
-        .select("vec_id", "cell", "rk")
-        .join(base, "vec_id")
-        .persist()
-    )
+    if arrow:
+        cent_rows = cent.select("cell", "cv", "cnorm").collect()
+        winners = similarity.centroid_top2_arrow(base, cent_rows)
+    else:
+        winners = (
+            base.crossJoin(F.broadcast(cent))  # centroids are O(sqrt n)
+            .select("vec_id", "cell", s9.alias("s9"))
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= 2)
+            .select("vec_id", "cell", "rk")
+        )
+    ranked = winners.join(base, "vec_id").persist()
     asg = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
@@ -16863,6 +16855,62 @@ def q264_knn_ivf_loo_fast(spark, sf_dir):
         .groupBy("query_id")
         .agg((F.sum("csz") - 1).alias("n_candidates"))
     )
+    return asg, probes, nc
+
+
+def _loo_vote_report(k, nc):
+    """q256's vote + report tail, shared by q264 and the q270 twin:
+    per-query majority label over the top-k rows (count DESC, label
+    ASC tie rule), then per-label accuracy and mean candidate volume.
+    ``nc`` is one row per query (corpus-sized): shuffle join, never
+    broadcast — both sides key on query_id."""
+    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nlabel"))
+    pred = (
+        k.groupBy("query_id", "tlabel", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "tlabel", F.col("nlabel").alias("plabel"))
+    )
+    hit = F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0)
+    return (
+        pred.join(nc, "query_id")
+        .groupBy(F.col("tlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "accuracy"
+            ),
+            F.round(F.avg("n_candidates"), 2).alias("avg_candidates"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q264_knn_ivf_loo_fast",
+    _KNNF_SQL,
+    ops=("ext-knn-eval-ivf",),
+    doc="IVF-BLOCKED kNN LEAVE-ONE-OUT — q256's documented 100 TB "
+    "path REGISTERED as a fast twin with its own full value oracle "
+    "(the q152/q159 twin discipline): every vector is a query, but "
+    "neighbors come from nprobe=2 IVF cells instead of the "
+    "all-pairs scan; vote and tie rules are exactly q256's, and "
+    "avg_candidates per label reports the measured fraction of the "
+    "corpus each vote actually scanned.  The engine-portable coarse "
+    "quantizer is the first ceil(sqrt(n)) vectors — the standard "
+    "IVF cell sizing, so per-query candidates stay ~2*sqrt(n) "
+    "(fixed cells made candidates grow linearly per query and the "
+    "100x run DNF'd; sqrt sizing is what restores it — measured in "
+    "PLANS).  Scale: broadcast-centroid assignment + one cell "
+    "equi-join — candidate volume is cell-density-bounded, never "
+    "corpus^2.",
+)
+def q264_knn_ivf_loo_fast(spark, sf_dir):
+    from team_aragon_spark.operators.similarity import _DOT
+
+    asg, probes, nc = _ivf_loo_sides(spark, sf_dir)
     # probes is corpus-sized (2 rows per vector, embeddings included)
     # so it must NOT be broadcast — plain shuffle joins on cell; AQE
     # picks the physical strategy.
@@ -16962,30 +17010,49 @@ def q264_knn_ivf_loo_fast(spark, sf_dir):
         .filter(F.col("rk") <= _KNN_K)
         .select("query_id", "tlabel", "nlabel")
     )
-    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nlabel"))
-    pred = (
-        k.groupBy("query_id", "tlabel", "nlabel")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "tlabel", F.col("nlabel").alias("plabel"))
+    return _loo_vote_report(k, nc)
+
+
+@register(
+    "q270_knn_ivf_loo_arrow",
+    None,  # rows-only by design: the Arrow kernel's half-up rounding
+    # has no decimal-string guarantee, so the value proof is the
+    # pytest pin of exact equality to the fully-oracled q264 (the
+    # q152/q153 engine-twin discipline).
+    ops=("ext-knn-eval-ivf-arrow",),
+    doc="ARROW-KERNEL twin of q264 — the same IVF leave-one-out audit "
+    "with the candidate scoring moved from the interpreted JVM fold "
+    "(~18 us/pair/core at 100x, the measured q264 wall) into ONE "
+    "cogrouped numpy kernel per cell (similarity.cell_knn_topk_"
+    "arrow): per cell, a (queries x members) dot matrix accumulated "
+    "dimension-by-dimension in the fold's exact IEEE order, divided "
+    "by the same precomputed norms, rounded half-away-from-zero, "
+    "and reduced to the per-(cell, query) top-k INSIDE the kernel — "
+    "candidates never materialize as rows.  Assignment, probe "
+    "selection, candidate counting, vote and report are byte-for-"
+    "byte q264's (shared helpers).  Exact output equality to q264 "
+    "is pinned in pytest on real corpora; registered rows-only "
+    "because numpy's float half-up (copysign/floor) lacks the "
+    "BigDecimal shortest-decimal guarantee at .00005 boundaries.  "
+    "Scale: one cogroup shuffle on cell (same key the JVM join "
+    "shuffles on) + k rows per (cell, query) out.",
+)
+def q270_knn_ivf_loo_arrow(spark, sf_dir):
+    asg, probes, nc = _ivf_loo_sides(spark, sf_dir, arrow=True)
+    # both sides descend from the same ranked relation; the rename
+    # breaks the self-join attribute ambiguity in the cogroup keys
+    topk = similarity.cell_knn_topk_arrow(
+        asg, probes.drop("rk").withColumnRenamed("cell", "qcell"), k=_KNN_K
     )
-    hit = F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0)
-    # nc is one row per query (corpus-sized): shuffle join, not
-    # broadcast — both sides key on query_id
-    return (
-        pred.join(nc, "query_id")
-        .groupBy(F.col("tlabel").alias("label"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(hit).cast("bigint").alias("n_correct"),
-            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias(
-                "accuracy"
-            ),
-            F.round(F.avg("n_candidates"), 2).alias("avg_candidates"),
-        )
-        .orderBy("label")
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("s4"), F.asc("neighbor_id")
     )
+    k = (
+        topk.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("query_id", "tlabel", "nlabel")
+    )
+    return _loo_vote_report(k, nc)
 
 
 _GAP_B = 4096
@@ -17561,6 +17628,7 @@ STAMP_PRIORITY: list[str] = [
     "q267_curation_pipeline_v2",
     "q268_cuped_experiment_readout",
     "q269_embedding_centroid_drift",
+    "q270_knn_ivf_loo_arrow",
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
