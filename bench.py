@@ -214,6 +214,7 @@ EXTRA = [
     "q268_cuped_experiment_readout",  # CUPED variance-reduced experiment
     "q269_embedding_centroid_drift",  # per-label embedding drift monitor
     "q270_knn_ivf_loo_arrow",       # Arrow-kernel IVF kNN twin (10x q264)
+    "q271_retrieval_eval_pipeline", # hybrid RRF + NDCG eval composed DAG
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -17055,6 +17055,125 @@ def q270_knn_ivf_loo_arrow(spark, sf_dir):
     return _loo_vote_report(k, nc)
 
 
+_REVAL_K = 10
+
+# q138's full hybrid chain (BM25 top-20, dense top-20, RRF fusion),
+# extended with q252's graded-eval tail: the fused top-10 is scored
+# by NDCG against the dense exact-cosine top-10 as ground truth.
+_REVAL_SQL = _HYBRID_RRF_SQL.split(
+    "\nSELECT qid, doc_id, round(rrf_raw, 6)"
+)[0] + f""",
+sel AS (
+  SELECT qid, doc_id, CAST(rn AS BIGINT) AS i FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rrf_raw DESC, doc_id) AS rn
+    FROM fused)
+  WHERE rn <= {_REVAL_K}),
+truth AS (
+  SELECT qid, doc_id, rank_d AS tr FROM de WHERE rank_d <= {_REVAL_K}),
+idcg AS (
+  SELECT sum(({_REVAL_K} + 1 - i) / log2(i + 1.0)) AS v
+  FROM (SELECT unnest(range(1, {_REVAL_K} + 1)) AS i)),
+dcg AS (
+  SELECT s.qid,
+         CAST(sum(CASE WHEN t.tr IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits,
+         sum(CASE WHEN t.tr IS NOT NULL
+                  THEN ({_REVAL_K} + 1 - t.tr) ELSE 0 END
+             / log2(s.i + 1.0)) AS d
+  FROM sel s LEFT JOIN truth t
+    ON s.qid = t.qid AND s.doc_id = t.doc_id
+  GROUP BY s.qid)
+SELECT qid, hits, round(d, 6) AS dcg, round(d / idcg.v, 6) AS ndcg
+FROM dcg CROSS JOIN idcg ORDER BY qid"""
+
+
+@register(
+    "q271_retrieval_eval_pipeline",
+    _REVAL_SQL,
+    ops=("ext-ir-eval-dag",),
+    doc="RETRIEVAL-QUALITY EVAL DAG — the IR stack composed end to "
+    "end the way a RAG platform audits it: q116's BM25 keyword "
+    "top-20 and the dense exact-cosine top-20 fuse by reciprocal "
+    "rank (q138's stage, unchanged ranks), and the fused top-10 is "
+    "then SCORED with q252's graded NDCG@10 against the dense "
+    "branch's own top-10 as ground truth — so the metric directly "
+    "reports how much the keyword branch's misses dilute the dense "
+    "ranking (ndcg = 1.0 iff fusion preserved the dense order).  "
+    "All cross-stage interactions are live: fusion positions depend "
+    "on both branches, gains on the dense exact ranks.  The oracle "
+    "is q138's CTE chain extended with q252's discounted-sum tail.  "
+    "Scale: both branches reuse registered scale shapes (salted "
+    "two-phase BM25 top-k; broadcast query side for the dense "
+    "scan); the eval adds only top-k-sized joins; the dense rank "
+    "relation persists for its two consumers (fusion + truth).",
+)
+def q271_retrieval_eval_pipeline(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, BM25_QUERY_TERMS, k=20).select(
+        "qid", "doc_id", F.col("rank").cast("bigint").alias("rank_s")
+    )
+    dq = emb.filter(F.col("vec_id").isin(1, 2))
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    dense = (
+        similarity.cosine_topk_bruteforce(emb, dq, k=20)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.row_number().over(wd).cast("bigint").alias("rank_d"),
+        )
+        .persist()  # feeds the fusion AND the graded ground truth
+    )
+    j = sparse.join(dense, ["qid", "doc_id"], "full_outer")
+    rrf_raw = F.coalesce(
+        1.0 / (F.lit(_RRF_K) + F.col("rank_s")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_d")), F.lit(0.0))
+    wq = Window.partitionBy("qid").orderBy(F.desc("rrf_raw"), "doc_id")
+    sel = (
+        j.withColumn("rrf_raw", rrf_raw)
+        .withColumn("i", F.row_number().over(wq))
+        .filter(F.col("i") <= _REVAL_K)
+        .select("qid", "doc_id", F.col("i").cast("bigint").alias("i"))
+    )
+    truth = dense.filter(F.col("rank_d") <= _REVAL_K).select(
+        "qid", "doc_id", F.col("rank_d").alias("tr")
+    )
+    idcg = spark.range(1, _REVAL_K + 1).select(
+        F.sum(
+            (_REVAL_K + 1 - F.col("id")) / F.log2(F.col("id") + 1.0)
+        ).alias("v")
+    )
+    gain = F.when(
+        F.col("tr").isNotNull(), _REVAL_K + 1 - F.col("tr")
+    ).otherwise(0)
+    dcg = (
+        sel.join(truth, ["qid", "doc_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("tr").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits"),
+            F.sum(gain / F.log2(F.col("i") + 1.0)).alias("d"),
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))  # 1-row IDCG constant
+        .select(
+            "qid",
+            "hits",
+            F.round("d", 6).alias("dcg"),
+            F.round(F.col("d") / F.col("v"), 6).alias("ndcg"),
+        )
+        .orderBy("qid")
+    )
+
+
 _GAP_B = 4096
 _GAP_TOPK = 20
 
@@ -17629,6 +17748,7 @@ STAMP_PRIORITY: list[str] = [
     "q268_cuped_experiment_readout",
     "q269_embedding_centroid_drift",
     "q270_knn_ivf_loo_arrow",
+    "q271_retrieval_eval_pipeline",
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
