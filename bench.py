@@ -215,6 +215,7 @@ EXTRA = [
     "q269_embedding_centroid_drift",  # per-label embedding drift monitor
     "q270_knn_ivf_loo_arrow",       # Arrow-kernel IVF kNN twin (10x q264)
     "q271_retrieval_eval_pipeline", # hybrid RRF + NDCG eval composed DAG
+    "q272_difference_in_differences",  # DiD quasi-experimental estimator
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -17587,6 +17587,109 @@ def q268_cuped_experiment_readout(spark, sf_dir):
     )
 
 
+_DID_SQL = f"""
+WITH e AS (
+  SELECT CASE WHEN substr(md5('{_CUPED_SALT}' || CAST(user_id AS VARCHAR)),
+                          1, 1) < '8'
+              THEN 'treatment' ELSE 'control' END AS arm,
+         CASE WHEN epoch_ms(ts) // 86400000 < {_CUPED_T0_DAY}
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+cell AS (
+  SELECT arm, period, count(*) AS n, sum(cents) AS sc
+  FROM e GROUP BY arm, period),
+m AS (
+  SELECT arm, period, n, CAST(sc AS DOUBLE) / n / 100.0 AS mean_val
+  FROM cell),
+did AS (
+  SELECT (t_post.mean_val - t_pre.mean_val)
+         - (c_post.mean_val - c_pre.mean_val) AS est
+  FROM m t_post, m t_pre, m c_post, m c_pre
+  WHERE t_post.arm = 'treatment' AND t_post.period = 'post'
+    AND t_pre.arm = 'treatment' AND t_pre.period = 'pre'
+    AND c_post.arm = 'control' AND c_post.period = 'post'
+    AND c_pre.arm = 'control' AND c_pre.period = 'pre')
+SELECT m.arm, m.period, CAST(m.n AS BIGINT) AS n,
+       round(m.mean_val, 6) AS mean_value,
+       round(did.est, 6) AS did_estimate
+FROM m CROSS JOIN did ORDER BY m.arm, m.period"""
+
+
+@register(
+    "q272_difference_in_differences",
+    _DID_SQL,
+    ops=("ext-did-estimator",),
+    doc="DIFFERENCE-IN-DIFFERENCES — the quasi-experimental member "
+    "completing the causal family (q143 tests one comparison, q259 "
+    "audits stratification, q268 adjusts variance; DiD estimates a "
+    "treatment effect when assignment is not random but trends are "
+    "parallel): purchase value means per (arm x pre/post) cell — "
+    "q268's portable md5 arm and fixed 2024-01-16 cutoff, so the "
+    "two designs audit the SAME experiment — and the classic "
+    "estimate (treat_post - treat_pre) - (ctrl_post - ctrl_pre).  "
+    "Cross-engine exactness: per-cell sums are exact integer cents "
+    "(Spark decimal(38,0) / DuckDB HUGEINT), means and the estimate "
+    "are deterministic doubles via identically-spelled divisions.  "
+    "Scale: ONE map-combined pass over the purchase slice into 4 "
+    "cells; everything after is constant-size.",
+)
+def q272_difference_in_differences(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit(_CUPED_SALT), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        "treatment",
+    ).otherwise("control")
+    period = F.when(day < _CUPED_T0_DAY, "pre").otherwise("post")
+    m = (
+        ev.select(arm.alias("arm"), period.alias("period"), cents.alias("c"))
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        )
+        .select(
+            "arm",
+            "period",
+            "n",
+            (F.col("sc").cast("double") / F.col("n") / 100.0).alias(
+                "mean_val"
+            ),
+        )
+        .persist()  # feeds the 4-cell pivot AND the output rows
+    )
+    cell = lambda a, p: F.first(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mean_val")),
+        ignorenulls=True,
+    )
+    did = m.agg(
+        (
+            (cell("treatment", "post") - cell("treatment", "pre"))
+            - (cell("control", "post") - cell("control", "pre"))
+        ).alias("est")
+    )
+    return (
+        m.crossJoin(F.broadcast(did))
+        .select(
+            "arm",
+            "period",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mean_val", 6).alias("mean_value"),
+            F.round("est", 6).alias("did_estimate"),
+        )
+        .orderBy("arm", "period")
+    )
+
+
 _DRIFT_SQL = """
 WITH x AS MATERIALIZED (
   SELECT e.label, e.vec_id % 2 AS snap, i.i AS i,
@@ -17749,6 +17852,7 @@ STAMP_PRIORITY: list[str] = [
     "q269_embedding_centroid_drift",
     "q270_knn_ivf_loo_arrow",
     "q271_retrieval_eval_pipeline",
+    "q272_difference_in_differences",
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
