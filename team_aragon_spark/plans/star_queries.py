@@ -14662,11 +14662,16 @@ def q246_label_propagation_communities(spark, sf_dir):
         )
         .distinct()
     )
-    # persisted: the undirected edge list feeds every propagation
-    # round (cache lifetime caller-managed, bench clears per query)
+    # persisted HASH-PARTITIONED ON THE JOIN KEY: the undirected edge
+    # list feeds every propagation round, and caching it already
+    # partitioned by nbr means each round's label join reuses the
+    # cached exchange — only the |nodes|-row label relation shuffles
+    # per round, never the edge list (cache lifetime caller-managed,
+    # bench clears per query)
     und = (
         pr.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionByName(pr.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("nbr")
         .persist()
     )
     labels = und.select("node").distinct().withColumn("label", F.col("node"))
