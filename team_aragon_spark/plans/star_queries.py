@@ -9869,6 +9869,11 @@ def q194_bipartite_hits(spark, sf_dir):
         .distinct()
         .persist()
     )
+    # (Measured dead end: caching the edge list twice, hash-
+    # partitioned on each join key — the q246 discipline — removes
+    # the per-iteration edge shuffles but tripled resident cache and
+    # OOM'd the 24g heap at 100x; with two alternating join keys the
+    # single unpartitioned cache is the memory-safe formulation.)
     h = e.select("c").distinct().withColumn("s", F.lit(1).cast("bigint"))
     a = None
     for _ in range(_HITS_ITERS):
