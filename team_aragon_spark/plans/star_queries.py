@@ -13734,14 +13734,40 @@ def q237_weighted_shortest_path(spark, sf_dir):
         .select("node", F.lit(0).cast("bigint").alias("dist"))
         .localCheckpoint()
     )
+    # FRONTIER Bellman-Ford (value-identical to relaxing from every
+    # settled node each round): a node whose distance did not improve
+    # last round re-emits exactly the relaxations it already emitted,
+    # so restricting each round's relaxation to the just-improved
+    # frontier changes nothing about dist after k rounds — while the
+    # per-round join input collapses from all settled nodes (edge-
+    # sized output every round) to the wavefront (big once, then
+    # near-empty on this small-diameter co-purchase graph).  Empty
+    # frontier => no further change is possible => break early,
+    # still identical to the oracle's k full unrolled rounds.
+    frontier = dist
     for _ in range(_SSSP_ROUNDS):
+        if frontier.count() == 0:  # frontier is node-bounded
+            break
         relaxed = (
-            F.broadcast(dist)
-            .join(edges, dist["node"] == edges["a"])
-            .select(F.col("b").alias("node"), (dist["dist"] + F.col("w")).alias("dist"))
+            F.broadcast(frontier)
+            .join(edges, frontier["node"] == edges["a"])
+            .select(
+                F.col("b").alias("node"),
+                (frontier["dist"] + F.col("w")).alias("dist"),
+            )
+        )
+        cand = relaxed.groupBy("node").agg(F.min("dist").alias("dist"))
+        old = dist.select(
+            F.col("node"), F.col("dist").alias("__old")
+        )
+        frontier = (
+            cand.join(old, "node", "left")
+            .filter(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .select("node", "dist")
+            .localCheckpoint()
         )
         dist = (
-            dist.unionByName(relaxed)
+            dist.unionByName(frontier)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
