@@ -14121,26 +14121,43 @@ def q240_popularity_rec_hitk(spark, sf_dir):
         .filter(F.col("pr") <= _REC_K + F.col("mh"))
         .select("pk", "pr")
     )
-    wrec = Window.partitionBy("ck").orderBy("pr")
-    recs = (
-        hsz.crossJoin(F.broadcast(topm))
-        .filter(F.col("pr") <= _REC_K + F.col("h"))  # per-customer sizing
-        .join(hist, ["ck", "pk"], "left_anti")
-        .withColumn("rn", F.row_number().over(wrec))
-        .filter(F.col("rn") <= _REC_K)
+    # RANK ARITHMETIC instead of materializing recommendations (r8,
+    # measured): a target at popularity position pr_t is in the
+    # customer's top-10 recs iff it is NOT in their history and
+    # pr_t - |{history positions < pr_t}| <= 10 — every non-history
+    # item before it fills exactly one rec slot, so the rec list
+    # itself (the old 69M-row per-customer expansion + 50M-row
+    # anti-join + per-ck rank window) never needs to exist.  Only
+    # history/target rows that land in the popularity prefix matter,
+    # so both probes shrink to the topm join first.
+    hist_top = hist.join(F.broadcast(topm), "pk").select("ck", "pr")
+    tgt_new = (
+        tgt.join(F.broadcast(topm), "pk")
+        .select("ck", "pk", F.col("pr").alias("prt"))
+        .join(hist, ["ck", "pk"], "left_anti")  # history never recs
+    )
+    ranked = (
+        tgt_new.join(hist_top, "ck", "left")
+        .groupBy("ck", "pk", "prt")
+        .agg(
+            F.sum(
+                F.when(F.col("pr") < F.col("prt"), 1).otherwise(0)
+            ).alias("nb")
+        )
+        .select(
+            "ck", (F.col("prt") - F.col("nb")).alias("rk")
+        )
+    )
+    hits = ranked.groupBy("ck").agg(
+        F.max(F.when(F.col("rk") <= _REC_K, 1).otherwise(0)).alias("hit10"),
+        F.max(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("hit1"),
     )
     scored = (
-        recs.join(
-            tgt.withColumn("__hit", F.lit(1)), ["ck", "pk"], "left"
-        )
-        .groupBy("ck")
-        .agg(
-            F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit10"),
-            F.max(
-                F.when(
-                    (F.col("rn") == 1) & F.col("__hit").isNotNull(), 1
-                ).otherwise(0)
-            ).alias("hit1"),
+        hsz.select("ck")
+        .join(hits, "ck", "left")
+        .select(
+            F.coalesce("hit10", F.lit(0)).alias("hit10"),
+            F.coalesce("hit1", F.lit(0)).alias("hit1"),
         )
     )
     return scored.agg(
