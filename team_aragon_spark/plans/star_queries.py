@@ -11281,13 +11281,17 @@ def q210_negative_sampling(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey")
+    # NO pair-level distinct (r8, measured): the only consumers are a
+    # user-level distinct (unaffected by pair dupes) and the left-anti
+    # exclusion (duplicate-invariant on its build side), so deduping
+    # the 60M-row order-line pairs bought nothing but a full extra
+    # shuffle + a bigger cached relation.
     purch = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("user_id"),
             F.col("l_partkey").alias("partkey"),
         )
-        .distinct()
         .persist()
     )
     u = purch.select("user_id").distinct()
