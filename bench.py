@@ -216,6 +216,7 @@ EXTRA = [
     "q270_knn_ivf_loo_arrow",       # Arrow-kernel IVF kNN twin (10x q264)
     "q271_retrieval_eval_pipeline", # hybrid RRF + NDCG eval composed DAG
     "q272_difference_in_differences",  # DiD quasi-experimental estimator
+    "q273_lsh_recall_audit",        # md5-LSH recall/precision vs exact truth
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string
@@ -228,6 +229,12 @@ ORACLE_PIN_SKIP = {
     "q63_md5_minhash_signatures",
     "q133_portable_winnowing",
     "q158_doc_containment_pairs",
+    # q273's exact ground truth at threshold 0.3 is work-bound by
+    # design (the prefix filter barely prunes at the audit's lowest
+    # threshold); at corpus scale the audit runs on a sample, so the
+    # full-corpus form stays out of the default bench like the other
+    # audit pins.
+    "q273_lsh_recall_audit",
 }
 
 

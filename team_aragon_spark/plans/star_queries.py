@@ -17747,6 +17747,186 @@ def q272_difference_in_differences(spark, sf_dir):
     )
 
 
+_AUDIT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents),
+d AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+  FROM t),
+tr AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                      AS DOUBLE), 6) AS j
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE 10 * len(list_intersect(a.sh, b.sh))
+        >= 3 * len(list_distinct(list_concat(a.sh, b.sh)))),
+h AS (
+  SELECT doc_id,
+         list_transform(sh, s ->
+           CAST(('0x' || substr(md5(s), 17, 15))::UBIGINT AS BIGINT)) AS vs
+  FROM d),
+sg AS (
+  SELECT doc_id, CAST(p.perm AS BIGINT) AS perm,
+         list_min(list_transform(vs, v -> xor(v, p.c))) AS mh
+  FROM h, (VALUES {vals}) p(perm, c)),
+bk AS (
+  SELECT doc_id, perm // 2 AS band,
+         max(CASE WHEN perm % 2 = 0 THEN mh END) AS b0,
+         max(CASE WHEN perm % 2 = 1 THEN mh END) AS b1
+  FROM sg GROUP BY doc_id, perm // 2),
+k AS (
+  SELECT doc_id,
+         CAST(band AS VARCHAR) || ':' || CAST(b0 AS VARCHAR)
+         || ':' || CAST(b1 AS VARCHAR) AS key
+  FROM bk),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM k x JOIN k y ON x.key = y.key AND x.doc_id < y.doc_id),
+ct AS (
+  SELECT c.a, c.b, tr.j FROM cand c
+  JOIN tr ON tr.a = c.a AND tr.b = c.b),
+agg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS t3,
+         CAST(coalesce(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS t5
+  FROM tr),
+cagg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS c3,
+         CAST(coalesce(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS c5
+  FROM ct),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cand)
+SELECT CAST(v.t AS DOUBLE) AS threshold,
+       CASE WHEN v.t = 0.3 THEN agg.t3 ELSE agg.t5 END AS n_true,
+       n.nc AS n_candidates,
+       CASE WHEN v.t = 0.3 THEN cagg.c3 ELSE cagg.c5 END
+         AS n_candidates_true,
+       round((CASE WHEN v.t = 0.3 THEN cagg.c3 ELSE cagg.c5 END) * 1.0
+             / (CASE WHEN v.t = 0.3 THEN agg.t3 ELSE agg.t5 END), 6)
+         AS band_recall,
+       round((CASE WHEN v.t = 0.3 THEN cagg.c3 ELSE cagg.c5 END) * 1.0
+             / n.nc, 6) AS cand_precision
+FROM (SELECT unnest([0.3, 0.5]) AS t) v, agg, cagg, n
+ORDER BY threshold""".format(
+    vals=", ".join(
+        f"({i}, {c}::BIGINT)" for i, c in enumerate(_Q63_PERM_CONSTS)
+    ),
+)
+
+
+@register(
+    "q273_lsh_recall_audit",
+    _AUDIT_SQL,
+    ops=("ext-dedup-quality-audit",),
+    doc="DEDUP-QUALITY AUDIT — recall and precision of the PORTABLE "
+    "md5 MinHash-LSH banding (q63's signatures, 4 bands x 2 rows) "
+    "against exact Jaccard ground truth, reported at thresholds "
+    "0.3 and 0.5: the harness that turns q24's pytest-named "
+    "total-recall assumption into a driver-provable measurement "
+    "(recall at the design threshold should be ~1; at 0.3 — below "
+    "the banding's S-curve knee — it is genuinely < 1, which only "
+    "a portable hash family can oracle).  Ground truth comes from "
+    "the EXACT prefix-filter set-similarity join (q127's operator "
+    "over 3-shingle membership rows, threshold compared in exact "
+    "integer arithmetic — never the quadratic all-pairs scan), so "
+    "the audit itself scales; candidate membership and the "
+    "per-pair jaccard reuse the same rounded-6 values in both "
+    "engines.  Empty-shingle docs carry NULL band keys and drop "
+    "from the equi-join in both engines.  Scale: signatures are "
+    "one linear projection; banding is a (doc, band)-grain "
+    "aggregate; the band self-join is bucket-bounded; truth is the "
+    "prefix-filter join; the final counts are three 1-row "
+    "aggregates.",
+)
+def q273_lsh_recall_audit(spark, sf_dir):
+    from team_aragon_spark.operators.setsim import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    mem = docs.select(
+        "doc_id",
+        F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("item"),
+    )
+    truth = (
+        set_similarity_join(mem, "doc_id", "item", 0.3)
+        .select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b"), "jaccard"
+        )
+        .persist()  # feeds the truth counts AND the candidate join
+    )
+    sigs = q63_md5_minhash_signatures(spark, sf_dir)
+    bk = sigs.groupBy(
+        "doc_id", F.expr("perm DIV 2").alias("band")
+    ).agg(
+        F.max(F.when(F.col("perm") % 2 == 0, F.col("minhash"))).alias("b0"),
+        F.max(F.when(F.col("perm") % 2 == 1, F.col("minhash"))).alias("b1"),
+    )
+    # F.concat propagates NULL, so an empty-shingle doc's band keys
+    # are NULL and drop from the equi-join (oracle: || NULL = NULL)
+    k = bk.select(
+        "doc_id",
+        F.concat(
+            F.col("band").cast("string"),
+            F.lit(":"),
+            F.col("b0").cast("string"),
+            F.lit(":"),
+            F.col("b1").cast("string"),
+        ).alias("key"),
+    )
+    kx, ky = k.alias("x"), k.alias("y")
+    cands = (
+        kx.join(
+            ky,
+            (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .persist()  # feeds the candidate count AND the truth join
+    )
+    ct = cands.join(truth, ["a", "b"])
+
+    def _cnt(col, t):
+        return (
+            F.coalesce(F.sum(F.when(col >= t, 1)), F.lit(0))
+            .cast("bigint")
+        )
+
+    ta = truth.agg(
+        _cnt(F.col("jaccard"), 0.3).alias("t3"),
+        _cnt(F.col("jaccard"), 0.5).alias("t5"),
+    )
+    ca = ct.agg(
+        _cnt(F.col("jaccard"), 0.3).alias("c3"),
+        _cnt(F.col("jaccard"), 0.5).alias("c5"),
+    )
+    nc = cands.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    th = spark.createDataFrame([(0.3,), (0.5,)], "threshold double")
+    is3 = F.col("threshold") == 0.3
+    n_true = F.when(is3, F.col("t3")).otherwise(F.col("t5"))
+    n_ct = F.when(is3, F.col("c3")).otherwise(F.col("c5"))
+    return (
+        th.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "threshold",
+            n_true.alias("n_true"),
+            F.col("nc").alias("n_candidates"),
+            n_ct.alias("n_candidates_true"),
+            F.round(n_ct * 1.0 / n_true, 6).alias("band_recall"),
+            F.round(n_ct * 1.0 / F.col("nc"), 6).alias("cand_precision"),
+        )
+        .orderBy("threshold")
+    )
+
+
 _DRIFT_SQL = """
 WITH x AS MATERIALIZED (
   SELECT e.label, e.vec_id % 2 AS snap, i.i AS i,
@@ -17910,6 +18090,7 @@ STAMP_PRIORITY: list[str] = [
     "q270_knn_ivf_loo_arrow",
     "q271_retrieval_eval_pipeline",
     "q272_difference_in_differences",
+    "q273_lsh_recall_audit",
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
