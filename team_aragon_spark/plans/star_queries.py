@@ -18021,76 +18021,16 @@ def q269_embedding_centroid_drift(spark, sf_dir):
 
 
 STAMP_PRIORITY: list[str] = [
-    # ---- round-8 window (first 50 = the driver's stamp set) ----
-    # The 81 q186-q266 registrations have never been driver-stamped
-    # (they landed after the r7 window was fixed).  Lead with
-    # q186-q230 (45 never-stamped rows, registry order), then the 5
-    # queries whose bodies changed this round and therefore need a
-    # driver stamp on the NEW plan: q242 (TakeOrdered top-20), q248
-    # (integral pair counts), q257 (guard + F.round), q258 (F.round),
-    # q264 (de-broadcast + shared centroid ranking).  q202/q188 also
-    # changed and sit inside q186-q230.  All 50 pre-verified by the
-    # full driver-replica sweep at sf0.01 before this rotation.
-    "q186_copurchase_kcore",
-    "q187_phrase_positional_search",
-    "q188_peak_concurrency_sweep",
-    "q189_copurchase_association_rules",
-    "q190_greedy_coverage_selection",
-    "q191_user_activity_bitmap",
-    "q192_dq_constraint_suite",
-    "q193_mann_whitney_utest",
-    "q194_bipartite_hits",
-    "q195_pmi_collocations",
-    "q196_session_path_analysis",
-    "q197_capped_running_balance",
-    "q198_benford_digit_audit",
-    "q199_hourly_crosscorrelation",
-    "q200_funnel_latency_quantiles",
-    "q201_token_zipf_fit",
-    "q202_rfm_segmentation",
-    "q203_label_medoids",
-    "q204_interarrival_burstiness",
-    "q205_cohort_ltv_curves",
-    "q206_revenue_concentration",
-    "q207_centroid_medoid_proxy",
-    "q208_order_volume_changepoint",
-    "q209_part_abc_classification",
-    "q210_negative_sampling",
-    "q211_degree_assortativity",
-    "q212_ks_two_sample_test",
-    "q213_markov_heldout_accuracy",
-    "q214_feature_hashing",
-    "q215_source_quantile_normalization",
-    "q216_copurchase_link_prediction",
-    "q217_prediction_calibration",
-    "q218_mann_kendall_trend",
-    "q219_hash_bootstrap_ci",
-    "q220_streaming_value_histogram",
-    "q221_point_in_time_feature_join",
-    "q222_process_conformance",
-    "q223_wasserstein_value_drift",
-    "q224_daily_order_peaks",
-    "q225_theil_sen_slope",
-    "q226_windowed_funnel",
-    "q227_weighted_quantiles",
-    "q228_kaplan_meier_survival",
-    "q229_ses_forecast",
-    "q230_forecast_backtest",
-    "q242_session_path_taxonomy",
-    "q248_entity_resolution_scoring",
-    "q257_markov_removal_attribution",
-    "q258_power_iteration_pca",
-    "q264_knn_ivf_loo_fast",
-    # ---- r9 queue (beyond the 50-slot window; doc only) ----
-    # Remaining never-stamped rows first (q267-q269 are the round-8
-    # registrations):
-    "q267_curation_pipeline_v2",
-    "q268_cuped_experiment_readout",
-    "q269_embedding_centroid_drift",
-    "q270_knn_ivf_loo_arrow",
-    "q271_retrieval_eval_pipeline",
-    "q272_difference_in_differences",
-    "q273_lsh_recall_audit",
+    # ---- round-9 window (first 50 = the driver's stamp set) ----
+    # The 38 rows that have never been driver-stamped (registered
+    # after the r8 window was fixed, or outside it): q231-q241,
+    # q243-q247, q249-q256, q259-q263, q265-q273 minus the five
+    # stamped in r08.  All 38 were hash-green in the round-8 close
+    # sweep (273/273 driver-replica at sf0.01) and 17 of them in the
+    # round-8 judge's own sf0.01 replica (17/17).  The window is
+    # topped up to 50 with the 12 oldest stale-r04 rows (q11-q27
+    # head of the q11-q98 block); the remaining 31 stale rows are
+    # the r10 queue below.
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
@@ -18122,9 +18062,13 @@ STAMP_PRIORITY: list[str] = [
     "q263_weekly_trending_parts",
     "q265_orderkey_gap_audit",
     "q266_fulfillment_lead_time",
-    # ...then the stale block whose latest green stamp is r04
-    # (bodies unchanged, pytest-green; no stamp should age past
-    # two rounds once the never-stamped backlog clears):
+    "q267_curation_pipeline_v2",
+    "q268_cuped_experiment_readout",
+    "q269_embedding_centroid_drift",
+    "q270_knn_ivf_loo_arrow",
+    "q271_retrieval_eval_pipeline",
+    "q272_difference_in_differences",
+    "q273_lsh_recall_audit",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
@@ -18137,6 +18081,10 @@ STAMP_PRIORITY: list[str] = [
     "q21_doc_fingerprints",
     "q23_jaccard_neardup_pairs",
     "q27_hourly_event_stats",
+    # ---- r10 queue (beyond the 50-slot window; doc only) ----
+    # The 31 remaining rows whose latest green stamp is r04
+    # (bodies unchanged, pytest-green; no stamp should age past
+    # two rounds once this block clears):
     "q28_event_json_extract",
     "q29_user_sessions",
     "q30_top_events_per_user",
