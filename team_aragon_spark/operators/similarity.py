@@ -734,10 +734,14 @@ def pq_assign_arrow(
     return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
 
 
+_CELL_KNN_QUERY_BLOCK = 2048
+
+
 def cell_knn_topk_arrow(
     asg: DataFrame,
     probes: DataFrame,
     k: int,
+    query_block: int = _CELL_KNN_QUERY_BLOCK,
 ) -> DataFrame:
     """Per-(cell, query) top-``k`` cosine candidates as a cogrouped
     numpy kernel — the Arrow-batch twin of the JVM candidate scoring
@@ -771,6 +775,16 @@ def cell_knn_topk_arrow(
     bandwidth.  Plan shape: ONE cogroup shuffle on cell (the same
     key the JVM join shuffles on), kernel output is k rows per
     (cell, query) — candidates never materialize.
+
+    Memory ceiling: the kernel never holds the full
+    |queries| x |members| score matrix — queries are scored in
+    ``query_block``-row blocks, bounding the per-task float64
+    footprint to ``query_block * |cell|`` doubles (~1.3 GB at
+    sqrt-n cells of a 10^10-vector corpus with the default block;
+    O(n)-per-cell without the blocking).  Per-pair arithmetic is
+    untouched: each (query, member) dot still accumulates dimension
+    by dimension in the same IEEE order, so blocking cannot move a
+    single output bit.
     """
     import numpy as np
 
@@ -789,34 +803,36 @@ def cell_knn_topk_arrow(
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(empty)
         nv = np.array(left["nv"].tolist(), dtype=np.float64)
-        qv = np.array(right["qv"].tolist(), dtype=np.float64)
         nn = left["nnorm"].to_numpy(dtype=np.float64)
-        qn = right["qnorm"].to_numpy(dtype=np.float64)
         nid = left["neighbor_id"].to_numpy(dtype=np.int64)
         nlb = left["nlabel"].to_numpy(dtype=np.int32)
-        qid = right["query_id"].to_numpy(dtype=np.int64)
-        tlb = right["tlabel"].to_numpy(dtype=np.int32)
-        # exact fold order: ((0 + t1) + t2) + ... per scalar pair
-        acc = np.zeros((len(qv), len(nv)), dtype=np.float64)
-        for d in range(nv.shape[1]):
-            acc += qv[:, d : d + 1] * nv[None, :, d][0]
-        cos = acc / (qn[:, None] * nn[None, :])
-        s4 = np.copysign(np.floor(np.abs(cos) * 1e4 + 0.5), cos) / 1e4
         rows_q, rows_t, rows_n, rows_nl, rows_s = [], [], [], [], []
-        for i in range(len(qv)):
-            order = np.lexsort((nid, -s4[i]))
-            taken = 0
-            for j in order:
-                if nid[j] == qid[i]:
-                    continue
-                rows_q.append(qid[i])
-                rows_t.append(tlb[i])
-                rows_n.append(nid[j])
-                rows_nl.append(nlb[j])
-                rows_s.append(s4[i, j])
-                taken += 1
-                if taken == k:
-                    break
+        for lo in range(0, len(right), query_block):
+            blk = right.iloc[lo : lo + query_block]
+            qv = np.array(blk["qv"].tolist(), dtype=np.float64)
+            qn = blk["qnorm"].to_numpy(dtype=np.float64)
+            qid = blk["query_id"].to_numpy(dtype=np.int64)
+            tlb = blk["tlabel"].to_numpy(dtype=np.int32)
+            # exact fold order: ((0 + t1) + t2) + ... per scalar pair
+            acc = np.zeros((len(qv), len(nv)), dtype=np.float64)
+            for d in range(nv.shape[1]):
+                acc += qv[:, d : d + 1] * nv[None, :, d][0]
+            cos = acc / (qn[:, None] * nn[None, :])
+            s4 = np.copysign(np.floor(np.abs(cos) * 1e4 + 0.5), cos) / 1e4
+            for i in range(len(qv)):
+                order = np.lexsort((nid, -s4[i]))
+                taken = 0
+                for j in order:
+                    if nid[j] == qid[i]:
+                        continue
+                    rows_q.append(qid[i])
+                    rows_t.append(tlb[i])
+                    rows_n.append(nid[j])
+                    rows_nl.append(nlb[j])
+                    rows_s.append(s4[i, j])
+                    taken += 1
+                    if taken == k:
+                        break
         return pd.DataFrame(
             {
                 "query_id": np.array(rows_q, dtype=np.int64),

@@ -141,6 +141,83 @@ def distributed_prefix_sum(
     )
 
 
+def distributed_cumsums(
+    df: DataFrame,
+    sums: dict[str, str],
+    order: Sequence,
+    partition_cols: Sequence[str] = (),
+    n_shards: int = 64,
+) -> DataFrame:
+    """Running sums of one or more value columns under an arbitrary
+    total ``order`` (a list of Column sort expressions, e.g.
+    ``[F.desc("rev_c"), F.asc("partkey")]``), optionally within
+    ``partition_cols`` groups — identical to
+    ``sum(v).over(Window.partitionBy(*partition_cols).orderBy(*order)
+    .rowsBetween(unboundedPreceding, 0))`` per entry of ``sums``
+    ({out_col: value_col}), but with NO unpartitioned (or whole-group
+    single-task) WindowExec:
+
+      1. ``repartitionByRange(n_shards, *partition_cols, *order)``
+         makes every Spark partition a contiguous range of the
+         (group, order) total order — boundaries are SAMPLED, so
+         partitions balance by ROW COUNT, not by value-domain
+         geometry (the advantage over :func:`distributed_prefix_sum`'s
+         arithmetic range shards when values cluster);
+      2. local inclusive cumsums per (partition, group) — every
+         window partition is ~n/n_shards rows regardless of group
+         skew, and all ``sums`` entries ride ONE WindowExec;
+      3. per-(partition, group) totals (map-side-combined agg,
+         <= n_shards + |groups| rows), exclusive-prefix-summed per
+         group across partition ids (the only ordered window, and it
+         is shard-cardinality-bounded), broadcast-joined back;
+      4. global cum = local cum + own partition's exclusive offset.
+
+    Requirements: ``order`` (within each group) must totally order
+    the rows — same determinism caveat as the plain window; the
+    (group x shard) offsets relation must be broadcast-small.
+    Integer-typed sums are exactly order-independent; double sums
+    may differ from the sequential window by accumulation-order ulps
+    (callers round well above that, the repo-wide discipline).
+
+    The repartitioned projection feeds the local window and the
+    totals agg, so it is persisted here; cache lifetime is
+    caller-managed (the bench harness clears cache per query).
+    """
+    keys = list(partition_cols)
+    src = (
+        df.repartitionByRange(n_shards, *[F.col(k) for k in keys], *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = (
+        Window.partitionBy("__pid", *keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = src
+    for out, val in sums.items():
+        local = local.withColumn(out, F.sum(val).over(w))
+    totals = src.groupBy("__pid", *keys).agg(
+        *[F.sum(val).alias(f"__t_{out}") for out, val in sums.items()]
+    )
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals
+    for out in sums:
+        offs = offs.withColumn(
+            f"__o_{out}",
+            F.coalesce(F.sum(F.col(f"__t_{out}")).over(woff), F.lit(0)),
+        )
+    offs = offs.select("__pid", *keys, *[f"__o_{out}" for out in sums])
+    out_df = local.join(F.broadcast(offs), ["__pid", *keys])
+    for out in sums:
+        out_df = out_df.withColumn(out, F.col(out) + F.col(f"__o_{out}"))
+    return out_df.drop("__pid", *[f"__o_{out}" for out in sums])
+
+
 def distributed_rank(
     df: DataFrame,
     order: Sequence,

@@ -17528,7 +17528,9 @@ a AS (
   FROM u),
 g AS (
   SELECT count(*) AS n, sum(xc) AS sx, sum(yc) AS sy,
-         sum(xc * xc) AS sxx, sum(yc * yc) AS syy, sum(xc * yc) AS sxy
+         sum(CAST(xc AS HUGEINT) * xc) AS sxx,
+         sum(CAST(yc AS HUGEINT) * yc) AS syy,
+         sum(CAST(xc AS HUGEINT) * yc) AS sxy
   FROM a),
 st AS (
   SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -17606,9 +17608,13 @@ def q268_cuped_experiment_readout(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(d38(F.col("xc"))).alias("sx"),
         F.sum(d38(F.col("yc"))).alias("sy"),
-        F.sum(d38(F.col("xc") * F.col("xc"))).alias("sxx"),
-        F.sum(d38(F.col("yc") * F.col("yc"))).alias("syy"),
-        F.sum(d38(F.col("xc") * F.col("yc"))).alias("sxy"),
+        # Operands cast wide BEFORE the product: a user's cents sum
+        # beyond ~3.04e9 (~$30M) would overflow the int64 product at
+        # the 100x design target; decimal(38,0) * decimal(38,0) (and
+        # HUGEINT * in the oracle) carries it exactly.
+        F.sum(d38(F.col("xc")) * d38(F.col("xc"))).alias("sxx"),
+        F.sum(d38(F.col("yc")) * d38(F.col("yc"))).alias("syy"),
+        F.sum(d38(F.col("xc")) * d38(F.col("yc"))).alias("sxy"),
     )
     dd = lambda name: F.col(name).cast("double")  # noqa: E731
     st = g.select(
@@ -17733,7 +17739,12 @@ def q272_difference_in_differences(spark, sf_dir):
             (cell("treatment", "post") - cell("treatment", "pre"))
             - (cell("control", "post") - cell("control", "pre"))
         ).alias("est")
-    )
+        # Empty-cell edge pinned to the oracle's inner-join pivot: if
+        # any (arm, period) cell is absent the estimate is undefined
+        # and BOTH engines return zero rows (est null-propagates here,
+        # and the filter empties the cross join), instead of Spark
+        # emitting populated cells with a NULL did_estimate.
+    ).filter(F.col("est").isNotNull())
     return (
         m.crossJoin(F.broadcast(did))
         .select(
