@@ -217,6 +217,8 @@ EXTRA = [
     "q271_retrieval_eval_pipeline", # hybrid RRF + NDCG eval composed DAG
     "q272_difference_in_differences",  # DiD quasi-experimental estimator
     "q273_lsh_recall_audit",        # md5-LSH recall/precision vs exact truth
+    # round-9 families:
+    "q274_lsh_recall_audit_sampled",  # q273 on the production 50% sample
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -11,9 +11,12 @@ telemetry case where the value domain is fixed-precision (currency,
 2-decimal metrics, bucketed latencies): aggregate to the
 ``(group, value) -> count`` relation first — a map-combined groupBy
 whose size is |groups| x |distinct values|, independent of row count —
-then run rank arithmetic over that small relation.  The only window
-runs over the aggregated counts, never the raw rows, so no task ever
-sorts a group's event stream (the q93/q116 discipline).
+then run rank arithmetic over that small relation.  The cumulative
+rank pass rides ``windows.distributed_cumsums`` (range-sharded
+two-level prefix sum), so no task ever sorts a group's event stream
+OR its whole count table — a group with millions of distinct values
+(few-groups/wide-domain skew, the q243 shape) stays bounded at
+~rows/shards per task (the q93/q116 discipline, hardened in r9).
 
 For truly continuous domains the count table degenerates to the row
 count and the honest scale path is approx_percentile; callers should
@@ -26,8 +29,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from team_aragon_spark.operators.windows import distributed_cumsums
 
 
 def exact_grouped_percentiles(
@@ -55,17 +60,23 @@ def exact_grouped_percentiles(
     """
     gcols = list(group_cols)
     cnt = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__c"))
-    wcum = (
-        Window.partitionBy(*gcols)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # The in-group rank cumsum rides the two-level prefix sum (r9):
+    # a plain per-group window serializes each group's ENTIRE count
+    # table onto one task — with few groups and a wide value domain
+    # (3 return-flags x ~20M distinct prices at 100x, the measured
+    # q243 wall) that is a single-task sort cliff.  Range sharding on
+    # (group, value) bounds every window partition at ~n/shards rows;
+    # integer counts sum exactly in any grouping.  The group total
+    # comes from a map-combined aggregate instead of a whole-group
+    # window partition.
+    cum = distributed_cumsums(
+        cnt, {"__cum": "__c"}, [F.asc(value_col)], partition_cols=gcols
     )
-    wall = Window.partitionBy(*gcols)
-    # Both windows run over the (group, value, count) relation — small
-    # by the fixed-precision-domain precondition — not over raw rows.
+    tot = cnt.groupBy(*gcols).agg(F.sum("__c").alias("__n"))
     cum = (
-        cnt.withColumn("__cum", F.sum("__c").over(wcum))
-        .withColumn("__n", F.sum("__c").over(wall))
+        cum.join(F.broadcast(tot), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(tot))
     )
     aggs = [F.first("__n").alias("n")]
     names: list[str] = []

@@ -9764,8 +9764,9 @@ FROM t"""
     "spelled identically in both engines (integer inputs, one "
     "division chain, round 6 at the end).  Scale: count table "
     "shuffles on value; the final moment aggregate is map-combined; "
-    "the ordered window runs over distinct values only (two-level "
-    "prefix-sum composable, cf. q93/q188).",
+    "the ordered cumulation runs through windows.distributed_cumsums "
+    "(range-sharded two-level prefix sum, r9) — no task ever sorts "
+    "the whole distinct-value table.",
 )
 def q193_mann_whitney_utest(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -9776,8 +9777,13 @@ def q193_mann_whitney_utest(spark, sf_dir):
     c = s.groupBy("v").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("g1").alias("n1v")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    r = c.withColumn("cb", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    # distinct-value cumsum WITHOUT the unpartitioned window (distinct
+    # doubles grow ~linearly with events): two-level prefix sum over
+    # range shards of v; exclusive cum = inclusive - own count, and
+    # integer counts sum exactly in any grouping (r9, the q188 class).
+    r = windows.distributed_cumsums(c, {"cb": "cnt"}, [F.asc("v")]).withColumn(
+        "cb", F.col("cb") - F.col("cnt")
+    )
     t = r.agg(
         F.sum("n1v").cast("bigint").alias("n1"),
         F.sum(F.col("cnt") - F.col("n1v")).cast("bigint").alias("n2"),
@@ -10460,9 +10466,8 @@ FROM m"""
     "accumulation error against a 1e-6 round grid — the q130/q161 "
     "precedent).  Scale: token counts are map-combined; the ranked "
     "relation is vocabulary-sized; the moment aggregate is one "
-    "pass.  The rank window is the q154 caveat: vocabulary-bounded, "
-    "composable as the q93 two-level prefix sum if the vocab "
-    "outgrew one task.",
+    "pass.  The global rank rides windows.distributed_rank (r9), so "
+    "an unbounded vocabulary never sorts on one task.",
 )
 def q201_token_zipf_fit(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -10473,10 +10478,11 @@ def q201_token_zipf_fit(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _ZIPF_MIN_COUNT)
     )
-    r = uc.select(
-        "c",
-        F.row_number().over(Window.orderBy(F.desc("c"), "w")).alias("rank"),
-    )
+    # global vocabulary rank WITHOUT the single-task sort (r9): the
+    # q202 distributed_rank recipe on the same (c DESC, w) total order.
+    r = windows.distributed_rank(
+        uc, [F.desc("c"), F.asc("w")], out_col="rank"
+    ).select("c", "rank")
     xy = r.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
@@ -10926,7 +10932,8 @@ FROM t, g, tk"""
     "no sum.  The only doubles are the final weighted sum (exact "
     "integer terms; pairwise accumulation error ~1e-15 relative "
     "against the 1e-6 round grid) and two ratios.  Scale: "
-    "map-combined count table; windows over distinct prices.",
+    "map-combined count table; the distinct-price cumulation rides "
+    "windows.distributed_cumsums (r9).",
 )
 def q206_revenue_concentration(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -10934,8 +10941,11 @@ def q206_revenue_concentration(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc")
     )
     cnt = x.groupBy("xc").agg(F.count(F.lit(1)).alias("m"))
-    wv = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, -1)
-    blocks = cnt.withColumn("cb", F.coalesce(F.sum("m").over(wv), F.lit(0)))
+    # distinct-price cumsum via the two-level prefix sum (no
+    # unpartitioned WindowExec); exclusive = inclusive - own count.
+    blocks = windows.distributed_cumsums(
+        cnt, {"cb": "m"}, [F.asc("xc")]
+    ).withColumn("cb", F.col("cb") - F.col("m"))
     tot = cnt.agg(
         F.sum("m").cast("bigint").alias("n"),
         F.sum(F.col("xc") * F.col("m")).cast("bigint").alias("s"),
@@ -11186,8 +11196,10 @@ FROM cls CROSS JOIN t GROUP BY abc_class, t.s ORDER BY abc_class"""
     "standard convention).  The running sum orders by (rev_c DESC, "
     "partkey) — a total order, so ties cannot reshuffle classes "
     "between engines.  Scale: per-part aggregate map-combines the "
-    "fact scan; the ranked cumulation runs over PARTS (two-level "
-    "composable); output is 3 rows.",
+    "fact scan; the ranked cumulation over PARTS rides "
+    "windows.distributed_cumsums on the same total order (r9 — no "
+    "single-task sort of the ~2M-part relation at 100x); output is "
+    "3 rows.",
 )
 def q209_part_abc_classification(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -11203,10 +11215,12 @@ def q209_part_abc_classification(spark, sf_dir):
     t = pr.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rev_c").cast("bigint").alias("s")
     )
-    wr = Window.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    r = pr.withColumn("cum_c", F.sum("rev_c").over(wr).cast("bigint"))
+    # ranked cumulation over ~|parts| rows via the two-level prefix
+    # sum (r9): range-sharded on the same (rev_c DESC, partkey) total
+    # order, integer-exact, no single-task sort of the part relation.
+    r = windows.distributed_cumsums(
+        pr, {"cum_c": "rev_c"}, [F.desc("rev_c"), F.asc("l_partkey")]
+    ).withColumn("cum_c", F.col("cum_c").cast("bigint"))
     cls = r.crossJoin(F.broadcast(t)).select(
         F.when(
             (F.col("cum_c") - F.col("rev_c")) * 100 < F.col("s") * 80, "A"
@@ -11467,8 +11481,9 @@ FROM p"""
     "sums (the q193 machinery), with the value itself as "
     "tie-break; D, the critical value, and the verdict are final "
     "float ops on exact integers.  Scale: count table map-combines "
-    "events; the ordered cumulation runs over distinct values "
-    "(two-level composable); top-1 is a 1-row heap.",
+    "events; both ECDF cumulations ride ONE "
+    "windows.distributed_cumsums pass (r9 — no single-task sort of "
+    "the distinct-value table); top-1 is a 1-row heap.",
 )
 def q212_ks_two_sample_test(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -11484,11 +11499,14 @@ def q212_ks_two_sample_test(spark, sf_dir):
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = c.select(
+    # both ECDF cumsums ride ONE two-level prefix-sum pass (no
+    # unpartitioned WindowExec over the distinct-value table).
+    cum = windows.distributed_cumsums(
+        c, {"f1": "c1", "f2": "c2"}, [F.asc("v")]
+    ).select(
         "v",
-        F.sum("c1").over(wv).cast("bigint").alias("f1"),
-        F.sum("c2").over(wv).cast("bigint").alias("f2"),
+        F.col("f1").cast("bigint").alias("f1"),
+        F.col("f2").cast("bigint").alias("f2"),
     )
     dev = cum.crossJoin(F.broadcast(t)).withColumn(
         "cross_dev",
@@ -12921,9 +12939,9 @@ FROM km ORDER BY t_days"""
     "~1e-15 libm ulp sits far below round 6).  Censored-only times "
     "contribute ln(1) = 0, so filtering to d > 0 rows first is "
     "exact.  Scale: one map-combined per-customer aggregate (the "
-    "only corpus-sized shuffle), then day-bounded count tables; the "
-    "unpartitioned windows run over <= |distinct lifetimes| <= "
-    "calendar-days rows.",
+    "only corpus-sized shuffle), then day-bounded count tables; both "
+    "ordered cumulations ride windows.distributed_cumsums (r9), so "
+    "even an unbounded lifetime domain never single-tasks.",
 )
 def q228_kaplan_meier_survival(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -12950,15 +12968,21 @@ def q228_kaplan_meier_survival(spark, sf_dir):
     ct = per.groupBy("t").agg(
         F.sum("ev").cast("bigint").alias("d"), F.count(F.lit(1)).alias("c")
     )
-    wt = Window.orderBy("t")
-    r = (
-        ct.crossJoin(F.broadcast(tot))
-        .withColumn("n_risk", F.col("nc") - (F.sum("c").over(wt) - F.col("c")))
-    )
-    km = r.filter(F.col("d") > 0).withColumn(
-        "s",
-        F.exp(F.sum(F.log(1 - F.col("d") * 1.0 / F.col("n_risk"))).over(wt)),
-    )
+    # Both ordered passes ride the two-level prefix sum (r9): the
+    # risk-set cumsum is integer-exact in any grouping; the KM
+    # log-product cumsum is doubles, where shard regrouping moves
+    # ~1e-15 ulps — far below the round-6 grid (same error class as
+    # the sequential window's own accumulation, documented above).
+    r = windows.distributed_cumsums(
+        ct.crossJoin(F.broadcast(tot)), {"cum_c": "c"}, [F.asc("t")]
+    ).withColumn("n_risk", F.col("nc") - (F.col("cum_c") - F.col("c")))
+    km = windows.distributed_cumsums(
+        r.filter(F.col("d") > 0).withColumn(
+            "lnp", F.log(1 - F.col("d") * 1.0 / F.col("n_risk"))
+        ),
+        {"lns": "lnp"},
+        [F.asc("t")],
+    ).withColumn("s", F.exp(F.col("lns")))
     return km.select(
         F.col("t").cast("bigint").alias("t_days"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
@@ -14117,12 +14141,18 @@ def q240_popularity_rec_hitk(spark, sf_dir):
     tgt = jj.filter(F.col("is_last")).select("ck", "pk").distinct()
     pop = hist.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
     hsz = hist.groupBy("ck").agg(F.count(F.lit(1)).alias("h"))
-    maxh = hsz.agg(F.max("h").alias("mh"))
+    # The popularity prefix via orderBy+limit (TakeOrderedAndProject:
+    # per-partition heaps, no global sort) instead of ranking ALL
+    # parts through an unpartitioned row_number (r9, the q242
+    # recipe).  mh is a bounded scalar (one customer's distinct-part
+    # history), resolved first as a 1-row action so the limit is
+    # literal; the rank window then runs over only 10 + mh rows.
+    mh = int(hsz.agg(F.max("h")).first()[0] or 0)
     wpop = Window.orderBy(F.desc("cnt"), F.asc("pk"))
     topm = (
-        pop.withColumn("pr", F.row_number().over(wpop))
-        .crossJoin(F.broadcast(maxh))
-        .filter(F.col("pr") <= _REC_K + F.col("mh"))
+        pop.orderBy(F.desc("cnt"), F.asc("pk"))
+        .limit(_REC_K + mh)
+        .withColumn("pr", F.row_number().over(wpop))
         .select("pk", "pr")
     )
     # RANK ARITHMETIC instead of materializing recommendations (r8,
@@ -14703,16 +14733,27 @@ ORDER BY n_members DESC, community"""
 def q246_label_propagation_communities(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     x, y = li.alias("x"), li.alias("y")
-    pr = (
+    # BOTH directions come straight out of the self-join (!= instead
+    # of < plus a mirror union), so the edge list needs exactly ONE
+    # shuffle: repartition("nbr") FIRST, then dropDuplicates — a
+    # partitioning on nbr already satisfies the (node, nbr) distinct's
+    # clustering requirement, so the dedup runs in place on the
+    # partitioning every propagation round reuses.  (r9, measured:
+    # the old distinct-then-repartition shape shuffled the directed
+    # edge relation twice.)
+    und = (
         x.join(
             y,
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
         )
         .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+            F.col("x.l_partkey").alias("node"),
+            F.col("y.l_partkey").alias("nbr"),
         )
-        .distinct()
+        .repartition("nbr")
+        .dropDuplicates(["node", "nbr"])
+        .persist()
     )
     # persisted HASH-PARTITIONED ON THE JOIN KEY: the undirected edge
     # list feeds every propagation round, and caching it already
@@ -14720,12 +14761,6 @@ def q246_label_propagation_communities(spark, sf_dir):
     # cached exchange — only the |nodes|-row label relation shuffles
     # per round, never the edge list (cache lifetime caller-managed,
     # bench clears per query)
-    und = (
-        pr.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-        .unionByName(pr.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-        .repartition("nbr")
-        .persist()
-    )
     labels = und.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(_LPA_ROUNDS):
         votes = (
@@ -17857,9 +17892,18 @@ ORDER BY threshold""".format(
     "aggregates.",
 )
 def q273_lsh_recall_audit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = q63_md5_minhash_signatures(spark, sf_dir)
+    return _lsh_audit_frame(spark, docs, sigs)
+
+
+def _lsh_audit_frame(spark, docs, sigs):
+    """Shared recall/precision audit frame over an arbitrary document
+    slice: exact prefix-filter Jaccard truth vs the portable-md5
+    banded candidates, reported at thresholds 0.3/0.5 (q273 runs it
+    corpus-wide; q274 on the deterministic production sample)."""
     from team_aragon_spark.operators.setsim import set_similarity_join
 
-    docs = _t(spark, sf_dir, "documents")
     mem = docs.select(
         "doc_id",
         F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("item"),
@@ -17871,7 +17915,6 @@ def q273_lsh_recall_audit(spark, sf_dir):
         )
         .persist()  # feeds the truth counts AND the candidate join
     )
-    sigs = q63_md5_minhash_signatures(spark, sf_dir)
     bk = sigs.groupBy(
         "doc_id", F.expr("perm DIV 2").alias("band")
     ).agg(
@@ -17936,6 +17979,53 @@ def q273_lsh_recall_audit(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+_AUDIT_SAMPLE_SALT = "smp:"
+_AUDIT_SAMPLED_SQL = _AUDIT_SQL.replace(
+    "FROM documents)",
+    "FROM documents\n  WHERE substr(md5('" + _AUDIT_SAMPLE_SALT
+    + "' || CAST(doc_id AS VARCHAR)), 1, 1) < '8')",
+)
+
+
+@register(
+    "q274_lsh_recall_audit_sampled",
+    _AUDIT_SAMPLED_SQL,
+    ops=("ext-dedup-quality-audit-sampled",),
+    doc="SAMPLED DEDUP-QUALITY AUDIT — q273's recall/precision frame "
+    "on a DETERMINISTIC 50% document sample (portable md5 over "
+    "doc_id, the q112/q268 convention: assignment survives reruns "
+    "and corpus growth, and both engines draw the identical "
+    "sample), reported at the same 0.3/0.5 thresholds.  THIS is "
+    "the shape that actually runs at 100 TB: q273's exact-truth "
+    "arm at t=0.3 is deliberately work-bound (prefix filtering "
+    "barely prunes below the S-curve knee), so a production dedup "
+    "pipeline audits its banding on a sample — the sample is the "
+    "posture, not a shortcut, and the audit cost scales with the "
+    "sample rate squared while the estimate's variance shrinks as "
+    "pair counts grow.  Full value oracle, NOT skip-gated: the "
+    "sampled truth join is bounded at every scale the driver runs.  "
+    "Scale: identical plan shapes to q273 (one linear signature "
+    "projection, bucket-bounded band self-join, prefix-filter "
+    "truth join) over the sampled slice.",
+)
+def q274_lsh_recall_audit_sampled(spark, sf_dir):
+    pred = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_AUDIT_SAMPLE_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    docs = _t(spark, sf_dir, "documents").filter(pred)
+    sigs = q63_md5_minhash_signatures(spark, sf_dir).filter(pred)
+    return _lsh_audit_frame(spark, docs, sigs)
 
 
 _DRIFT_SQL = """
@@ -18033,15 +18123,18 @@ def q269_embedding_centroid_drift(spark, sf_dir):
 
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
-    # The 38 rows that have never been driver-stamped (registered
-    # after the r8 window was fixed, or outside it): q231-q241,
-    # q243-q247, q249-q256, q259-q263, q265-q273 minus the five
-    # stamped in r08.  All 38 were hash-green in the round-8 close
-    # sweep (273/273 driver-replica at sf0.01) and 17 of them in the
-    # round-8 judge's own sf0.01 replica (17/17).  The window is
-    # topped up to 50 with the 12 oldest stale-r04 rows (q11-q27
-    # head of the q11-q98 block); the remaining 31 stale rows are
-    # the r10 queue below.
+    # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
+    # q259-q263, q265-q273 minus the five stamped in r08 — all
+    # hash-green in the round-8 close sweep at sf0.01 and 17 of them
+    # in the r8 judge's own replica), PLUS the new q274 (sampled LSH
+    # audit), PLUS the 11 queries whose executed plans changed this
+    # round and therefore need stamps on the NEW plan: the
+    # de-windowed q193/q201/q206/q209/q212/q228 and the five
+    # percentile-operator consumers q154/q157/q172/q200/q225
+    # (distributed_cumsums inside exact_grouped_percentiles).  All
+    # 50 verified by the full driver-replica sweep at sf0.01 before
+    # the close of round 9.  The q11-q98 stale-r04 block is the r10
+    # queue below.
     "q231_misra_gries_heavy_hitters",
     "q232_llr_keywords",
     "q233_spearman_corr",
@@ -18080,6 +18173,22 @@ STAMP_PRIORITY: list[str] = [
     "q271_retrieval_eval_pipeline",
     "q272_difference_in_differences",
     "q273_lsh_recall_audit",
+    "q274_lsh_recall_audit_sampled",
+    "q193_mann_whitney_utest",
+    "q201_token_zipf_fit",
+    "q206_revenue_concentration",
+    "q209_part_abc_classification",
+    "q212_ks_two_sample_test",
+    "q228_kaplan_meier_survival",
+    "q154_event_value_percentiles",
+    "q157_mad_robust_outliers",
+    "q172_histogram_sketch_quantiles",
+    "q200_funnel_latency_quantiles",
+    "q225_theil_sen_slope",
+    # ---- r10 queue (beyond the 50-slot window; doc only) ----
+    # The 43 rows whose latest green stamp is r04 (bodies unchanged,
+    # pytest-green; no stamp should age past two rounds once this
+    # block clears):
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
@@ -18092,10 +18201,6 @@ STAMP_PRIORITY: list[str] = [
     "q21_doc_fingerprints",
     "q23_jaccard_neardup_pairs",
     "q27_hourly_event_stats",
-    # ---- r10 queue (beyond the 50-slot window; doc only) ----
-    # The 31 remaining rows whose latest green stamp is r04
-    # (bodies unchanged, pytest-green; no stamp should age past
-    # two rounds once this block clears):
     "q28_event_json_extract",
     "q29_user_sessions",
     "q30_top_events_per_user",

@@ -2257,3 +2257,94 @@ def test_round8_dewindowed_plan_shapes(spark):
     assert delta_windows, p188
     for ln in delta_windows:
         assert "__shard" in ln, ln
+
+
+def test_distributed_cumsums_matches_global_window(spark):
+    """windows.distributed_cumsums must return exactly the plain
+    ordered-window cumsum — multi-column sums in one pass, arbitrary
+    sort expressions (desc + tiebreak), global and grouped modes —
+    on a fixture with an adversarially skewed group (one group owns
+    ~90% of the rows, the shape that single-tasks a plain per-group
+    window)."""
+    from pyspark.sql import Window
+
+    from team_aragon_spark.operators.windows import distributed_cumsums
+
+    rows = [(i, "hot" if i % 10 else "cold", (i * 13) % 97, i % 7 + 1, 2 * i)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, g string, v long, a long, b long")
+
+    # global, two sums, composite (v DESC, id ASC) total order
+    order = [F.desc("v"), F.asc("id")]
+    got = distributed_cumsums(
+        df, {"ca": "a", "cb": "b"}, order, n_shards=16
+    ).select("id", "ca", "cb")
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.select(
+        "id", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+    # grouped (skewed key), single sum, asc order
+    gotg = distributed_cumsums(
+        df, {"ca": "a"}, [F.asc("id")], partition_cols=["g"], n_shards=16
+    ).select("g", "id", "ca")
+    wg = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naiveg = df.select("g", "id", F.sum("a").over(wg).alias("ca"))
+    assert gotg.exceptAll(naiveg).count() == 0
+    assert naiveg.exceptAll(gotg).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_round9_dewindowed_plan_shapes(spark):
+    """Round-9 single-task-window eliminations hold in the executed
+    plan: the distinct-value / ranked cumulations of q193, q206,
+    q212, q228, q209, the percentile operator (via q243), and q201's
+    vocabulary rank all key their data-bearing windows on the range-
+    partition id (__pid) — the only remaining ordered windows are the
+    shard-cardinality-bounded offset relations (which also reference
+    __pid); q240's popularity prefix comes from
+    TakeOrderedAndProject, with the rank window running after the
+    bounded limit."""
+    import re
+
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name, marker in [
+        ("q193_mann_whitney_utest", "cnt"),
+        ("q206_revenue_concentration", "m"),
+        ("q212_ks_two_sample_test", "c1"),
+        ("q228_kaplan_meier_survival", "c"),
+        ("q209_part_abc_classification", "rev_c"),
+        ("q243_robust_means", "__c"),
+        ("q201_token_zipf_fit", "row_number"),
+    ]:
+        p = plan(name)
+        win_lines = [
+            ln for ln in p.splitlines() if re.search(r"\bWindow\b", ln)
+        ]
+        assert win_lines, (name, p)
+        for ln in win_lines:
+            assert "__pid" in ln, (name, ln)
+        assert marker in p, (name, marker)
+
+    # q240: the popularity prefix is TakeOrderedAndProject (per-
+    # partition heaps), and the surviving global-ordered rank window
+    # consumes the bounded post-limit relation (10 + max-history
+    # rows, the q242 convention) — structurally, every Window that
+    # orders on the popularity count sits above a GlobalLimit.
+    p240 = plan("q240_popularity_rec_hitk")
+    assert "TakeOrderedAndProject" in p240, p240
