@@ -1623,7 +1623,14 @@ FROM h, (VALUES {vals}) p(perm, c)""".format(
     "posture as q24: one projection, linear, no shuffle.",
 )
 def q63_md5_minhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    return _md5_minhash_sigs(_t(spark, sf_dir, "documents"))
+
+
+def _md5_minhash_sigs(docs):
+    """q63's portable-md5 MinHash signatures over an arbitrary
+    document slice (q274 computes them on its bounded sample only —
+    signing the full corpus first would re-introduce the linear
+    md5 wall the sample exists to avoid)."""
     # One md5 per shingle — hex chars 17..31 (60 bits of the lower
     # half) parsed big-endian: Spark `conv(..., 16, 10)` and DuckDB
     # `('0x' || substr(...))::UBIGINT` produce the identical value —
@@ -14926,6 +14933,7 @@ def q247_ams_f2_sketch(spark, sf_dir):
 _ER_M = "0.95"  # fixed m-probability (string: exact literal in both SQLs)
 _ER_1M = "0.05"
 _ER_TOPK = 50
+_ER_PREFIX0 = 4096  # initial lower-key prefix for candidate enumeration
 
 _ER_SQL = f"""
 WITH c AS (
@@ -14979,15 +14987,21 @@ LIMIT {_ER_TOPK}"""
     "smoothing (never 0/1, so log weights stay finite on any "
     "corpus), m fixed at 0.95; agreement weight log2(m/u), "
     "disagreement log2((1-m)/(1-u)); top-50 scored pairs.  Scale: "
-    "u-statistics come from COUNTS, not pair enumeration (sums of "
-    "C(n,2) over refined groups; close pairs from a +-1 cent-grid "
-    "join whose cell width = the threshold), and the top-50 is "
-    "filled over the 8-point SCORE LATTICE (3 binary comparators) "
-    "from the best class down — a class enumerates only if higher "
-    "classes could not fill k, so the all-agree class (a subset of "
-    "the small grid candidates) normally ends the search and the "
-    "quadratic all-pairs pass never runs (387 s naive -> see "
-    "PLANS; degenerate corpora fall through and stay exact).",
+    "ALL u-statistics come from COUNTS, never pair enumeration — "
+    "exact comparators as sums of C(n,2) over refined groups, the "
+    "close count from the (block, cents) count table via prefix "
+    "counts + ONE as-of lookup at v-10001 (r9: work bounded by the "
+    "distinct-value cardinality of the FIXED balance domain, where "
+    "the old grid enumeration grew with block density^2) — and the "
+    "top-50 is filled over the 8-point SCORE LATTICE (3 binary "
+    "comparators) from the best class down with PREFIX-BOUNDED "
+    "enumeration: every candidate source restricts the lower key "
+    "to the P smallest custkeys (P escalates x8 on shortfall; a "
+    "prefix that fills the quota provably contains the true "
+    "smallest-(a,b) pairs of the class), so no candidate join "
+    "grows quadratically with block size (387 -> 290 -> 70.5 s "
+    "across rounds -> see PLANS for the r9 number; degenerate "
+    "corpora escalate to the full join and stay exact).",
 )
 def q248_entity_resolution_scoring(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(
@@ -14996,10 +15010,6 @@ def q248_entity_resolution_scoring(spark, sf_dir):
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
     ).persist()  # feeds the count-side u stats AND both join sides
-    a, b = cust.alias("a"), cust.alias("b")
-
-    def bucket(side: str):
-        return F.floor(F.col(f"{side}.cents") / 50000.0)
 
     # u-probabilities WITHOUT enumerating pairs (measured: the naive
     # enumerate-pairs-twice-with-persist formulation ran 387 s at
@@ -15022,6 +15032,51 @@ def q248_entity_resolution_scoring(spark, sf_dir):
     total_p = cnt_pairs()
     bucket_p = cnt_pairs(F.floor(F.col("cents") / 50000.0).alias("bk"))
     sign_p = cnt_pairs((F.col("cents") >= 0).alias("sg"))
+    # close-pair u-stat WITHOUT enumerating candidate pairs (r9; the
+    # old +-1 grid enumeration grew with C(block density, 2) because
+    # the balance domain is fixed — the "finer second key" note in
+    # PLANS): per-(block, cents) count table, inclusive prefix counts
+    # via distributed_cumsums, and the prefix count at v - 10001
+    # looked up with ONE as-of join (latest value <= the probe
+    # carries its running count).  close pairs at value v =
+    # C(c_v, 2) + c_v * |values in [v-10000, v-1]| =
+    # C(c_v, 2) + c_v * ((cum_v - c_v) - cum_below).  All integer-
+    # exact; work is bounded by the DISTINCT (block, cents)
+    # cardinality — domain-bounded, never quadratic in block size.
+    from team_aragon_spark.operators.asof import asof_join
+
+    ct = cust.groupBy(*blk, "cents").agg(F.count(F.lit(1)).alias("cc"))
+    cum = windows.distributed_cumsums(
+        ct, {"cum": "cc"}, [F.asc("cents")], partition_cols=blk
+    )
+    looked = asof_join(
+        cum.withColumn("probe", F.col("cents") - 10001),
+        cum.select(
+            *blk,
+            F.col("cents").alias("vts"),
+            F.col("cum").alias("cum_below"),
+        ),
+        on=blk,
+        left_ts="probe",
+        right_ts="vts",
+        value_cols=["cum_below"],
+    )
+    close_p = (
+        looked.select(
+            (
+                F.expr("cc * (cc - 1) DIV 2")
+                + F.col("cc")
+                * (
+                    F.col("cum")
+                    - F.col("cc")
+                    - F.coalesce(F.col("cum_below"), F.lit(0))
+                )
+            ).alias("p")
+        )
+        .agg(F.sum("p"))
+        .collect()[0][0]
+        or 0
+    )
     grid = F.floor(F.col("cents") / 10000.0)
     ga = cust.select(
         *blk, F.col("c_custkey").alias("ka"), F.col("cents").alias("ca"),
@@ -15032,14 +15087,6 @@ def q248_entity_resolution_scoring(spark, sf_dir):
     gb = cust.select(
         *blk, F.col("c_custkey").alias("kb"), F.col("cents").alias("cb"),
         grid.alias("g"),
-    )
-    close_p = (
-        ga.join(gb, [*blk, "g"])
-        .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("ca") - F.col("cb")) <= 10000)
-        )
-        .count()
     )
     u_bucket = (bucket_p + 1.0) / (total_p + 2.0)
     u_close = (close_p + 1.0) / (total_p + 2.0)
@@ -15096,56 +15143,103 @@ def q248_entity_resolution_scoring(spark, sf_dir):
         .cast("bigint")
         .alias("agree_sign"),
     ]
-    close_cand = (
-        ga.join(gb, [*blk, "g"])
-        .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("ca") - F.col("cb")) <= 10000)
+    # Candidate enumeration is PREFIX-BOUNDED (r9): each source joins
+    # only pairs whose LOWER key sits in the P smallest custkeys
+    # (a broadcast TakeOrdered prefix), escalating P x8 until a class
+    # fills its quota or the prefix covers the corpus.  Exactness:
+    # classes select their `needed` smallest pairs by (a, b), and a
+    # pair's a is its smaller key — every pair outside the prefix has
+    # a > max(prefix) and therefore sorts after ALL prefix pairs, so
+    # a prefix that yields >= needed rows provably contains the true
+    # top-needed.  Enumeration cost is ~P/|cust| of the full join —
+    # block sizes can grow without the candidate pass growing
+    # quadratically (the PLANS "finer second key" item, closed).
+    n_cust = cust.count()
+
+    def _prefix(P: int, key: str):
+        return F.broadcast(
+            cust.select(F.col("c_custkey").alias(key)).orderBy(key).limit(P)
         )
-        .select(
-            F.col("ka").alias("a"), F.col("kb").alias("b"), *agree_cols
+
+    def _close_src(P: int):
+        gaa = ga if P >= n_cust else ga.join(_prefix(P, "ka"), "ka")
+        return (
+            gaa.join(gb, [*blk, "g"])
+            .filter(
+                (F.col("ka") < F.col("kb"))
+                & (F.abs(F.col("ca") - F.col("cb")) <= 10000)
+            )
+            .select(
+                F.col("ka").alias("a"), F.col("kb").alias("b"), *agree_cols
+            )
+            .dropDuplicates(["a", "b"])
+            .persist()  # 4 of the 8 classes read the close source
         )
-        .dropDuplicates(["a", "b"])
-        .persist()
-    )
+
     bj = cust.select(
         *blk,
         F.col("c_custkey").alias("k"),
         F.col("cents").alias("c"),
         F.floor(F.col("cents") / 50000.0).alias("bk"),
     )
-    bx, by = bj.alias("bx"), bj.alias("by")
-    bucket_cand = (
-        bx.join(
-            by,
-            (F.col("bx.c_nationkey") == F.col("by.c_nationkey"))
-            & (F.col("bx.c_mktsegment") == F.col("by.c_mktsegment"))
-            & (F.col("bx.bk") == F.col("by.bk"))
-            & (F.col("bx.k") < F.col("by.k")),
+
+    def _bucket_src(P: int):
+        bxx = bj if P >= n_cust else bj.join(
+            _prefix(P, "k").withColumnRenamed("k", "__pk"),
+            F.col("k") == F.col("__pk"),
+        ).drop("__pk")
+        bx, by = bxx.alias("bx"), bj.alias("by")
+        return (
+            bx.join(
+                by,
+                (F.col("bx.c_nationkey") == F.col("by.c_nationkey"))
+                & (F.col("bx.c_mktsegment") == F.col("by.c_mktsegment"))
+                & (F.col("bx.bk") == F.col("by.bk"))
+                & (F.col("bx.k") < F.col("by.k")),
+            )
+            .select(
+                F.col("bx.k").alias("a"),
+                F.col("by.k").alias("b"),
+                F.col("bx.c").alias("ca"),
+                F.col("by.c").alias("cb"),
+            )
+            .select("a", "b", *agree_cols)
         )
-        .select(
-            F.col("bx.k").alias("a"),
-            F.col("by.k").alias("b"),
-            F.col("bx.c").alias("ca"),
-            F.col("by.c").alias("cb"),
+
+    def _all_src(P: int):
+        aa = cust if P >= n_cust else cust.join(
+            _prefix(P, "c_custkey"), "c_custkey"
         )
-        .select("a", "b", *agree_cols)
-    )
-    all_pairs = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        ax, bfull = aa.alias("a"), cust.alias("b")
+        return (
+            ax.join(
+                bfull,
+                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            )
+            .select(
+                F.col("a.c_custkey").alias("a"),
+                F.col("b.c_custkey").alias("b"),
+                F.col("a.cents").alias("ca"),
+                F.col("b.cents").alias("cb"),
+            )
+            .select("a", "b", *agree_cols)
         )
-        .select(
-            F.col("a.c_custkey").alias("a"),
-            F.col("b.c_custkey").alias("b"),
-            F.col("a.cents").alias("ca"),
-            F.col("b.cents").alias("cb"),
-        )
-        .select("a", "b", *agree_cols)
-    )
+
+    builders = {"close": _close_src, "bucket": _bucket_src, "all": _all_src}
+    src_p = {k: _ER_PREFIX0 for k in builders}
+    built: dict[tuple[str, int], DataFrame] = {}
+
+    def _src(kind: str):
+        key = (kind, src_p[kind])
+        if key not in built:
+            for (k2, p2), old in built.items():  # drop superseded caches
+                if k2 == kind:
+                    old.unpersist()
+            built[key] = builders[kind](src_p[kind])
+        return built[key]
+
     needed = _ER_TOPK
     selected = []
     for group in class_groups:
@@ -15153,22 +15247,22 @@ def q248_entity_resolution_scoring(spark, sf_dir):
             break
         returned = 0
         for ab, ac, asg in group:
-            if ac == 1:
-                src = close_cand
-            elif ab == 1:
-                src = bucket_cand
-            else:
-                src = all_pairs
-            cls = (
-                src.filter(
-                    (F.col("agree_bucket") == ab)
-                    & (F.col("agree_close") == ac)
-                    & (F.col("agree_sign") == asg)
+            kind = "close" if ac == 1 else ("bucket" if ab == 1 else "all")
+            while True:
+                cls = (
+                    _src(kind)
+                    .filter(
+                        (F.col("agree_bucket") == ab)
+                        & (F.col("agree_close") == ac)
+                        & (F.col("agree_sign") == asg)
+                    )
+                    .orderBy("a", "b")
+                    .limit(needed)
                 )
-                .orderBy("a", "b")
-                .limit(needed)
-            )
-            rows = cls.collect()  # <= needed (<= 50) rows per class
+                rows = cls.collect()  # <= needed (<= 50) rows per class
+                if len(rows) >= needed or src_p[kind] >= n_cust:
+                    break
+                src_p[kind] = min(n_cust, src_p[kind] * 8)
             selected.extend(rows)
             returned += len(rows)
         # extra same-score rows lose the final (score, a, b) sort, so
@@ -17855,10 +17949,10 @@ SELECT CAST(v.t AS DOUBLE) AS threshold,
        CASE WHEN v.t = 0.3 THEN cagg.c3 ELSE cagg.c5 END
          AS n_candidates_true,
        round((CASE WHEN v.t = 0.3 THEN cagg.c3 ELSE cagg.c5 END) * 1.0
-             / (CASE WHEN v.t = 0.3 THEN agg.t3 ELSE agg.t5 END), 6)
+             / NULLIF(CASE WHEN v.t = 0.3 THEN agg.t3 ELSE agg.t5 END, 0), 6)
          AS band_recall,
        round((CASE WHEN v.t = 0.3 THEN cagg.c3 ELSE cagg.c5 END) * 1.0
-             / n.nc, 6) AS cand_precision
+             / NULLIF(n.nc, 0), 6) AS cand_precision
 FROM (SELECT unnest([0.3, 0.5]) AS t) v, agg, cagg, n
 ORDER BY threshold""".format(
     vals=", ".join(
@@ -17974,18 +18068,30 @@ def _lsh_audit_frame(spark, docs, sigs):
             n_true.alias("n_true"),
             F.col("nc").alias("n_candidates"),
             n_ct.alias("n_candidates_true"),
-            F.round(n_ct * 1.0 / n_true, 6).alias("band_recall"),
-            F.round(n_ct * 1.0 / F.col("nc"), 6).alias("cand_precision"),
+            # NULLIF keeps the empty-truth / empty-candidate edges
+            # portable: a sample with zero qualifying pairs reports
+            # NULL in both engines instead of ANSI DIVIDE_BY_ZERO
+            # (hit by q274 at 100x, where a 2000-doc sample of a
+            # 500k-doc corpus holds no true near-dup pair).
+            F.round(n_ct * 1.0 / F.nullif(n_true, F.lit(0)), 6).alias(
+                "band_recall"
+            ),
+            F.round(n_ct * 1.0 / F.nullif(F.col("nc"), F.lit(0)), 6).alias(
+                "cand_precision"
+            ),
         )
         .orderBy("threshold")
     )
 
 
 _AUDIT_SAMPLE_SALT = "smp:"
+_AUDIT_SAMPLE_K = 2000
 _AUDIT_SAMPLED_SQL = _AUDIT_SQL.replace(
     "FROM documents)",
-    "FROM documents\n  WHERE substr(md5('" + _AUDIT_SAMPLE_SALT
-    + "' || CAST(doc_id AS VARCHAR)), 1, 1) < '8')",
+    "FROM documents\n  WHERE doc_id IN (SELECT doc_id FROM documents"
+    "\n    ORDER BY md5('" + _AUDIT_SAMPLE_SALT
+    + "' || CAST(doc_id AS VARCHAR)), doc_id"
+    f"\n    LIMIT {_AUDIT_SAMPLE_K}))",
 )
 
 
@@ -17994,38 +18100,39 @@ _AUDIT_SAMPLED_SQL = _AUDIT_SQL.replace(
     _AUDIT_SAMPLED_SQL,
     ops=("ext-dedup-quality-audit-sampled",),
     doc="SAMPLED DEDUP-QUALITY AUDIT — q273's recall/precision frame "
-    "on a DETERMINISTIC 50% document sample (portable md5 over "
-    "doc_id, the q112/q268 convention: assignment survives reruns "
-    "and corpus growth, and both engines draw the identical "
-    "sample), reported at the same 0.3/0.5 thresholds.  THIS is "
-    "the shape that actually runs at 100 TB: q273's exact-truth "
-    "arm at t=0.3 is deliberately work-bound (prefix filtering "
-    "barely prunes below the S-curve knee), so a production dedup "
-    "pipeline audits its banding on a sample — the sample is the "
-    "posture, not a shortcut, and the audit cost scales with the "
-    "sample rate squared while the estimate's variance shrinks as "
-    "pair counts grow.  Full value oracle, NOT skip-gated: the "
-    "sampled truth join is bounded at every scale the driver runs.  "
-    "Scale: identical plan shapes to q273 (one linear signature "
-    "projection, bucket-bounded band self-join, prefix-filter "
-    "truth join) over the sampled slice.",
+    f"on a DETERMINISTIC FIXED-SIZE sample: the {_AUDIT_SAMPLE_K} "
+    "documents smallest by portable md5 order (salted doc_id hash, "
+    "doc_id tiebreak — both engines draw the identical set; a "
+    "hash-ORDERED sample, unlike a hash-rate threshold, keeps the "
+    "audit's cost CONSTANT as the corpus grows, which a 100x "
+    "measurement of the rate-based form proved out: a fixed-RATE "
+    "sample still scales quadratically and timed out where this "
+    "form is bounded).  THIS is the shape that runs at 100 TB: "
+    "q273's exact-truth arm at t=0.3 is deliberately work-bound "
+    "(prefix filtering barely prunes below the S-curve knee), so a "
+    "production pipeline audits its banding on a fixed sampling "
+    "budget.  Full value oracle, NOT skip-gated.  Scale: one "
+    "TakeOrdered pass picks the sample ids (broadcast-joined into "
+    "docs and signatures); the audit frame then reuses q273's plan "
+    "shapes over a bounded slice.",
 )
 def q274_lsh_recall_audit_sampled(spark, sf_dir):
-    pred = (
-        F.substring(
+    docs_all = _t(spark, sf_dir, "documents")
+    sample_ids = (
+        docs_all.select(
+            "doc_id",
             F.md5(
                 F.concat(
                     F.lit(_AUDIT_SAMPLE_SALT), F.col("doc_id").cast("string")
                 )
-            ),
-            1,
-            1,
+            ).alias("__h"),
         )
-        < "8"
+        .orderBy("__h", "doc_id")
+        .limit(_AUDIT_SAMPLE_K)
+        .select("doc_id")
     )
-    docs = _t(spark, sf_dir, "documents").filter(pred)
-    sigs = q63_md5_minhash_signatures(spark, sf_dir).filter(pred)
-    return _lsh_audit_frame(spark, docs, sigs)
+    docs = docs_all.join(F.broadcast(sample_ids), "doc_id")
+    return _lsh_audit_frame(spark, docs, _md5_minhash_sigs(docs))
 
 
 _DRIFT_SQL = """

@@ -1,0 +1,60 @@
+"""Round-9 semantics pins.
+
+Two r9 rewrites changed HOW results are computed without being
+allowed to move a single output row: q248's prefix-bounded candidate
+enumeration (escalating lower-key prefix) and the Arrow kNN kernel's
+query-block chunking.  Both are pinned here against their unbounded
+formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_aragon_spark.plans import star_queries as sq
+from tests.conftest import SF_SMOKE
+
+
+def test_q248_prefix_escalation_exact(spark, monkeypatch):
+    """q248 with a pathologically small initial prefix (forcing the
+    x8 escalation path through every candidate source) must return
+    exactly the rows of the default run (which at sf0.001 covers the
+    corpus outright, i.e. full enumeration)."""
+    fn = sq.QUERY_REGISTRY["q248_entity_resolution_scoring"].fn
+    full = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    spark.catalog.clearCache()
+    monkeypatch.setattr(sq, "_ER_PREFIX0", 4)
+    tiny = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    spark.catalog.clearCache()
+    assert tiny == full
+    assert len(full) == sq._ER_TOPK
+
+
+def test_cell_knn_arrow_query_block_exact(spark):
+    """cell_knn_topk_arrow must be bit-identical under any query
+    blocking (the r9 memory-ceiling chunking): block=3 forces many
+    blocks per cell on the real corpus and must reproduce the
+    single-block result row for row."""
+    from team_aragon_spark.operators import similarity
+
+    asg, probes, _ = sq._ivf_loo_sides(spark, SF_SMOKE, arrow=True)
+    p2 = probes.drop("rk").withColumnRenamed("cell", "qcell")
+    big = similarity.cell_knn_topk_arrow(asg, p2, k=sq._KNN_K)
+    small = similarity.cell_knn_topk_arrow(asg, p2, k=sq._KNN_K, query_block=3)
+    assert big.exceptAll(small).count() == 0
+    assert small.exceptAll(big).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_q274_sample_is_fixed_size_prefix(spark):
+    """The audit sample is the md5-ordered PREFIX: at smoke scale the
+    corpus (500 docs) is smaller than the sample budget, so q274's
+    frame must equal q273's exactly — the fixed-size sample degrades
+    to the full audit on small corpora instead of silently thinning."""
+    a = sq.QUERY_REGISTRY["q273_lsh_recall_audit"].fn(spark, SF_SMOKE)
+    b = sq.QUERY_REGISTRY["q274_lsh_recall_audit_sampled"].fn(spark, SF_SMOKE)
+    ra = [tuple(r) for r in a.orderBy("threshold").collect()]
+    spark.catalog.clearCache()
+    rb = [tuple(r) for r in b.orderBy("threshold").collect()]
+    spark.catalog.clearCache()
+    assert ra == rb
