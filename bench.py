@@ -218,7 +218,9 @@ EXTRA = [
     "q272_difference_in_differences",  # DiD quasi-experimental estimator
     "q273_lsh_recall_audit",        # md5-LSH recall/precision vs exact truth
     # round-9 families:
-    "q274_lsh_recall_audit_sampled",  # q273 on the production 50% sample
+    "q274_lsh_recall_audit_sampled",  # q273 on the fixed-size production sample
+    "q275_split_leakage_audit",       # near-dup pairs crossing split boundaries
+    "q276_dedup_cluster_size_histogram",  # dedup-health cluster-mass readout
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -18135,6 +18135,185 @@ def q274_lsh_recall_audit_sampled(spark, sf_dir):
     return _lsh_audit_frame(spark, docs, _md5_minhash_sigs(docs))
 
 
+_LEAK_PAIRS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(concat('split0:', CAST(doc_id AS VARCHAR))), 1, 6)
+                   < 'e66666' THEN 'train'
+              WHEN substr(md5(concat('split0:', CAST(doc_id AS VARCHAR))), 1, 6)
+                   < 'f33333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+lab AS (
+  SELECT least(x.split, y.split) || '|' || greatest(x.split, y.split)
+           AS split_pair
+  FROM pairs p JOIN sp x ON x.doc_id = p.a JOIN sp y ON y.doc_id = p.b),
+tot AS (SELECT count(*) AS n FROM lab)
+SELECT split_pair, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(count(*) * 1.0 / NULLIF(tot.n, 0), 6) AS pair_share,
+       split_pair IN ('test|train', 'train|val', 'test|val') AS is_leak
+FROM lab CROSS JOIN tot GROUP BY split_pair, tot.n ORDER BY split_pair"""
+
+
+@register(
+    "q275_split_leakage_audit",
+    _LEAK_PAIRS_SQL,
+    ops=("ext-split-leakage-audit",),
+    doc="TRAIN/VAL/TEST SPLIT-LEAKAGE AUDIT — the eval-integrity "
+    "check every training pipeline needs BEFORE it trusts a "
+    "held-out number: exact word-shingle near-dup pairs (the q23 "
+    "relation — LSH-blocked candidates, exact Jaccard >= 0.5 "
+    "verify) classified by which q112 split each endpoint landed "
+    "in.  A near-dup pair straddling train and val/test means the "
+    "eval set effectively contains training data, inflating every "
+    "metric; the split being hash-random makes SOME leakage "
+    "statistically inevitable whenever duplicates survive dedup — "
+    "this measures exactly how much.  Pair labels are "
+    "least/greatest-normalized split names; is_leak marks the "
+    "cross-split rows.  Full value oracle (the q64 pair CTE + "
+    "q112's split CASE, both already hash-proven).  Scale: pair "
+    "formation is the LSH-blocked q23 path (never all-pairs); the "
+    "split relation is a narrow projection broadcast into two "
+    "key joins; output is <= 6 rows.",
+)
+def q275_split_leakage_audit(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    pairs = text_dedup.jaccard_pairs(
+        docs, candidates=cands, threshold=0.5
+    ).select("a", "b")
+    sp = deterministic_split(docs.select("doc_id")).select("doc_id", "split")
+    lab = (
+        pairs.join(
+            F.broadcast(sp.select(F.col("doc_id").alias("a"),
+                                  F.col("split").alias("sa"))), "a"
+        )
+        .join(
+            F.broadcast(sp.select(F.col("doc_id").alias("b"),
+                                  F.col("split").alias("sb"))), "b"
+        )
+        .select(
+            F.concat(
+                F.least("sa", "sb"), F.lit("|"), F.greatest("sa", "sb")
+            ).alias("split_pair")
+        )
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        lab.groupBy("split_pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split_pair",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs") * 1.0 / F.nullif(F.col("n"), F.lit(0)), 6
+            ).alias("pair_share"),
+            F.col("split_pair").isin(
+                "test|train", "train|val", "test|val"
+            ).alias("is_leak"),
+        )
+        .orderBy("split_pair")
+    )
+
+
+_CLUSTER_HIST_SQL = _CC_ORACLE_SQL.replace(
+    "SELECT node, min(comp) AS component FROM cc GROUP BY node", ""
+) + r""",
+labels AS (SELECT node, min(comp) AS component FROM cc GROUP BY node),
+nd AS (SELECT count(*) AS n FROM documents),
+sizes AS (SELECT component, count(*) AS sz FROM labels GROUP BY component),
+hist AS (SELECT sz, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM sizes GROUP BY sz),
+sing AS (
+  SELECT nd.n - coalesce((SELECT sum(n_docs) FROM hist), 0) AS n1 FROM nd)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs * 1.0 / NULLIF(nd.n, 0), 6) AS doc_share
+FROM (
+  SELECT sz, n_clusters, n_docs FROM hist
+  UNION ALL
+  SELECT 1, n1, n1 FROM sing WHERE n1 > 0) CROSS JOIN nd
+ORDER BY cluster_size"""
+
+
+@register(
+    "q276_dedup_cluster_size_histogram",
+    _CLUSTER_HIST_SQL,
+    ops=("ext-dedup-health-histogram",),
+    doc="DEDUP CLUSTER-SIZE HISTOGRAM — the corpus-health readout of "
+    "the near-dup clustering (q64's connected components over the "
+    "exact-Jaccard pair relation): for each cluster size, how many "
+    "clusters and how much document mass, plus the singleton row "
+    "(docs untouched by any near-dup pair = corpus minus labeled "
+    "nodes — components only contain paired nodes, so size-1 mass "
+    "is derived, not joined).  The shape of this histogram is what "
+    "dedup policy decisions read: a long tail of big clusters means "
+    "boilerplate/template contamination (dropping all-but-canonical "
+    "removes doc_share of the corpus), while mass at size 2 is "
+    "ordinary duplication.  Full value oracle extending q64's "
+    "recursive-CTE closure with two aggregation CTEs.  Scale: "
+    "LSH-blocked pairs -> iterative min-label CC (one shuffle per "
+    "round, q64's machinery) -> two tiny aggregates; output is "
+    "bounded by the largest cluster size.",
+)
+def q276_dedup_cluster_size_histogram(spark, sf_dir):
+    from team_aragon_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    pairs = text_dedup.jaccard_pairs(
+        docs, candidates=cands, threshold=0.5
+    ).select("a", "b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    nl = labels.agg(F.count(F.lit(1)).alias("nlab"))
+    sing = (
+        nd.crossJoin(nl)
+        .select((F.col("n") - F.col("nlab")).alias("n1"))
+        .filter(F.col("n1") > 0)
+        .select(
+            F.lit(1).alias("sz"),
+            F.col("n1").alias("n_clusters"),
+            F.col("n1").cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        hist.unionByName(sing)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_docs").alias("n_docs"),
+            F.round(
+                F.col("n_docs") * 1.0 / F.nullif(F.col("n"), F.lit(0)), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 _DRIFT_SQL = """
 WITH x AS MATERIALIZED (
   SELECT e.label, e.vec_id % 2 AS snap, i.i AS i,
@@ -18293,9 +18472,12 @@ STAMP_PRIORITY: list[str] = [
     "q200_funnel_latency_quantiles",
     "q225_theil_sen_slope",
     # ---- r10 queue (beyond the 50-slot window; doc only) ----
-    # The 43 rows whose latest green stamp is r04 (bodies unchanged,
-    # pytest-green; no stamp should age past two rounds once this
-    # block clears):
+    # The two late-r9 registrations first (never-stamped; pytest
+    # oracle-replica green at two scales), then the 43 rows whose
+    # latest green stamp is r04 (bodies unchanged, pytest-green; no
+    # stamp should age past two rounds once this block clears):
+    "q275_split_leakage_audit",
+    "q276_dedup_cluster_size_histogram",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
