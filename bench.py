@@ -221,6 +221,8 @@ EXTRA = [
     "q274_lsh_recall_audit_sampled",  # q273 on the fixed-size production sample
     "q275_split_leakage_audit",       # near-dup pairs crossing split boundaries
     "q276_dedup_cluster_size_histogram",  # dedup-health cluster-mass readout
+    "q277_source_effective_size",     # duplicate-aware mixture budgeting
+    "q278_langid_cohens_kappa",       # chance-corrected classifier agreement
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

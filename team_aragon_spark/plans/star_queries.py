@@ -18314,6 +18314,154 @@ def q276_dedup_cluster_size_histogram(spark, sf_dir):
     )
 
 
+_EFFECTIVE_SQL = _CC_ORACLE_SQL.replace(
+    "SELECT node, min(comp) AS component FROM cc GROUP BY node", ""
+) + r""",
+labels AS (SELECT node, min(comp) AS component FROM cc GROUP BY node),
+sizes AS (SELECT component, count(*) AS sz FROM labels GROUP BY component),
+dw AS (SELECT l.node AS doc_id, s.sz FROM labels l
+       JOIN sizes s ON s.component = l.component),
+g AS (
+  SELECT d.source, coalesce(dw.sz, 1) AS sz, count(*) AS cnt
+  FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id
+  GROUP BY d.source, coalesce(dw.sz, 1))
+SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       round(sum(cnt * 1.0 / sz), 6) AS effective_docs,
+       round(1 - sum(cnt * 1.0 / sz) / sum(cnt), 6) AS dedup_discount
+FROM g GROUP BY source ORDER BY source"""
+
+
+@register(
+    "q277_source_effective_size",
+    _EFFECTIVE_SQL,
+    ops=("ext-dedup-effective-size",),
+    doc="DUPLICATE-AWARE EFFECTIVE CORPUS SIZE per source — the "
+    "number a data-mixture planner actually budgets with: each "
+    "document weighs 1/|its near-dup cluster| (cluster = q64's "
+    "connected component over exact-Jaccard pairs; untouched docs "
+    "weigh 1), so a source padded with copies contributes its "
+    "DISTINCT content mass, and dedup_discount = the fraction of "
+    "the source that is redundant.  Accumulation-order-safe: "
+    "weights aggregate through the (source, cluster_size) COUNT "
+    "TABLE — each output sums cnt/sz over a handful of distinct "
+    "sizes, not one float per doc — and round(6) happens only at "
+    "the end.  Full value oracle extending the q64 recursive-CTE "
+    "closure.  Scale: LSH-blocked pairs -> CC -> one |labels| join "
+    "+ two small aggregates.",
+)
+def q277_source_effective_size(spark, sf_dir):
+    from team_aragon_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    pairs = text_dedup.jaccard_pairs(
+        docs, candidates=cands, threshold=0.5
+    ).select("a", "b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    dw = labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "sz"
+    )
+    g = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(dw), "doc_id", "left")
+        .select("source", F.coalesce("sz", F.lit(1)).alias("sz"))
+        .groupBy("source", "sz")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    eff = F.sum(F.col("cnt") * 1.0 / F.col("sz"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.round(eff, 6).alias("effective_docs"),
+            F.round(1 - eff / F.sum("cnt"), 6).alias("dedup_discount"),
+        )
+        .orderBy("source")
+    )
+
+
+_KAPPA_SQL = f"""
+WITH cm AS (
+  SELECT lang, {_LANG_CASE_SQL} AS predicted_lang FROM (
+    SELECT doc_id, lang,
+           {', '.join(f'{e} AS s_{l}' for l, e in _LANG_SCORE_SQL.items())},
+           greatest({', '.join(_LANG_SCORE_SQL.values())}) AS mx
+    FROM documents)),
+act AS (SELECT lang, count(*) AS nt FROM cm GROUP BY lang),
+prd AS (SELECT predicted_lang AS lang, count(*) AS np FROM cm
+        GROUP BY predicted_lang),
+agr AS (SELECT count(*) AS ag FROM cm WHERE lang = predicted_lang),
+n AS (SELECT count(*) AS n FROM cm),
+pe AS (SELECT CAST(coalesce(sum(act.nt * coalesce(prd.np, 0)), 0) AS BIGINT)
+         AS cs
+       FROM act LEFT JOIN prd USING (lang))
+SELECT CAST(n.n AS BIGINT) AS n_docs, CAST(agr.ag AS BIGINT) AS n_agree,
+       round(agr.ag * 1.0 / n.n, 6) AS po,
+       round(pe.cs * 1.0 / (n.n * n.n), 6) AS pe,
+       round((agr.ag * 1.0 / n.n - pe.cs * 1.0 / (n.n * n.n))
+             / NULLIF(1 - pe.cs * 1.0 / (n.n * n.n), 0), 6) AS kappa
+FROM n, agr, pe"""
+
+
+@register(
+    "q278_langid_cohens_kappa",
+    _KAPPA_SQL,
+    ops=("ext-kappa-agreement",),
+    doc="COHEN'S KAPPA of the language-ID classifier against the "
+    "labeled lang column — the CHANCE-CORRECTED agreement scalar "
+    "completing q236's per-class P/R/F1 (a majority-class guesser "
+    "scores high accuracy but kappa ~ 0; the standard"
+    " inter-annotator and classifier-audit statistic): po = "
+    "observed agreement, pe = sum_l(n_true_l * n_pred_l) / N^2, "
+    "kappa = (po - pe) / (1 - pe).  Every sufficient statistic is "
+    "an exact integer (agreement count, marginal cross-sum, N), so "
+    "the three output doubles are deterministic identically-spelled "
+    "divisions; NULLIF guards the degenerate pe = 1 corpus.  Scale: "
+    "one narrow langid projection, two map-combined marginal "
+    "aggregates, a |langs|-row join — no shuffle beyond the "
+    "count tables.",
+)
+def q278_langid_cohens_kappa(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cm = text.language_id(docs).select("lang", "predicted_lang").persist()
+    act = cm.groupBy("lang").agg(F.count(F.lit(1)).alias("nt"))
+    prd = cm.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    agr = cm.agg(
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted_lang"), 1).otherwise(0)
+        ).alias("ag"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pe_cs = (
+        act.join(prd, "lang", "left")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("nt") * F.coalesce(F.col("np"), F.lit(0))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("cs")
+        )
+    )
+    po = F.col("ag") * 1.0 / F.col("n")
+    pe = F.col("cs") * 1.0 / (F.col("n") * F.col("n"))
+    return (
+        agr.crossJoin(F.broadcast(pe_cs))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("ag").cast("bigint").alias("n_agree"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round(
+                (po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6
+            ).alias("kappa"),
+        )
+    )
+
+
 _DRIFT_SQL = """
 WITH x AS MATERIALIZED (
   SELECT e.label, e.vec_id % 2 AS snap, i.i AS i,
@@ -18478,6 +18626,8 @@ STAMP_PRIORITY: list[str] = [
     # stamp should age past two rounds once this block clears):
     "q275_split_leakage_audit",
     "q276_dedup_cluster_size_histogram",
+    "q277_source_effective_size",
+    "q278_langid_cohens_kappa",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
