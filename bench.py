@@ -223,6 +223,8 @@ EXTRA = [
     "q276_dedup_cluster_size_histogram",  # dedup-health cluster-mass readout
     "q277_source_effective_size",     # duplicate-aware mixture budgeting
     "q278_langid_cohens_kappa",       # chance-corrected classifier agreement
+    "q279_lsh_s_curve",               # banding recall curve vs analytic S-curve
+    "q280_quality_curriculum_stages", # quartile curriculum staging
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

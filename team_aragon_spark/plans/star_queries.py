@@ -17996,6 +17996,15 @@ def _lsh_audit_frame(spark, docs, sigs):
     slice: exact prefix-filter Jaccard truth vs the portable-md5
     banded candidates, reported at thresholds 0.3/0.5 (q273 runs it
     corpus-wide; q274 on the deterministic production sample)."""
+    truth, cands = _lsh_truth_cands(spark, docs, sigs)
+    return _lsh_threshold_report(spark, truth, cands)
+
+
+def _lsh_truth_cands(spark, docs, sigs):
+    """Exact-Jaccard truth pairs (prefix-filter join, >= 0.3) and the
+    banded-md5 candidate pairs over a document slice — the two
+    relations every LSH-quality audit compares (q273/q274 thresholds,
+    q279 S-curve).  Both persisted; cache lifetime caller-managed."""
     from team_aragon_spark.operators.setsim import set_similarity_join
 
     mem = docs.select(
@@ -18038,6 +18047,10 @@ def _lsh_audit_frame(spark, docs, sigs):
         .distinct()
         .persist()  # feeds the candidate count AND the truth join
     )
+    return truth, cands
+
+
+def _lsh_threshold_report(spark, truth, cands):
     ct = cands.join(truth, ["a", "b"])
 
     def _cnt(col, t):
@@ -18117,6 +18130,13 @@ _AUDIT_SAMPLED_SQL = _AUDIT_SQL.replace(
     "shapes over a bounded slice.",
 )
 def q274_lsh_recall_audit_sampled(spark, sf_dir):
+    docs = _audit_sample_docs(spark, sf_dir)
+    return _lsh_audit_frame(spark, docs, _md5_minhash_sigs(docs))
+
+
+def _audit_sample_docs(spark, sf_dir):
+    """q274's fixed-size md5-ordered document sample (the bounded
+    production audit slice, shared by q279)."""
     docs_all = _t(spark, sf_dir, "documents")
     sample_ids = (
         docs_all.select(
@@ -18131,8 +18151,162 @@ def q274_lsh_recall_audit_sampled(spark, sf_dir):
         .limit(_AUDIT_SAMPLE_K)
         .select("doc_id")
     )
-    docs = docs_all.join(F.broadcast(sample_ids), "doc_id")
-    return _lsh_audit_frame(spark, docs, _md5_minhash_sigs(docs))
+    return docs_all.join(F.broadcast(sample_ids), "doc_id")
+
+
+_SCURVE_SQL = _AUDIT_SAMPLED_SQL.split(",\nct AS (")[0] + r""",
+tb AS (
+  SELECT floor(tr.j * 10) / 10.0 AS bucket,
+         count(*) AS n_true,
+         sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS n_caught
+  FROM tr LEFT JOIN cand c ON c.a = tr.a AND c.b = tr.b
+  GROUP BY floor(tr.j * 10) / 10.0)
+SELECT CAST(bucket AS DOUBLE) AS bucket,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       round(n_caught * 1.0 / NULLIF(n_true, 0), 6) AS recall,
+       round(1 - ((1 - (bucket + 0.05) * (bucket + 0.05))
+                  * (1 - (bucket + 0.05) * (bucket + 0.05)))
+               * ((1 - (bucket + 0.05) * (bucket + 0.05))
+                  * (1 - (bucket + 0.05) * (bucket + 0.05))), 6)
+         AS expected_recall
+FROM tb ORDER BY bucket"""
+
+
+@register(
+    "q279_lsh_s_curve",
+    _SCURVE_SQL,
+    ops=("ext-lsh-s-curve",),
+    doc="LSH BANDING S-CURVE — q273/q274's scalar recall unrolled "
+    "into the per-similarity-bucket curve that banding parameter "
+    "choices are actually made from: exact-Jaccard truth pairs "
+    "(>= 0.3, the audit floor) on the q274 fixed-size sample, "
+    "bucketed by floor(j*10)/10, each bucket reporting measured "
+    "candidate recall next to the ANALYTIC banding expectation "
+    "1-(1-j^2)^4 at the bucket midpoint (b=4 bands, r=2 rows — "
+    "spelled as explicit multiplications so both engines produce "
+    "the identical IEEE double).  Measured >> expected means the "
+    "corpus's near-dup pairs share far more structure than "
+    "independent-minhash theory assumes (common on templated "
+    "text); measured << expected flags a banding bug.  Full value "
+    "oracle; bounded cost (the q274 sample).  Scale: one extra "
+    "left join + bucket aggregate over the sampled truth relation.",
+)
+def q279_lsh_s_curve(spark, sf_dir):
+    docs = _audit_sample_docs(spark, sf_dir)
+    truth, cands = _lsh_truth_cands(spark, docs, _md5_minhash_sigs(docs))
+    tb = (
+        truth.join(cands.withColumn("hit", F.lit(1)), ["a", "b"], "left")
+        .select(
+            (F.floor(F.col("jaccard") * 10) / 10.0).alias("bucket"),
+            "hit",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias(
+                "n_caught"
+            ),
+        )
+    )
+    mid = F.col("bucket") + 0.05
+    m2 = 1 - mid * mid
+    return tb.select(
+        F.col("bucket").cast("double").alias("bucket"),
+        "n_true",
+        "n_caught",
+        F.round(
+            F.col("n_caught") * 1.0 / F.nullif(F.col("n_true"), F.lit(0)), 6
+        ).alias("recall"),
+        F.round(1 - (m2 * m2) * (m2 * m2), 6).alias("expected_recall"),
+    ).orderBy("bucket")
+
+
+_CURRICULUM_SQL = _QF_SQL.replace(
+    """SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0
+                  ELSE least(1.0, stopword_ratio * 2 + 0.5)
+                       - least(0.5, punct_ratio * 5) END, 6) AS quality_score
+FROM r""",
+    """, q AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE least(1.0, stopword_ratio * 2 + 0.5)
+                         - least(0.5, punct_ratio * 5) END, 6) AS score
+  FROM r),
+b AS (SELECT round(quantile_cont(score, 0.25), 6) AS b1,
+             round(quantile_cont(score, 0.5), 6) AS b2,
+             round(quantile_cont(score, 0.75), 6) AS b3 FROM q),
+s AS (SELECT q.doc_id, q.n_tokens, q.score,
+             1 + CAST(q.score > b.b1 AS INT) + CAST(q.score > b.b2 AS INT)
+               + CAST(q.score > b.b3 AS INT) AS stage
+      FROM q CROSS JOIN b)
+SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM s GROUP BY stage ORDER BY stage""",
+)
+
+
+@register(
+    "q280_quality_curriculum_stages",
+    _CURRICULUM_SQL,
+    ops=("ext-curriculum-staging",),
+    doc="QUALITY-CURRICULUM STAGING — quartile-bucket the corpus by "
+    "q20's composite quality score into 4 training stages (the "
+    "curriculum-learning prep step: schedule low-quality mass "
+    "early, highest-quality last, or drop stage 1 outright) and "
+    "report each stage's document count, token mass, and score "
+    "range.  Boundaries are the EXACT p25/p50/p75 from "
+    "operators/stats.exact_grouped_percentiles (count-table rank "
+    "arithmetic, r9-sharded — proven equal to DuckDB quantile_cont "
+    "by q154's oracle), rounded to 6 before the strictly-greater "
+    "comparisons, so stage membership is deterministic in both "
+    "engines even for docs sitting exactly on a boundary.  Full "
+    "value oracle.  Scale: one quality projection, the count-table "
+    "percentile pass, a broadcast of 3 boundaries, one map-combined "
+    "stage aggregate.",
+)
+def q280_quality_curriculum_stages(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    qf = text.quality_features(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("quality_score").alias("score"),
+    )
+    b = exact_grouped_percentiles(qf, "score", [], [0.25, 0.5, 0.75]).select(
+        F.col("p_25").alias("b1"),
+        F.col("p_50").alias("b2"),
+        F.col("p_75").alias("b3"),
+    )
+    stage = (
+        1
+        + (F.col("score") > F.col("b1")).cast("int")
+        + (F.col("score") > F.col("b2")).cast("int")
+        + (F.col("score") > F.col("b3")).cast("int")
+    )
+    return (
+        qf.crossJoin(F.broadcast(b))
+        .select("n_tokens", "score", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .select(
+            F.col("stage").cast("int").alias("stage"),
+            "n_docs",
+            "total_tokens",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("stage")
+    )
 
 
 _LEAK_PAIRS_SQL = r"""
@@ -18628,6 +18802,8 @@ STAMP_PRIORITY: list[str] = [
     "q276_dedup_cluster_size_histogram",
     "q277_source_effective_size",
     "q278_langid_cohens_kappa",
+    "q279_lsh_s_curve",
+    "q280_quality_curriculum_stages",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
