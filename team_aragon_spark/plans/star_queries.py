@@ -12883,13 +12883,18 @@ def q227_weighted_quantiles(spark, sf_dir):
     ).agg(
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt")
     )
-    wf = Window.partitionBy("flag")
-    c = w.withColumn(
-        "cw",
-        F.sum("wt").over(
-            wf.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("bigint"),
-    ).withColumn("tw", F.sum("wt").over(wf).cast("bigint"))
+    # per-flag weighted cumsum rides distributed_cumsums (r9): with 3
+    # flags the plain per-flag window serializes ~20M distinct prices
+    # per task at 100x — the q243-class cliff; the group total comes
+    # from a map-combined aggregate instead of a whole-group window.
+    tot = w.groupBy("flag").agg(F.sum("wt").cast("bigint").alias("tw"))
+    c = (
+        windows.distributed_cumsums(
+            w, {"cw": "wt"}, [F.asc("v")], partition_cols=["flag"]
+        )
+        .withColumn("cw", F.col("cw").cast("bigint"))
+        .join(F.broadcast(tot), "flag")
+    )
     p = c.groupBy("flag", "tw").agg(
         F.min(
             F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))
@@ -18789,7 +18794,7 @@ STAMP_PRIORITY: list[str] = [
     "q212_ks_two_sample_test",
     "q228_kaplan_meier_survival",
     "q154_event_value_percentiles",
-    "q157_mad_robust_outliers",
+    "q227_weighted_quantiles",
     "q172_histogram_sketch_quantiles",
     "q200_funnel_latency_quantiles",
     "q225_theil_sen_slope",
@@ -18799,6 +18804,7 @@ STAMP_PRIORITY: list[str] = [
     # latest green stamp is r04 (bodies unchanged, pytest-green; no
     # stamp should age past two rounds once this block clears):
     "q275_split_leakage_audit",
+    "q157_mad_robust_outliers",
     "q276_dedup_cluster_size_histogram",
     "q277_source_effective_size",
     "q278_langid_cohens_kappa",

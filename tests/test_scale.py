@@ -2329,6 +2329,7 @@ def test_round9_dewindowed_plan_shapes(spark):
         ("q212_ks_two_sample_test", "c1"),
         ("q228_kaplan_meier_survival", "c"),
         ("q209_part_abc_classification", "rev_c"),
+        ("q227_weighted_quantiles", "wt"),
         ("q243_robust_means", "__c"),
         ("q201_token_zipf_fit", "row_number"),
     ]:
