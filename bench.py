@@ -225,6 +225,7 @@ EXTRA = [
     "q278_langid_cohens_kappa",       # chance-corrected classifier agreement
     "q279_lsh_s_curve",               # banding recall curve vs analytic S-curve
     "q280_quality_curriculum_stages", # quartile curriculum staging
+    "q281_experiment_power_mde",      # minimum-detectable-effect readout
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -17892,6 +17892,128 @@ def q272_difference_in_differences(spark, sf_dir):
     )
 
 
+_Z_SUM = "2.801585"  # z_{0.975} + z_{0.80} = 1.959964 + 0.841621
+
+_MDE_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_ms(ts) // 86400000 >= {_CUPED_T0_DAY}
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yc
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT CASE WHEN substr(md5('{_CUPED_SALT}' || CAST(user_id AS VARCHAR)),
+                          1, 1) < '8'
+              THEN 1 ELSE 0 END AS t, yc
+  FROM u),
+g AS (SELECT t, count(*) AS n, sum(yc) AS s,
+             sum(CAST(yc AS HUGEINT) * yc) AS ss
+      FROM a GROUP BY t),
+w AS (SELECT
+  max(CASE WHEN t = 1 THEN n END) AS nt,
+  max(CASE WHEN t = 0 THEN n END) AS nc,
+  max(CASE WHEN t = 1 THEN CAST(s AS DOUBLE) END) AS st,
+  max(CASE WHEN t = 0 THEN CAST(s AS DOUBLE) END) AS sc,
+  max(CASE WHEN t = 1 THEN CAST(ss AS DOUBLE) END) AS sst,
+  max(CASE WHEN t = 0 THEN CAST(ss AS DOUBLE) END) AS ssc
+  FROM g)
+SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+       round(st / nt / 100.0, 6) AS mean_treat,
+       round(sc / nc / 100.0, 6) AS mean_ctrl,
+       round(st / nt / 100.0 - sc / nc / 100.0, 6) AS observed_diff,
+       round(sqrt(((sst - st * st / nt) + (ssc - sc * sc / nc))
+                  / NULLIF(nt + nc - 2, 0)) / 100.0, 6) AS pooled_sd,
+       round({_Z_SUM} * sqrt(((sst - st * st / nt) + (ssc - sc * sc / nc))
+                             / NULLIF(nt + nc - 2, 0)
+                             * (1.0 / nt + 1.0 / nc)) / 100.0, 6) AS mde_abs,
+       round({_Z_SUM} * sqrt(((sst - st * st / nt) + (ssc - sc * sc / nc))
+                             / NULLIF(nt + nc - 2, 0)
+                             * (1.0 / nt + 1.0 / nc)) / 100.0
+             / NULLIF(sc / nc / 100.0, 0), 6) AS mde_rel,
+       abs(st / nt / 100.0 - sc / nc / 100.0)
+         >= {_Z_SUM} * sqrt(((sst - st * st / nt) + (ssc - sc * sc / nc))
+                            / NULLIF(nt + nc - 2, 0)
+                            * (1.0 / nt + 1.0 / nc)) / 100.0 AS powered
+FROM w"""
+
+
+@register(
+    "q281_experiment_power_mde",
+    _MDE_SQL,
+    ops=("ext-power-mde",),
+    doc="MINIMUM DETECTABLE EFFECT / POWER READOUT — the missing "
+    "member of the experimentation stack (q143 tests, q268 "
+    "variance-reduces, q272 quasi-estimates; THIS answers 'was the "
+    "experiment even big enough?'): per-user post-period spend in "
+    "the q268 arms, pooled two-sample SD from decimal-exact "
+    "sufficient statistics, and the absolute/relative MDE at the "
+    "standard two-sided alpha=0.05 / 80%-power point "
+    "((z_.975 + z_.80) = 2.801585 inlined identically in both "
+    "engines), plus whether the observed difference clears it — "
+    "an UNDER-powered experiment's null result is uninformative, "
+    "and this is the number that says so.  All statistics are "
+    "exact integers until the final identically-spelled double "
+    "chain; NULLIF guards the 1-user-per-arm and zero-control-mean "
+    "degeneracies.  Scale: ONE map-combined per-user pass, a 2-row "
+    "arm aggregate, constant-size arithmetic after.",
+)
+def q281_experiment_power_mde(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(day >= _CUPED_T0_DAY, cents).otherwise(0)).alias("yc")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact sums
+    t = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit(_CUPED_SALT), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        1,
+    ).otherwise(0)
+    g = u.select(t.alias("t"), "yc").groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("yc"))).alias("s"),
+        F.sum(d38(F.col("yc")) * d38(F.col("yc"))).alias("ss"),
+    )
+    pick = lambda tv, col: F.max(  # noqa: E731
+        F.when(F.col("t") == tv, F.col(col))
+    )
+    w = g.agg(
+        pick(1, "n").alias("nt"),
+        pick(0, "n").alias("nc"),
+        pick(1, "s").cast("double").alias("st"),
+        pick(0, "s").cast("double").alias("sc"),
+        pick(1, "ss").cast("double").alias("sst"),
+        pick(0, "ss").cast("double").alias("ssc"),
+    )
+    mt = F.col("st") / F.col("nt") / 100.0
+    mc = F.col("sc") / F.col("nc") / 100.0
+    var_num = (
+        F.col("sst") - F.col("st") * F.col("st") / F.col("nt")
+    ) + (F.col("ssc") - F.col("sc") * F.col("sc") / F.col("nc"))
+    dof = F.nullif(F.col("nt") + F.col("nc") - 2, F.lit(0))
+    z = float(_Z_SUM)
+    mde = (
+        z
+        * F.sqrt(var_num / dof * (1.0 / F.col("nt") + 1.0 / F.col("nc")))
+        / 100.0
+    )
+    return w.select(
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        F.round(mt, 6).alias("mean_treat"),
+        F.round(mc, 6).alias("mean_ctrl"),
+        F.round(mt - mc, 6).alias("observed_diff"),
+        F.round(F.sqrt(var_num / dof) / 100.0, 6).alias("pooled_sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.nullif(mc, F.lit(0.0)), 6).alias("mde_rel"),
+        (F.abs(mt - mc) >= mde).alias("powered"),
+    )
+
+
 _AUDIT_SQL = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -18810,6 +18932,7 @@ STAMP_PRIORITY: list[str] = [
     "q278_langid_cohens_kappa",
     "q279_lsh_s_curve",
     "q280_quality_curriculum_stages",
+    "q281_experiment_power_mde",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
