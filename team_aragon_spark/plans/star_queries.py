@@ -18856,6 +18856,776 @@ def q269_embedding_centroid_drift(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Late round-9 additions: clustering, data selection, vocabulary coverage,
+# privacy distance, storage layout, and embedding-truncation audits
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ROUNDS = 8, 2
+
+
+def _km_assign_cte(cent: str, out: str) -> str:
+    """One Lloyd assignment round as a DuckDB CTE: argmax
+    round(cosine, 9) over the current centroid relation, ties to the
+    lowest cluster id (the q166/q175 assignment discipline)."""
+    return (
+        f"{out} AS MATERIALIZED (\n"
+        "  SELECT vec_id, v, cluster, s9 FROM (\n"
+        f"    SELECT e.vec_id, e.v, {cent}.cluster,\n"
+        f"           {_ora_cos('e.v', cent + '.cv', 9)} AS s9,\n"
+        "           row_number() OVER (PARTITION BY e.vec_id\n"
+        f"             ORDER BY {_ora_cos('e.v', cent + '.cv', 9)} DESC,\n"
+        f"                      {cent}.cluster) AS rk\n"
+        f"    FROM e CROSS JOIN {cent}) WHERE rk = 1)"
+    )
+
+
+def _km_update_cte(asg: str, out: str) -> str:
+    """One Lloyd update round as a DuckDB CTE: per-dimension mean
+    rounded to 6 digits BEFORE the next assignment, so both engines
+    feed the next iteration from identical centroid values and
+    accumulation-order ulps cannot propagate across iterations."""
+    return (
+        f"{out} AS MATERIALIZED (\n"
+        "  SELECT cluster, list(c ORDER BY i) AS cv FROM (\n"
+        "    SELECT cluster, i, round(avg(CAST(v[i] AS DOUBLE)), 6) AS c\n"
+        f"    FROM {asg} CROSS JOIN range(1, 65) t(i)\n"
+        "    GROUP BY cluster, i) GROUP BY cluster)"
+    )
+
+
+_KM_SQL = (
+    "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
+    "c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv\n"
+    f"       FROM embeddings WHERE vec_id < {_KM_K}),\n"
+    + _km_assign_cte("c0", "a1")
+    + ",\n"
+    + _km_update_cte("a1", "c1")
+    + ",\n"
+    + _km_assign_cte("c1", "a2")
+    + ",\n"
+    + _km_update_cte("a2", "c2")
+    + ",\n"
+    + _km_assign_cte("c2", "a3")
+    + "\n"
+    "SELECT a3.cluster,\n"
+    "       CAST(count(*) AS BIGINT) AS n_members,\n"
+    "       round(avg(s9), 6) AS mean_cos,\n"
+    "       round(sqrt(list_sum(list_transform(c2.cv,\n"
+    "             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)\n"
+    "         AS centroid_norm\n"
+    "FROM a3 JOIN c2 USING (cluster)\n"
+    "GROUP BY a3.cluster, c2.cv ORDER BY a3.cluster"
+)
+
+
+def _km_assign(corpus, cent):
+    """One Lloyd assignment round: broadcast the (<= k x dim) centroid
+    relation, score round(cosine, 9) per (vector, cluster), keep the
+    argmax with ties to the lowest cluster as ONE map-combined
+    struct-max aggregate (the q175 assignment shape — no expansion
+    shuffle, no per-vector window)."""
+    s9 = F.round(F.expr(similarity.cosine_expr("v", "cv")), 9)
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cluster", s9.alias("s9"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("s9").alias("s"), (-F.col("cluster")).alias("nc"))
+            ).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            (-F.col("m.nc")).cast("int").alias("cluster"),
+            F.col("m.s").alias("s9"),
+        )
+    )
+
+
+def _km_update(asg):
+    """One Lloyd update round: posexplode to (cluster, dim) grain and
+    partial-average (map-combined; reduce state <= k x dim rows — the
+    q87 centroid shape), dims rounded to 6 digits before the array is
+    rebuilt so the next assignment reads engine-identical centroids."""
+    long = asg.select("cluster", F.posexplode("v").alias("i", "x"))
+    cent = long.groupBy("cluster", "i").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("c")
+    )
+    return cent.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+
+@register(
+    "q282_kmeans_lloyd",
+    _KM_SQL,
+    ops=("ext-clustering-kmeans",),
+    doc=f"K-MEANS (Lloyd's algorithm, spherical/cosine variant) over "
+    f"the embedding corpus — the domain-clustering primitive a "
+    f"mixture planner feeds (cluster-then-balance curation): "
+    f"k={_KM_K} centroids seeded from the first {_KM_K} vectors by "
+    f"vec_id (engine-portable init), {_KM_ROUNDS} full "
+    "assign/update rounds, then a final assignment and per-cluster "
+    "readout (size, mean member cosine, centroid norm).  "
+    "Determinism: assignment is argmax round(cos, 9) with ties to "
+    "the lowest cluster; centroid dims are rounded to 6 digits "
+    "each round, so both engines iterate from identical values and "
+    "float drift cannot compound.  Empty clusters drop out of the "
+    "update in both engines (standard Lloyd).  FULL value oracle: "
+    "every iteration replays as a materialized DuckDB CTE.  Scale: "
+    "per round, assignment is a broadcast of k x dim centroids + "
+    "one map-combined argmax over the corpus (no shuffle of the "
+    "vectors), and the update is a posexplode partial-agg whose "
+    "reduce state is k x dim rows — both linear scans; the corpus "
+    "projection is persisted across the three assignment passes.",
+)
+def q282_kmeans_lloyd(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v")).persist()
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("cv"),
+    )
+    for _ in range(_KM_ROUNDS):
+        cent = _km_update(_km_assign(corpus, cent))
+    asg = _km_assign(corpus, cent)
+    norm = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(cv, cv, (x, y) -> CAST(x AS DOUBLE) * "
+                "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        ),
+        6,
+    )
+    cstat = cent.select("cluster", norm.alias("centroid_norm"))
+    return (
+        asg.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("s9"), 6).alias("mean_cos"),
+        )
+        .join(F.broadcast(cstat), "cluster")
+        .select("cluster", "n_members", "mean_cos", "centroid_norm")
+        .orderBy("cluster")
+    )
+
+
+_DSIR_B, _DSIR_TOPK = 256, 50
+
+_DSIR_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+t2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+dbc AS MATERIALIZED (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
+         count(*) AS cnt
+  FROM t2 GROUP BY doc_id, source, bucket),
+m AS (
+  SELECT bucket, sum(cnt) AS cr,
+         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
+  FROM dbc GROUP BY bucket),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM m),
+wt AS (
+  SELECT bucket,
+         round(ln((ct + 1.0) / (tt + {_DSIR_B}.0))
+               - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
+  FROM m, tot)
+SELECT doc_id, source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(sum(cnt * w9) / sum(cnt), 6) AS dsir_weight
+FROM dbc JOIN wt USING (bucket)
+GROUP BY doc_id, source
+ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_TOPK}"""
+
+
+@register(
+    "q283_dsir_importance_weights",
+    _DSIR_SQL,
+    ops=("ext-data-selection",),
+    doc=f"DATA SELECTION via IMPORTANCE RESAMPLING (DSIR, Xie et al. "
+    "2023): score every raw document by how much it looks like a "
+    "target domain (source='src0' stands in for the curated seed "
+    f"set) under hashed-unigram bag models — {_DSIR_B} md5 buckets "
+    "(the q214 hashing trick, so the feature space is fixed-width "
+    "and engine-portable), Laplace-smoothed log-likelihood ratio "
+    "log p_target(b)/p_raw(b) per bucket, per-doc mean weighted by "
+    "bucket occupancy; top-50 by weight is the resampling "
+    "shortlist.  Per-bucket LLRs are rounded to 9 digits before "
+    "the per-doc sum so both engines aggregate identical terms.  "
+    "Scale: ONE (doc, bucket) count relation (persisted — it feeds "
+    "both bag models and the scoring join), two fixed-256-row "
+    "model aggregates broadcast back, one map-combined per-doc "
+    "sum; no vocabulary broadcast, no OOV — the whole point of "
+    "hashed features at 100 TB.",
+)
+def q283_dsir_importance_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dbc = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", "source", F.explode(text.tokens(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+                % _DSIR_B
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    m = dbc.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("cnt")).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = m.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    wt = m.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + float(_DSIR_B)))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(_DSIR_B))),
+            9,
+        ).alias("w9"),
+    )
+    return (
+        dbc.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("w9")) / F.sum("cnt"), 6
+            ).alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+_VOCAB_TOPN = 1000
+
+_OOV_SQL = rf"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+t2 AS (SELECT source, w FROM tok WHERE w <> ''),
+v AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM t2 GROUP BY w)
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= {_VOCAB_TOPN})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS oov_rate,
+       CAST(count(DISTINCT CASE WHEN v.w IS NULL THEN t2.w END) AS BIGINT)
+         AS n_oov_types
+FROM t2 LEFT JOIN v ON t2.w = v.w
+GROUP BY source ORDER BY source"""
+
+
+@register(
+    "q284_vocab_oov_coverage",
+    _OOV_SQL,
+    ops=("ext-tokenizer-coverage",),
+    doc=f"TOKENIZER / VOCABULARY COVERAGE audit: fix the corpus's "
+    f"top-{_VOCAB_TOPN} token vocabulary (count desc, token asc — "
+    "fully ordered) and report per source the token volume, "
+    "out-of-vocabulary token count and rate, and distinct OOV "
+    "types — the readout that decides whether a fixed vocabulary "
+    "(or a tokenizer's merge table) covers a new source before it "
+    "enters the mix.  Scale: one vocabulary aggregate (map-"
+    "combined) with a driver-side heap top-k (orderBy+limit — no "
+    "global window), broadcast back as the membership side of the "
+    "coverage join; per-source stats are one partial-agg shuffle "
+    "whose reduce state is |sources| rows.",
+)
+def q284_vocab_oov_coverage(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .persist()
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_VOCAB_TOPN)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "w", "left")
+    oov = F.col("in_vocab").isNull()
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov.cast("int")).cast("bigint").alias("n_oov"),
+            F.round(F.sum(oov.cast("int")) / F.count(F.lit(1)), 6).alias(
+                "oov_rate"
+            ),
+            F.countDistinct(F.when(oov, F.col("w")))
+            .cast("bigint")
+            .alias("n_oov_types"),
+        )
+        .orderBy("source")
+    )
+
+
+_TCLOSE_T = 0.2
+
+_TCLOSE_SQL = rf"""
+WITH c AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(floor(c_acctbal / 100.0) AS INT) AS bin
+  FROM customer),
+gb AS MATERIALIZED (
+  SELECT seg, nat, bin, count(*) AS cnt FROM c GROUP BY seg, nat, bin),
+bins AS (
+  SELECT bin, sum(cnt) AS gcnt,
+         sum(sum(cnt)) OVER (ORDER BY bin) AS gcum
+  FROM gb GROUP BY bin),
+m AS (SELECT count(*) AS nbins, sum(gcnt) AS ntot FROM bins),
+grp AS (SELECT seg, nat, sum(cnt) AS gn FROM gb GROUP BY seg, nat),
+grid AS (
+  SELECT g.seg, g.nat, g.gn, b.bin, b.gcum,
+         sum(coalesce(x.cnt, 0)) OVER (PARTITION BY g.seg, g.nat
+                                       ORDER BY b.bin) AS gcumg
+  FROM grp g CROSS JOIN bins b
+  LEFT JOIN gb x ON x.seg = g.seg AND x.nat = g.nat AND x.bin = b.bin),
+e AS (
+  SELECT seg, nat, gn,
+         sum(abs(CAST(gcumg AS HUGEINT) * CAST(ntot AS HUGEINT)
+                 - CAST(gcum AS HUGEINT) * CAST(gn AS HUGEINT))) AS num
+  FROM grid CROSS JOIN m GROUP BY seg, nat, gn),
+f AS (
+  SELECT seg, nat, gn,
+         round(CAST(num AS DOUBLE)
+               / (CAST(gn AS DOUBLE) * CAST(m.ntot AS DOUBLE)
+                  * NULLIF(m.nbins - 1, 0)), 6) AS emd
+  FROM e CROSS JOIN m)
+SELECT seg AS c_mktsegment, nat AS c_nationkey,
+       CAST(gn AS BIGINT) AS n_rows, emd,
+       emd <= {_TCLOSE_T} AS within_t
+FROM f ORDER BY c_mktsegment, c_nationkey"""
+
+
+@register(
+    "q285_t_closeness_audit",
+    _TCLOSE_SQL,
+    ops=("ext-privacy-tcloseness",),
+    doc="T-CLOSENESS audit (Li et al. 2007 — completes the privacy "
+    "family after q176 k-anonymity and q235 l-diversity): for each "
+    "quasi-identifier group (segment, nation), the Earth Mover's "
+    "Distance between the group's account-balance distribution and "
+    "the global one over the ordered $100-bin domain, EMD = "
+    "sum|cumF_g - cumF_global| / (m-1).  The cumulative-difference "
+    "sum is carried as EXACT INTEGERS (|cum_g*N - cum_G*n_g| in "
+    "decimal(38,0) / HUGEINT — the q268 wide-product discipline), "
+    "so both engines agree bit-for-bit before the single final "
+    "division.  Scale: one customer scan partial-aggregated to the "
+    "(group, bin) grain (<= |groups| x |bins| rows — DOMAIN-"
+    "bounded, not data-bounded); the two cumulative windows run "
+    "over <= |bins| and <= |groups| x |bins| rows, so no window "
+    "partition grows with the data.",
+)
+def q285_t_closeness_audit(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    gb = (
+        cust.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            F.floor(F.col("c_acctbal") / 100.0).cast("int").alias("bin"),
+        )
+        .groupBy("seg", "nat", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bins = (
+        gb.groupBy("bin")
+        .agg(F.sum("cnt").alias("gcnt"))
+        .withColumn("gcum", F.sum("gcnt").over(wb))
+    )
+    m = bins.agg(F.count(F.lit(1)).alias("nbins"), F.sum("gcnt").alias("ntot"))
+    grp = gb.groupBy("seg", "nat").agg(F.sum("cnt").alias("gn"))
+    wg = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(bins.select("bin", "gcum")))
+        .join(gb.select("seg", "nat", "bin", "cnt"), ["seg", "nat", "bin"], "left")
+        .withColumn("gcumg", F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(wg))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    e = (
+        grid.crossJoin(F.broadcast(m))
+        .select(
+            "seg",
+            "nat",
+            "gn",
+            "ntot",
+            "nbins",
+            F.abs(
+                d38("gcumg") * d38("ntot") - d38("gcum") * d38("gn")
+            ).alias("term"),
+        )
+        .groupBy("seg", "nat", "gn", "ntot", "nbins")
+        .agg(F.sum("term").alias("num"))
+    )
+    emd = F.round(
+        F.col("num").cast("double")
+        / (
+            F.col("gn").cast("double")
+            * F.col("ntot").cast("double")
+            * F.nullif((F.col("nbins") - 1).cast("double"), F.lit(0.0))
+        ),
+        6,
+    )
+    return e.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("nat").alias("c_nationkey"),
+        F.col("gn").cast("bigint").alias("n_rows"),
+        emd.alias("emd"),
+        (emd <= F.lit(_TCLOSE_T)).alias("within_t"),
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+_COMPACT_BINS, _ROW_BYTES = 16, 128
+
+_COMPACT_SQL = rf"""
+WITH f AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS file_month,
+         l_returnflag AS flag,
+         count(*) * {_ROW_BYTES} AS bytes
+  FROM lineitem GROUP BY 1, 2),
+t AS (SELECT sum(bytes) AS total FROM f),
+c AS (
+  SELECT file_month, flag, bytes,
+         sum(bytes) OVER (ORDER BY file_month, flag) - bytes AS cum_before,
+         CAST(ceil(CAST(t.total AS DOUBLE) / {_COMPACT_BINS}) AS BIGINT)
+           AS target
+  FROM f CROSS JOIN t)
+SELECT CAST(cum_before // target AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       round(CAST(sum(bytes) AS DOUBLE) / target, 6) AS fill_ratio
+FROM c GROUP BY cum_before // target, target ORDER BY bin_id"""
+
+
+@register(
+    "q286_compaction_bin_packing",
+    _COMPACT_SQL,
+    ops=("ext-layout-compaction",),
+    doc=f"SMALL-FILE COMPACTION PLANNER (the lakehouse OPTIMIZE "
+    "primitive, alongside q144 z-order keys / q148 zone maps / "
+    "q255 encoding advice): model each (ship-month, returnflag) "
+    f"grain as a file of rows x {_ROW_BYTES} bytes, size the "
+    f"target bin at ceil(total/{_COMPACT_BINS}) so the plan is "
+    "scale-free, and pack files in key order by cumulative-"
+    "quantized assignment (bin = exclusive-cumsum DIV target — "
+    "files never split; a bin overflows by at most one file, the "
+    "standard streaming-compaction bound).  Output per bin: file "
+    "count, bytes, fill ratio.  Scale: the file inventory is "
+    "DOMAIN-bounded (months x flags, ~252 rows at ANY data size), "
+    "so the packing cumsum is a bounded window over an aggregate, "
+    "never over data.",
+)
+def q286_compaction_bin_packing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = (
+        li.select(
+            F.date_trunc("month", F.col("l_shipdate")).alias("file_month"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .groupBy("file_month", "flag")
+        .agg((F.count(F.lit(1)) * _ROW_BYTES).alias("bytes"))
+    )
+    t = f.agg(F.sum("bytes").alias("total"))
+    wc = Window.orderBy("file_month", "flag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = (
+        f.crossJoin(F.broadcast(t))
+        .withColumn("cum_before", F.sum("bytes").over(wc) - F.col("bytes"))
+        .withColumn(
+            "target",
+            F.ceil(F.col("total").cast("double") / _COMPACT_BINS).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        c.withColumn("bin_id", F.expr("cum_before DIV target"))
+        .groupBy("bin_id", "target")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        )
+        .select(
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            "n_files",
+            "bin_bytes",
+            F.round(
+                F.col("bin_bytes").cast("double") / F.col("target"), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+_TRUNC_DIMS, _TRUNC_K = (16, 32), 10
+
+
+def _trunc_recall_sql() -> str:
+    cols = ",\n         ".join(
+        f"{_ora_cos(f'c.nv[1:{d}]', f'q.qv[1:{d}]', 4)} AS s_{d}"
+        for d in _TRUNC_DIMS
+    )
+    ks = ",\n".join(
+        f"k{d} AS (SELECT query_id, neighbor_id FROM p\n"
+        f"  QUALIFY row_number() OVER (PARTITION BY query_id\n"
+        f"    ORDER BY s_{d} DESC, neighbor_id) <= {_TRUNC_K})"
+        for d in _TRUNC_DIMS
+    )
+    hs = ",\n".join(
+        f"h{d} AS (SELECT query_id, count(*) AS hits FROM kf\n"
+        f"  JOIN k{d} USING (query_id, neighbor_id) GROUP BY query_id)"
+        for d in _TRUNC_DIMS
+    )
+    outs = ",\n       ".join(
+        f"CAST(coalesce(h{d}.hits, 0) AS BIGINT) AS hits_d{d},\n"
+        f"       round(coalesce(h{d}.hits, 0) / {float(_TRUNC_K)}, 4)"
+        f" AS recall_d{d}"
+        for d in _TRUNC_DIMS
+    )
+    joins = "\n".join(f"LEFT JOIN h{d} USING (query_id)" for d in _TRUNC_DIMS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id >= 16 AND vec_id < 40),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+p AS MATERIALIZED (
+  SELECT q.query_id, c.neighbor_id,
+         {_ora_cos('c.nv', 'q.qv', 4)} AS s_full,
+         {cols}
+  FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+kf AS (SELECT query_id, neighbor_id FROM p
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY s_full DESC, neighbor_id) <= {_TRUNC_K}),
+{ks},
+{hs}
+SELECT q.query_id,
+       {outs}
+FROM q {joins}
+ORDER BY q.query_id"""
+
+
+@register(
+    "q287_truncation_recall_audit",
+    _trunc_recall_sql(),
+    ops=("ext-similarity-truncation",),
+    doc=f"EMBEDDING-TRUNCATION (Matryoshka) RECALL AUDIT: for the "
+    "fixed 24-query panel, compare exact cosine top-10 under the "
+    f"full 64-dim embedding against top-10 under the first "
+    f"{_TRUNC_DIMS} dims — the measured quality/cost curve for "
+    "shipping truncated vectors (4x/2x smaller index, how much "
+    "recall is lost?).  Same discipline as q175: every ranking is "
+    "round(cos, 4) with neighbor-id tie-break, so both engines "
+    "produce identical top-k sets.  Scale: queries are a fixed "
+    "panel broadcast against the corpus — one linear scan scoring "
+    "all three similarity columns at once (persisted, multi-"
+    "consumer); each per-query top-k rides the salted two-phase "
+    "window (windows.salted_topk_per_group), so no task ever "
+    "holds a query's full candidate set.",
+)
+def q287_truncation_recall_audit(spark, sf_dir):
+    from team_aragon_spark.operators.windows import salted_topk_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(qdf), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(similarity.cosine_expr("nv", "qv")), 4).alias(
+                "s_full"
+            ),
+            *[
+                F.round(
+                    F.expr(
+                        similarity.cosine_expr(
+                            f"slice(nv, 1, {d})", f"slice(qv, 1, {d})"
+                        )
+                    ),
+                    4,
+                ).alias(f"s_{d}")
+                for d in _TRUNC_DIMS
+            ],
+        )
+        .persist()
+    )
+    kf = salted_topk_per_group(
+        scored, ["query_id"], "s_full", _TRUNC_K, "neighbor_id"
+    ).select("query_id", "neighbor_id")
+    out = qdf.select("query_id")
+    for d in _TRUNC_DIMS:
+        kd = salted_topk_per_group(
+            scored, ["query_id"], f"s_{d}", _TRUNC_K, "neighbor_id"
+        ).select("query_id", "neighbor_id")
+        hd = (
+            kf.join(kd, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        out = (
+            out.join(F.broadcast(hd), "query_id", "left")
+            .withColumn(
+                f"hits_d{d}",
+                F.coalesce(F.col("hits"), F.lit(0)).cast("bigint"),
+            )
+            .withColumn(
+                f"recall_d{d}",
+                F.round(F.col(f"hits_d{d}") / float(_TRUNC_K), 4),
+            )
+            .drop("hits")
+        )
+    return out.orderBy("query_id")
+
+
+_MIX_SQL = (
+    "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
+    "c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv\n"
+    f"       FROM embeddings WHERE vec_id < {_KM_K}),\n"
+    + _km_assign_cte("c0", "a1")
+    + ",\n"
+    + _km_update_cte("a1", "c1")
+    + ",\n"
+    + _km_assign_cte("c1", "a2")
+    + ",\n"
+    + _km_update_cte("a2", "c2")
+    + ",\n"
+    + _km_assign_cte("c2", "a3")
+    + """,
+cs AS (
+  SELECT a3.cluster, d.source, count(*) AS cnt
+  FROM a3 JOIN documents d ON d.doc_id = a3.vec_id
+  GROUP BY a3.cluster, d.source),
+cn AS (SELECT cluster, sum(cnt) AS n FROM cs GROUP BY cluster),
+tops AS (
+  SELECT cluster, source AS top_source, cnt AS top_cnt FROM (
+    SELECT cluster, source, cnt,
+           row_number() OVER (PARTITION BY cluster
+             ORDER BY cnt DESC, source) AS rk
+    FROM cs) WHERE rk = 1),
+ent AS (
+  SELECT cs.cluster,
+         sum(round(-(cnt * 1.0 / cn.n) * ln(cnt * 1.0 / cn.n), 9)) AS h
+  FROM cs JOIN cn USING (cluster) GROUP BY cs.cluster)
+SELECT cn.cluster,
+       CAST(cn.n AS BIGINT) AS n_docs,
+       tops.top_source,
+       round(tops.top_cnt * 1.0 / cn.n, 6) AS top_source_share,
+       round(ent.h, 6) AS source_entropy
+FROM cn JOIN tops USING (cluster) JOIN ent USING (cluster)
+ORDER BY cn.cluster"""
+)
+
+
+@register(
+    "q288_cluster_mixture_plan",
+    _MIX_SQL,
+    ops=("ext-clustering-mixture",),
+    doc="CLUSTER-THEN-BALANCE MIXTURE READOUT — the composition the "
+    "k-means operator exists for: q282's final Lloyd assignment "
+    "(same 3-assign/2-update portable iteration, doc_id == vec_id "
+    "1:1) joined to document sources, reporting per semantic "
+    "cluster its size, dominant source (+ share) and source "
+    "entropy — the table a mixture planner (q94/q104) reads to "
+    "decide which clusters are over-concentrated in one crawl "
+    "source before setting sampling weights.  Entropy terms are "
+    "rounded to 9 digits before the per-cluster sum (q283's "
+    "discipline).  Scale: everything after the Lloyd passes is "
+    "aggregate-sized — the (cluster, source) relation is k x "
+    "|sources| rows, and the dominant-source window runs over "
+    "that aggregate, never over data.",
+)
+def q288_cluster_mixture_plan(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v")).persist()
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("cv"),
+    )
+    for _ in range(_KM_ROUNDS):
+        cent = _km_update(_km_assign(corpus, cent))
+    asg = _km_assign(corpus, cent)
+    cs = (
+        asg.join(
+            docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+        )
+        .groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    cn = cs.groupBy("cluster").agg(F.sum("cnt").alias("n"))
+    wt = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("source"))
+    tops = (
+        cs.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("source").alias("top_source"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    p = F.col("cnt") / F.col("n")
+    ent = (
+        cs.join(F.broadcast(cn), "cluster")
+        .select("cluster", F.round(-p * F.log(p), 9).alias("term"))
+        .groupBy("cluster")
+        .agg(F.sum("term").alias("h"))
+    )
+    return (
+        cn.join(F.broadcast(tops), "cluster")
+        .join(F.broadcast(ent), "cluster")
+        .select(
+            "cluster",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "top_source",
+            F.round(F.col("top_cnt") / F.col("n"), 6).alias(
+                "top_source_share"
+            ),
+            F.round(F.col("h"), 6).alias("source_entropy"),
+        )
+        .orderBy("cluster")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -18933,6 +19703,13 @@ STAMP_PRIORITY: list[str] = [
     "q279_lsh_s_curve",
     "q280_quality_curriculum_stages",
     "q281_experiment_power_mde",
+    "q282_kmeans_lloyd",
+    "q283_dsir_importance_weights",
+    "q284_vocab_oov_coverage",
+    "q285_t_closeness_audit",
+    "q286_compaction_bin_packing",
+    "q287_truncation_recall_audit",
+    "q288_cluster_mixture_plan",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",

@@ -58,3 +58,38 @@ def test_q274_sample_is_fixed_size_prefix(spark):
     rb = [tuple(r) for r in b.orderBy("threshold").collect()]
     spark.catalog.clearCache()
     assert ra == rb
+
+
+def test_kmeans_partition_and_compaction_conservation(spark):
+    """Late-r9 structural pins: q282's final assignment must PARTITION
+    the corpus (cluster sizes sum to |embeddings|, every vector lands
+    in exactly one cluster), q288 must partition the linked documents
+    the same way, and q286's bins must conserve bytes (sum of
+    bin_bytes == |lineitem| * row width — the packing never drops or
+    double-counts a file)."""
+    from team_aragon_spark.sources.catalog import read_table
+
+    n_emb = read_table(spark, "embeddings", SF_SMOKE).count()
+    km = sq.QUERY_REGISTRY["q282_kmeans_lloyd"].fn(spark, SF_SMOKE).collect()
+    assert sum(r.n_members for r in km) == n_emb
+    assert all(-1.0 <= r.mean_cos <= 1.0 for r in km)
+    spark.catalog.clearCache()
+
+    mix = (
+        sq.QUERY_REGISTRY["q288_cluster_mixture_plan"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert sum(r.n_docs for r in mix) == n_emb
+    assert all(0.0 < r.top_source_share <= 1.0 for r in mix)
+    assert all(r.source_entropy >= 0.0 for r in mix)
+    spark.catalog.clearCache()
+
+    n_li = read_table(spark, "lineitem", SF_SMOKE).count()
+    bins = (
+        sq.QUERY_REGISTRY["q286_compaction_bin_packing"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert sum(r.bin_bytes for r in bins) == n_li * sq._ROW_BYTES
+    assert all(r.n_files >= 1 for r in bins)
