@@ -226,6 +226,16 @@ EXTRA = [
     "q279_lsh_s_curve",               # banding recall curve vs analytic S-curve
     "q280_quality_curriculum_stages", # quartile curriculum staging
     "q281_experiment_power_mde",      # minimum-detectable-effect readout
+    # late-round-9 families:
+    "q282_kmeans_lloyd",              # portable Lloyd k-means iteration
+    "q283_dsir_importance_weights",   # DSIR hashed-unigram data selection
+    "q284_vocab_oov_coverage",        # vocabulary/tokenizer coverage audit
+    "q285_t_closeness_audit",         # privacy EMD over the bin domain
+    "q286_compaction_bin_packing",    # lakehouse compaction planner
+    "q287_truncation_recall_audit",   # Matryoshka-truncation recall
+    "q288_cluster_mixture_plan",      # cluster-source mixture readout
+    "q289_budgeted_mixture_waterfill",  # closed-form water-fill allocation
+    "q290_curation_pipeline_v3",      # DSIR gate -> dedup -> water-fill DAG
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -19046,28 +19046,11 @@ GROUP BY doc_id, source
 ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_TOPK}"""
 
 
-@register(
-    "q283_dsir_importance_weights",
-    _DSIR_SQL,
-    ops=("ext-data-selection",),
-    doc=f"DATA SELECTION via IMPORTANCE RESAMPLING (DSIR, Xie et al. "
-    "2023): score every raw document by how much it looks like a "
-    "target domain (source='src0' stands in for the curated seed "
-    f"set) under hashed-unigram bag models — {_DSIR_B} md5 buckets "
-    "(the q214 hashing trick, so the feature space is fixed-width "
-    "and engine-portable), Laplace-smoothed log-likelihood ratio "
-    "log p_target(b)/p_raw(b) per bucket, per-doc mean weighted by "
-    "bucket occupancy; top-50 by weight is the resampling "
-    "shortlist.  Per-bucket LLRs are rounded to 9 digits before "
-    "the per-doc sum so both engines aggregate identical terms.  "
-    "Scale: ONE (doc, bucket) count relation (persisted — it feeds "
-    "both bag models and the scoring join), two fixed-256-row "
-    "model aggregates broadcast back, one map-combined per-doc "
-    "sum; no vocabulary broadcast, no OOV — the whole point of "
-    "hashed features at 100 TB.",
-)
-def q283_dsir_importance_weights(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+def _dsir_bucket_weights(docs):
+    """Shared DSIR feature stage: the persisted (doc, source, bucket)
+    count relation and the broadcast-sized per-bucket LLR weight
+    table (q283 consumes them directly; q290 composes them into the
+    curation DAG).  Cache lifetime caller/session-managed."""
     dbc = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select(
@@ -19101,6 +19084,33 @@ def q283_dsir_importance_weights(spark, sf_dir):
             9,
         ).alias("w9"),
     )
+    return dbc, wt
+
+
+
+@register(
+    "q283_dsir_importance_weights",
+    _DSIR_SQL,
+    ops=("ext-data-selection",),
+    doc=f"DATA SELECTION via IMPORTANCE RESAMPLING (DSIR, Xie et al. "
+    "2023): score every raw document by how much it looks like a "
+    "target domain (source='src0' stands in for the curated seed "
+    f"set) under hashed-unigram bag models — {_DSIR_B} md5 buckets "
+    "(the q214 hashing trick, so the feature space is fixed-width "
+    "and engine-portable), Laplace-smoothed log-likelihood ratio "
+    "log p_target(b)/p_raw(b) per bucket, per-doc mean weighted by "
+    "bucket occupancy; top-50 by weight is the resampling "
+    "shortlist.  Per-bucket LLRs are rounded to 9 digits before "
+    "the per-doc sum so both engines aggregate identical terms.  "
+    "Scale: ONE (doc, bucket) count relation (persisted — it feeds "
+    "both bag models and the scoring join), two fixed-256-row "
+    "model aggregates broadcast back, one map-combined per-doc "
+    "sum; no vocabulary broadcast, no OOV — the whole point of "
+    "hashed features at 100 TB.",
+)
+def q283_dsir_importance_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dbc, wt = _dsir_bucket_weights(docs)
     return (
         dbc.join(F.broadcast(wt), "bucket")
         .groupBy("doc_id", "source")
@@ -19626,6 +19636,268 @@ def q288_cluster_mixture_plan(spark, sf_dir):
     )
 
 
+_WF_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents WHERE length(trim(text)) > 0),
+counts AS (SELECT source, sum(nt) AS c FROM tok GROUP BY source),
+tot AS (SELECT sum(c) AS total, count(*) AS n FROM counts),
+r AS (
+  SELECT source, c,
+         row_number() OVER (ORDER BY c, source) AS rk,
+         sum(c) OVER (ORDER BY c, source) AS pfx
+  FROM counts),
+rb AS (SELECT r.*, tot.n, tot.total // 2 AS b FROM r CROSS JOIN tot),
+k AS (
+  SELECT coalesce(sum(CASE WHEN c * (n - rk) <= b - pfx
+                           THEN 1 ELSE 0 END), 0) AS k,
+         coalesce(max(CASE WHEN c * (n - rk) <= b - pfx
+                           THEN pfx END), 0) AS pfxk
+  FROM rb)
+SELECT rb.source, CAST(rb.c AS BIGINT) AS capacity,
+       CASE WHEN rb.rk <= k.k THEN CAST(rb.c AS DOUBLE)
+            ELSE round(CAST(rb.b - k.pfxk AS DOUBLE)
+                       / NULLIF(rb.n - k.k, 0), 6) END AS allocation,
+       rb.rk <= k.k AS saturated,
+       round(CAST(rb.b - k.pfxk AS DOUBLE)
+             / NULLIF(rb.n - k.k, 0), 6) AS water_level
+FROM rb CROSS JOIN k ORDER BY rb.source"""
+
+
+@register(
+    "q289_budgeted_mixture_waterfill",
+    _WF_SQL,
+    ops=("ext-mixture-waterfill",),
+    doc="BUDGETED MIXTURE ALLOCATION by closed-form WATER-FILLING: "
+    "given a token budget (half the corpus) and per-source token "
+    "capacities, allocate each source min(capacity, L) where the "
+    "water level L equalizes the unsaturated sources — the "
+    "continuous relaxation every data-mixture planner solves "
+    "(sources smaller than the fair share are taken whole, the "
+    "rest are capped at a common level).  The saturated-set size k "
+    "is found WITHOUT iteration: sort by capacity, and source r is "
+    "saturated iff c_r * (n - r) <= B - prefix_r — a monotone, "
+    "ALL-INTEGER condition (the q268 discipline: no float enters "
+    "until the single final division), so both engines agree "
+    "exactly.  Scale: one token-count aggregate to |sources| rows; "
+    "the ranking window runs over that DOMAIN-bounded aggregate, "
+    "never over data.",
+)
+def q289_budgeted_mixture_waterfill(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(F.filter(text.tokens(F.col("text")), lambda x: x != F.lit("")))
+    counts = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", nt.alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("c"))
+    )
+    return _waterfill_alloc(counts)
+
+
+def _waterfill_alloc(counts):
+    """Closed-form water-filling over a (source, c) capacity relation:
+    returns (source, capacity, allocation, saturated, water_level) for
+    budget = total DIV 2 (q289 standalone; q290 composes it over the
+    post-curation capacities).  All comparisons integer until the one
+    final division."""
+    tot = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("c", "source")
+    r = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "pfx",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("b", F.expr("total DIV 2"))
+        .persist()
+    )
+    sat = F.col("c") * (F.col("n") - F.col("rk")) <= F.col("b") - F.col("pfx")
+    k = r.agg(
+        F.coalesce(F.sum(sat.cast("int")), F.lit(0)).alias("k"),
+        F.coalesce(F.max(F.when(sat, F.col("pfx"))), F.lit(0)).alias("pfxk"),
+    )
+    lvl = F.round(
+        (F.col("b") - F.col("pfxk")).cast("double")
+        / F.nullif((F.col("n") - F.col("k")).cast("double"), F.lit(0.0)),
+        6,
+    )
+    return (
+        r.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            F.col("c").cast("bigint").alias("capacity"),
+            F.when(F.col("rk") <= F.col("k"), F.col("c").cast("double"))
+            .otherwise(lvl)
+            .alias("allocation"),
+            (F.col("rk") <= F.col("k")).alias("saturated"),
+            lvl.alias("water_level"),
+        )
+        .orderBy("source")
+    )
+
+
+_CUR3_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+t2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+dbc AS MATERIALIZED (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
+         count(*) AS cnt
+  FROM t2 GROUP BY doc_id, source, bucket),
+mm AS (
+  SELECT bucket, sum(cnt) AS cr,
+         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
+  FROM dbc GROUP BY bucket),
+tt AS (SELECT sum(cr) AS tr, sum(ct) AS tq FROM mm),
+wt AS (
+  SELECT bucket,
+         round(ln((ct + 1.0) / (tq + {_DSIR_B}.0))
+               - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
+  FROM mm, tt),
+sel AS MATERIALIZED (
+  SELECT doc_id, source, round(sum(cnt * w9) / sum(cnt), 6) AS wgt
+  FROM dbc JOIN wt USING (bucket) GROUP BY doc_id, source),
+gate AS (SELECT doc_id, source FROM sel WHERE wgt > 0),
+surv AS MATERIALIZED (
+  SELECT doc_id, source, text FROM (
+    SELECT d.doc_id, g.source, d.text,
+           row_number() OVER (PARTITION BY md5(d.text)
+                              ORDER BY d.doc_id) AS rk
+    FROM documents d JOIN gate g ON g.doc_id = d.doc_id) WHERE rk = 1),
+raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+gs AS (SELECT source, count(*) AS n_sel FROM gate GROUP BY source),
+gd AS (SELECT source, count(*) AS n_ded FROM surv GROUP BY source),
+cap AS (
+  SELECT source,
+         sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> ''))) AS c
+  FROM surv WHERE length(trim(text)) > 0 GROUP BY source),
+wf_tot AS (SELECT sum(c) AS total, count(*) AS n FROM cap),
+wf_r AS (
+  SELECT source, c,
+         row_number() OVER (ORDER BY c, source) AS rk,
+         sum(c) OVER (ORDER BY c, source) AS pfx
+  FROM cap),
+wf_rb AS (SELECT wf_r.*, wf_tot.n, wf_tot.total // 2 AS b
+          FROM wf_r CROSS JOIN wf_tot),
+wf_k AS (
+  SELECT coalesce(sum(CASE WHEN c * (n - rk) <= b - pfx
+                           THEN 1 ELSE 0 END), 0) AS k,
+         coalesce(max(CASE WHEN c * (n - rk) <= b - pfx
+                           THEN pfx END), 0) AS pfxk
+  FROM wf_rb),
+alloc AS (
+  SELECT wf_rb.source, CAST(wf_rb.c AS BIGINT) AS capacity,
+         CASE WHEN wf_rb.rk <= wf_k.k THEN CAST(wf_rb.c AS DOUBLE)
+              ELSE round(CAST(wf_rb.b - wf_k.pfxk AS DOUBLE)
+                         / NULLIF(wf_rb.n - wf_k.k, 0), 6) END AS allocation,
+         wf_rb.rk <= wf_k.k AS saturated
+  FROM wf_rb CROSS JOIN wf_k)
+SELECT raw.source,
+       CAST(raw.n_raw AS BIGINT) AS n_docs_raw,
+       CAST(coalesce(gs.n_sel, 0) AS BIGINT) AS n_docs_selected,
+       CAST(coalesce(gd.n_ded, 0) AS BIGINT) AS n_docs_deduped,
+       CAST(coalesce(alloc.capacity, 0) AS BIGINT) AS capacity_tokens,
+       coalesce(alloc.allocation, 0.0) AS token_allocation,
+       coalesce(alloc.saturated, TRUE) AS saturated
+FROM raw
+LEFT JOIN gs USING (source)
+LEFT JOIN gd USING (source)
+LEFT JOIN alloc USING (source)
+ORDER BY raw.source"""
+
+
+@register(
+    "q290_curation_pipeline_v3",
+    _CUR3_SQL,
+    ops=("ext-curation-dag-v3",),
+    doc="CURATION DAG v3 — the data-SELECTION composition (q165/q267 "
+    "compose dedup+coverage; this composes the round's new "
+    "operators end-to-end): DSIR importance gate (q283's hashed-"
+    "unigram LLR weights, keep docs with positive target affinity) "
+    "-> exact-text dedup among the survivors (keep lowest doc_id "
+    "per md5(text) — the D1 min-struct discipline) -> per-source "
+    "capacity of the deduped selection -> closed-form water-fill "
+    "allocation of a half-corpus token budget (q289's all-integer "
+    "saturation rule).  Output: the per-source funnel (raw -> "
+    "selected -> deduped) plus the final token allocation — the "
+    "one-table readout a training-mix owner signs off on.  Every "
+    "stage's losses are visible per source, and every downstream "
+    "number depends on the upstream winners (true composition, "
+    "CTE-chain oracle).  Scale: the gate is the q283 plan (one "
+    "(doc,bucket) aggregate + broadcast weights), dedup is a "
+    "hash aggregate on md5(text), and everything after is "
+    "|sources|-row aggregates with DOMAIN-bounded windows.",
+)
+def q290_curation_pipeline_v3(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").persist()
+    dbc, wt = _dsir_bucket_weights(docs)
+    sel = (
+        dbc.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("w9")) / F.sum("cnt"), 6
+            ).alias("wgt")
+        )
+    )
+    gate = sel.filter(F.col("wgt") > 0).select("doc_id", "source").persist()
+    surv = (
+        docs.select("doc_id", "source", "text")
+        .join(gate.select("doc_id"), "doc_id")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min(F.struct("doc_id", "source", "text")).alias("m"))
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.source").alias("source"),
+            F.col("m.text").alias("text"),
+        )
+        .persist()
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    gs = gate.groupBy("source").agg(F.count(F.lit(1)).alias("n_sel"))
+    gd = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_ded"))
+    nt = F.size(F.filter(text.tokens(F.col("text")), lambda x: x != F.lit("")))
+    cap = (
+        surv.filter(F.length(F.trim("text")) > 0)
+        .select("source", nt.alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("c"))
+    )
+    alloc = _waterfill_alloc(cap).drop("water_level")
+    return (
+        raw.join(F.broadcast(gs), "source", "left")
+        .join(F.broadcast(gd), "source", "left")
+        .join(F.broadcast(alloc), "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("bigint").alias("n_docs_raw"),
+            F.coalesce(F.col("n_sel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_selected"),
+            F.coalesce(F.col("n_ded"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_deduped"),
+            F.coalesce(F.col("capacity"), F.lit(0))
+            .cast("bigint")
+            .alias("capacity_tokens"),
+            F.coalesce(F.col("allocation"), F.lit(0.0)).alias(
+                "token_allocation"
+            ),
+            F.coalesce(F.col("saturated"), F.lit(True)).alias("saturated"),
+        )
+        .orderBy("source")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -19710,6 +19982,8 @@ STAMP_PRIORITY: list[str] = [
     "q286_compaction_bin_packing",
     "q287_truncation_recall_audit",
     "q288_cluster_mixture_plan",
+    "q289_budgeted_mixture_waterfill",
+    "q290_curation_pipeline_v3",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
