@@ -236,6 +236,7 @@ EXTRA = [
     "q288_cluster_mixture_plan",      # cluster-source mixture readout
     "q289_budgeted_mixture_waterfill",  # closed-form water-fill allocation
     "q290_curation_pipeline_v3",      # DSIR gate -> dedup -> water-fill DAG
+    "q291_streaming_psi_drift",       # streaming PSI drift monitor
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

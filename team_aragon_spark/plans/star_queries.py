@@ -19898,6 +19898,135 @@ def q290_curation_pipeline_v3(spark, sf_dir):
     )
 
 
+_PSI_SQL = rf"""
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+wb AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+         least(CAST(floor(value / {_SHIST_W}) AS INT), {_SHIST_BINS - 1})
+           AS bin,
+         count(*) AS c
+  FROM events GROUP BY ws, bin),
+closed AS (
+  SELECT * FROM wb WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wm)),
+nw AS (SELECT ws, sum(c) AS nw FROM closed GROUP BY ws),
+g AS (
+  SELECT least(CAST(floor(value / {_SHIST_W}) AS INT), {_SHIST_BINS - 1})
+           AS bin,
+         count(*) AS g
+  FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS nn FROM events),
+grid AS (
+  SELECT w.ws, CAST(b.range AS INT) AS bin
+  FROM (SELECT DISTINCT ws FROM closed) w
+  CROSS JOIN range(0, {_SHIST_BINS}) b),
+t AS (
+  SELECT grid.ws, nw.nw,
+         round(((coalesce(c.c, 0) + 1.0) / (nw.nw + {_SHIST_BINS}.0)
+                - (coalesce(g.g, 0) + 1.0) / (tot.nn + {_SHIST_BINS}.0))
+               * ln(((coalesce(c.c, 0) + 1.0) / (nw.nw + {_SHIST_BINS}.0))
+                    / ((coalesce(g.g, 0) + 1.0)
+                       / (tot.nn + {_SHIST_BINS}.0))), 9) AS term
+  FROM grid
+  LEFT JOIN closed c ON c.ws = grid.ws AND c.bin = grid.bin
+  JOIN nw ON nw.ws = grid.ws
+  LEFT JOIN g ON g.bin = grid.bin
+  CROSS JOIN tot)
+SELECT ws AS window_start, CAST(nw AS BIGINT) AS n_events,
+       round(sum(term), 6) AS psi
+FROM t GROUP BY ws, nw ORDER BY window_start"""
+
+
+@register(
+    "q291_streaming_psi_drift",
+    _PSI_SQL,
+    ops=("ext-streaming-psi-drift",),
+    doc="STREAMING DISTRIBUTION-DRIFT MONITOR: a per-hour Population "
+    "Stability Index of the event-value distribution against the "
+    "corpus reference — the online twin of q141's batch PSI and "
+    "the alerting signal a training-data intake pipeline watches "
+    f"(did this hour's traffic shift?).  The stream maintains the "
+    f"fixed {_SHIST_BINS}-bin histogram per 1-hour window (q220's "
+    "maintainable-sketch discipline: fixed bins, monotone counts, "
+    "update-mode convergence = max per cell) under a 2-hour "
+    "watermark; after the availableNow drain, watermark-closed "
+    "windows (window_end <= max(ts) - 2h, the q46 closure proof) "
+    "are compared to the global histogram over the DENSE bin grid "
+    "with Laplace +1 smoothing (both engines sum identical "
+    "round-9 terms).  FULL value oracle: batch replay of the "
+    "windowed histogram + the same PSI arithmetic.  Scale: "
+    "streaming state is |hours| x bins cells regardless of volume; "
+    "the PSI join runs over that aggregate grid, never over "
+    "events.",
+)
+def q291_streaming_psi_drift(spark, sf_dir):
+    import uuid
+
+    from team_aragon_spark.streaming import events_stream as es
+
+    src, ckpt = _stream_events_src(spark, sf_dir)
+    stream = es.read_events_stream(spark, src)
+    name = f"q291_out_{uuid.uuid4().hex[:8]}"
+    binc = F.least(
+        F.floor(F.col("value") / _SHIST_W).cast("int"),
+        F.lit(_SHIST_BINS - 1),
+    )
+    q = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = (
+        spark.sql(f"SELECT w.start AS ws, bin, m FROM {name}")
+        .groupBy("ws", "bin")
+        .agg(F.max("m").alias("c"))
+    )
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wmk")
+    )
+    closed = (
+        hist.crossJoin(F.broadcast(wm))
+        .filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.col("wmk"))
+        .select("ws", "bin", "c")
+        .persist()
+    )
+    nw = closed.groupBy("ws").agg(F.sum("c").alias("nw"))
+    g = ev.select(binc.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("nn"))
+    bins = spark.range(_SHIST_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = closed.select("ws").distinct().crossJoin(F.broadcast(bins))
+    b = float(_SHIST_BINS)
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("nw") + b)
+    qref = (F.coalesce(F.col("g"), F.lit(0)) + 1.0) / (F.col("nn") + b)
+    term = F.round((p - qref) * F.log(p / qref), 9)
+    t = (
+        grid.join(closed, ["ws", "bin"], "left")
+        .join(F.broadcast(nw), "ws")
+        .join(F.broadcast(g), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("ws", "nw", term.alias("term"))
+    )
+    return (
+        t.groupBy("ws", "nw")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            F.col("ws").alias("window_start"),
+            F.col("nw").cast("bigint").alias("n_events"),
+            "psi",
+        )
+        .orderBy("window_start")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -19984,6 +20113,7 @@ STAMP_PRIORITY: list[str] = [
     "q288_cluster_mixture_plan",
     "q289_budgeted_mixture_waterfill",
     "q290_curation_pipeline_v3",
+    "q291_streaming_psi_drift",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
