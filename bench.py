@@ -237,6 +237,9 @@ EXTRA = [
     "q289_budgeted_mixture_waterfill",  # closed-form water-fill allocation
     "q290_curation_pipeline_v3",      # DSIR gate -> dedup -> water-fill DAG
     "q291_streaming_psi_drift",       # streaming PSI drift monitor
+    "q292_reshard_migration_audit",   # mod vs range reshard move fraction
+    "q293_srm_check",                 # daily sample-ratio-mismatch chi2
+    "q294_schema_drift_audit",        # weekly new-JSON-key monitor
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

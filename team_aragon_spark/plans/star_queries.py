@@ -20027,6 +20027,214 @@ def q291_streaming_psi_drift(spark, sf_dir):
     )
 
 
+_RESHARD_FROM, _RESHARD_TO, _RING = 16, 17, 4294967296
+
+_RESHARD_SQL = rf"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT::BIGINT AS h
+  FROM documents),
+m AS (
+  SELECT
+    sum(CASE WHEN h % {_RESHARD_FROM} <> h % {_RESHARD_TO}
+             THEN 1 ELSE 0 END) AS mod_moved,
+    sum(CASE WHEN (h * {_RESHARD_FROM}) // {_RING}
+             <> (h * {_RESHARD_TO}) // {_RING}
+             THEN 1 ELSE 0 END) AS range_moved,
+    count(*) AS n
+  FROM h)
+SELECT 'mod' AS strategy, CAST(n AS BIGINT) AS n_docs,
+       CAST(mod_moved AS BIGINT) AS n_moved,
+       round(mod_moved * 1.0 / n, 6) AS moved_frac
+FROM m
+UNION ALL
+SELECT 'range', CAST(n AS BIGINT), CAST(range_moved AS BIGINT),
+       round(range_moved * 1.0 / n, 6)
+FROM m
+ORDER BY strategy"""
+
+
+@register(
+    "q292_reshard_migration_audit",
+    _RESHARD_SQL,
+    ops=("ext-layout-reshard",),
+    doc=f"RESHARD MIGRATION AUDIT — what fraction of the corpus moves "
+    f"when the shard count goes {_RESHARD_FROM} -> {_RESHARD_TO}, "
+    "under the two placement disciplines: MOD-hash (shard = h % N — "
+    "nearly everything moves, ~1 - 1/N) vs RANGE/ring placement "
+    "(shard = h*N DIV 2^32 — only keys straddling the new "
+    "boundaries move, ~1/(N+1)).  The table that justifies "
+    "consistent/range placement for any stateful store or shuffle "
+    "layout at 100 TB, measured on the corpus's own portable md5 "
+    "keys (q63 idiom) in exact integer arithmetic.  Scale: one "
+    "narrow projection + a single map-combined 3-counter "
+    "aggregate; no shuffle of data at all.",
+)
+def q292_reshard_migration_audit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    m = docs.select(h.alias("h")).agg(
+        F.sum(
+            (
+                (F.col("h") % _RESHARD_FROM) != (F.col("h") % _RESHARD_TO)
+            ).cast("int")
+        ).alias("mod_moved"),
+        F.sum(
+            (
+                F.expr(f"h * {_RESHARD_FROM} DIV {_RING}")
+                != F.expr(f"h * {_RESHARD_TO} DIV {_RING}")
+            ).cast("int")
+        ).alias("range_moved"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mod_row = m.select(
+        F.lit("mod").alias("strategy"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("mod_moved").cast("bigint").alias("n_moved"),
+        F.round(F.col("mod_moved") / F.col("n"), 6).alias("moved_frac"),
+    )
+    rng_row = m.select(
+        F.lit("range").alias("strategy"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("range_moved").cast("bigint").alias("n_moved"),
+        F.round(F.col("range_moved") / F.col("n"), 6).alias("moved_frac"),
+    )
+    return mod_row.unionAll(rng_row).orderBy("strategy")
+
+
+_SRM_SALT = "srm0:"
+_SRM_CHI2_95 = 3.841
+
+_SRM_SQL = rf"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+  FROM events),
+a AS (
+  SELECT day,
+         CASE WHEN substr(md5('{_SRM_SALT}' || CAST(user_id AS VARCHAR)),
+                          1, 1) < '8'
+              THEN 1 ELSE 0 END AS treat
+  FROM u),
+c AS (
+  SELECT day, sum(treat) AS nt,
+         count(*) - sum(treat) AS nc
+  FROM a GROUP BY day),
+s AS (
+  SELECT day, nt, nc,
+         round((nt - nc) * (nt - nc) * 1.0 / NULLIF(nt + nc, 0), 6)
+           AS chi2
+  FROM c)
+SELECT day, CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+       chi2, chi2 > {_SRM_CHI2_95} AS srm_flag
+FROM s ORDER BY day"""
+
+
+@register(
+    "q293_srm_check",
+    _SRM_SQL,
+    ops=("ext-experiment-srm",),
+    doc="SAMPLE-RATIO-MISMATCH check, per exposure day — the first "
+    "thing an experimentation platform validates before reading any "
+    "effect (q268 CUPED / q272 DiD / q281 power assume the split "
+    "actually landed 50/50; an SRM invalidates all three): daily "
+    "distinct exposed users per arm under the portable md5 "
+    "assignment, chi-square vs the designed 50/50 computed as the "
+    "ALL-INTEGER (nt-nc)^2/(nt+nc) (1 df closed form — no float "
+    "until the single division), flagged at the 95% critical "
+    "value.  Scale: one (user, day) distinct pass, then "
+    "|days|-row arithmetic.",
+)
+def q293_srm_check(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000").cast(
+        "bigint"
+    )
+    u = ev.select("user_id", day.alias("day")).distinct()
+    treat = (
+        F.substring(
+            F.md5(F.concat(F.lit(_SRM_SALT), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8"
+    ).cast("int")
+    c = u.select("day", treat.alias("treat")).groupBy("day").agg(
+        F.sum("treat").alias("nt"),
+        (F.count(F.lit(1)) - F.sum("treat")).alias("nc"),
+    )
+    chi2 = F.round(
+        (F.col("nt") - F.col("nc"))
+        * (F.col("nt") - F.col("nc"))
+        / F.nullif((F.col("nt") + F.col("nc")).cast("double"), F.lit(0.0)),
+        6,
+    )
+    return c.select(
+        "day",
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        chi2.alias("chi2"),
+        (chi2 > _SRM_CHI2_95).alias("srm_flag"),
+    ).orderBy("day")
+
+
+_DRIFT_SQL = r"""
+WITH kv AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+         unnest(json_keys(props)) AS k
+  FROM events WHERE props IS NOT NULL),
+wkk AS (SELECT DISTINCT wk, k FROM kv),
+fs AS (SELECT k, min(wk) AS first_wk FROM wkk GROUP BY k)
+SELECT wk AS week_start,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN fs.first_wk = wkk.wk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_keys
+FROM wkk JOIN fs USING (k)
+GROUP BY wk ORDER BY week_start"""
+
+
+@register(
+    "q294_schema_drift_audit",
+    _DRIFT_SQL,
+    ops=("ext-schema-drift",),
+    doc="SEMI-STRUCTURED SCHEMA-DRIFT AUDIT: per week, the distinct "
+    "JSON property keys observed in the event payloads and how many "
+    "appear for the FIRST time that week (first-seen week per key "
+    "via a min aggregate — no ordered window) — the intake monitor "
+    "that catches producers adding fields before a fixed-schema "
+    "from_json silently drops them (the VARIANT-era companion to "
+    "q75).  Scale: keys dedup to the (week, key) grain in one "
+    "map-combined distinct; everything after runs on that "
+    "DOMAIN-bounded relation (weeks x |key vocabulary|).",
+)
+def q294_schema_drift_audit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wkk = (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            F.date_trunc("week", F.col("ts").cast("timestamp")).alias("wk"),
+            F.explode(F.json_object_keys("props")).alias("k"),
+        )
+        .distinct()
+        .persist()
+    )
+    fs = wkk.groupBy("k").agg(F.min("wk").alias("first_wk"))
+    return (
+        wkk.join(F.broadcast(fs), "k")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum((F.col("first_wk") == F.col("wk")).cast("int"))
+            .cast("bigint")
+            .alias("n_new_keys"),
+        )
+        .select(F.col("wk").alias("week_start"), "n_keys", "n_new_keys")
+        .orderBy("week_start")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -20114,6 +20322,9 @@ STAMP_PRIORITY: list[str] = [
     "q289_budgeted_mixture_waterfill",
     "q290_curation_pipeline_v3",
     "q291_streaming_psi_drift",
+    "q292_reshard_migration_audit",
+    "q293_srm_check",
+    "q294_schema_drift_audit",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
