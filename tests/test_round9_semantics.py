@@ -93,3 +93,31 @@ def test_kmeans_partition_and_compaction_conservation(spark):
     )
     assert sum(r.bin_bytes for r in bins) == n_li * sq._ROW_BYTES
     assert all(r.n_files >= 1 for r in bins)
+
+
+def test_waterfill_budget_conservation(spark):
+    """q289/q290's water-fill must spend exactly the budget when any
+    source is unsaturated: saturated capacities + (n-k) * level == B
+    (level is emitted rounded to 6, so the identity holds to n*5e-7
+    of the budget), and no allocation may exceed its capacity."""
+    rows = (
+        sq.QUERY_REGISTRY["q289_budgeted_mixture_waterfill"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    total = sum(r.capacity for r in rows)
+    budget = total // 2
+    spent = sum(r.allocation for r in rows)
+    assert abs(spent - budget) <= max(1e-6 * budget, len(rows) * 5e-7 * budget)
+    assert all(r.allocation <= r.capacity + 1e-9 for r in rows)
+    assert any(not r.saturated for r in rows)
+    spark.catalog.clearCache()
+
+    v3 = (
+        sq.QUERY_REGISTRY["q290_curation_pipeline_v3"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    # funnel monotonicity: raw >= selected >= deduped, per source
+    assert all(r.n_docs_raw >= r.n_docs_selected >= r.n_docs_deduped for r in v3)
+    assert all(r.token_allocation <= r.capacity_tokens + 1e-9 for r in v3)
