@@ -240,6 +240,7 @@ EXTRA = [
     "q292_reshard_migration_audit",   # mod vs range reshard move fraction
     "q293_srm_check",                 # daily sample-ratio-mismatch chi2
     "q294_schema_drift_audit",        # weekly new-JSON-key monitor
+    "q295_ivfpq_search_eval",         # IVF+PQ ADC search, end-to-end recall
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

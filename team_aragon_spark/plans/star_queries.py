@@ -6742,7 +6742,12 @@ def q165_curation_pipeline(spark, sf_dir):
 
 
 def _pq_portable_oracle_sql(
-    m: int = 8, ks: int = 16, sub: int = 8, iters: int = 8, sample: int = 2048
+    m: int = 8,
+    ks: int = 16,
+    sub: int = 8,
+    iters: int = 8,
+    sample: int = 2048,
+    final_select: bool = True,
 ) -> str:
     """Generate the DuckDB replay of pq_train_portable + pq_assign as
     unrolled CTEs (the q136 BPE-replay pattern applied to k-means):
@@ -6816,12 +6821,14 @@ fasg AS MATERIALIZED (
            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
     FROM (SELECT p.vec_id, p.s, c.j, {dist('p.v', 'c.c')} AS d
           FROM fpts p JOIN cent{iters} c ON p.s = c.s))
-  WHERE rk = 1)
+  WHERE rk = 1)"""
+    )
+    if final_select:
+        parts[-1] += f"""
 SELECT vec_id,
        string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes_csv,
        round(sum(d), 6) AS sq_err
 FROM fasg GROUP BY vec_id ORDER BY vec_id"""
-    )
     return ",\n".join(parts)
 
 
@@ -20235,6 +20242,229 @@ def q294_schema_drift_audit(spark, sf_dir):
     )
 
 
+_IVFPQ_K, _IVFPQ_NPROBE = 10, 2
+_IVFPQ_M, _IVFPQ_KS, _IVFPQ_SUB, _IVFPQ_ITERS = 8, 16, 8, 8
+
+
+def _ivfpq_oracle_sql() -> str:
+    sub, iters = _IVFPQ_SUB, _IVFPQ_ITERS
+
+    def dist(v: str, c: str) -> str:
+        terms = " + ".join(
+            f"({v}[{d}] - {c}[{d}]) * ({v}[{d}] - {c}[{d}])"
+            for d in range(1, sub + 1)
+        )
+        return f"round({terms}, 9)"
+
+    l2_terms = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> (CAST(c.nv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)) "
+        "* (CAST(c.nv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))), 4)"
+    )
+    chain = _pq_portable_oracle_sql(
+        _IVFPQ_M, _IVFPQ_KS, sub, iters, 2048, final_select=False
+    )
+    return (
+        chain
+        + f""",
+qv AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id >= 16 AND vec_id < 40),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+icent AS (
+  SELECT CAST(vec_id AS INT) AS cell, embedding AS cv FROM embeddings
+  WHERE vec_id < 16),
+iasg AS MATERIALIZED (
+  SELECT neighbor_id, cell FROM (
+    SELECT c.neighbor_id, icent.cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+             ORDER BY {_ora_cos('c.nv', 'icent.cv', 9)} DESC,
+                      icent.cell) AS rk
+    FROM cv c CROSS JOIN icent) WHERE rk = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, icent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_ora_cos('q.qv', 'icent.cv', 9)} DESC,
+                      icent.cell) AS rk
+    FROM qv q CROSS JOIN icent) WHERE rk <= {_IVFPQ_NPROBE}),
+cand AS MATERIALIZED (
+  SELECT p.query_id, a.neighbor_id
+  FROM iasg a JOIN probes p ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id),
+qsub AS MATERIALIZED (
+  SELECT query_id, subs.s AS s,
+         e[subs.s * {sub} + 1 : subs.s * {sub} + {sub}] AS v
+  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+        FROM embeddings WHERE vec_id >= 16 AND vec_id < 40), subs),
+adcsub AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, {dist('q.v', 'cb.c')} AS d
+  FROM cand c
+  JOIN fasg f ON f.vec_id = c.neighbor_id
+  JOIN cent{iters} cb ON cb.s = f.s AND cb.j = f.j
+  JOIN qsub q ON q.query_id = c.query_id AND q.s = f.s),
+adc AS (
+  SELECT query_id, neighbor_id, round(sum(d), 6) AS adc
+  FROM adcsub GROUP BY query_id, neighbor_id),
+approxk AS (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc, neighbor_id) <= {_IVFPQ_K}),
+exactk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id, {l2_terms} AS d4
+    FROM cv c CROSS JOIN qv q WHERE c.neighbor_id <> q.query_id)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY d4, neighbor_id) <= {_IVFPQ_K}),
+ncand AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+hits AS (
+  SELECT a.query_id, count(*) AS hits
+  FROM approxk a JOIN exactk e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(coalesce(ncand.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.hits, 0) / {float(_IVFPQ_K)}, 4) AS recall
+FROM qv q LEFT JOIN ncand USING (query_id) LEFT JOIN hits USING (query_id)
+ORDER BY q.query_id"""
+    )
+
+
+@register(
+    "q295_ivfpq_search_eval",
+    _ivfpq_oracle_sql(),
+    ops=("ext-similarity-ivfpq",),
+    doc="IVF+PQ SEARCH, end-to-end recall eval — the PRODUCTION ANN "
+    "architecture (Jégou 2011: coarse quantizer prunes the corpus, "
+    "product-quantization codes rank the survivors by asymmetric "
+    "distance, exact vectors never touched at query time) assembled "
+    "from the repo's own audited parts: q175's portable IVF "
+    "(nprobe=2) generates candidates, q166's portable-trained "
+    "codebooks encode them, and ADC = sum over subspaces of "
+    "round(||q_sub - centroid[code]||^2, 9) ranks them; top-10 by "
+    "(adc, neighbor) is compared to the exact full-vector L2 "
+    "top-10.  FULL value oracle: the ENTIRE stack replays in "
+    "DuckDB — the 8-iteration codebook training chain (q166's "
+    "CTEs), the IVF assignment, the ADC arithmetic and both "
+    "top-ks.  Scale: the query never reads candidate vectors — "
+    "only their m=8 byte codes + the broadcast codebook table "
+    "(32x less I/O than raw vectors, the reason IVF+PQ is the "
+    "10^9-vector standard); candidate ranking rides "
+    "salted_topk_per_group; ground truth is the fixed 24-query "
+    "broadcast panel (linear, not all-pairs).",
+)
+def q295_ivfpq_search_eval(spark, sf_dir):
+    from team_aragon_spark.operators.windows import salted_topk_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_portable(
+        emb, m=_IVFPQ_M, ks=_IVFPQ_KS, iters=_IVFPQ_ITERS
+    )
+    codes = similarity.pq_assign(emb, books, round_digits=9).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("cv"),
+    )
+    qdf = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    s9 = F.round(F.expr(similarity.cosine_expr("nv", "cv")), 9)
+    asg = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "cell", s9.alias("s9"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(F.col("s9").alias("s"), (-F.col("cell")).alias("nc"))
+            ).alias("m")
+        )
+        .select("neighbor_id", (-F.col("m.nc")).cast("int").alias("cell"))
+    )
+    sq9 = F.round(F.expr(similarity.cosine_expr("qv", "cv")), 9)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s9"), F.asc("cell"))
+    probes = (
+        qdf.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cell", sq9.alias("s9"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _IVFPQ_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id")
+        .persist()
+    )
+    sub = _IVFPQ_SUB
+    dparts = []
+    for s in range(_IVFPQ_M):
+        cents = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(repr(v) for v in c) + ")"
+                for c in books[s]
+            )
+            + ")"
+        )
+        sl = f"slice(qv, {s * sub + 1}, {sub})"
+        dparts.append(
+            f"round(aggregate(zip_with(element_at({cents}, codes[{s}] + 1), "
+            f"{sl}, (x, y) -> (x - CAST(y AS DOUBLE)) * "
+            "(x - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), "
+            "(a, v) -> a + v), 9)"
+        )
+    adc = F.round(F.expr(" + ".join(dparts)), 6)
+    scored = cand.join(codes, "neighbor_id").select(
+        "query_id", "neighbor_id", adc.alias("adc")
+    )
+    approxk = salted_topk_per_group(
+        scored, ["query_id"], "adc", _IVFPQ_K, "neighbor_id", descending=False
+    ).select("query_id", "neighbor_id")
+    l2 = F.round(
+        F.expr(
+            "aggregate(zip_with(nv, qv, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ),
+        4,
+    )
+    allp = corpus.join(
+        F.broadcast(qdf), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", l2.alias("d4"))
+    exactk = salted_topk_per_group(
+        allp, ["query_id"], "d4", _IVFPQ_K, "neighbor_id", descending=False
+    ).select("query_id", "neighbor_id")
+    nc = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        approxk.join(exactk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(F.broadcast(nc), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / float(_IVFPQ_K), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -20325,6 +20555,7 @@ STAMP_PRIORITY: list[str] = [
     "q292_reshard_migration_audit",
     "q293_srm_check",
     "q294_schema_drift_audit",
+    "q295_ivfpq_search_eval",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
