@@ -241,6 +241,7 @@ EXTRA = [
     "q293_srm_check",                 # daily sample-ratio-mismatch chi2
     "q294_schema_drift_audit",        # weekly new-JSON-key monitor
     "q295_ivfpq_search_eval",         # IVF+PQ ADC search, end-to-end recall
+    "q296_two_stage_rerank_eval",     # truncated shortlist -> full re-rank
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

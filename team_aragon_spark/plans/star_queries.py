@@ -20465,6 +20465,122 @@ def q295_ivfpq_search_eval(spark, sf_dir):
     )
 
 
+_RERANK_SHORTLIST, _RERANK_K, _RERANK_DIM = 50, 10, 16
+
+_RERANK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id >= 16 AND vec_id < 40),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+p AS MATERIALIZED (
+  SELECT q.query_id, c.neighbor_id,
+         {_ora_cos('c.nv', 'q.qv', 4)} AS s_full,
+         {_ora_cos(f'c.nv[1:{_RERANK_DIM}]', f'q.qv[1:{_RERANK_DIM}]', 4)}
+           AS s_trunc
+  FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+sh AS MATERIALIZED (
+  SELECT query_id, neighbor_id, s_full FROM p
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY s_trunc DESC, neighbor_id) <= {_RERANK_SHORTLIST}),
+rr AS (
+  SELECT query_id, neighbor_id FROM sh
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY s_full DESC, neighbor_id) <= {_RERANK_K}),
+kf AS (
+  SELECT query_id, neighbor_id FROM p
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY s_full DESC, neighbor_id) <= {_RERANK_K}),
+hits AS (
+  SELECT r.query_id, count(*) AS hits
+  FROM rr r JOIN kf ON kf.query_id = r.query_id
+                   AND kf.neighbor_id = r.neighbor_id
+  GROUP BY r.query_id)
+SELECT q.query_id,
+       CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(hits.hits, 0) / {float(_RERANK_K)}, 4) AS recall
+FROM q LEFT JOIN hits USING (query_id)
+ORDER BY q.query_id"""
+
+
+@register(
+    "q296_two_stage_rerank_eval",
+    _RERANK_SQL,
+    ops=("ext-similarity-rerank",),
+    doc=f"TWO-STAGE RETRIEVAL EVAL — the production re-ranking shape "
+    f"(cheap truncated-{_RERANK_DIM}-dim cosine builds a "
+    f"{_RERANK_SHORTLIST}-candidate shortlist, the full 64-dim "
+    f"cosine re-ranks it, top-{_RERANK_K} compared to the exact "
+    "full-dim truth): measures what q287 cannot — a truncated "
+    "index is judged by its recall THROUGH a re-ranked shortlist, "
+    "not by its direct top-10 (recall here is bounded only by "
+    "shortlist membership, the two-stage principle).  Same "
+    "discipline as q175/q287: round(cos, 4), neighbor-id "
+    "tie-breaks.  Scale: one broadcast-panel linear scan scores "
+    "both similarity columns at once (persisted, 3 top-k "
+    "consumers); every per-query top-k rides the salted two-phase "
+    "window; at index scale the stage-1 scan reads 4x less vector "
+    "I/O, which is the entire economics of the pattern.",
+)
+def q296_two_stage_rerank_eval(spark, sf_dir):
+    from team_aragon_spark.operators.windows import salted_topk_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    d = _RERANK_DIM
+    scored = (
+        corpus.join(
+            F.broadcast(qdf), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(similarity.cosine_expr("nv", "qv")), 4).alias(
+                "s_full"
+            ),
+            F.round(
+                F.expr(
+                    similarity.cosine_expr(
+                        f"slice(nv, 1, {d})", f"slice(qv, 1, {d})"
+                    )
+                ),
+                4,
+            ).alias("s_trunc"),
+        )
+        .persist()
+    )
+    sh = salted_topk_per_group(
+        scored, ["query_id"], "s_trunc", _RERANK_SHORTLIST, "neighbor_id"
+    ).select("query_id", "neighbor_id", "s_full")
+    rr = salted_topk_per_group(
+        sh, ["query_id"], "s_full", _RERANK_K, "neighbor_id"
+    ).select("query_id", "neighbor_id")
+    kf = salted_topk_per_group(
+        scored, ["query_id"], "s_full", _RERANK_K, "neighbor_id"
+    ).select("query_id", "neighbor_id")
+    hits = (
+        rr.join(kf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / float(_RERANK_K), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -20556,6 +20672,7 @@ STAMP_PRIORITY: list[str] = [
     "q293_srm_check",
     "q294_schema_drift_audit",
     "q295_ivfpq_search_eval",
+    "q296_two_stage_rerank_eval",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
