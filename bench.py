@@ -242,6 +242,7 @@ EXTRA = [
     "q294_schema_drift_audit",        # weekly new-JSON-key monitor
     "q295_ivfpq_search_eval",         # IVF+PQ ADC search, end-to-end recall
     "q296_two_stage_rerank_eval",     # truncated shortlist -> full re-rank
+    "q297_logreg_domain_classifier",  # in-engine logistic-regression GD
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

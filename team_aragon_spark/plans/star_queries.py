@@ -20581,6 +20581,141 @@ def q296_two_stage_rerank_eval(spark, sf_dir):
     )
 
 
+_LR_ITERS, _LR_RATE = 4, 1.0
+
+
+def _logreg_oracle_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+    feats = rf"""
+WITH raw AS (
+  SELECT CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x IN ({stop}))) AS ns
+  FROM documents WHERE length(trim(text)) > 0),
+feats AS MATERIALIZED (
+  SELECT y,
+         round(ns / n_tokens, 6) AS x1,
+         round(np / nc, 6) AS x2,
+         round(least(1.0, n_tokens / 200.0), 6) AS x3
+  FROM raw),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    z = "(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+    p = f"round(1.0 / (1.0 + exp(-{z})), 9)"
+    parts = [feats]
+    for t in range(1, _LR_ITERS + 1):
+        parts.append(
+            f"""g{t} AS (
+  SELECT round(avg(p - y), 6) AS g0,
+         round(avg((p - y) * x1), 6) AS g1,
+         round(avg((p - y) * x2), 6) AS g2,
+         round(avg((p - y) * x3), 6) AS g3
+  FROM (SELECT f.y, f.x1, f.x2, f.x3, {p} AS p
+        FROM feats f CROSS JOIN w{t - 1} w)),
+w{t} AS (
+  SELECT round(w.w0 - {_LR_RATE} * g.g0, 6) AS w0,
+         round(w.w1 - {_LR_RATE} * g.g1, 6) AS w1,
+         round(w.w2 - {_LR_RATE} * g.g2, 6) AS w2,
+         round(w.w3 - {_LR_RATE} * g.g3, 6) AS w3
+  FROM g{t} g CROSS JOIN w{t - 1} w)"""
+        )
+    final = f"""
+SELECT w.w0 AS bias, w.w1 AS w_stopword, w.w2 AS w_punct, w.w3 AS w_len,
+       round(avg(CASE WHEN ({p} >= 0.5) = (f.y = 1.0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM feats f CROSS JOIN w{_LR_ITERS} w
+GROUP BY w.w0, w.w1, w.w2, w.w3"""
+    return ",\n".join(parts) + final
+
+
+@register(
+    "q297_logreg_domain_classifier",
+    _logreg_oracle_sql(),
+    ops=("ext-ml-logreg",),
+    doc=f"DISTRIBUTED LOGISTIC REGRESSION — the fastText-style "
+    "domain/quality classifier trained INSIDE the engine (the third "
+    "iterative-optimizer family member after q258 power iteration "
+    "and q282 Lloyd): full-batch gradient descent "
+    f"({_LR_ITERS} iterations, lr={_LR_RATE}) on three rounded "
+    "quality features (stopword ratio, punctuation ratio, capped "
+    "length) predicting target-domain membership (source='src0').  "
+    "Portability discipline for an optimizer loop: features rounded "
+    "at input, sigmoid rounded to 9 (absorbing libm exp ulps), "
+    "gradient components round(avg, 6), weights re-rounded each "
+    "update — so both engines descend through IDENTICAL iterates "
+    "and the final weights + training accuracy value-hash.  FULL "
+    "oracle: every iteration unrolled as a CTE.  Scale: each "
+    "iteration is ONE map-combined 4-component gradient aggregate "
+    "over the persisted feature relation with the 1-row weight "
+    "vector broadcast — the classic data-parallel GD layout (model "
+    "tiny, data sharded); no collect in the loop.",
+)
+def q297_logreg_domain_classifier(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    qf = text.quality_features(docs.filter(F.length(F.trim("text")) > 0))
+    feats = qf.select(
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+        F.col("stopword_ratio").alias("x1"),
+        F.col("punct_ratio").alias("x2"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 200.0), 6
+        ).alias("x3"),
+    ).persist()
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    )
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    for _ in range(_LR_ITERS):
+        j = feats.crossJoin(F.broadcast(w)).withColumn("p", p)
+        g = j.agg(
+            F.round(F.avg(F.col("p") - F.col("y")), 6).alias("g0"),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x1")), 6).alias(
+                "g1"
+            ),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x2")), 6).alias(
+                "g2"
+            ),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x3")), 6).alias(
+                "g3"
+            ),
+        )
+        w = g.crossJoin(F.broadcast(w)).select(
+            F.round(F.col("w0") - _LR_RATE * F.col("g0"), 6).alias("w0"),
+            F.round(F.col("w1") - _LR_RATE * F.col("g1"), 6).alias("w1"),
+            F.round(F.col("w2") - _LR_RATE * F.col("g2"), 6).alias("w2"),
+            F.round(F.col("w3") - _LR_RATE * F.col("g3"), 6).alias("w3"),
+        )
+    scored = feats.crossJoin(F.broadcast(w)).withColumn("p", p)
+    return scored.groupBy("w0", "w1", "w2", "w3").agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("p") >= 0.5) == (F.col("y") == 1.0), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("train_acc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("w0").alias("bias"),
+        F.col("w1").alias("w_stopword"),
+        F.col("w2").alias("w_punct"),
+        F.col("w3").alias("w_len"),
+        "train_acc",
+        "n_docs",
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -20673,6 +20808,7 @@ STAMP_PRIORITY: list[str] = [
     "q294_schema_drift_audit",
     "q295_ivfpq_search_eval",
     "q296_two_stage_rerank_eval",
+    "q297_logreg_domain_classifier",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
