@@ -243,6 +243,7 @@ EXTRA = [
     "q295_ivfpq_search_eval",         # IVF+PQ ADC search, end-to-end recall
     "q296_two_stage_rerank_eval",     # truncated shortlist -> full re-rank
     "q297_logreg_domain_classifier",  # in-engine logistic-regression GD
+    "q298_dsir_selection_auc",        # exact tie-aware AUC of the DSIR signal
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

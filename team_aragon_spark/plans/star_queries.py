@@ -20716,6 +20716,114 @@ def q297_logreg_domain_classifier(spark, sf_dir):
     )
 
 
+_AUC_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+t2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+dbc AS MATERIALIZED (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
+         count(*) AS cnt
+  FROM t2 GROUP BY doc_id, source, bucket),
+mm AS (
+  SELECT bucket, sum(cnt) AS cr,
+         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
+  FROM dbc GROUP BY bucket),
+tt AS (SELECT sum(cr) AS tr, sum(ct) AS tq FROM mm),
+wt AS (
+  SELECT bucket,
+         round(ln((ct + 1.0) / (tq + {_DSIR_B}.0))
+               - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
+  FROM mm, tt),
+sc AS MATERIALIZED (
+  SELECT round(sum(cnt * w9) / sum(cnt), 6) AS s,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+  FROM dbc JOIN wt USING (bucket) GROUP BY doc_id, source),
+ctab AS (SELECT s, count(*) AS cnt, sum(y) AS n1v FROM sc GROUP BY s),
+r AS (
+  SELECT s, cnt, n1v,
+         sum(cnt) OVER (ORDER BY s) - cnt AS cba,
+         sum(n1v) OVER (ORDER BY s) - n1v AS cb1
+  FROM ctab),
+t AS (
+  SELECT sum(n1v) AS n1, sum(cnt - n1v) AS n0,
+         sum(CAST(n1v AS HUGEINT)
+             * (2 * (cba - cb1) + (cnt - n1v))) AS u2
+  FROM r)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       round(CAST(u2 AS DOUBLE) / NULLIF(2.0 * n1 * n0, 0), 6) AS auc,
+       round(CAST(u2 AS DOUBLE) / NULLIF(1.0 * n1 * n0, 0) - 1.0, 6) AS gini
+FROM t"""
+
+
+@register(
+    "q298_dsir_selection_auc",
+    _AUC_SQL,
+    ops=("ext-ml-auc",),
+    doc="EXACT AUC / Gini of the DSIR selection signal (does q283's "
+    "importance weight actually rank target-domain docs above the "
+    "rest?) — the ranking-quality metric every selection/filter "
+    "model is judged by, computed EXACTLY with tie handling via the "
+    "rank-statistic count table: AUC = P(score_pos > score_neg) + "
+    "P(=)/2 from per-distinct-score (count, positives) rows, "
+    "2U = sum n1_s * (2*cum_neg_before + neg_s) kept in exact "
+    "integers (decimal(38,0)/HUGEINT — the q268 discipline) until "
+    "the single final division.  Distinct scores grow with the "
+    "corpus, so the ordered cumulation rides "
+    "windows.distributed_cumsums (the q193 Mann-Whitney shape — "
+    "AUC and U are the same statistic).  Scale: one count-table "
+    "aggregate over distinct scores, sharded cumsum, 1-row "
+    "reduction.",
+)
+def q298_dsir_selection_auc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dbc, wt = _dsir_bucket_weights(docs)
+    sc = (
+        dbc.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("w9")) / F.sum("cnt"), 6
+            ).alias("s")
+        )
+        .select(
+            "s",
+            F.when(F.col("source") == "src0", 1).otherwise(0).alias("y"),
+        )
+    )
+    ctab = sc.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("n1v")
+    )
+    r = (
+        windows.distributed_cumsums(
+            ctab, {"cba": "cnt", "cb1": "n1v"}, [F.asc("s")]
+        )
+        .withColumn("cba", F.col("cba") - F.col("cnt"))
+        .withColumn("cb1", F.col("cb1") - F.col("n1v"))
+    )
+    u2term = F.col("n1v").cast("decimal(38,0)") * (
+        2 * (F.col("cba") - F.col("cb1")) + (F.col("cnt") - F.col("n1v"))
+    ).cast("decimal(38,0)")
+    t = r.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("bigint").alias("n0"),
+        F.sum(u2term).alias("u2"),
+    )
+    denom2 = F.nullif(
+        2.0 * F.col("n1") * F.col("n0"), F.lit(0.0)
+    )
+    denom1 = F.nullif(
+        1.0 * F.col("n1") * F.col("n0"), F.lit(0.0)
+    )
+    return t.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(F.col("u2").cast("double") / denom2, 6).alias("auc"),
+        F.round(F.col("u2").cast("double") / denom1 - 1.0, 6).alias("gini"),
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -20809,6 +20917,7 @@ STAMP_PRIORITY: list[str] = [
     "q295_ivfpq_search_eval",
     "q296_two_stage_rerank_eval",
     "q297_logreg_domain_classifier",
+    "q298_dsir_selection_auc",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
