@@ -244,6 +244,7 @@ EXTRA = [
     "q296_two_stage_rerank_eval",     # truncated shortlist -> full re-rank
     "q297_logreg_domain_classifier",  # in-engine logistic-regression GD
     "q298_dsir_selection_auc",        # exact tie-aware AUC of the DSIR signal
+    "q299_pretraining_data_card",     # per-source corpus release summary
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -19560,7 +19560,7 @@ tops AS (
     FROM cs) WHERE rk = 1),
 ent AS (
   SELECT cs.cluster,
-         sum(round(-(cnt * 1.0 / cn.n) * ln(cnt * 1.0 / cn.n), 9)) AS h
+         sum(-(cnt * 1.0 / cn.n) * ln(cnt * 1.0 / cn.n)) AS h
   FROM cs JOIN cn USING (cluster) GROUP BY cs.cluster)
 SELECT cn.cluster,
        CAST(cn.n AS BIGINT) AS n_docs,
@@ -19583,9 +19583,10 @@ ORDER BY cn.cluster"""
     "cluster its size, dominant source (+ share) and source "
     "entropy — the table a mixture planner (q94/q104) reads to "
     "decide which clusters are over-concentrated in one crawl "
-    "source before setting sampling weights.  Entropy terms are "
-    "rounded to 9 digits before the per-cluster sum (q283's "
-    "discipline).  Scale: everything after the Lloyd passes is "
+    "source before setting sampling weights.  Entropy terms stay "
+    "raw doubles (p = c/n is the identical IEEE double in both "
+    "engines; grid-rounded terms put the final round on rounding "
+    "boundaries).  Scale: everything after the Lloyd passes is "
     "aggregate-sized — the (cluster, source) relation is k x "
     "|sources| rows, and the dominant-source window runs over "
     "that aggregate, never over data.",
@@ -19621,9 +19622,11 @@ def q288_cluster_mixture_plan(spark, sf_dir):
         )
     )
     p = F.col("cnt") / F.col("n")
+    # raw-double terms (see q299): grid-rounded terms put round(h, 6)
+    # exactly on rounding boundaries; unrounded sums are ~1e-15 apart.
     ent = (
         cs.join(F.broadcast(cn), "cluster")
-        .select("cluster", F.round(-p * F.log(p), 9).alias("term"))
+        .select("cluster", (-p * F.log(p)).alias("term"))
         .groupBy("cluster")
         .agg(F.sum("term").alias("h"))
     )
@@ -20824,6 +20827,136 @@ def q298_dsir_selection_auc(spark, sf_dir):
     )
 
 
+_CARD_SQL = rf"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source, lang, md5(text) AS fp,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents),
+qf AS (
+  SELECT doc_id, source,
+         round(CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE least(1.0, round(ns / n_tokens, 6) * 2 + 0.5)
+                         - least(0.5, round(np / nc, 6) * 5) END, 6) AS score
+  FROM (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens,
+           length(text) AS nc,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x IN ({", ".join(f"'{w}'" for w in text.EN_STOPWORDS)})))
+             AS ns
+    FROM documents)),
+fpc AS (SELECT fp, count(*) AS c FROM d GROUP BY fp),
+base AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens FROM d
+  GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS t FROM base),
+dup AS (
+  SELECT d.source,
+         sum(CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END) AS ndup
+  FROM d JOIN fpc USING (fp) GROUP BY d.source),
+qs AS (SELECT source, round(avg(score), 6) AS mean_quality FROM qf
+       GROUP BY source),
+lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang),
+lt AS (SELECT source, sum(c) AS n FROM lc GROUP BY source),
+ent AS (
+  SELECT lc.source,
+         sum(-(c * 1.0 / n) * ln(c * 1.0 / n)) AS h
+  FROM lc JOIN lt USING (source) GROUP BY lc.source)
+SELECT base.source,
+       CAST(base.n_docs AS BIGINT) AS n_docs,
+       CAST(base.n_tokens AS BIGINT) AS n_tokens,
+       round(base.n_tokens * 1.0 / tot.t, 6) AS token_share,
+       round(dup.ndup * 1.0 / base.n_docs, 6) AS dup_involved_rate,
+       qs.mean_quality,
+       round(ent.h, 6) AS lang_entropy,
+       round(base.n_tokens * 1.0 / base.n_docs, 2) AS mean_doc_tokens
+FROM base CROSS JOIN tot
+JOIN dup USING (source) JOIN qs USING (source) JOIN ent USING (source)
+ORDER BY base.source"""
+
+
+@register(
+    "q299_pretraining_data_card",
+    _CARD_SQL,
+    ops=("ext-corpus-data-card",),
+    doc="PRETRAINING DATA CARD — the one-table per-source summary a "
+    "corpus release ships with (Datasheets-for-Datasets shape), "
+    "composed from the repo's audited primitives in a single DAG: "
+    "volume (docs, tokens, corpus token share), exact-duplicate "
+    "involvement rate (md5 fingerprint groups > 1, q15/q290's "
+    "discipline), mean quality score (q20's C4/Gopher features), "
+    "language-mix entropy (raw-double terms, the q288 boundary "
+    "lesson), and "
+    "mean document length.  Scale: ONE corpus scan feeds the "
+    "fingerprint/token projection, one more the quality features; "
+    "everything else is |sources| / |sources| x |langs| aggregate "
+    "joins — broadcast-sized, no window over data anywhere.",
+)
+def q299_pretraining_data_card(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(F.filter(text.tokens(F.col("text")), lambda x: x != F.lit("")))
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        nt.cast("bigint").alias("nt"),
+    ).persist()
+    qf = text.quality_features(docs).select(
+        "source", F.col("quality_score").alias("score")
+    )
+    fpc = d.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    tot = base.agg(F.sum("n_tokens").alias("t"))
+    dup = (
+        d.join(fpc, "fp")
+        .groupBy("source")
+        .agg(F.sum((F.col("c") > 1).cast("int")).alias("ndup"))
+    )
+    qs = qf.groupBy("source").agg(
+        F.round(F.avg("score"), 6).alias("mean_quality")
+    )
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lt = lc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    # raw-double terms: p = c/n is the identical IEEE double in both
+    # engines, and unrounded term sums differ only ~1e-15 — rounding
+    # terms to a 1e-9 grid made round(h, 6) land exactly on rounding
+    # boundaries (coin-flip mismatches, hit at sf0.01).
+    ent = (
+        lc.join(F.broadcast(lt), "source")
+        .select("source", (-p * F.log(p)).alias("term"))
+        .groupBy("source")
+        .agg(F.sum("term").alias("h"))
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(dup), "source")
+        .join(F.broadcast(qs), "source")
+        .join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+            F.round(F.col("ndup") / F.col("n_docs"), 6).alias(
+                "dup_involved_rate"
+            ),
+            "mean_quality",
+            F.round(F.col("h"), 6).alias("lang_entropy"),
+            F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias(
+                "mean_doc_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -20918,6 +21051,7 @@ STAMP_PRIORITY: list[str] = [
     "q296_two_stage_rerank_eval",
     "q297_logreg_domain_classifier",
     "q298_dsir_selection_auc",
+    "q299_pretraining_data_card",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
