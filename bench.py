@@ -245,6 +245,7 @@ EXTRA = [
     "q297_logreg_domain_classifier",  # in-engine logistic-regression GD
     "q298_dsir_selection_auc",        # exact tie-aware AUC of the DSIR signal
     "q299_pretraining_data_card",     # per-source corpus release summary
+    "q300_join_strategy_advisor",     # measured-stats join-strategy gates
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string

@@ -20957,6 +20957,140 @@ def q299_pretraining_data_card(spark, sf_dir):
     )
 
 
+_ADV_BCAST_BYTES = 10 * 1024 * 1024
+_ADV_SKEW = 20.0
+_ADV_WIDTHS = {"customer": 200, "orders": 120, "part": 160}
+
+
+def _adv_join_sql(
+    name: str, dim: str, dim_key: str, fact: str, fact_key: str, width: int
+) -> str:
+    return f"""
+SELECT '{name}' AS join_name,
+       d.n_dim, CAST(d.n_dim * {width} AS BIGINT) AS dim_bytes,
+       f.n_fact, f.n_keys, f.max_freq,
+       round(f.max_freq * f.n_keys * 1.0 / f.n_fact, 4) AS skew_ratio,
+       CASE WHEN d.n_dim * {width} <= {_ADV_BCAST_BYTES} THEN 'broadcast'
+            WHEN f.max_freq * f.n_keys * 1.0 / f.n_fact > {_ADV_SKEW}
+              THEN 'salted_shuffle'
+            ELSE 'sort_merge' END AS strategy
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_dim FROM {dim}) d
+CROSS JOIN (
+  SELECT CAST(sum(c) AS BIGINT) AS n_fact,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_freq
+  FROM (SELECT {fact_key}, count(*) AS c FROM {fact} GROUP BY {fact_key})) f"""
+
+
+_ADV_SQL = (
+    "SELECT * FROM ("
+    + "\nUNION ALL\n".join(
+        [
+            _adv_join_sql(
+                "orders_x_customer",
+                "customer",
+                "c_custkey",
+                "orders",
+                "o_custkey",
+                _ADV_WIDTHS["customer"],
+            ),
+            _adv_join_sql(
+                "lineitem_x_orders",
+                "orders",
+                "o_orderkey",
+                "lineitem",
+                "l_orderkey",
+                _ADV_WIDTHS["orders"],
+            ),
+            _adv_join_sql(
+                "lineitem_x_part",
+                "part",
+                "p_partkey",
+                "lineitem",
+                "l_partkey",
+                _ADV_WIDTHS["part"],
+            ),
+        ]
+    )
+    + ") ORDER BY join_name"
+)
+
+
+@register(
+    "q300_join_strategy_advisor",
+    _ADV_SQL,
+    ops=("ext-optimizer-advisor",),
+    doc="JOIN-STRATEGY ADVISOR — the cost-model table an optimizer "
+    "(or the engineer tuning autoBroadcastJoinThreshold and salting) "
+    "reads, computed from MEASURED statistics instead of guesses "
+    "(q174 column stats / q142 skew profile / q173 CMS sizing made "
+    "actionable): for each star join, the dim-side row count and "
+    "estimated bytes (fixed documented row widths), the fact-side "
+    "key cardinality and max key frequency, the skew ratio "
+    "(max_freq / mean_freq = max_freq * n_keys / n_fact), and the "
+    "resulting strategy gate — broadcast under 10 MiB, salted "
+    "shuffle past a 20x skew ratio, sort-merge otherwise.  All "
+    "inputs exact integers; the one ratio is rounded.  Scale: per "
+    "join, one dim count + one (key, count) partial aggregate "
+    "whose reduce state is |keys| rows — the same passes ANALYZE "
+    "runs; no data shuffle beyond the key aggregate.",
+)
+def q300_join_strategy_advisor(spark, sf_dir):
+    def one(name, dim, fact, fact_key, width):
+        d = dim.agg(F.count(F.lit(1)).cast("bigint").alias("n_dim"))
+        kc = fact.groupBy(fact_key).agg(F.count(F.lit(1)).alias("c"))
+        f = kc.agg(
+            F.sum("c").cast("bigint").alias("n_fact"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_freq"),
+        )
+        skew = F.col("max_freq") * F.col("n_keys") / F.col("n_fact")
+        return d.crossJoin(F.broadcast(f)).select(
+            F.lit(name).alias("join_name"),
+            "n_dim",
+            (F.col("n_dim") * width).cast("bigint").alias("dim_bytes"),
+            "n_fact",
+            "n_keys",
+            "max_freq",
+            F.round(skew, 4).alias("skew_ratio"),
+            F.when(
+                F.col("n_dim") * width <= _ADV_BCAST_BYTES, "broadcast"
+            )
+            .when(skew > _ADV_SKEW, "salted_shuffle")
+            .otherwise("sort_merge")
+            .alias("strategy"),
+        )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        one(
+            "orders_x_customer",
+            cust,
+            orders,
+            "o_custkey",
+            _ADV_WIDTHS["customer"],
+        )
+        .unionAll(
+            one(
+                "lineitem_x_orders",
+                orders,
+                li,
+                "l_orderkey",
+                _ADV_WIDTHS["orders"],
+            )
+        )
+        .unionAll(
+            one(
+                "lineitem_x_part", part, li, "l_partkey", _ADV_WIDTHS["part"]
+            )
+        )
+        .orderBy("join_name")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -21052,6 +21186,7 @@ STAMP_PRIORITY: list[str] = [
     "q297_logreg_domain_classifier",
     "q298_dsir_selection_auc",
     "q299_pretraining_data_card",
+    "q300_join_strategy_advisor",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
