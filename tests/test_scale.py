@@ -2349,3 +2349,41 @@ def test_round9_dewindowed_plan_shapes(spark):
     # orders on the popularity count sits above a GlobalLimit.
     p240 = plan("q240_popularity_rec_hitk")
     assert "TakeOrderedAndProject" in p240, p240
+
+
+def test_late_round9_ann_plan_shapes(spark):
+    """The late-r9 similarity queries keep their scale posture in the
+    executed plan: every per-query ranking window is PARTITIONED (by
+    query_id, optionally + salt) — no unpartitioned WindowExec — and
+    the fixed panels/centroids/codebook sides arrive via
+    BroadcastExchange.  q298's score cumulation keys on the range-
+    partition id like the q193 family."""
+    import re
+
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        return p
+
+    for name, min_bcast in [
+        ("q287_truncation_recall_audit", 3),
+        ("q295_ivfpq_search_eval", 6),
+        ("q296_two_stage_rerank_eval", 3),
+    ]:
+        p = plan(name)
+        assert p.count("BroadcastExchange") >= min_bcast, name
+        for ln in p.splitlines():
+            if re.search(r"\bWindow \[", ln):
+                assert "windowspecdefinition(query_id" in ln, (name, ln)
+
+    p = plan("q298_dsir_selection_auc")
+    for ln in p.splitlines():
+        if re.search(r"\bWindow \[", ln):
+            assert "__pid" in ln, ln
