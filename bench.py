@@ -246,6 +246,10 @@ EXTRA = [
     "q298_dsir_selection_auc",        # exact tie-aware AUC of the DSIR signal
     "q299_pretraining_data_card",     # per-source corpus release summary
     "q300_join_strategy_advisor",     # measured-stats join-strategy gates
+    "q301_aa_test_calibration",       # 8-salt A/A placebo z calibration
+    "q302_dedup_threshold_sensitivity",  # pair/involvement curve by threshold
+    # q303 shares q276/q277's CC-round-dominated profile (~35 s at
+    # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]
 
 # Work-bound oracle pins: deliberately-linear md5/gram-string
