@@ -121,3 +121,23 @@ def test_waterfill_budget_conservation(spark):
     # funnel monotonicity: raw >= selected >= deduped, per source
     assert all(r.n_docs_raw >= r.n_docs_selected >= r.n_docs_deduped for r in v3)
     assert all(r.token_allocation <= r.capacity_tokens + 1e-9 for r in v3)
+
+
+def test_cluster_aware_split_has_no_leakage(spark):
+    """q303's whole point, pinned structurally: after cluster-aware
+    assignment, NO >= 0.5 near-dup pair crosses a split boundary (the
+    is_leak rows q275 surfaces must be absent), and every emitted row
+    is a within-split pair.  Also pins that the assignment covers the
+    corpus: the per-doc split relation inside the plan partitions all
+    documents."""
+    rows = (
+        sq.QUERY_REGISTRY["q303_cluster_aware_split"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows, "corpus has near-dup pairs at sf0.001"
+    assert all(not r.is_leak for r in rows)
+    assert all(r.split_pair.split("|")[0] == r.split_pair.split("|")[1]
+               for r in rows)
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-6
+    spark.catalog.clearCache()
