@@ -21416,6 +21416,122 @@ def q303_cluster_aware_split(spark, sf_dir):
     )
 
 
+_HNM_MARGIN = 0.1
+
+_HNM_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql FROM embeddings
+  WHERE vec_id >= 16 AND vec_id < 40),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS nl
+      FROM embeddings),
+p AS MATERIALIZED (
+  SELECT q.query_id, q.ql, c.neighbor_id, c.nl,
+         {_ora_cos('c.nv', 'q.qv', 4)} AS s4
+  FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+pos AS (
+  SELECT query_id, neighbor_id AS pos_id, s4 AS pos_cos FROM p
+  WHERE nl = ql
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY s4 DESC, neighbor_id) = 1),
+neg AS (
+  SELECT query_id, neighbor_id AS neg_id, s4 AS neg_cos FROM p
+  WHERE nl <> ql
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY s4 DESC, neighbor_id) = 1)
+SELECT q.query_id, CAST(q.ql AS INT) AS label,
+       pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos,
+       round(pos.pos_cos - neg.neg_cos, 4) AS margin,
+       round(pos.pos_cos - neg.neg_cos, 4) < {_HNM_MARGIN} AS hard
+FROM q JOIN pos USING (query_id) JOIN neg USING (query_id)
+ORDER BY q.query_id"""
+
+
+@register(
+    "q304_hard_negative_mining",
+    _HNM_SQL,
+    ops=("ext-similarity-mining",),
+    doc="HARD-NEGATIVE MINING — the training-pair generator for "
+    "embedding/metric learning (the data a contrastive or triplet "
+    "loss consumes): for each anchor in the fixed query panel, the "
+    "highest-cosine SAME-label neighbor (the positive) and the "
+    "highest-cosine DIFFERENT-label neighbor (the hard negative), "
+    "with the triplet margin and a hard flag below the "
+    f"{_HNM_MARGIN} gate — exactly the rows a miner exports per "
+    "training epoch.  Same determinism discipline as q175/q287 "
+    "(round(cos, 4), neighbor-id tie-breaks).  Scale: one "
+    "broadcast-panel linear scan scores and labels every "
+    "candidate; both argmaxes are map-combined struct-max "
+    "aggregates per query (no window over data); at corpus-anchor "
+    "scale the scan becomes the IVF candidate relation (q264's "
+    "path) with identical selection rules.",
+)
+def q304_hard_negative_mining(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("nl"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(qdf), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            "ql",
+            "neighbor_id",
+            "nl",
+            F.round(F.expr(similarity.cosine_expr("nv", "qv")), 4).alias(
+                "s4"
+            ),
+        )
+        .persist()
+    )
+
+    def argmax(df, out_id, out_cos):
+        return (
+            df.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("s4").alias("s"),
+                        (-F.col("neighbor_id")).alias("ni"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "query_id",
+                (-F.col("m.ni")).cast("bigint").alias(out_id),
+                F.col("m.s").alias(out_cos),
+            )
+        )
+
+    pos = argmax(scored.filter(F.col("nl") == F.col("ql")), "pos_id", "pos_cos")
+    neg = argmax(scored.filter(F.col("nl") != F.col("ql")), "neg_id", "neg_cos")
+    margin = F.round(F.col("pos_cos") - F.col("neg_cos"), 4)
+    return (
+        qdf.select("query_id", F.col("ql").cast("int").alias("label"))
+        .join(F.broadcast(pos), "query_id")
+        .join(F.broadcast(neg), "query_id")
+        .select(
+            "query_id",
+            "label",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            margin.alias("margin"),
+            (margin < _HNM_MARGIN).alias("hard"),
+        )
+        .orderBy("query_id")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -21515,6 +21631,7 @@ STAMP_PRIORITY: list[str] = [
     "q301_aa_test_calibration",
     "q302_dedup_threshold_sensitivity",
     "q303_cluster_aware_split",
+    "q304_hard_negative_mining",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
