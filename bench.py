@@ -249,6 +249,7 @@ EXTRA = [
     "q301_aa_test_calibration",       # 8-salt A/A placebo z calibration
     "q302_dedup_threshold_sensitivity",  # pair/involvement curve by threshold
     "q304_hard_negative_mining",      # contrastive triplet miner per anchor
+    "q305_tokenizer_fertility_by_lang",  # BPE fertility equity by language
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

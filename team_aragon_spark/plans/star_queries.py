@@ -21532,6 +21532,67 @@ def q304_hard_negative_mining(spark, sf_dir):
     )
 
 
+_BPE_FERT_SQL = _bpe_oracle_prefix(_BPE_ITERS) + f""",
+final_words AS (
+  SELECT word, len(regexp_split_to_array(trim(s), ' ')) AS ntok
+  FROM s{_BPE_ITERS}),
+docw AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(f.ntok) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       round(sum(f.ntok) * 1.0 / count(*), 6) AS fertility,
+       round(sum(length(d.word)) * 1.0 / sum(f.ntok), 6) AS chars_per_token
+FROM docw d JOIN final_words f USING (word)
+GROUP BY d.lang ORDER BY d.lang"""
+
+
+@register(
+    "q305_tokenizer_fertility_by_lang",
+    _BPE_FERT_SQL,
+    ops=("ext-tokenizer-fertility",),
+    doc="TOKENIZER FERTILITY BY LANGUAGE — the multilingual-equity "
+    "audit every shared-vocabulary tokenizer owes its users (a "
+    "language whose fertility is 2x pays 2x the context budget and "
+    "2x the inference cost for the same text): subword tokens per "
+    "whitespace word and characters per subword token, per "
+    "language, under the q136-trained BPE merges.  Same encode "
+    "posture as q137: the corpus token stream broadcast-joins the "
+    "|vocab|-row final segmentation table — no per-document merge "
+    "loop at encode time.  FULL oracle: the BPE training chain "
+    "replays (q136's CTEs) and the fertility arithmetic is "
+    "integer-exact until the two rounded ratios.  Scale: one "
+    "corpus token scan + a |langs|-row aggregate.",
+)
+def q305_tokenizer_fertility_by_lang(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    _, words = bpe_learn(docs, iters=_BPE_ITERS)
+    ntok = words.select(
+        "word", F.size(F.expr("split(trim(s), ' ')")).alias("ntok")
+    )
+    docw = docs.filter(F.length(F.trim("text")) > 0).select(
+        "lang", F.explode(text.tokens(F.col("text"))).alias("word")
+    )
+    return (
+        docw.join(F.broadcast(ntok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("ntok").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.round(F.sum("ntok") / F.count(F.lit(1)), 6).alias("fertility"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("ntok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -21632,6 +21693,7 @@ STAMP_PRIORITY: list[str] = [
     "q302_dedup_threshold_sensitivity",
     "q303_cluster_aware_split",
     "q304_hard_negative_mining",
+    "q305_tokenizer_fertility_by_lang",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
