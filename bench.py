@@ -250,6 +250,7 @@ EXTRA = [
     "q302_dedup_threshold_sensitivity",  # pair/involvement curve by threshold
     "q304_hard_negative_mining",      # contrastive triplet miner per anchor
     "q305_tokenizer_fertility_by_lang",  # BPE fertility equity by language
+    "q306_fuzzy_decontamination",     # near-dup decontam vs benchmark sample
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

@@ -21593,6 +21593,118 @@ def q305_tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
+_DECON_BENCH, _DECON_T = 50, 0.3
+
+_DECON_SQL = rf"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
+           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
+                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS s
+  FROM documents),
+bench AS MATERIALIZED (
+  SELECT doc_id AS bench_id, s AS bs FROM sh WHERE source = 'src0'
+  ORDER BY md5('bench0:' || CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {_DECON_BENCH}),
+hits AS (
+  SELECT DISTINCT c.doc_id, c.source
+  FROM sh c CROSS JOIN bench b
+  WHERE c.doc_id <> b.bench_id
+    AND len(c.s) > 0 AND len(b.bs) > 0
+    AND round(CAST(len(list_intersect(c.s, b.bs)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(c.s, b.bs)))
+                     AS DOUBLE), 6) >= {_DECON_T}),
+base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+h AS (SELECT source, count(*) AS n_contaminated FROM hits GROUP BY source)
+SELECT base.source,
+       CAST(base.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / base.n_docs, 6)
+         AS contamination_rate
+FROM base LEFT JOIN h USING (source)
+ORDER BY base.source"""
+
+
+@register(
+    "q306_fuzzy_decontamination",
+    _DECON_SQL,
+    ops=("ext-decontamination-fuzzy",),
+    doc=f"FUZZY (near-dup) DECONTAMINATION — q74 catches exact 13-gram "
+    "overlap; this catches paraphrase-level leakage the way GPT-3-"
+    "style pipelines do: every corpus document exact-Jaccard-"
+    f"compared (threshold {_DECON_T}, BELOW the q24 banding knee — "
+    "which is exactly why candidates-only LSH cannot be trusted "
+    f"here, per q273's measured S-curve) against a FIXED "
+    f"{_DECON_BENCH}-doc md5-ordered benchmark sample (the q274 "
+    "fixed-budget lesson: never a rate), reporting per-source "
+    "contamination counts and rates.  Scale: the benchmark shingle "
+    "sets broadcast (a bounded constant), so the comparison is ONE "
+    f"linear corpus scan x {_DECON_BENCH} array intersections per "
+    "doc — no pair shuffle, no quadratic stage; the audit cost is "
+    "set by the benchmark budget, not the corpus.",
+)
+def q306_fuzzy_decontamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.expr(text_dedup.shingle_expr("text", 3)).alias("s"),
+    ).persist()
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("bench_id"), F.col("s").alias("bs"))
+        .orderBy(
+            F.md5(F.concat(F.lit("bench0:"), F.col("bench_id").cast("string"))),
+            "bench_id",
+        )
+        .limit(_DECON_BENCH)
+    )
+    # Inverted-index form of the same comparison: explode the bounded
+    # benchmark into a broadcast (shingle -> bench doc) index, join
+    # corpus shingles against it, and rebuild |A n B| as the match
+    # count per (doc, bench) — J = c / (na + nb - c) from exact
+    # integers, rounded like the oracle's array form.  Only docs that
+    # SHARE a shingle with some benchmark doc are ever scored
+    # (measured 16x over the per-pair array-intersect scan at 100x:
+    # 81.7 -> 5.0 s steady).
+    bidx = bench.select(
+        "bench_id", F.size("bs").alias("nb"), F.explode("bs").alias("g")
+    )
+    cidx = sh.filter(F.size("s") > 0).select(
+        "doc_id", "source", F.size("s").alias("na"), F.explode("s").alias("g")
+    )
+    m = (
+        cidx.join(F.broadcast(bidx), "g")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "source", "bench_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.round(
+        F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    hits = m.filter(jac >= _DECON_T).select("doc_id", "source").distinct()
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    h = hits.groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        base.join(F.broadcast(h), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_docs"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -21694,6 +21806,7 @@ STAMP_PRIORITY: list[str] = [
     "q303_cluster_aware_split",
     "q304_hard_negative_mining",
     "q305_tokenizer_fertility_by_lang",
+    "q306_fuzzy_decontamination",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
