@@ -251,6 +251,8 @@ EXTRA = [
     "q304_hard_negative_mining",      # contrastive triplet miner per anchor
     "q305_tokenizer_fertility_by_lang",  # BPE fertility equity by language
     "q306_fuzzy_decontamination",     # near-dup decontam vs benchmark sample
+    "q307_vocab_growth_heaps",        # Heaps-law vocabulary growth + fit
+    "q308_curriculum_grid",           # quality x length 2-D planning grid
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

@@ -21705,6 +21705,189 @@ def q306_fuzzy_decontamination(spark, sf_dir):
     )
 
 
+_HEAPS_BUCKETS = 10
+
+_HEAPS_SQL = rf"""
+WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+tok AS (
+  SELECT CAST(doc_id * {_HEAPS_BUCKETS} // mx.m AS INT) AS bucket,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents CROSS JOIN mx WHERE length(trim(text)) > 0),
+t2 AS (SELECT bucket, w FROM tok WHERE w <> ''),
+bt AS (SELECT bucket, count(*) AS n_tok FROM t2 GROUP BY bucket),
+ft AS (SELECT w, min(bucket) AS fb FROM t2 GROUP BY w),
+fv AS (SELECT fb AS bucket, count(*) AS n_new FROM ft GROUP BY fb),
+c AS (
+  SELECT bt.bucket, bt.n_tok, coalesce(fv.n_new, 0) AS n_new,
+         sum(bt.n_tok) OVER (ORDER BY bt.bucket) AS cum_tok,
+         sum(coalesce(fv.n_new, 0)) OVER (ORDER BY bt.bucket) AS cum_types
+  FROM bt LEFT JOIN fv ON fv.bucket = bt.bucket),
+pts AS (
+  SELECT bucket, n_tok, n_new, cum_tok, cum_types,
+         ln(CAST(cum_tok AS DOUBLE)) AS x, ln(CAST(cum_types AS DOUBLE)) AS y
+  FROM c),
+fit AS (
+  SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
+               / NULLIF(count(*) * sum(x * x) - sum(x) * sum(x), 0), 6)
+           AS alpha
+  FROM pts)
+SELECT CAST(pts.bucket AS INT) AS bucket,
+       CAST(pts.n_tok AS BIGINT) AS n_tokens,
+       CAST(pts.n_new AS BIGINT) AS n_new_types,
+       CAST(pts.cum_tok AS BIGINT) AS cum_tokens,
+       CAST(pts.cum_types AS BIGINT) AS cum_types,
+       fit.alpha AS heaps_alpha
+FROM pts CROSS JOIN fit ORDER BY bucket"""
+
+
+@register(
+    "q307_vocab_growth_heaps",
+    _HEAPS_SQL,
+    ops=("ext-corpus-heaps",),
+    doc=f"VOCABULARY GROWTH / HEAPS'-LAW CURVE — how fast new token "
+    "types keep appearing as the corpus grows (V = k*N^alpha): the "
+    "readout that sizes vocabularies, predicts hash-feature "
+    "collision growth, and flags synthetic/templated corpora "
+    f"(alpha near 0) — corpus sliced into {_HEAPS_BUCKETS} "
+    "doc_id-range buckets (pure arithmetic, no ordered window over "
+    "data), each type attributed to its FIRST bucket by a min "
+    "aggregate, cumulative counts over the fixed bucket domain, "
+    "and the Heaps exponent fit by closed-form log-log OLS over "
+    f"the {_HEAPS_BUCKETS} cumulative points.  Scale: one token "
+    "scan into a (bucket, type) aggregate (vocabulary-sized, "
+    "map-combined), then everything runs on "
+    f"{_HEAPS_BUCKETS}-row relations.",
+)
+def q307_vocab_growth_heaps(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    t2 = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"CAST(doc_id * {_HEAPS_BUCKETS} DIV m AS INT)").alias(
+                "bucket"
+            ),
+            F.explode(text.tokens(F.col("text"))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .persist()
+    )
+    bt = t2.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    fv = (
+        t2.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        bt.join(F.broadcast(fv), "bucket", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .withColumn("cum_tok", F.sum("n_tok").over(wb))
+        .withColumn("cum_types", F.sum("n_new").over(wb))
+        .withColumn("x", F.log(F.col("cum_tok").cast("double")))
+        .withColumn("y", F.log(F.col("cum_types").cast("double")))
+        .persist()
+    )
+    fit = c.agg(
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            )
+            / F.nullif(
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("heaps_alpha")
+    )
+    return (
+        c.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            F.col("n_new").cast("bigint").alias("n_new_types"),
+            F.col("cum_tok").cast("bigint").alias("cum_tokens"),
+            F.col("cum_types").cast("bigint").alias("cum_types"),
+            "heaps_alpha",
+        )
+        .orderBy("bucket")
+    )
+
+
+_GRID_SQL = rf"""
+WITH qf AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         round(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 5
+                    THEN 0.0
+                    ELSE least(1.0, round(ns / nt, 6) * 2 + 0.5)
+                         - least(0.5, round(np / nc, 6) * 5) END, 6) AS score
+  FROM (
+    SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS nt,
+           length(text) AS nc,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x IN ({", ".join(f"'{w}'" for w in text.EN_STOPWORDS)})))
+             AS ns
+    FROM documents)),
+g AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS q_bin,
+         least(CAST(n_tokens // 16 AS INT), 9) AS len_bin,
+         n_tokens
+  FROM qf)
+SELECT CAST(q_bin AS INT) AS q_bin, CAST(len_bin AS INT) AS len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM g GROUP BY q_bin, len_bin
+ORDER BY q_bin, len_bin"""
+
+
+@register(
+    "q308_curriculum_grid",
+    _GRID_SQL,
+    ops=("ext-curriculum-grid",),
+    doc="QUALITY x LENGTH CURRICULUM GRID — the 2-D planning table "
+    "behind staged pretraining (q117 buckets by length, q280 by "
+    "quality; a curriculum schedules over BOTH): document and "
+    "token mass per (quality decile-bin x fixed-width length bin), "
+    "the histogram a scheduler reads to trade early-epoch easy "
+    "text against late-epoch hard text without starving either "
+    "axis.  Bins are pure integer arithmetic on the rounded q20 "
+    "score and token count (no percentile pass, no window — the "
+    "grid is fixed 10x10 regardless of corpus).  Scale: one "
+    "quality-feature scan into a map-combined aggregate whose "
+    "reduce state is <= 100 cells.",
+)
+def q308_curriculum_grid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    qf = text.quality_features(docs).select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("quality_score").alias("score"),
+    )
+    g = qf.select(
+        F.least((F.col("score") * 10).cast("int"), F.lit(9)).alias("q_bin"),
+        F.least(F.expr("CAST(n_tokens DIV 16 AS INT)"), F.lit(9)).alias(
+            "len_bin"
+        ),
+        "n_tokens",
+    )
+    return (
+        g.groupBy("q_bin", "len_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("q_bin", "len_bin")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -21807,6 +21990,8 @@ STAMP_PRIORITY: list[str] = [
     "q304_hard_negative_mining",
     "q305_tokenizer_fertility_by_lang",
     "q306_fuzzy_decontamination",
+    "q307_vocab_growth_heaps",
+    "q308_curriculum_grid",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
