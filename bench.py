@@ -253,6 +253,8 @@ EXTRA = [
     "q306_fuzzy_decontamination",     # near-dup decontam vs benchmark sample
     "q307_vocab_growth_heaps",        # Heaps-law vocabulary growth + fit
     "q308_curriculum_grid",           # quality x length 2-D planning grid
+    "q309_cross_language_dup_audit",  # identical text across language labels
+    "q310_dsir_selection_depth",      # per-source selection-weight quartiles
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

@@ -21888,6 +21888,160 @@ def q308_curriculum_grid(spark, sf_dir):
     )
 
 
+_XLANG_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, md5(text) AS fp FROM documents),
+fpg AS MATERIALIZED (
+  SELECT fp, count(*) AS n_copies, count(DISTINCT lang) AS n_langs,
+         min(doc_id) AS canonical
+  FROM d GROUP BY fp),
+x AS (SELECT * FROM fpg WHERE n_copies > 1),
+langsets AS (
+  SELECT d.fp, string_agg(DISTINCT d.lang, ',' ORDER BY d.lang) AS langs
+  FROM d JOIN x ON x.fp = d.fp GROUP BY d.fp)
+SELECT CAST(x.canonical AS BIGINT) AS canonical_doc,
+       CAST(x.n_copies AS BIGINT) AS n_copies,
+       CAST(x.n_langs AS BIGINT) AS n_langs,
+       ls.langs,
+       x.n_langs > 1 AS crosses_language
+FROM x JOIN langsets ls ON ls.fp = x.fp
+ORDER BY canonical_doc"""
+
+
+@register(
+    "q309_cross_language_dup_audit",
+    _XLANG_SQL,
+    ops=("ext-dedup-xlang-audit",),
+    doc="CROSS-LANGUAGE DUPLICATE AUDIT: every exact-duplicate text "
+    "group (md5 fingerprint, count > 1) with its copy count, the "
+    "languages it spans, and a crosses_language flag — identical "
+    "bytes tagged with different language labels are a labeling or "
+    "ingestion bug (mislabeled copies poison both per-language "
+    "statistics like q305's fertility and language-filtered "
+    "training mixes), which per-language dedup would silently "
+    "miss.  Scale: one fingerprint projection into a hash "
+    "aggregate keyed on md5 (the q15/q299 discipline); the "
+    "language-set assembly joins only the duplicate groups "
+    "(dup-pair scale, not corpus scale).",
+)
+def q309_cross_language_dup_audit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("fp")
+    ).persist()
+    fpg = d.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("canonical"),
+    )
+    x = fpg.filter(F.col("n_copies") > 1)
+    langsets = (
+        d.join(x.select("fp"), "fp")
+        .select("fp", "lang")
+        .distinct()
+        .groupBy("fp")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("lang")), ",").alias(
+                "langs"
+            )
+        )
+    )
+    return (
+        x.join(langsets, "fp")
+        .select(
+            F.col("canonical").cast("bigint").alias("canonical_doc"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            "langs",
+            (F.col("n_langs") > 1).alias("crosses_language"),
+        )
+        .orderBy("canonical_doc")
+    )
+
+
+_SELDEPTH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+t2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+dbc AS MATERIALIZED (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
+         count(*) AS cnt
+  FROM t2 GROUP BY doc_id, source, bucket),
+mm AS (
+  SELECT bucket, sum(cnt) AS cr,
+         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
+  FROM dbc GROUP BY bucket),
+tt AS (SELECT sum(cr) AS tr, sum(ct) AS tq FROM mm),
+wt AS (
+  SELECT bucket,
+         round(ln((ct + 1.0) / (tq + {_DSIR_B}.0))
+               - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
+  FROM mm, tt),
+sc AS MATERIALIZED (
+  SELECT source, round(sum(cnt * w9) / sum(cnt), 6) AS s
+  FROM dbc JOIN wt USING (bucket) GROUP BY doc_id, source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(s, 0.25), 6) AS p_25,
+       round(quantile_cont(s, 0.5), 6) AS p_50,
+       round(quantile_cont(s, 0.75), 6) AS p_75,
+       round(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS keep_share
+FROM sc GROUP BY source ORDER BY source"""
+
+
+@register(
+    "q310_dsir_selection_depth",
+    _SELDEPTH_SQL,
+    ops=("ext-data-selection-depth",),
+    doc="DSIR SELECTION DEPTH BY SOURCE — what the q283/q290 gate "
+    "actually does to each source before anyone commits to it: "
+    "per-source quartiles of the per-doc importance weight (exact "
+    "interpolated percentiles via the count-table operator — the "
+    "de-windowed exact_grouped_percentiles, so no per-source "
+    "single-task sort) plus the share of docs above the "
+    "positive-affinity gate.  A source whose p75 sits below zero "
+    "is effectively dropped by the curation DAG; this table says "
+    "so BEFORE the funnel runs.  Scale: the q283 feature plan + "
+    "one count-table percentile pass; output is |sources| rows.",
+)
+def q310_dsir_selection_depth(spark, sf_dir):
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    dbc, wt = _dsir_bucket_weights(docs)
+    sc = (
+        dbc.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("w9")) / F.sum("cnt"), 6
+            ).alias("s")
+        )
+        .persist()
+    )
+    pct = exact_grouped_percentiles(sc, "s", ["source"], [0.25, 0.5, 0.75])
+    keep = sc.groupBy("source").agg(
+        F.round(
+            F.sum((F.col("s") > 0).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("keep_share")
+    )
+    return (
+        pct.join(F.broadcast(keep), "source")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n"),
+            "p_25",
+            "p_50",
+            "p_75",
+            "keep_share",
+        )
+        .orderBy("source")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-9 window (first 50 = the driver's stamp set) ----
     # 38 never-stamped rows (q231-q241, q243-q247, q249-q256,
@@ -21992,6 +22146,8 @@ STAMP_PRIORITY: list[str] = [
     "q306_fuzzy_decontamination",
     "q307_vocab_growth_heaps",
     "q308_curriculum_grid",
+    "q309_cross_language_dup_audit",
+    "q310_dsir_selection_depth",
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
