@@ -690,3 +690,111 @@ def hashed_shingles(
     if explode:
         return base.select(F.col(id_col), F.explode(F.expr(sh)).alias(out_col))
     return base.select(F.col(id_col), F.expr(sh).alias(out_col))
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Repeated-substring audit at the sliding ``window``-token grain —
+    the Lee et al. 2022 ExactSubstr dedup shape (their suffix array
+    finds repeated >= 50-token spans; a sliding k-gram table finds
+    exactly the same spans for spans >= k tokens, at any alignment).
+
+    Every consecutive ``window``-token gram of every document is keyed
+    by an md5 digest (engine-portable, 16-byte shuffle payload instead
+    of the gram text); a gram occurrence is a REPEAT if the same gram
+    occurs anywhere else in the corpus earlier in (doc_id, pos) order
+    — first occurrence wins, the D1 discipline.  Each repeat covers
+    tokens [pos, pos + window - 1]; overlapping/adjacent covered
+    ranges are merged into maximal spans per document (gaps-and-
+    islands), giving exactly the token set ExactSubstr would remove
+    from non-first copies.  Unlike passage_dedup_reassemble's fixed
+    non-overlapping passages, the sliding grain catches repeats at
+    ANY alignment — the memorization-driving boilerplate inside
+    otherwise-unique documents.
+
+    Returns one row per document: ``n_tokens``, ``dup_tokens``
+    (tokens covered by repeated spans), ``n_spans`` (maximal merged
+    spans), ``max_span``, ``dup_ratio``.
+
+    Scale shape: gram table is one narrow generate pass (~1 row per
+    token, md5 key only); winner selection is a partial-combinable
+    ``min(struct(doc_id, pos))`` + count hash aggregate keyed on the
+    digest (a million-fold repeated gram sends one row per mapper —
+    never a window partition over the gram group); the repeat test is
+    one shuffle join back on the digest; span merging uses windows
+    partitioned by doc_id only — bounded by document length, the same
+    bound as q98/q110's reassembly.  Nothing is ever pairwise in the
+    number of documents.
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(0, size({toks}) - {window}), "
+        f"i -> md5(cast(array_join(slice({toks}, i + 1, {window}), ' ') AS binary)))"
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.expr(toks)).alias("n_tokens")
+    )
+    occ = (
+        df.filter(F.size(F.expr(toks)) >= window)
+        .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gk"))
+    )
+    stats = occ.groupBy("gk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first"
+        ),
+    )
+    rep = (
+        occ.join(stats, "gk")
+        .filter(
+            (F.col("cnt") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select(id_col, "pos", (F.col("pos") + window - 1).alias("endp"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pm = F.max("endp").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        rep.withColumn(
+            "nw",
+            F.when(pm.isNull() | (F.col("pos") > pm + 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("nw").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("endp").alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max(F.col("e") - F.col("s") + 1).alias("max_span"),
+        )
+    )
+    return (
+        base.join(isl, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span", F.lit(0)).cast("bigint").alias("max_span"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy(id_col)
+    )

@@ -20590,11 +20590,20 @@ def q296_two_stage_rerank_eval(spark, sf_dir):
 _LR_ITERS, _LR_RATE = 4, 1.0
 
 
-def _logreg_oracle_sql() -> str:
+_LR_Z = "(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+_LR_P = f"round(1.0 / (1.0 + exp(-{_LR_Z})), 9)"
+
+
+def _lr_feats_prefix(id_cols: str = "") -> str:
+    """The logreg feature CTEs (raw quality features -> rounded x1-x3
+    + zero weights), shared verbatim between q297's oracle and the
+    q313 ensemble-gate oracle (which carries doc identity through via
+    ``id_cols``, e.g. ``"doc_id, source, "``) — one definition of the
+    feature math, per the r9 ADVICE factoring discipline."""
     stop = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
-    feats = rf"""
+    return rf"""
 WITH raw AS (
-  SELECT CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+  SELECT {id_cols}CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
            AS n_tokens,
          length(text) AS nc,
@@ -20603,15 +20612,18 @@ WITH raw AS (
              x -> x IN ({stop}))) AS ns
   FROM documents WHERE length(trim(text)) > 0),
 feats AS MATERIALIZED (
-  SELECT y,
+  SELECT {id_cols}y,
          round(ns / n_tokens, 6) AS x1,
          round(np / nc, 6) AS x2,
          round(least(1.0, n_tokens / 200.0), 6) AS x3
   FROM raw),
 w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
-    z = "(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
-    p = f"round(1.0 / (1.0 + exp(-{z})), 9)"
-    parts = [feats]
+
+
+def _lr_iter_ctes() -> list[str]:
+    """The gradient-descent iteration CTEs g1/w1 … g{T}/w{T}, shared
+    verbatim between q297's oracle and the q313 ensemble oracle."""
+    parts = []
     for t in range(1, _LR_ITERS + 1):
         parts.append(
             f"""g{t} AS (
@@ -20619,7 +20631,7 @@ w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
          round(avg((p - y) * x1), 6) AS g1,
          round(avg((p - y) * x2), 6) AS g2,
          round(avg((p - y) * x3), 6) AS g3
-  FROM (SELECT f.y, f.x1, f.x2, f.x3, {p} AS p
+  FROM (SELECT f.y, f.x1, f.x2, f.x3, {_LR_P} AS p
         FROM feats f CROSS JOIN w{t - 1} w)),
 w{t} AS (
   SELECT round(w.w0 - {_LR_RATE} * g.g0, 6) AS w0,
@@ -20628,6 +20640,12 @@ w{t} AS (
          round(w.w3 - {_LR_RATE} * g.g3, 6) AS w3
   FROM g{t} g CROSS JOIN w{t - 1} w)"""
         )
+    return parts
+
+
+def _logreg_oracle_sql() -> str:
+    p = _LR_P
+    parts = [_lr_feats_prefix()] + _lr_iter_ctes()
     final = f"""
 SELECT w.w0 AS bias, w.w1 AS w_stopword, w.w2 AS w_punct, w.w3 AS w_len,
        round(avg(CASE WHEN ({p} >= 0.5) = (f.y = 1.0)
@@ -22045,6 +22063,440 @@ def q310_dsir_selection_depth(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions: the third and fourth dedup grains (repeated
+# substrings within documents; semantic near-dups in embedding space)
+# and the composed document-quality ensemble gate
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8
+
+_SUBSTR_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+g0 AS (SELECT doc_id, unnest(range(len(toks) - {_SUBSTR_K - 1})) AS pos, toks
+       FROM t WHERE len(toks) >= {_SUBSTR_K}),
+g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+             md5(array_to_string(toks[pos + 1 : pos + {_SUBSTR_K}], ' ')) AS gk
+      FROM g0),
+r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+      FROM g),
+d AS (SELECT doc_id, pos, pos + {_SUBSTR_K - 1} AS endp FROM r WHERE rn > 1),
+i AS (SELECT doc_id, pos, endp,
+             max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pm
+      FROM d),
+f AS (SELECT doc_id, pos, endp,
+             CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END AS nw
+      FROM i),
+isl AS (SELECT doc_id, pos, endp,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS isl_id
+        FROM f),
+sp AS (SELECT doc_id, isl_id, min(pos) AS s, max(endp) AS e
+       FROM isl GROUP BY doc_id, isl_id),
+agg AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens,
+               count(*) AS n_spans, max(e - s + 1) AS max_span
+        FROM sp GROUP BY doc_id)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(agg.max_span, 0) AS BIGINT) AS max_span,
+       round(coalesce(agg.dup_tokens, 0) * 1.0 / NULLIF(n.n_tokens, 0), 6)
+         AS dup_ratio
+FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id"""
+
+
+@register(
+    "q311_repeated_substring_dedup",
+    _SUBSTR_SQL,
+    ops=("ext-substring-dedup",),
+    doc=f"REPEATED-SUBSTRING DEDUP AUDIT (Lee et al. 2022 ExactSubstr "
+    "shape) — the missing dedup grain between passage-level (q110, "
+    "fixed non-overlapping 8-token passages) and document-level "
+    f"(q15): every SLIDING {_SUBSTR_K}-token gram keyed by md5; an "
+    "occurrence repeats if the same gram occurs earlier in "
+    "(doc_id, pos) order anywhere in the corpus (first wins, the D1 "
+    "discipline); covered token ranges merge into maximal spans per "
+    "doc (gaps-and-islands) — exactly the token set suffix-array "
+    "ExactSubstr removes from non-first copies, for spans >= k, at "
+    "ANY alignment.  Output: per-doc n_tokens / dup_tokens / "
+    "n_spans / max_span / dup_ratio.  Scale (text_dedup."
+    "exact_substring_spans): gram table is ~1 md5 row per token "
+    "(never gram text through the shuffle), winner selection is a "
+    "partial-combinable min(struct)+count aggregate on the digest, "
+    "the repeat test one digest join, and span merge windows are "
+    "partitioned by doc_id — bounded by document length.  Nothing "
+    "is pairwise in |docs|.",
+)
+def q311_repeated_substring_dedup(spark, sf_dir):
+    return text_dedup.exact_substring_spans(
+        _t(spark, sf_dir, "documents"), window=_SUBSTR_K
+    )
+
+
+_SEMDD_T = 0.4
+
+
+def _semdd_oracle_sql() -> str:
+    """q282's full Lloyd training chain (e/c0/a1/c1/a2/c2/a3 — every
+    iteration a materialized CTE) extended with the SemDeDup prune:
+    within-cluster pairs above the cosine threshold, keep-lowest-id."""
+    chain = (
+        "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
+        "c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv\n"
+        f"       FROM embeddings WHERE vec_id < {_KM_K}),\n"
+        + _km_assign_cte("c0", "a1")
+        + ",\n"
+        + _km_update_cte("a1", "c1")
+        + ",\n"
+        + _km_assign_cte("c1", "a2")
+        + ",\n"
+        + _km_update_cte("a2", "c2")
+        + ",\n"
+        + _km_assign_cte("c2", "a3")
+    )
+    return (
+        chain
+        + f""",
+pr AS (
+  SELECT y.vec_id AS vec_id, min(x.vec_id) AS pruned_by
+  FROM a3 x JOIN a3 y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE {_ora_cos('x.v', 'y.v', 9)} >= {_SEMDD_T}
+  GROUP BY y.vec_id)
+SELECT a3.vec_id, a3.cluster,
+       pr.pruned_by IS NULL AS kept,
+       CAST(pr.pruned_by AS BIGINT) AS pruned_by
+FROM a3 LEFT JOIN pr USING (vec_id)
+ORDER BY a3.vec_id"""
+    )
+
+
+@register(
+    "q312_semantic_dedup",
+    _semdd_oracle_sql(),
+    ops=("ext-semantic-dedup",),
+    doc=f"SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023) — the third "
+    "dedup modality after exact (q15/q110/q311) and lexical "
+    "(q24/q50): k-means clusters in embedding space are the "
+    "blocking unit, and within each cluster any vector with an "
+    f"above-threshold (cos >= {_SEMDD_T}) neighbor of LOWER vec_id "
+    "is pruned (keep-lowest-id — the deterministic, "
+    "iteration-free dominated rule; the kept set is exactly the "
+    "vectors with no earlier above-threshold neighbor, so kept + "
+    "pruned "
+    "partitions the corpus — conservation pinned in pytest).  "
+    "Clustering is q282's Lloyd chain verbatim (shared helpers, "
+    "rounded centroids each round), so the FULL oracle replays "
+    "training + prune as one CTE chain.  The threshold sits at "
+    "this corpus's own high cosine tail (max within-cluster pair "
+    "0.513 at sf0.01 — the synthetic embeddings carry no true "
+    "semantic dups), chosen to exercise a nonzero prune set.  "
+    "Scale: SemDeDup's whole design is that k grows with the "
+    "corpus so cluster size stays bounded — the within-cluster "
+    "self-join is cluster-density-bounded, never corpus^2 (the "
+    "q264 cell discipline applied to pruning); assignment is a "
+    "broadcast-centroid argmax, no vector shuffle.",
+)
+def q312_semantic_dedup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").alias("v")).persist()
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("cv"),
+    )
+    for _ in range(_KM_ROUNDS):
+        cent = _km_update(_km_assign(corpus, cent))
+    asg = _km_assign(corpus, cent).select("vec_id", "v", "cluster").persist()
+    a = asg.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), "cluster"
+    )
+    b = asg.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), "cluster"
+    )
+    s9 = F.round(F.expr(similarity.cosine_expr("va", "vb")), 9)
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("idb", s9.alias("s9"), "ida")
+        .filter(F.col("s9") >= _SEMDD_T)
+        .groupBy("idb")
+        .agg(F.min("ida").alias("pruned_by"))
+        .withColumnRenamed("idb", "vec_id")
+    )
+    return (
+        asg.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("pruned_by").isNull().alias("kept"),
+            F.col("pruned_by").cast("bigint").alias("pruned_by"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _ensemble_oracle_sql() -> str:
+    """q297's full training chain (shared feature/iteration CTEs, ids
+    carried through) + q76's unigram log-prob chain + q253's Flesch
+    chain, joined per doc, gated at per-source medians (DuckDB
+    quantile_cont — parity with exact_grouped_percentiles proven by
+    q154's oracle), majority vote, per-source funnel readout."""
+    parts = [_lr_feats_prefix("doc_id, source, ")] + _lr_iter_ctes()
+    tail = rf""",
+lr AS MATERIALIZED (
+  SELECT f.doc_id, f.source, {_LR_P} AS s_lr
+  FROM feats f CROSS JOIN w{_LR_ITERS} w),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS n FROM tok2 GROUP BY term),
+total AS (SELECT sum(n) AS t FROM vocab),
+lp AS MATERIALIZED (
+  SELECT doc_id,
+         round(avg(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))), 6) AS s_lp
+  FROM tok2 JOIN vocab USING (term), total GROUP BY doc_id),
+rm AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables,
+         len(regexp_extract_all(text, '[.!?]+')) AS sentences
+  FROM documents),
+rd AS (
+  SELECT doc_id,
+         round(CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * (words * 1.0 / greatest(sentences, 1))
+               - CAST(84.6 AS DOUBLE) * (syllables * 1.0 / greatest(words, 1)),
+               4) AS s_rd
+  FROM rm),
+sc AS MATERIALIZED (
+  SELECT lr.doc_id, lr.source, lr.s_lr, lp.s_lp, rd.s_rd
+  FROM lr JOIN lp USING (doc_id) JOIN rd USING (doc_id)),
+med AS (
+  SELECT source,
+         round(quantile_cont(s_lr, 0.5), 6) AS m_lr,
+         round(quantile_cont(s_lp, 0.5), 6) AS m_lp,
+         round(quantile_cont(s_rd, 0.5), 6) AS m_rd
+  FROM sc GROUP BY source),
+v AS (
+  SELECT sc.source,
+         CASE WHEN s_lr >= m_lr THEN 1 ELSE 0 END AS p1,
+         CASE WHEN s_lp >= m_lp THEN 1 ELSE 0 END AS p2,
+         CASE WHEN s_rd >= m_rd THEN 1 ELSE 0 END AS p3
+  FROM sc JOIN med USING (source))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p1) AS BIGINT) AS n_pass_logreg,
+       CAST(sum(p2) AS BIGINT) AS n_pass_logprob,
+       CAST(sum(p3) AS BIGINT) AS n_pass_readability,
+       CAST(sum(CASE WHEN p1 + p2 + p3 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(sum(CASE WHEN p1 + p2 + p3 >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS keep_share
+FROM v GROUP BY source ORDER BY source"""
+    return ",\n".join(parts) + tail
+
+
+@register(
+    "q313_quality_ensemble_gate",
+    _ensemble_oracle_sql(),
+    ops=("ext-quality-ensemble",),
+    doc="DOCUMENT-QUALITY ENSEMBLE GATE — the three independent "
+    "quality signals the repo already trains/computes (q297's "
+    "in-engine logistic-regression domain probability, q76's "
+    "unigram log-prob perplexity proxy, q253's Flesch readability) "
+    "COMPOSED into one calibrated keep/drop gate: each signal "
+    "gates at its own PER-SOURCE median (exact count-table "
+    "percentiles — thresholds adapt to each source's score "
+    "distribution, the q84 source-gate upgraded to model scores), "
+    "and a doc is kept on a 2-of-3 majority vote.  Per-source "
+    "funnel readout: n_docs, per-signal pass counts, kept count, "
+    "keep share — monotonicity (n_kept <= n_docs, every pass count "
+    "<= n_docs) pinned in pytest.  FULL oracle: the logreg "
+    "training chain (shared CTE builders with q297), q76's and "
+    "q253's scoring chains, quantile_cont medians, and the vote "
+    "replayed end-to-end.  Scale: scoring is three linear scans "
+    "(one broadcast-weights pass, one token-explode pass with a "
+    "broadcast vocab, one regexp-count pass); medians ride the "
+    "de-windowed count-table operator; the gate itself is a "
+    "broadcast join of a |sources|-row threshold table.",
+)
+def q313_quality_ensemble_gate(spark, sf_dir):
+    from team_aragon_spark.operators.corpus import unigram_logprob_score
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    docs = _t(spark, sf_dir, "documents").persist()
+    nonempty = docs.filter(F.length(F.trim("text")) > 0)
+    qf = text.quality_features(nonempty)
+    feats = qf.select(
+        "doc_id",
+        "source",
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+        F.col("stopword_ratio").alias("x1"),
+        F.col("punct_ratio").alias("x2"),
+        F.round(F.least(F.lit(1.0), F.col("n_tokens") / 200.0), 6).alias(
+            "x3"
+        ),
+    ).persist()
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    )
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    for _ in range(_LR_ITERS):
+        j = feats.crossJoin(F.broadcast(w)).withColumn("p", p)
+        g = j.agg(
+            F.round(F.avg(F.col("p") - F.col("y")), 6).alias("g0"),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x1")), 6).alias(
+                "g1"
+            ),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x2")), 6).alias(
+                "g2"
+            ),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x3")), 6).alias(
+                "g3"
+            ),
+        )
+        w = g.crossJoin(F.broadcast(w)).select(
+            F.round(F.col("w0") - _LR_RATE * F.col("g0"), 6).alias("w0"),
+            F.round(F.col("w1") - _LR_RATE * F.col("g1"), 6).alias("w1"),
+            F.round(F.col("w2") - _LR_RATE * F.col("g2"), 6).alias("w2"),
+            F.round(F.col("w3") - _LR_RATE * F.col("g3"), 6).alias("w3"),
+        )
+    lr = (
+        feats.crossJoin(F.broadcast(w))
+        .select("doc_id", "source", p.alias("s_lr"))
+    )
+    lp = unigram_logprob_score(docs).select(
+        "doc_id", F.col("avg_logprob").alias("s_lp")
+    )
+    words = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+"))
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    sents = F.regexp_count(F.col("text"), F.lit("[.!?]+"))
+    rd = docs.select(
+        "doc_id",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / F.greatest(sents, F.lit(1)))
+            - F.lit(84.6) * (syll / F.greatest(words, F.lit(1))),
+            4,
+        ).alias("s_rd"),
+    )
+    sc = lr.join(lp, "doc_id").join(rd, "doc_id").persist()
+    meds = None
+    for col, alias in [("s_lr", "m_lr"), ("s_lp", "m_lp"), ("s_rd", "m_rd")]:
+        m = exact_grouped_percentiles(sc, col, ["source"], [0.5]).select(
+            "source", F.col("p_50").alias(alias)
+        )
+        meds = m if meds is None else meds.join(m, "source")
+    p1 = (F.col("s_lr") >= F.col("m_lr")).cast("int")
+    p2 = (F.col("s_lp") >= F.col("m_lp")).cast("int")
+    p3 = (F.col("s_rd") >= F.col("m_rd")).cast("int")
+    kept = F.when(p1 + p2 + p3 >= 2, 1).otherwise(0)
+    return (
+        sc.join(F.broadcast(meds), "source")
+        .select("source", p1.alias("p1"), p2.alias("p2"), p3.alias("p3"), kept.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("p1").cast("bigint").alias("n_pass_logreg"),
+            F.sum("p2").cast("bigint").alias("n_pass_logprob"),
+            F.sum("p3").cast("bigint").alias("n_pass_readability"),
+            F.sum("k").cast("bigint").alias("n_kept"),
+            F.round(F.sum("k") / F.count(F.lit(1)), 6).alias("keep_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# |V| at or below this, the per-round (node -> label) relation rides a
+# broadcast (~16 bytes/node -> <=80 MB at the gate) and the edge list
+# never re-shuffles; above it, labels shuffle-join against the
+# nbr-partitioned edge cache (q246's honest 10^9-node shape).  The
+# PLANS.md q246 floor analysis proves when each form wins; this is the
+# q300 advisor's logic applied to LPA itself.
+_LPA_BCAST_MAX_NODES = 5_000_000
+
+
+@register(
+    "q314_label_propagation_gated",
+    _LPA_SQL,  # q246's oracle verbatim: both branches compute the
+    # identical deterministic LPA rounds, so the same SQL is a full
+    # value oracle for the gated form (the q270/q264 twin discipline).
+    ops=("ext-graph-communities-gated",),
+    doc="SIZE-GATED LABEL PROPAGATION — q246's community detection "
+    "with the physical strategy chosen from the measured node count "
+    "(one bounded-scalar count job): when |V| <= "
+    f"{_LPA_BCAST_MAX_NODES:,} the per-round label relation is "
+    "BROADCAST into the vote join, zeroing the per-round label "
+    "shuffle that is q246's profiled 100x floor (~45 s/round of "
+    "edge-label + vote shuffle); above the gate it falls back to "
+    "q246's shuffled form, the honest shape at 10^9 nodes where an "
+    "O(|V|) broadcast would not fit.  Values are identical on both "
+    "branches (same deterministic rounds, same argmax tie-break) — "
+    "q246's oracle is registered verbatim, and both branches' "
+    "executed plans are pinned in pytest (broadcast hash join under "
+    "the gate, shuffle join above it).  Scale: the gate reads THIS "
+    "graph's |V|, not a config guess — exactly what q300's "
+    "join-strategy advisor recommends from table stats.",
+)
+def q314_label_propagation_gated(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    und = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("node"),
+            F.col("y.l_partkey").alias("nbr"),
+        )
+        .repartition("nbr")
+        .dropDuplicates(["node", "nbr"])
+        .persist()
+    )
+    nodes = und.select("node").distinct().persist()
+    bcast = nodes.count() <= _LPA_BCAST_MAX_NODES
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        lab = labels.select(F.col("node").alias("nbr"), "label")
+        votes = (
+            und.join(F.broadcast(lab) if bcast else lab, "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-10 window (first 50 = the driver's stamp set) ----
     # The 36 never-stamped r9 registrations q275-q310 (judge's own
@@ -22096,6 +22548,13 @@ STAMP_PRIORITY: list[str] = [
     "q310_dsir_selection_depth",
     "q157_mad_robust_outliers",
     "q270_knn_ivf_loo_arrow",
+    # the four r10 registrations (all full-oracle, verified green at
+    # sf0.001 AND sf0.01 before entering the window — no new query
+    # is ever born outside the stamp window again):
+    "q311_repeated_substring_dedup",
+    "q312_semantic_dedup",
+    "q313_quality_ensemble_gate",
+    "q314_label_propagation_gated",
     # head of the stale-r04 refresh queue (bodies unchanged,
     # pytest-green; stamps refresh oldest-first):
     "q11_top20_part_types",
@@ -22106,11 +22565,11 @@ STAMP_PRIORITY: list[str] = [
     "q17_quarantine_rows",
     "q18_token_counts",
     "q19_language_id",
+    # ---- r11 queue (beyond the 50-slot window; doc only) ----
     "q20_quality_scores",
     "q21_doc_fingerprints",
     "q23_jaccard_neardup_pairs",
     "q27_hourly_event_stats",
-    # ---- r11 queue (beyond the 50-slot window; doc only) ----
     # Remaining stale-r04 rows first (oldest stamps in the ledger),
     # then the freshly-spent r9 window (all r09-green).  After the
     # r10 window clears, no never-stamped query remains and the max

@@ -1,0 +1,174 @@
+"""Round-10 semantics pins.
+
+Four new operators this round, each pinned on the property its oracle
+cannot express directly:
+
+- q311 exact-substring spans: planted-corpus span arithmetic (first
+  occurrence wins, overlapping repeats merge, a one-token gap splits).
+- q312 SemDeDup: conservation (kept + pruned partitions the corpus)
+  and the dominated rule's invariants (pruned_by is a lower id in the
+  same cluster).
+- q313 ensemble gate: funnel monotonicity and the keep-share identity.
+- q314 gated LPA: value equality to q246 on BOTH physical branches,
+  with the vote join's physical strategy pinned per branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_aragon_spark.operators import text_dedup
+from team_aragon_spark.plans import star_queries as sq
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_q311_planted_spans(spark):
+    """Planted corpus, window=8: first occurrences are never counted
+    as repeats; overlapping repeated grams merge into one maximal
+    span; a single-token gap between repeated regions yields two
+    spans with the gap token uncovered."""
+    toks = "a b c d e f g h i j".split()
+    docs = spark.createDataFrame(
+        [
+            # doc 0: first occurrence of every gram it contains
+            (0, " ".join(toks)),                       # a..j  (10 tokens)
+            # doc 1: grams at pos 0 and 1 both repeat doc 0 ->
+            # intervals [0,7] and [1,8] merge into ONE 9-token span
+            (1, " ".join(toks[:9])),                   # a..i  (9 tokens)
+            # doc 2: first occurrence of its own gram (8 tokens)
+            (2, "p q r s t u v w"),
+            # doc 3: repeat of doc 0's first gram, a unique gap
+            # token, then a repeat of doc 2's gram -> [0,7], gap at
+            # 8, [9,16]: TWO spans, 16 covered of 17
+            (3, "a b c d e f g h GAP p q r s t u v w"),
+            # doc 4: shorter than the window -> no grams, no repeats
+            (4, "x y z"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_dedup.exact_substring_spans(docs, window=8).collect()
+    }
+    assert out[0]["dup_tokens"] == 0 and out[0]["n_spans"] == 0
+    assert out[1] == {
+        "doc_id": 1, "n_tokens": 9, "dup_tokens": 9, "n_spans": 1,
+        "max_span": 9, "dup_ratio": 1.0,
+    }
+    assert out[2]["dup_tokens"] == 0
+    assert out[3]["n_tokens"] == 17 and out[3]["dup_tokens"] == 16
+    assert out[3]["n_spans"] == 2 and out[3]["max_span"] == 8
+    assert out[4] == {
+        "doc_id": 4, "n_tokens": 3, "dup_tokens": 0, "n_spans": 0,
+        "max_span": 0, "dup_ratio": 0.0,
+    }
+
+
+def test_q312_conservation_and_dominated_rule(spark):
+    """kept + pruned partitions the corpus; every pruned vector names
+    a strictly-lower pruned_by in its OWN cluster; kept vectors name
+    nobody."""
+    df = sq.QUERY_REGISTRY["q312_semantic_dedup"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    spark.catalog.clearCache()
+    n = len(rows)
+    kept = [r for r in rows if r["kept"]]
+    pruned = [r for r in rows if not r["kept"]]
+    assert n == 500 and len(kept) + len(pruned) == n
+    assert len(pruned) > 0  # threshold sits at the corpus's high tail
+    assert all(r["pruned_by"] is None for r in kept)
+    cluster_of = {r["vec_id"]: r["cluster"] for r in rows}
+    for r in pruned:
+        assert r["pruned_by"] is not None and r["pruned_by"] < r["vec_id"]
+        assert cluster_of[r["pruned_by"]] == r["cluster"]
+
+
+def test_q313_funnel_monotonicity(spark):
+    """Per source: every pass count and the kept count are bounded by
+    n_docs; keep_share is exactly round(n_kept/n_docs, 6); median
+    thresholds keep each signal's pass count near half its source
+    (not exactly half: the threshold is rounded to 6 digits, which
+    can round past the middle value — so the pin is a band)."""
+    rows = sq.QUERY_REGISTRY["q313_quality_ensemble_gate"].fn(
+        spark, SF_SMOKE
+    ).collect()
+    spark.catalog.clearCache()
+    assert rows, "gate produced no sources"
+    for r in rows:
+        n = r["n_docs"]
+        for c in ("n_pass_logreg", "n_pass_logprob", "n_pass_readability",
+                  "n_kept"):
+            assert 0 <= r[c] <= n
+        # a >= (rounded) median gate passes roughly half: the exact
+        # count shifts by the tie mass at the middle value plus the
+        # 6-digit threshold rounding, never by more
+        for c in ("n_pass_logreg", "n_pass_logprob", "n_pass_readability"):
+            assert n // 4 <= r[c] <= n - n // 4
+        assert abs(r["keep_share"] - round(r["n_kept"] / n, 6)) < 1e-12
+
+
+def test_q314_gate_branches_equal_q246(spark, monkeypatch):
+    """Both physical branches of the gated LPA reproduce q246's rows
+    exactly: the default branch at smoke scale broadcasts the label
+    relation, the monkeypatched gate (0 nodes) forces the shuffled
+    branch."""
+    ref = _rows(sq.QUERY_REGISTRY["q246_label_propagation_communities"].fn(
+        spark, SF_SMOKE))
+    spark.catalog.clearCache()
+    fn = sq.QUERY_REGISTRY["q314_label_propagation_gated"].fn
+    bcast = _rows(fn(spark, SF_SMOKE))
+    spark.catalog.clearCache()
+    monkeypatch.setattr(sq, "_LPA_BCAST_MAX_NODES", 0)
+    shuffled = _rows(fn(spark, SF_SMOKE))
+    spark.catalog.clearCache()
+    assert bcast == ref
+    assert shuffled == ref
+
+
+def test_q314_vote_join_physical_strategy(spark):
+    """The per-round vote join's executed plan: broadcast hash join
+    when the label relation rides F.broadcast (the under-gate
+    branch), no broadcast hash join on the fallback — pinned on the
+    exact join the query builds each round."""
+    li = sq._t(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    und = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("node"),
+            F.col("y.l_partkey").alias("nbr"),
+        )
+        .repartition("nbr")
+        .dropDuplicates(["node", "nbr"])
+    )
+    lab = (
+        und.select("node").distinct()
+        .withColumn("label", F.col("node"))
+        .select(F.col("node").alias("nbr"), "label")
+    )
+
+    def plan(j):
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    votes_b = und.join(F.broadcast(lab), "nbr").groupBy("node", "label").count()
+    votes_s = und.join(lab.hint("shuffle_merge"), "nbr").groupBy(
+        "node", "label"
+    ).count()
+    # the und build itself contains a broadcast (the orderkey
+    # self-join broadcasts at smoke scale), so the pin counts joins:
+    # the broadcast branch has one MORE BroadcastHashJoin (the vote
+    # join) and no sort-merge join; the shuffled branch runs the
+    # vote join as SortMergeJoin.
+    pb, ps = plan(votes_b), plan(votes_s)
+    assert pb.count("BroadcastHashJoin") == ps.count("BroadcastHashJoin") + 1
+    assert "SortMergeJoin" not in pb
+    assert "SortMergeJoin" in ps
+    spark.catalog.clearCache()
