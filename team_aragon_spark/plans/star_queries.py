@@ -19028,7 +19028,15 @@ def q282_kmeans_lloyd(spark, sf_dir):
 
 _DSIR_B, _DSIR_TOPK = 256, 50
 
-_DSIR_SQL = rf"""
+def _dsir_oracle_prefix() -> str:
+    """The hashed-unigram DSIR CTE prefix (tok/t2/dbc/mm/tt/wt)
+    shared by every DSIR-family oracle (_DSIR_SQL / _CUR3_SQL /
+    _AUC_SQL / _SELDEPTH_SQL) — ONE definition of the tokenizer, the
+    bucket hash, and the +1/+B smoothing, mirroring the Spark-side
+    ``_dsir_bucket_weights`` (the r9 ADVICE factoring: a smoothing
+    or hash change now lands in exactly two places, this string and
+    that helper, instead of five)."""
+    return rf"""
 WITH tok AS (
   SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
   FROM documents WHERE length(trim(text)) > 0),
@@ -19038,22 +19046,28 @@ dbc AS MATERIALIZED (
          ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
          count(*) AS cnt
   FROM t2 GROUP BY doc_id, source, bucket),
-m AS (
+mm AS (
   SELECT bucket, sum(cnt) AS cr,
          sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
   FROM dbc GROUP BY bucket),
-tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM m),
+tt AS (SELECT sum(cr) AS tr, sum(ct) AS tq FROM mm),
 wt AS (
   SELECT bucket,
-         round(ln((ct + 1.0) / (tt + {_DSIR_B}.0))
+         round(ln((ct + 1.0) / (tq + {_DSIR_B}.0))
                - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
-  FROM m, tot)
+  FROM mm, tt)"""
+
+
+_DSIR_SQL = (
+    _dsir_oracle_prefix()
+    + f"""
 SELECT doc_id, source,
        CAST(sum(cnt) AS BIGINT) AS n_tokens,
        round(sum(cnt * w9) / sum(cnt), 6) AS dsir_weight
 FROM dbc JOIN wt USING (bucket)
 GROUP BY doc_id, source
 ORDER BY dsir_weight DESC, doc_id LIMIT {_DSIR_TOPK}"""
+)
 
 
 def _dsir_bucket_weights(docs):
@@ -19551,9 +19565,10 @@ _MIX_SQL = (
     + _km_assign_cte("c2", "a3")
     + """,
 cs AS (
-  SELECT a3.cluster, d.source, count(*) AS cnt
-  FROM a3 JOIN documents d ON d.doc_id = a3.vec_id
-  GROUP BY a3.cluster, d.source),
+  SELECT a3.cluster, coalesce(d.source, '__no_doc') AS source,
+         count(*) AS cnt
+  FROM a3 LEFT JOIN documents d ON d.doc_id = a3.vec_id
+  GROUP BY a3.cluster, coalesce(d.source, '__no_doc')),
 cn AS (SELECT cluster, sum(cnt) AS n FROM cs GROUP BY cluster),
 tops AS (
   SELECT cluster, source AS top_source, cnt AS top_cnt FROM (
@@ -19605,11 +19620,20 @@ def q288_cluster_mixture_plan(spark, sf_dir):
     for _ in range(_KM_ROUNDS):
         cent = _km_update(_km_assign(corpus, cent))
     asg = _km_assign(corpus, cent)
+    # LEFT join + sentinel bucket (r9 ADVICE): the benchmark schema
+    # guarantees doc_id == vec_id 1:1, but if the tables ever
+    # diverge, orphan vectors surface as a visible '__no_doc' source
+    # row instead of silently dropping out of the mixture readout.
     cs = (
         asg.join(
-            docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+            docs.select(F.col("doc_id").alias("vec_id"), "source"),
+            "vec_id",
+            "left",
         )
-        .groupBy("cluster", "source")
+        .groupBy(
+            "cluster",
+            F.coalesce("source", F.lit("__no_doc")).alias("source"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
@@ -19755,26 +19779,7 @@ def _waterfill_alloc(counts):
     )
 
 
-_CUR3_SQL = rf"""
-WITH tok AS (
-  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-  FROM documents WHERE length(trim(text)) > 0),
-t2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
-dbc AS MATERIALIZED (
-  SELECT doc_id, source,
-         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
-         count(*) AS cnt
-  FROM t2 GROUP BY doc_id, source, bucket),
-mm AS (
-  SELECT bucket, sum(cnt) AS cr,
-         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
-  FROM dbc GROUP BY bucket),
-tt AS (SELECT sum(cr) AS tr, sum(ct) AS tq FROM mm),
-wt AS (
-  SELECT bucket,
-         round(ln((ct + 1.0) / (tq + {_DSIR_B}.0))
-               - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
-  FROM mm, tt),
+_CUR3_SQL = _dsir_oracle_prefix() + rf""",
 sel AS MATERIALIZED (
   SELECT doc_id, source, round(sum(cnt * w9) / sum(cnt), 6) AS wgt
   FROM dbc JOIN wt USING (bucket) GROUP BY doc_id, source),
@@ -20740,26 +20745,7 @@ def q297_logreg_domain_classifier(spark, sf_dir):
     )
 
 
-_AUC_SQL = rf"""
-WITH tok AS (
-  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-  FROM documents WHERE length(trim(text)) > 0),
-t2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
-dbc AS MATERIALIZED (
-  SELECT doc_id, source,
-         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
-         count(*) AS cnt
-  FROM t2 GROUP BY doc_id, source, bucket),
-mm AS (
-  SELECT bucket, sum(cnt) AS cr,
-         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
-  FROM dbc GROUP BY bucket),
-tt AS (SELECT sum(cr) AS tr, sum(ct) AS tq FROM mm),
-wt AS (
-  SELECT bucket,
-         round(ln((ct + 1.0) / (tq + {_DSIR_B}.0))
-               - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
-  FROM mm, tt),
+_AUC_SQL = _dsir_oracle_prefix() + rf""",
 sc AS MATERIALIZED (
   SELECT round(sum(cnt * w9) / sum(cnt), 6) AS s,
          CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
@@ -21297,13 +21283,17 @@ def q302_dedup_threshold_sensitivity(spark, sf_dir):
     thr = spark.createDataFrame(
         [(t,) for t in _SENS_THRESHOLDS], "thr double"
     )
-    np_ = (
-        F.broadcast(thr)
-        .join(pairs, F.col("jaccard") >= F.col("thr"), "left")
-        .groupBy("thr")
-        .agg(F.count(F.col("a")).cast("bigint").alias("n_pairs"))
+    # pairs LEFT, thresholds the genuinely-broadcast build side (r9
+    # ADVICE: a broadcast hint on the LEFT of a left-outer non-equi
+    # join is a no-op — left-outer BNLJ must build the right side, so
+    # the old thr-left shape silently built the PAIR relation).  The
+    # inner fan-out keeps the bounded 4-row table as the build side;
+    # thresholds with zero surviving pairs re-enter via the final
+    # left joins from the threshold table.
+    joined = pairs.join(F.broadcast(thr), F.col("jaccard") >= F.col("thr"))
+    np_ = joined.groupBy("thr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
-    joined = F.broadcast(thr).join(pairs, F.col("jaccard") >= F.col("thr"))
     inv = (
         joined.select("thr", F.col("a").alias("doc"))
         .unionAll(joined.select("thr", F.col("b").alias("doc")))
@@ -21311,11 +21301,14 @@ def q302_dedup_threshold_sensitivity(spark, sf_dir):
     )
     ni = inv.groupBy("thr").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     return (
-        np_.join(F.broadcast(ni), "thr", "left")
+        thr.join(F.broadcast(np_), "thr", "left")
+        .join(F.broadcast(ni), "thr", "left")
         .crossJoin(F.broadcast(nd))
         .select(
             F.col("thr").alias("threshold"),
-            "n_pairs",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
             F.coalesce(F.col("n_docs"), F.lit(0))
             .cast("bigint")
             .alias("n_docs_involved"),
@@ -21980,26 +21973,7 @@ def q309_cross_language_dup_audit(spark, sf_dir):
     )
 
 
-_SELDEPTH_SQL = rf"""
-WITH tok AS (
-  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-  FROM documents WHERE length(trim(text)) > 0),
-t2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
-dbc AS MATERIALIZED (
-  SELECT doc_id, source,
-         ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT % {_DSIR_B} AS bucket,
-         count(*) AS cnt
-  FROM t2 GROUP BY doc_id, source, bucket),
-mm AS (
-  SELECT bucket, sum(cnt) AS cr,
-         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct
-  FROM dbc GROUP BY bucket),
-tt AS (SELECT sum(cr) AS tr, sum(ct) AS tq FROM mm),
-wt AS (
-  SELECT bucket,
-         round(ln((ct + 1.0) / (tq + {_DSIR_B}.0))
-               - ln((cr + 1.0) / (tr + {_DSIR_B}.0)), 9) AS w9
-  FROM mm, tt),
+_SELDEPTH_SQL = _dsir_oracle_prefix() + rf""",
 sc AS MATERIALIZED (
   SELECT source, round(sum(cnt * w9) / sum(cnt), 6) AS s
   FROM dbc JOIN wt USING (bucket) GROUP BY doc_id, source)

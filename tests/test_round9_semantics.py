@@ -97,9 +97,13 @@ def test_kmeans_partition_and_compaction_conservation(spark):
 
 def test_waterfill_budget_conservation(spark):
     """q289/q290's water-fill must spend exactly the budget when any
-    source is unsaturated: saturated capacities + (n-k) * level == B
-    (level is emitted rounded to 6, so the identity holds to n*5e-7
-    of the budget), and no allocation may exceed its capacity."""
+    source is unsaturated: saturated capacities + (n-k) * level == B.
+    The level is emitted as round(level, 6) — each of the at most
+    n-k unsaturated allocations carries an ABSOLUTE error of at most
+    5e-7 tokens, so |spent - budget| <= n * 5e-7 (an absolute bound
+    independent of the budget; the old budget-relative tolerance was
+    orders of magnitude looser and would have weakened the pin as
+    corpora grow — r9 ADVICE)."""
     rows = (
         sq.QUERY_REGISTRY["q289_budgeted_mixture_waterfill"]
         .fn(spark, SF_SMOKE)
@@ -108,7 +112,7 @@ def test_waterfill_budget_conservation(spark):
     total = sum(r.capacity for r in rows)
     budget = total // 2
     spent = sum(r.allocation for r in rows)
-    assert abs(spent - budget) <= max(1e-6 * budget, len(rows) * 5e-7 * budget)
+    assert abs(spent - budget) <= len(rows) * 5e-7
     assert all(r.allocation <= r.capacity + 1e-9 for r in rows)
     assert any(not r.saturated for r in rows)
     spark.catalog.clearCache()
