@@ -255,6 +255,11 @@ EXTRA = [
     "q308_curriculum_grid",           # quality x length 2-D planning grid
     "q309_cross_language_dup_audit",  # identical text across language labels
     "q310_dsir_selection_depth",      # per-source selection-weight quartiles
+    # round-10 families:
+    "q311_repeated_substring_dedup",  # sliding-gram ExactSubstr span audit
+    "q312_semantic_dedup",            # SemDeDup cluster-blocked prune
+    "q313_quality_ensemble_gate",     # 3-signal per-source-median vote gate
+    "q314_label_propagation_gated",   # size-gated broadcast-label LPA
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]
@@ -354,16 +359,28 @@ def main() -> None:
     }
     # The 150+-entry extra dict outgrew the driver's stdout-tail JSON
     # capture (BENCH_r07 recorded parsed:null) — the per-family
-    # timings go to a committed side file + stderr, and the compact
-    # headline line is the LAST thing on stdout.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_EXTRA.json"), "w"
-        ) as f:
-            json.dump({**compact, "extra": extra_steady}, f, indent=1)
-    except OSError as exc:  # read-only checkout: stderr still has it
-        print(f"  BENCH_EXTRA.json not written: {exc}", file=sys.stderr)
+    # timings go to committed side files + stderr, and the compact
+    # headline line is the LAST thing on stdout.  Two files: the
+    # rolling BENCH_EXTRA.json (latest run) and a round-stamped
+    # BENCH_FULL_r{N}.json so round-over-round per-family comparison
+    # never depends on the driver's tail buffer (r9 VERDICT item 8);
+    # N = 1 + the highest driver-committed BENCH_r*.json.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    full_name = f"BENCH_FULL_r{(max(rounds, default=0) + 1):02d}.json"
+    for fname in ("BENCH_EXTRA.json", full_name):
+        try:
+            with open(os.path.join(repo, fname), "w") as f:
+                json.dump({**compact, "extra": extra_steady}, f, indent=1)
+        except OSError as exc:  # read-only checkout: stderr still has it
+            print(f"  {fname} not written: {exc}", file=sys.stderr)
     print(json.dumps({"extra": extra_steady}), file=sys.stderr)
     print(json.dumps(compact))
 

@@ -22117,13 +22117,20 @@ _SEMDD_T = 0.4
 
 
 def _semdd_oracle_sql() -> str:
-    """q282's full Lloyd training chain (e/c0/a1/c1/a2/c2/a3 — every
-    iteration a materialized CTE) extended with the SemDeDup prune:
-    within-cluster pairs above the cosine threshold, keep-lowest-id."""
+    """q282's full Lloyd training chain (every iteration a
+    materialized CTE) extended with the SemDeDup prune: within-cluster
+    pairs above the cosine threshold, keep-lowest-id.  Unlike q282's
+    fixed k=8 readout, the cluster count is ceil(sqrt(n)) — q264's
+    IVF cell sizing — because here the clusters are the PRUNE's
+    blocking unit: sqrt-k bounds both the assignment (n*sqrt(n)
+    folds) and the within-cluster pair stage (~n*sqrt(n)/2 folds);
+    a fixed k would make the pair stage quadratic at scale."""
     chain = (
         "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
+        "kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k\n"
+        "       FROM embeddings),\n"
         "c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv\n"
-        f"       FROM embeddings WHERE vec_id < {_KM_K}),\n"
+        "       FROM embeddings, kk WHERE vec_id < kk.k),\n"
         + _km_assign_cte("c0", "a1")
         + ",\n"
         + _km_update_cte("a1", "c1")
@@ -22165,22 +22172,33 @@ ORDER BY a3.vec_id"""
     "vectors with no earlier above-threshold neighbor, so kept + "
     "pruned "
     "partitions the corpus — conservation pinned in pytest).  "
-    "Clustering is q282's Lloyd chain verbatim (shared helpers, "
-    "rounded centroids each round), so the FULL oracle replays "
-    "training + prune as one CTE chain.  The threshold sits at "
-    "this corpus's own high cosine tail (max within-cluster pair "
-    "0.513 at sf0.01 — the synthetic embeddings carry no true "
-    "semantic dups), chosen to exercise a nonzero prune set.  "
-    "Scale: SemDeDup's whole design is that k grows with the "
-    "corpus so cluster size stays bounded — the within-cluster "
-    "self-join is cluster-density-bounded, never corpus^2 (the "
-    "q264 cell discipline applied to pruning); assignment is a "
-    "broadcast-centroid argmax, no vector shuffle.",
+    "Clustering is q282's Lloyd iteration (shared _km_assign/"
+    "_km_update helpers, rounded centroids each round) at "
+    "ceil(sqrt(n)) clusters — q264's IVF cell sizing, because here "
+    "the clusters are the prune's BLOCKING unit: sqrt-k bounds "
+    "both the assignment (n*sqrt(n) broadcast-centroid folds) and "
+    "the within-cluster pair stage (~n*sqrt(n)/2 folds); q282's "
+    "fixed k=8 would make pruning quadratic at scale.  FULL "
+    "oracle: the dynamic k, every Lloyd round, and the prune "
+    "replay as one CTE chain.  The threshold sits at this "
+    "corpus's own high cosine tail (the synthetic embeddings "
+    "carry no true semantic dups), chosen to exercise a nonzero "
+    "prune set.  Scale: no vector ever shuffles for assignment "
+    "(centroids broadcast); the pair self-join shuffles on the "
+    "cluster key with cluster-density-bounded candidates — never "
+    "corpus^2.",
 )
 def q312_semantic_dedup(spark, sf_dir):
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", F.col("embedding").alias("v")).persist()
-    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+    # sqrt-sized cluster count (one bounded-scalar count job — q264's
+    # IVF cell-sizing discipline): the clusters are the prune's
+    # blocking unit, so k must grow with n or the within-cluster pair
+    # stage turns quadratic at 100 TB.
+    nc = int(math.ceil(math.sqrt(corpus.count())))
+    cent = emb.filter(F.col("vec_id") < nc).select(
         F.col("vec_id").cast("int").alias("cluster"),
         F.col("embedding").alias("cv"),
     )
