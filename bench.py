@@ -260,6 +260,7 @@ EXTRA = [
     "q312_semantic_dedup",            # SemDeDup cluster-blocked prune
     "q313_quality_ensemble_gate",     # 3-signal per-source-median vote gate
     "q314_label_propagation_gated",   # size-gated broadcast-label LPA
+    "q315_exact_substring_dedup_apply",  # ExactSubstr removal + reassembly
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

@@ -692,52 +692,30 @@ def hashed_shingles(
     return base.select(F.col(id_col), F.expr(sh).alias(out_col))
 
 
-def exact_substring_spans(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    window: int = 8,
-) -> DataFrame:
-    """Repeated-substring audit at the sliding ``window``-token grain —
-    the Lee et al. 2022 ExactSubstr dedup shape (their suffix array
-    finds repeated >= 50-token spans; a sliding k-gram table finds
-    exactly the same spans for spans >= k tokens, at any alignment).
+def _repeat_spans(
+    df: DataFrame, text_col: str, id_col: str, window: int
+):
+    """Shared span derivation for the ExactSubstr pair (audit
+    ``exact_substring_spans`` / apply ``exact_substring_dedup_
+    reassemble``): (1) every sliding ``window``-token gram keyed by
+    an md5 digest (16-byte shuffle payload, never gram text); (2)
+    first corpus-wide occurrence per digest via a partial-combinable
+    ``min(struct(doc_id, pos)) + count`` hash aggregate (a
+    million-fold repeated gram sends one row per mapper — never a
+    window partition over the gram group); (3) non-first occurrences
+    of repeated grams become covered intervals [pos, pos+window-1],
+    merged into maximal spans per document with gaps-and-islands
+    windows partitioned by doc_id only (bounded by document length).
 
-    Every consecutive ``window``-token gram of every document is keyed
-    by an md5 digest (engine-portable, 16-byte shuffle payload instead
-    of the gram text); a gram occurrence is a REPEAT if the same gram
-    occurs anywhere else in the corpus earlier in (doc_id, pos) order
-    — first occurrence wins, the D1 discipline.  Each repeat covers
-    tokens [pos, pos + window - 1]; overlapping/adjacent covered
-    ranges are merged into maximal spans per document (gaps-and-
-    islands), giving exactly the token set ExactSubstr would remove
-    from non-first copies.  Unlike passage_dedup_reassemble's fixed
-    non-overlapping passages, the sliding grain catches repeats at
-    ANY alignment — the memorization-driving boilerplate inside
-    otherwise-unique documents.
-
-    Returns one row per document: ``n_tokens``, ``dup_tokens``
-    (tokens covered by repeated spans), ``n_spans`` (maximal merged
-    spans), ``max_span``, ``dup_ratio``.
-
-    Scale shape: gram table is one narrow generate pass (~1 row per
-    token, md5 key only); winner selection is a partial-combinable
-    ``min(struct(doc_id, pos))`` + count hash aggregate keyed on the
-    digest (a million-fold repeated gram sends one row per mapper —
-    never a window partition over the gram group); the repeat test is
-    one shuffle join back on the digest; span merging uses windows
-    partitioned by doc_id only — bounded by document length, the same
-    bound as q98/q110's reassembly.  Nothing is ever pairwise in the
-    number of documents.
+    Returns ``(base, spans)``: per-doc token counts, and the merged
+    (id, s, e) span relation.  Nothing is ever pairwise in |docs|.
     """
     toks = f"split({text_col}, ' ')"
     grams = (
         f"transform(sequence(0, size({toks}) - {window}), "
         f"i -> md5(cast(array_join(slice({toks}, i + 1, {window}), ' ') AS binary)))"
     )
-    base = df.select(
-        F.col(id_col), F.size(F.expr(toks)).alias("n_tokens")
-    )
+    base = df.select(F.col(id_col), F.size(F.expr(toks)).alias("n_tokens"))
     occ = (
         df.filter(F.size(F.expr(toks)) >= window)
         .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gk"))
@@ -761,7 +739,7 @@ def exact_substring_spans(
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     pm = F.max("endp").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = (
+    spans = (
         rep.withColumn(
             "nw",
             F.when(pm.isNull() | (F.col("pos") > pm + 1), 1).otherwise(0),
@@ -771,16 +749,43 @@ def exact_substring_spans(
             F.sum("nw").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
         .groupBy(id_col, "isl")
-        .agg(
-            F.min("pos").alias("s"),
-            F.max("endp").alias("e"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
-            F.count(F.lit(1)).alias("n_spans"),
-            F.max(F.col("e") - F.col("s") + 1).alias("max_span"),
-        )
+        .agg(F.min("pos").alias("s"), F.max("endp").alias("e"))
+    )
+    return base, spans
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Repeated-substring audit at the sliding ``window``-token grain —
+    the Lee et al. 2022 ExactSubstr dedup shape (their suffix array
+    finds repeated >= 50-token spans; a sliding k-gram table finds
+    exactly the same spans for spans >= k tokens, at any alignment).
+
+    A gram occurrence is a REPEAT if the same gram occurs anywhere
+    else in the corpus earlier in (doc_id, pos) order — first
+    occurrence wins, the D1 discipline.  Each repeat covers tokens
+    [pos, pos + window - 1]; overlapping/adjacent covered ranges
+    merge into maximal spans per document, giving exactly the token
+    set ExactSubstr would remove from non-first copies.  Unlike
+    passage_dedup_reassemble's fixed non-overlapping passages, the
+    sliding grain catches repeats at ANY alignment — the
+    memorization-driving boilerplate inside otherwise-unique
+    documents.
+
+    Returns one row per document: ``n_tokens``, ``dup_tokens``
+    (tokens covered by repeated spans), ``n_spans`` (maximal merged
+    spans), ``max_span``, ``dup_ratio``.  Scale shape: see
+    ``_repeat_spans``.
+    """
+    base, spans = _repeat_spans(df, text_col, id_col, window)
+    isl = spans.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max(F.col("e") - F.col("s") + 1).alias("max_span"),
     )
     return (
         base.join(isl, id_col, "left")
@@ -795,6 +800,65 @@ def exact_substring_spans(
                 / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
                 6,
             ).alias("dup_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def exact_substring_dedup_reassemble(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """APPLY the repeated-substring dedup that ``exact_substring_spans``
+    audits: drop every token covered by a repeated (non-first-
+    occurrence) ``window``-gram span and rebuild each document from
+    its surviving tokens in order — the Lee et al. 2022 ExactSubstr
+    removal at the sliding grain, the sibling of
+    ``passage_dedup_reassemble``'s fixed-passage grain.
+
+    Returns one row per input document: ``clean_text`` (NULL when the
+    whole document was repeated material), ``n_kept_tokens``,
+    ``n_removed_tokens``.
+
+    Scale shape: identical to the audit up through the merged spans
+    (see ``_repeat_spans``); coverage then explodes each merged span
+    into its covered positions (rows == removed tokens, linear) for
+    a left-anti join against the token table, and reassembly is the
+    array_sort(collect_list) shape bounded by document length (the
+    q98/q110 discipline).
+    """
+    base, spans = _repeat_spans(df, text_col, id_col, window)
+    toks = f"split({text_col}, ' ')"
+    tok_tbl = df.select(
+        F.col(id_col), F.posexplode(F.expr(toks)).alias("p", "tok")
+    )
+    cov = spans.select(
+        id_col, F.explode(F.expr("sequence(s, e)")).alias("p")
+    )
+    kept = tok_tbl.join(cov, [id_col, "p"], "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.join(reasm, id_col, "left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias(
+                "n_kept_tokens"
+            ),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
         )
         .orderBy(id_col)
     )

@@ -22113,6 +22113,56 @@ def q311_repeated_substring_dedup(spark, sf_dir):
     )
 
 
+_SUBSTR_CHAIN = _SUBSTR_SQL[: _SUBSTR_SQL.index("\nSELECT n.doc_id")]
+
+_SUBSTR_APPLY_SQL = (
+    _SUBSTR_CHAIN
+    + """,
+tk0 AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM t),
+tk AS (SELECT doc_id, CAST(p AS INT) AS p, toks[p + 1] AS tok FROM tk0),
+cov AS (SELECT doc_id, CAST(unnest(range(s, e + 1)) AS INT) AS p FROM sp),
+kept AS (
+  SELECT tk.doc_id, tk.p, tk.tok
+  FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+  WHERE cov.p IS NULL),
+reasm AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT n.doc_id, reasm.clean_text,
+       CAST(coalesce(reasm.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       CAST(n.n_tokens - coalesce(reasm.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens
+FROM n LEFT JOIN reasm USING (doc_id) ORDER BY n.doc_id"""
+)
+
+
+@register(
+    "q315_exact_substring_dedup_apply",
+    _SUBSTR_APPLY_SQL,
+    ops=("ext-substring-dedup-apply",),
+    doc="EXACT-SUBSTRING DEDUP, APPLIED (text_dedup."
+    "exact_substring_dedup_reassemble) — the removal counterpart of "
+    "q311's audit, completing the Lee et al. 2022 ExactSubstr pair: "
+    "every token covered by a repeated non-first-occurrence sliding "
+    f"{_SUBSTR_K}-gram span is dropped and each document is rebuilt "
+    "from its surviving tokens in order (clean_text NULL when the "
+    "whole document was repeated material).  Shares q311's span "
+    "derivation verbatim (_repeat_spans — md5 gram keys, "
+    "min-struct winner aggregate, doc-bounded island windows); "
+    "coverage explodes merged spans into covered positions (rows = "
+    "removed tokens, linear) for a left-anti join against the token "
+    "table; reassembly is the q98/q110 array_sort(collect_list) "
+    "shape bounded by document length.  The q311-consistency "
+    "identity (n_removed == q311.dup_tokens per doc) is pinned in "
+    "pytest.",
+)
+def q315_exact_substring_dedup_apply(spark, sf_dir):
+    return text_dedup.exact_substring_dedup_reassemble(
+        _t(spark, sf_dir, "documents"), window=_SUBSTR_K
+    )
+
+
 _SEMDD_T = 0.4
 
 
@@ -22547,6 +22597,7 @@ STAMP_PRIORITY: list[str] = [
     "q312_semantic_dedup",
     "q313_quality_ensemble_gate",
     "q314_label_propagation_gated",
+    "q315_exact_substring_dedup_apply",
     # head of the stale-r04 refresh queue (bodies unchanged,
     # pytest-green; stamps refresh oldest-first):
     "q11_top20_part_types",
@@ -22556,8 +22607,8 @@ STAMP_PRIORITY: list[str] = [
     "q16_validation_counts",
     "q17_quarantine_rows",
     "q18_token_counts",
-    "q19_language_id",
     # ---- r11 queue (beyond the 50-slot window; doc only) ----
+    "q19_language_id",
     "q20_quality_scores",
     "q21_doc_fingerprints",
     "q23_jaccard_neardup_pairs",

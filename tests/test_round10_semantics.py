@@ -68,6 +68,48 @@ def test_q311_planted_spans(spark):
     }
 
 
+def test_q315_apply_matches_audit(spark):
+    """The apply form is the audit's complement: per doc,
+    n_removed_tokens == q311.dup_tokens and n_kept + n_removed ==
+    n_tokens; on the planted corpus, reassembly drops exactly the
+    covered spans and keeps token order."""
+    audit = {
+        r["doc_id"]: r
+        for r in sq.QUERY_REGISTRY["q311_repeated_substring_dedup"].fn(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    applied = {
+        r["doc_id"]: r
+        for r in sq.QUERY_REGISTRY["q315_exact_substring_dedup_apply"].fn(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(audit) == set(applied)
+    for d, a in audit.items():
+        b = applied[d]
+        assert b["n_removed_tokens"] == a["dup_tokens"]
+        assert b["n_kept_tokens"] + b["n_removed_tokens"] == a["n_tokens"]
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),
+            (1, "X a b c d e f g h Y"),   # middle 8 repeat doc 0 at pos 1
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_dedup.exact_substring_dedup_reassemble(
+            docs, window=8
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "a b c d e f g h i j"
+    assert out[1]["clean_text"] == "X Y" and out[1]["n_removed_tokens"] == 8
+
+
 def test_q312_conservation_and_dominated_rule(spark):
     """kept + pruned partitions the corpus; every pruned vector names
     a strictly-lower pruned_by in its OWN cluster; kept vectors name
