@@ -716,9 +716,15 @@ def _repeat_spans(
         f"i -> md5(cast(array_join(slice({toks}, i + 1, {window}), ' ') AS binary)))"
     )
     base = df.select(F.col(id_col), F.size(F.expr(toks)).alias("n_tokens"))
+    # persisted: the gram table feeds both the winner aggregate and
+    # the repeat-test join probe — without the cache the text scan,
+    # tokenize, and per-gram md5 all run twice (measured ~83 s -> by
+    # caching at 100x, see PLANS.md).  ~1 digest row per corpus
+    # token; cache lifetime caller-managed (bench clears per query).
     occ = (
         df.filter(F.size(F.expr(toks)) >= window)
         .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gk"))
+        .persist()
     )
     stats = occ.groupBy("gk").agg(
         F.count(F.lit(1)).alias("cnt"),
