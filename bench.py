@@ -261,6 +261,8 @@ EXTRA = [
     "q313_quality_ensemble_gate",     # 3-signal per-source-median vote gate
     "q314_label_propagation_gated",   # size-gated broadcast-label LPA
     "q315_exact_substring_dedup_apply",  # ExactSubstr removal + reassembly
+    "q316_substring_window_sensitivity",  # coverage curve vs gram window
+    "q317_curation_pipeline_v4",      # substring-clean -> water-fill funnel
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

@@ -19779,26 +19779,7 @@ def _waterfill_alloc(counts):
     )
 
 
-_CUR3_SQL = _dsir_oracle_prefix() + rf""",
-sel AS MATERIALIZED (
-  SELECT doc_id, source, round(sum(cnt * w9) / sum(cnt), 6) AS wgt
-  FROM dbc JOIN wt USING (bucket) GROUP BY doc_id, source),
-gate AS (SELECT doc_id, source FROM sel WHERE wgt > 0),
-surv AS MATERIALIZED (
-  SELECT doc_id, source, text FROM (
-    SELECT d.doc_id, g.source, d.text,
-           row_number() OVER (PARTITION BY md5(d.text)
-                              ORDER BY d.doc_id) AS rk
-    FROM documents d JOIN gate g ON g.doc_id = d.doc_id) WHERE rk = 1),
-raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
-gs AS (SELECT source, count(*) AS n_sel FROM gate GROUP BY source),
-gd AS (SELECT source, count(*) AS n_ded FROM surv GROUP BY source),
-cap AS (
-  SELECT source,
-         sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                             x -> x <> ''))) AS c
-  FROM surv WHERE length(trim(text)) > 0 GROUP BY source),
-wf_tot AS (SELECT sum(c) AS total, count(*) AS n FROM cap),
+_WF_CTES = """wf_tot AS (SELECT sum(c) AS total, count(*) AS n FROM cap),
 wf_r AS (
   SELECT source, c,
          row_number() OVER (ORDER BY c, source) AS rk,
@@ -19818,7 +19799,32 @@ alloc AS (
               ELSE round(CAST(wf_rb.b - wf_k.pfxk AS DOUBLE)
                          / NULLIF(wf_rb.n - wf_k.k, 0), 6) END AS allocation,
          wf_rb.rk <= wf_k.k AS saturated
-  FROM wf_rb CROSS JOIN wf_k)
+  FROM wf_rb CROSS JOIN wf_k)"""
+# ^ the closed-form water-fill replay over a (source, c) relation
+#   named `cap` — the SQL twin of _waterfill_alloc, shared by the
+#   q290 and q317 curation-DAG oracles (the _dsir_oracle_prefix
+#   factoring discipline).
+
+_CUR3_SQL = _dsir_oracle_prefix() + rf""",
+sel AS MATERIALIZED (
+  SELECT doc_id, source, round(sum(cnt * w9) / sum(cnt), 6) AS wgt
+  FROM dbc JOIN wt USING (bucket) GROUP BY doc_id, source),
+gate AS (SELECT doc_id, source FROM sel WHERE wgt > 0),
+surv AS MATERIALIZED (
+  SELECT doc_id, source, text FROM (
+    SELECT d.doc_id, g.source, d.text,
+           row_number() OVER (PARTITION BY md5(d.text)
+                              ORDER BY d.doc_id) AS rk
+    FROM documents d JOIN gate g ON g.doc_id = d.doc_id) WHERE rk = 1),
+raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+gs AS (SELECT source, count(*) AS n_sel FROM gate GROUP BY source),
+gd AS (SELECT source, count(*) AS n_ded FROM surv GROUP BY source),
+cap AS (
+  SELECT source,
+         sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> ''))) AS c
+  FROM surv WHERE length(trim(text)) > 0 GROUP BY source),
+{_WF_CTES}
 SELECT raw.source,
        CAST(raw.n_raw AS BIGINT) AS n_docs_raw,
        CAST(coalesce(gs.n_sel, 0) AS BIGINT) AS n_docs_selected,
@@ -22045,18 +22051,23 @@ def q310_dsir_selection_depth(spark, sf_dir):
 
 _SUBSTR_K = 8
 
-_SUBSTR_SQL = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+
+def _substr_chain(k: int) -> str:
+    """The repeated-substring span-derivation CTE chain (t/n/g/r/d ->
+    merged spans sp -> per-doc agg) with the gram window ``k``
+    inlined — shared by q311's audit oracle, q315's apply oracle,
+    and q316's window-sensitivity arms."""
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
-g0 AS (SELECT doc_id, unnest(range(len(toks) - {_SUBSTR_K - 1})) AS pos, toks
-       FROM t WHERE len(toks) >= {_SUBSTR_K}),
+g0 AS (SELECT doc_id, unnest(range(len(toks) - {k - 1})) AS pos, toks
+       FROM t WHERE len(toks) >= {k}),
 g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
-             md5(array_to_string(toks[pos + 1 : pos + {_SUBSTR_K}], ' ')) AS gk
+             md5(array_to_string(toks[pos + 1 : pos + {k}], ' ')) AS gk
       FROM g0),
 r AS (SELECT doc_id, pos,
              row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
       FROM g),
-d AS (SELECT doc_id, pos, pos + {_SUBSTR_K - 1} AS endp FROM r WHERE rn > 1),
+d AS (SELECT doc_id, pos, pos + {k - 1} AS endp FROM r WHERE rn > 1),
 i AS (SELECT doc_id, pos, endp,
              max(endp) OVER (PARTITION BY doc_id ORDER BY pos
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -22074,7 +22085,12 @@ sp AS (SELECT doc_id, isl_id, min(pos) AS s, max(endp) AS e
        FROM isl GROUP BY doc_id, isl_id),
 agg AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens,
                count(*) AS n_spans, max(e - s + 1) AS max_span
-        FROM sp GROUP BY doc_id)
+        FROM sp GROUP BY doc_id)"""
+
+
+_SUBSTR_SQL = (
+    _substr_chain(_SUBSTR_K)
+    + """
 SELECT n.doc_id,
        CAST(n.n_tokens AS BIGINT) AS n_tokens,
        CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
@@ -22083,6 +22099,7 @@ SELECT n.doc_id,
        round(coalesce(agg.dup_tokens, 0) * 1.0 / NULLIF(n.n_tokens, 0), 6)
          AS dup_ratio
 FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id"""
+)
 
 
 @register(
@@ -22113,10 +22130,8 @@ def q311_repeated_substring_dedup(spark, sf_dir):
     )
 
 
-_SUBSTR_CHAIN = _SUBSTR_SQL[: _SUBSTR_SQL.index("\nSELECT n.doc_id")]
-
 _SUBSTR_APPLY_SQL = (
-    _SUBSTR_CHAIN
+    _substr_chain(_SUBSTR_K)
     + """,
 tk0 AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM t),
 tk AS (SELECT doc_id, CAST(p AS INT) AS p, toks[p + 1] AS tok FROM tk0),
@@ -22160,6 +22175,171 @@ FROM n LEFT JOIN reasm USING (doc_id) ORDER BY n.doc_id"""
 def q315_exact_substring_dedup_apply(spark, sf_dir):
     return text_dedup.exact_substring_dedup_reassemble(
         _t(spark, sf_dir, "documents"), window=_SUBSTR_K
+    )
+
+
+_SENS2_KS = (4, 8, 16)
+
+_SENS2_SQL = (
+    "\nUNION ALL\n".join(
+        f"""({_substr_chain(k)}
+SELECT {k} AS window_k,
+       CAST(count(CASE WHEN agg.dup_tokens > 0 THEN 1 END) AS BIGINT)
+         AS n_docs_affected,
+       CAST(coalesce(sum(agg.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+       CAST(sum(n.n_tokens) AS BIGINT) AS total_tokens,
+       round(coalesce(sum(agg.dup_tokens), 0) * 1.0
+             / NULLIF(sum(n.n_tokens), 0), 6) AS dup_rate
+FROM n LEFT JOIN agg USING (doc_id))"""
+        for k in _SENS2_KS
+    )
+    + "\nORDER BY window_k"
+)
+
+
+@register(
+    "q316_substring_window_sensitivity",
+    _SENS2_SQL,
+    ops=("ext-substring-sensitivity",),
+    doc="EXACTSUBSTR WINDOW-SENSITIVITY CURVE — q302's tuning-table "
+    "idea applied to the substring grain: corpus totals of "
+    f"repeated-span coverage at gram windows {_SENS2_KS} (affected "
+    "docs, covered tokens, coverage rate).  The window is THE "
+    "ExactSubstr knob (Lee et al. use 50 tokens; smaller windows "
+    "catch more boilerplate at more collateral) and this table is "
+    "what a pipeline owner reads before committing a k to a 100 TB "
+    "dedup pass.  Monotonicity (coverage non-increasing in k) is "
+    "pinned in pytest.  Each arm is q311's span derivation verbatim "
+    "(shared _repeat_spans / _substr_chain builders); the oracle "
+    "replays all three arms as unioned subqueries.  Scale: three "
+    "independent linear passes over the corpus (per-arm cost is the "
+    "q311 profile); arms could share the tokenize via a k-max gram "
+    "prefix at the cost of oracle readability — three clean passes "
+    "is the honest default.",
+)
+def q316_substring_window_sensitivity(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = None
+    for k in _SENS2_KS:
+        base, spans = text_dedup._repeat_spans(docs, "text", "doc_id", k)
+        per_doc = spans.groupBy("doc_id").agg(
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens")
+        )
+        arm = (
+            base.join(per_doc, "doc_id", "left")
+            .agg(
+                F.count(F.when(F.col("dup_tokens") > 0, 1))
+                .cast("bigint")
+                .alias("n_docs_affected"),
+                F.coalesce(F.sum("dup_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias("dup_tokens"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.round(
+                    F.coalesce(F.sum("dup_tokens"), F.lit(0))
+                    / F.nullif(
+                        F.sum("n_tokens").cast("double"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("dup_rate"),
+            )
+            .select(
+                F.lit(k).alias("window_k"),
+                "n_docs_affected",
+                "dup_tokens",
+                "total_tokens",
+                "dup_rate",
+            )
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("window_k")
+
+
+_CUR4_SQL = (
+    _substr_chain(_SUBSTR_K)
+    + f""",
+kt AS (
+  SELECT d.source, n.n_tokens,
+         n.n_tokens - coalesce(agg.dup_tokens, 0) AS kept
+  FROM n LEFT JOIN agg USING (doc_id)
+  JOIN documents d ON d.doc_id = n.doc_id),
+psrc AS (
+  SELECT source, count(*) AS n_docs, sum(n_tokens) AS raw, sum(kept) AS c
+  FROM kt GROUP BY source),
+cap AS (SELECT source, c FROM psrc),
+{_WF_CTES}
+SELECT psrc.source,
+       CAST(psrc.n_docs AS BIGINT) AS n_docs,
+       CAST(psrc.raw AS BIGINT) AS tokens_raw,
+       alloc.capacity AS tokens_clean,
+       round((psrc.raw - psrc.c) * 1.0 / NULLIF(psrc.raw, 0), 6)
+         AS removed_share,
+       alloc.allocation AS token_allocation,
+       alloc.saturated
+FROM psrc JOIN alloc USING (source)
+ORDER BY psrc.source"""
+)
+
+
+@register(
+    "q317_curation_pipeline_v4",
+    _CUR4_SQL,
+    ops=("ext-curation-dag-v4",),
+    doc="CURATION DAG v4 — the round's new dedup grain composed into "
+    "the budgeting funnel (v2 q267 composes dedup+coverage, v3 q290 "
+    "composes DSIR selection; v4 budgets the SUBSTRING-CLEANED "
+    "corpus): q311's repeated-span derivation yields each doc's "
+    "surviving token count (n_tokens - covered; the q315 identity), "
+    "per-source capacities of the cleaned corpus feed the q289 "
+    "closed-form water-fill of a half-budget.  Output per source: "
+    "docs, raw vs clean tokens, removed share, token allocation, "
+    "saturation — what substring dedup actually buys each source "
+    "before the mix is committed.  Every downstream number depends "
+    "on the upstream span winners (true composition; CTE-chain "
+    "oracle sharing _substr_chain and the _WF_CTES water-fill "
+    "replay).  Scale: the q311 profile + |sources|-row water-fill "
+    "arithmetic; the span stage's gram table is persisted once and "
+    "shared (caller-managed).",
+)
+def q317_curation_pipeline_v4(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base, spans = text_dedup._repeat_spans(docs, "text", "doc_id", _SUBSTR_K)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens")
+    )
+    kt = (
+        base.join(per_doc, "doc_id", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0))
+            ).alias("kept"),
+        )
+    )
+    psrc = kt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("raw"),
+        F.sum("kept").alias("c"),
+    ).persist()
+    alloc = _waterfill_alloc(psrc.select("source", "c")).drop("water_level")
+    return (
+        psrc.join(F.broadcast(alloc), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("raw").cast("bigint").alias("tokens_raw"),
+            F.col("capacity").alias("tokens_clean"),
+            F.round(
+                (F.col("raw") - F.col("c"))
+                / F.nullif(F.col("raw").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("removed_share"),
+            F.col("allocation").alias("token_allocation"),
+            "saturated",
+        )
+        .orderBy("source")
     )
 
 
@@ -22598,6 +22778,8 @@ STAMP_PRIORITY: list[str] = [
     "q313_quality_ensemble_gate",
     "q314_label_propagation_gated",
     "q315_exact_substring_dedup_apply",
+    "q316_substring_window_sensitivity",
+    "q317_curation_pipeline_v4",
     # head of the stale-r04 refresh queue (bodies unchanged,
     # pytest-green; stamps refresh oldest-first):
     "q11_top20_part_types",
@@ -22605,9 +22787,9 @@ STAMP_PRIORITY: list[str] = [
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
+    # ---- r11 queue (beyond the 50-slot window; doc only) ----
     "q17_quarantine_rows",
     "q18_token_counts",
-    # ---- r11 queue (beyond the 50-slot window; doc only) ----
     "q19_language_id",
     "q20_quality_scores",
     "q21_doc_fingerprints",

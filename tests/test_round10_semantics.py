@@ -110,6 +110,51 @@ def test_q315_apply_matches_audit(spark):
     assert out[1]["clean_text"] == "X Y" and out[1]["n_removed_tokens"] == 8
 
 
+def test_q316_coverage_monotone_in_window(spark):
+    """A span repeated at >= k tokens is caught by every window <= k,
+    so covered-token totals and affected-doc counts are non-
+    increasing in the gram window."""
+    rows = sorted(
+        sq.QUERY_REGISTRY["q316_substring_window_sensitivity"].fn(
+            spark, SF_SMOKE
+        ).collect(),
+        key=lambda r: r["window_k"],
+    )
+    spark.catalog.clearCache()
+    assert [r["window_k"] for r in rows] == list(sq._SENS2_KS)
+    assert len({r["total_tokens"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["dup_tokens"] >= b["dup_tokens"]
+        assert a["n_docs_affected"] >= b["n_docs_affected"]
+
+
+def test_q317_funnel_conservation(spark):
+    """v4's per-source funnel: tokens_clean == tokens_raw - removed
+    (the q315 identity aggregated), allocations never exceed clean
+    capacity, and the water-fill spends the half-budget to the
+    rounding bound (the r10 absolute-tolerance pin)."""
+    rows = sq.QUERY_REGISTRY["q317_curation_pipeline_v4"].fn(
+        spark, SF_SMOKE
+    ).collect()
+    spark.catalog.clearCache()
+    per_doc = {
+        r["doc_id"]: r
+        for r in sq.QUERY_REGISTRY["q315_exact_substring_dedup_apply"].fn(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert sum(r["tokens_clean"] for r in rows) == sum(
+        v["n_kept_tokens"] for v in per_doc.values()
+    )
+    for r in rows:
+        assert 0 <= r["tokens_clean"] <= r["tokens_raw"]
+        assert r["token_allocation"] <= r["tokens_clean"] + 1e-9
+    budget = sum(r["tokens_clean"] for r in rows) // 2
+    spent = sum(r["token_allocation"] for r in rows)
+    assert abs(spent - budget) <= len(rows) * 5e-7
+
+
 def test_q312_conservation_and_dominated_rule(spark):
     """kept + pruned partitions the corpus; every pruned vector names
     a strictly-lower pruned_by in its OWN cluster; kept vectors name
