@@ -263,6 +263,7 @@ EXTRA = [
     "q315_exact_substring_dedup_apply",  # ExactSubstr removal + reassembly
     "q316_substring_window_sensitivity",  # coverage curve vs gram window
     "q317_curation_pipeline_v4",      # substring-clean -> water-fill funnel
+    "q318_semantic_dedup_arrow",      # SemDeDup via Arrow kernels (q312 twin)
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

@@ -908,3 +908,143 @@ def centroid_top2_arrow(
     return base.select("vec_id", "v", "vnorm").mapInPandas(
         fn, schema="vec_id long, cell int, rk int"
     )
+
+
+def centroid_assign_arrow(
+    base: DataFrame,
+    cent_rows,
+    centroid_block: int = 4096,
+) -> DataFrame:
+    """Nearest-centroid assignment (argmax round9(cos), ties to the
+    LOWEST cluster id) as a numpy mapInPandas kernel — the Arrow twin
+    of the JVM ``_km_assign`` argmax used by q282/q312, built on
+    :func:`centroid_top2_arrow`'s exactness contract: the dot
+    accumulates per dimension in the SQL fold's IEEE order, norms are
+    PRECOMPUTED JVM-side (``_norm_expr``) on both sides so the
+    division sees identical doubles, and the only seam is float
+    half-up rounding at the 1e-9 grid — consumers must be pinned
+    engine twins of a value-oracled query (the q270 discipline).
+
+    ``base`` carries (vec_id, v, vnorm); ``cent_rows`` is the
+    collected (cluster, cv, cnorm) relation — k x dim bounded, rides
+    in the task closure (the same O(k*dim) payload the JVM path
+    broadcasts).  Output (vec_id, v, vnorm, cluster) passes the
+    vector through, so downstream update/prune stages need no
+    re-join — the whole pass is a narrow map, no shuffle.
+
+    Memory ceiling: centroids are scored in ``centroid_block``-column
+    blocks in ascending-cluster order with a running strict-max, so
+    the per-task score matrix is |batch| x block doubles regardless
+    of k; strict (>) updates keep the earliest block's winner on
+    ties — exactly ties-to-lowest.
+    """
+    import numpy as np
+
+    cells = np.array([r[0] for r in cent_rows], dtype=np.int32)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    cn = np.array([r[2] for r in cent_rows], dtype=np.float64)
+    order0 = np.argsort(cells, kind="stable")
+    cells, C, cn = cells[order0], C[order0], cn[order0]
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vn = pdf["vnorm"].to_numpy(dtype=np.float64)
+            best_s = np.full(n, -np.inf, dtype=np.float64)
+            best_c = np.zeros(n, dtype=np.int32)
+            for lo in range(0, len(cells), centroid_block):
+                Cb = C[lo : lo + centroid_block]
+                acc = np.zeros((n, len(Cb)), dtype=np.float64)
+                for d in range(Cb.shape[1]):
+                    acc += V[:, d : d + 1] * Cb[None, :, d][0]
+                cos = acc / (vn[:, None] * cn[None, lo : lo + centroid_block])
+                s9 = np.copysign(np.floor(np.abs(cos) * 1e9 + 0.5), cos) / 1e9
+                # within the block: first max of a stable argsort on
+                # -s9 = ties to the lowest cluster (pre-sorted asc)
+                j = np.argmax(s9, axis=1)  # np.argmax returns FIRST max
+                s = s9[np.arange(n), j]
+                upd = s > best_s  # strict: earlier blocks win ties
+                best_s[upd] = s[upd]
+                best_c[upd] = cells[lo : lo + centroid_block][j[upd]]
+            out = pdf[["vec_id", "v", "vnorm"]].copy()
+            out["cluster"] = best_c
+            yield out
+
+    return base.select("vec_id", "v", "vnorm").mapInPandas(
+        fn, schema="vec_id long, v array<double>, vnorm double, cluster int"
+    )
+
+
+def cluster_dominated_prune_arrow(
+    asg: DataFrame,
+    threshold: float,
+    member_block: int = 2048,
+) -> DataFrame:
+    """SemDeDup's dominated-rule prune as a per-cluster applyInPandas
+    kernel — the Arrow twin of q312's JVM within-cluster pair join:
+    a vector is pruned iff some LOWER-vec_id member of its cluster
+    has round9(cosine) >= ``threshold``; ``pruned_by`` reports the
+    smallest such id (NULL = kept).
+
+    Same exactness contract as :func:`centroid_assign_arrow` (d-order
+    dot fold, JVM-precomputed norms, half-up round at 1e-9 the only
+    seam).  Plan shape: ONE shuffle on the cluster key (the same key
+    the JVM pair join shuffles on); pairs never materialize as rows.
+
+    Memory ceiling: members are sorted by vec_id and scored against
+    the full member set in ``member_block``-row column blocks, so the
+    per-task matrix is |cluster| x block doubles — sqrt-n clusters of
+    a 10^10-vector corpus stay ~1.6 GB at the default block instead
+    of |cluster|^2.
+    """
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        vn = pdf["vnorm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        pruned_by = np.full(n, -1, dtype=np.int64)
+        for lo in range(0, n, member_block):
+            hi = min(lo + member_block, n)
+            acc = np.zeros((n, hi - lo), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[:, d : d + 1] * V[None, lo:hi, d][0]
+            cos = acc / (vn[:, None] * vn[None, lo:hi])
+            s9 = np.copysign(np.floor(np.abs(cos) * 1e9 + 0.5), cos) / 1e9
+            # dominance: row i prunes column j iff i < j (global
+            # member order == vec_id order) and s9 >= t; the first
+            # qualifying row per column is the smallest dominating id
+            mask = s9 >= threshold
+            # zero out i >= j (self and higher/equal ids)
+            rows = np.arange(n)[:, None]
+            cols = np.arange(lo, hi)[None, :]
+            mask &= rows < cols
+            has = mask.any(axis=0)
+            first = np.where(has, mask.argmax(axis=0), -1)
+            blk = np.full(hi - lo, -1, dtype=np.int64)
+            blk[has] = ids[first[has]]
+            cur = pruned_by[lo:hi]
+            take = has & ((cur == -1) | (blk < cur))
+            cur[take] = blk[take]
+            pruned_by[lo:hi] = cur
+        pb = pd.Series(pruned_by, dtype="Int64")
+        pb[pruned_by == -1] = pd.NA
+        out = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(dtype=np.int32),
+                "pruned_by": pb,
+            }
+        )
+        return out
+
+    return (
+        asg.select("vec_id", "v", "vnorm", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(fn, schema="vec_id long, cluster int, pruned_by long")
+    )

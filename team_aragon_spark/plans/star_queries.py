@@ -22719,6 +22719,71 @@ def q314_label_propagation_gated(spark, sf_dir):
     )
 
 
+@register(
+    "q318_semantic_dedup_arrow",
+    _semdd_oracle_sql(),  # q312's oracle verbatim: the kernel chain
+    # is pinned row-identical to the JVM chain in pytest (the
+    # q270/q314 twin-with-shared-oracle discipline), so the same CTE
+    # replay is a full value oracle here too.
+    ops=("ext-semantic-dedup-arrow",),
+    doc="ARROW-KERNEL twin of q312's SemDeDup — the interpreted-fold "
+    "wall (q312 cold at 100x is 2.7e8 JVM aggregate folds, the q264 "
+    "floor) moved into two numpy kernels with the q270 exactness "
+    "contract (d-order dot folds, JVM-precomputed norms on both "
+    "sides, half-up round at 1e-9 the only seam): "
+    "similarity.centroid_assign_arrow scores each vector against "
+    "the collected k x dim centroid slice in a NARROW map (vectors "
+    "never shuffle; centroid-blocked running strict-max = ties to "
+    "lowest), and similarity.cluster_dominated_prune_arrow runs the "
+    "within-cluster dominated rule as one applyInPandas cogroup on "
+    "the cluster key (member-blocked — pairs never materialize as "
+    "rows).  Lloyd updates stay JVM (_km_update, k x dim reduce "
+    "state).  Exact row equality to q312 is pinned in pytest at "
+    "smoke scale and holds at sf0.01 (both stamp against the same "
+    "oracle).  Scale: the assignment is n x k at memory bandwidth; "
+    "the prune is one cluster-key shuffle with sqrt-n-bounded "
+    "blocks.",
+)
+def q318_semantic_dedup_arrow(spark, sf_dir):
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vnorm = F.expr(similarity._norm_expr("v"))
+    base = (
+        emb.select("vec_id", F.col("embedding").alias("v"))
+        .withColumn("vnorm", vnorm)
+        .persist()
+    )
+    nc = int(math.ceil(math.sqrt(base.count())))
+    cent = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("cv"),
+    )
+
+    def _rows(c):
+        # k x dim bounded collect — the same O(k*dim) payload the JVM
+        # path broadcasts, shipped in the kernel closure instead
+        return (
+            c.select(
+                "cluster", "cv", F.expr(similarity._norm_expr("cv")).alias("n")
+            )
+            .collect()
+        )
+
+    for _ in range(_KM_ROUNDS):
+        asg = similarity.centroid_assign_arrow(base, _rows(cent))
+        cent = _km_update(asg)
+    asg = similarity.centroid_assign_arrow(base, _rows(cent))
+    pr = similarity.cluster_dominated_prune_arrow(asg, _SEMDD_T)
+    return pr.select(
+        "vec_id",
+        "cluster",
+        F.col("pruned_by").isNull().alias("kept"),
+        F.col("pruned_by").cast("bigint").alias("pruned_by"),
+    ).orderBy("vec_id")
+
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-10 window (first 50 = the driver's stamp set) ----
     # The 36 never-stamped r9 registrations q275-q310 (judge's own
@@ -22780,14 +22845,15 @@ STAMP_PRIORITY: list[str] = [
     "q315_exact_substring_dedup_apply",
     "q316_substring_window_sensitivity",
     "q317_curation_pipeline_v4",
+    "q318_semantic_dedup_arrow",
     # head of the stale-r04 refresh queue (bodies unchanged,
     # pytest-green; stamps refresh oldest-first):
     "q11_top20_part_types",
     "q13_customers_without_orders",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
-    "q16_validation_counts",
     # ---- r11 queue (beyond the 50-slot window; doc only) ----
+    "q16_validation_counts",
     "q17_quarantine_rows",
     "q18_token_counts",
     "q19_language_id",

@@ -174,6 +174,64 @@ def test_q312_conservation_and_dominated_rule(spark):
         assert cluster_of[r["pruned_by"]] == r["cluster"]
 
 
+def test_q318_arrow_twin_equals_q312(spark):
+    """The Arrow SemDeDup chain (kernel assignment + kernel prune)
+    must reproduce the JVM chain row for row — the pin that lets
+    q318 register q312's value oracle (the q270/q264 discipline)."""
+    a = sorted(
+        map(tuple, sq.QUERY_REGISTRY["q312_semantic_dedup"].fn(
+            spark, SF_SMOKE).collect())
+    )
+    spark.catalog.clearCache()
+    b = sorted(
+        map(tuple, sq.QUERY_REGISTRY["q318_semantic_dedup_arrow"].fn(
+            spark, SF_SMOKE).collect())
+    )
+    spark.catalog.clearCache()
+    assert a == b
+
+
+def test_arrow_kernels_blocked_exact(spark):
+    """Blocking cannot move a bit: centroid_assign_arrow with a
+    2-centroid block and cluster_dominated_prune_arrow with a 3-row
+    member block must equal the unblocked kernels on the real smoke
+    corpus."""
+    import math
+
+    from team_aragon_spark.operators import similarity
+
+    emb = sq._t(spark, SF_SMOKE, "embeddings")
+    base = (
+        emb.select("vec_id", F.col("embedding").alias("v"))
+        .withColumn("vnorm", F.expr(similarity._norm_expr("v")))
+        .persist()
+    )
+    nc = int(math.ceil(math.sqrt(base.count())))
+    cent = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("cv"),
+    )
+    rows = cent.select(
+        "cluster", "cv", F.expr(similarity._norm_expr("cv")).alias("n")
+    ).collect()
+    big = similarity.centroid_assign_arrow(base, rows)
+    small = similarity.centroid_assign_arrow(base, rows, centroid_block=2)
+    ab = {(r["vec_id"], r["cluster"]) for r in big.collect()}
+    asml = {(r["vec_id"], r["cluster"]) for r in small.collect()}
+    assert ab == asml
+    asg = big
+    pb = sorted(
+        map(tuple, similarity.cluster_dominated_prune_arrow(
+            asg, sq._SEMDD_T).collect())
+    )
+    ps = sorted(
+        map(tuple, similarity.cluster_dominated_prune_arrow(
+            asg, sq._SEMDD_T, member_block=3).collect())
+    )
+    assert pb == ps
+    spark.catalog.clearCache()
+
+
 def test_q313_funnel_monotonicity(spark):
     """Per source: every pass count and the kept count are bounded by
     n_docs; keep_share is exactly round(n_kept/n_docs, 6); median
