@@ -954,7 +954,14 @@ def centroid_assign_arrow(
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             vn = pdf["vnorm"].to_numpy(dtype=np.float64)
             best_s = np.full(n, -np.inf, dtype=np.float64)
-            best_c = np.zeros(n, dtype=np.int32)
+            # init to the LOWEST live cluster id, not literal 0: a
+            # zero-norm vector scores NaN everywhere (NaN > best is
+            # always False), and the JVM twin's max(struct(NULL, nc))
+            # resolves such a vector to the lowest cluster — matching
+            # that here keeps the seam NaN-free (r10 review finding)
+            best_c = np.full(
+                n, cells[0] if len(cells) else 0, dtype=np.int32
+            )
             for lo in range(0, len(cells), centroid_block):
                 Cb = C[lo : lo + centroid_block]
                 acc = np.zeros((n, len(Cb)), dtype=np.float64)

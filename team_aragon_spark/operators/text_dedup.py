@@ -707,13 +707,22 @@ def _repeat_spans(
     merged into maximal spans per document with gaps-and-islands
     windows partitioned by doc_id only (bounded by document length).
 
-    Returns ``(base, spans)``: per-doc token counts, and the merged
-    (id, s, e) span relation.  Nothing is ever pairwise in |docs|.
+    Returns ``(base, spans, occ)``: per-doc token counts, the merged
+    (id, s, e) span relation, and the persisted gram table (so
+    multi-arm callers like q316 can unpersist an arm before building
+    the next).  Nothing is ever pairwise in |docs|.
     """
     toks = f"split({text_col}, ' ')"
+    # The token array is materialized as a column BEFORE the gram
+    # lambda references it: with split() inlined inside the
+    # transform(), the lambda re-tokenizes the document once per gram
+    # position — O(tokens^2) characters per doc (the minhash shingle
+    # hazard, operators/text_dedup.py::minhash_signatures).  The
+    # filter between the projection and the generator also blocks
+    # CollapseProject from re-inlining it.
     grams = (
-        f"transform(sequence(0, size({toks}) - {window}), "
-        f"i -> md5(cast(array_join(slice({toks}, i + 1, {window}), ' ') AS binary)))"
+        f"transform(sequence(0, size(__tk) - {window}), "
+        f"i -> md5(cast(array_join(slice(__tk, i + 1, {window}), ' ') AS binary)))"
     )
     base = df.select(F.col(id_col), F.size(F.expr(toks)).alias("n_tokens"))
     # persisted: the gram table feeds both the winner aggregate and
@@ -722,7 +731,8 @@ def _repeat_spans(
     # caching at 100x, see PLANS.md).  ~1 digest row per corpus
     # token; cache lifetime caller-managed (bench clears per query).
     occ = (
-        df.filter(F.size(F.expr(toks)) >= window)
+        df.select(F.col(id_col), F.expr(toks).alias("__tk"))
+        .filter(F.size("__tk") >= window)
         .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gk"))
         .persist()
     )
@@ -757,7 +767,7 @@ def _repeat_spans(
         .groupBy(id_col, "isl")
         .agg(F.min("pos").alias("s"), F.max("endp").alias("e"))
     )
-    return base, spans
+    return base, spans, occ
 
 
 def exact_substring_spans(
@@ -787,7 +797,7 @@ def exact_substring_spans(
     spans), ``max_span``, ``dup_ratio``.  Scale shape: see
     ``_repeat_spans``.
     """
-    base, spans = _repeat_spans(df, text_col, id_col, window)
+    base, spans, _occ = _repeat_spans(df, text_col, id_col, window)
     isl = spans.groupBy(id_col).agg(
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
         F.count(F.lit(1)).alias("n_spans"),
@@ -835,7 +845,7 @@ def exact_substring_dedup_reassemble(
     array_sort(collect_list) shape bounded by document length (the
     q98/q110 discipline).
     """
-    base, spans = _repeat_spans(df, text_col, id_col, window)
+    base, spans, _occ = _repeat_spans(df, text_col, id_col, window)
     toks = f"split({text_col}, ' ')"
     tok_tbl = df.select(
         F.col(id_col), F.posexplode(F.expr(toks)).alias("p", "tok")

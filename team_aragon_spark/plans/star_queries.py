@@ -22219,13 +22219,18 @@ FROM n LEFT JOIN agg USING (doc_id))"""
 )
 def q316_substring_window_sensitivity(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    out = None
+    rows = []
     for k in _SENS2_KS:
-        base, spans = text_dedup._repeat_spans(docs, "text", "doc_id", k)
+        base, spans, occ = text_dedup._repeat_spans(docs, "text", "doc_id", k)
         per_doc = spans.groupBy("doc_id").agg(
             F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens")
         )
-        arm = (
+        # each arm reduces to ONE row, materialized eagerly so the
+        # arm's corpus-token-sized gram cache can be dropped before
+        # the next arm builds its own — otherwise all three gram
+        # tables (k=4's the largest) sit in executor storage at once
+        # (r10 review finding).  The collect is a bounded scalar row.
+        r = (
             base.join(per_doc, "doc_id", "left")
             .agg(
                 F.count(F.when(F.col("dup_tokens") > 0, 1))
@@ -22243,16 +22248,15 @@ def q316_substring_window_sensitivity(spark, sf_dir):
                     6,
                 ).alias("dup_rate"),
             )
-            .select(
-                F.lit(k).alias("window_k"),
-                "n_docs_affected",
-                "dup_tokens",
-                "total_tokens",
-                "dup_rate",
-            )
+            .first()
         )
-        out = arm if out is None else out.unionAll(arm)
-    return out.orderBy("window_k")
+        occ.unpersist()
+        rows.append((k, *r))
+    return spark.createDataFrame(
+        rows,
+        "window_k int, n_docs_affected bigint, dup_tokens bigint, "
+        "total_tokens bigint, dup_rate double",
+    ).orderBy("window_k")
 
 
 _CUR4_SQL = (
@@ -22303,7 +22307,7 @@ ORDER BY psrc.source"""
 )
 def q317_curation_pipeline_v4(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    base, spans = text_dedup._repeat_spans(docs, "text", "doc_id", _SUBSTR_K)
+    base, spans, _occ = text_dedup._repeat_spans(docs, "text", "doc_id", _SUBSTR_K)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens")
     )
@@ -22835,9 +22839,9 @@ STAMP_PRIORITY: list[str] = [
     "q310_dsir_selection_depth",
     "q157_mad_robust_outliers",
     "q270_knn_ivf_loo_arrow",
-    # the four r10 registrations (all full-oracle, verified green at
-    # sf0.001 AND sf0.01 before entering the window — no new query
-    # is ever born outside the stamp window again):
+    # the eight r10 registrations (all full-oracle, each verified
+    # green at sf0.001 AND sf0.01 before entering the window — no
+    # new query is ever born outside the stamp window again):
     "q311_repeated_substring_dedup",
     "q312_semantic_dedup",
     "q313_quality_ensemble_gate",

@@ -275,10 +275,15 @@ def test_q314_gate_branches_equal_q246(spark, monkeypatch):
 
 
 def test_q314_vote_join_physical_strategy(spark):
-    """The per-round vote join's executed plan: broadcast hash join
-    when the label relation rides F.broadcast (the under-gate
-    branch), no broadcast hash join on the fallback — pinned on the
-    exact join the query builds each round."""
+    """The per-round vote join's executed plan, pinned on the exact
+    join expressions q314 builds each round: the under-gate branch's
+    F.broadcast(lab) always produces a broadcast hash join, and the
+    fallback branch (plain `und.join(lab)`, exactly as in the query
+    body) leaves Catalyst free to shuffle — asserted with the
+    auto-broadcast threshold disabled, the condition that holds by
+    size alone at the >5M-node scale the gate exists for (at smoke
+    scale AQE would broadcast the tiny label relation on its own,
+    which is correct and value-identical)."""
     li = sq._t(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
     x, y = li.alias("x"), li.alias("y")
     und = (
@@ -304,16 +309,22 @@ def test_q314_vote_join_physical_strategy(spark):
         return j._jdf.queryExecution().executedPlan().toString()
 
     votes_b = und.join(F.broadcast(lab), "nbr").groupBy("node", "label").count()
-    votes_s = und.join(lab.hint("shuffle_merge"), "nbr").groupBy(
-        "node", "label"
-    ).count()
-    # the und build itself contains a broadcast (the orderkey
-    # self-join broadcasts at smoke scale), so the pin counts joins:
-    # the broadcast branch has one MORE BroadcastHashJoin (the vote
-    # join) and no sort-merge join; the shuffled branch runs the
-    # vote join as SortMergeJoin.
-    pb, ps = plan(votes_b), plan(votes_s)
-    assert pb.count("BroadcastHashJoin") == ps.count("BroadcastHashJoin") + 1
+    # the REAL fallback shape from the query body — no hint; disable
+    # auto-broadcast so the plan reflects what Catalyst does when the
+    # label relation is too big to broadcast (the gate's reason to
+    # exist), not what it does at smoke size
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        votes_s = und.join(lab, "nbr").groupBy("node", "label").count()
+        ps = plan(votes_s)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    pb = plan(votes_b)
+    # the broadcast branch's vote join is a BroadcastHashJoin and the
+    # plan needs no sort-merge anywhere; the un-broadcastable fallback
+    # runs the vote join as SortMergeJoin
+    assert "BroadcastHashJoin" in pb
     assert "SortMergeJoin" not in pb
     assert "SortMergeJoin" in ps
     spark.catalog.clearCache()
