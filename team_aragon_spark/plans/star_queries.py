@@ -22347,6 +22347,182 @@ def q317_curation_pipeline_v4(spark, sf_dir):
     )
 
 
+_GT_MAX_R = 10
+
+_GT_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+t2 AS (SELECT term FROM tok WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS c FROM t2 GROUP BY term),
+tot AS (SELECT sum(c) AS n_tokens, count(*) AS n_types FROM vocab),
+ff AS (SELECT c AS r, count(*) AS n_r FROM vocab GROUP BY c),
+grid AS (SELECT CAST(unnest(range(1, {_GT_MAX_R + 1})) AS BIGINT) AS r)
+SELECT grid.r,
+       CAST(coalesce(ff.n_r, 0) AS BIGINT) AS n_r,
+       round((grid.r + 1) * coalesce(nxt.n_r, 0) * 1.0
+             / NULLIF(ff.n_r, 0), 6) AS r_star,
+       CAST(tot.n_tokens AS BIGINT) AS total_tokens,
+       CAST(tot.n_types AS BIGINT) AS total_types,
+       round(coalesce((SELECT n_r FROM ff WHERE r = 1), 0) * 1.0
+             / tot.n_tokens, 6) AS p_unseen
+FROM grid
+LEFT JOIN ff ON ff.r = grid.r
+LEFT JOIN ff nxt ON nxt.r = grid.r + 1
+CROSS JOIN tot
+ORDER BY grid.r"""
+
+
+@register(
+    "q319_good_turing_unseen_mass",
+    _GT_SQL,
+    ops=("ext-good-turing",),
+    doc="GOOD-TURING FREQUENCY-OF-FREQUENCIES TABLE + unseen-token "
+    "mass — the classic coverage statistic a corpus owner reads "
+    "before trusting a vocabulary or estimating OOV exposure "
+    f"(complements q284's fixed-vocab OOV and q307's Heaps growth): "
+    f"for r = 1..{_GT_MAX_R}, the count N_r of token types seen "
+    "exactly r times, the Good-Turing adjusted count "
+    "r* = (r+1) N_(r+1) / N_r, and the leave-one-out unseen-mass "
+    "estimate P0 = N_1 / total_tokens (Good 1953; the singleton "
+    "share IS the probability the next token is a new type).  "
+    "Scale: one token-explode into a map-combined vocab count, then "
+    "a frequency-of-frequencies aggregate over the VOCABULARY-sized "
+    "relation (tiny), joined to a fixed 10-row grid so empty "
+    "frequency classes emit explicit zeros.",
+)
+def q319_good_turing_unseen_mass(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(text.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = vocab.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    ff = vocab.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    ).persist()
+    # aggregate (never filter-then-first): a corpus with no singleton
+    # types must still yield ONE row with n_1 = 0, not an empty
+    # relation that empties the cross join
+    n1 = ff.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("n_1")
+    )
+    grid = spark.range(1, _GT_MAX_R + 1).select(F.col("id").alias("r"))
+    nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("nn"))
+    return (
+        grid.join(F.broadcast(ff), "r", "left")
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            F.coalesce("n_r", F.lit(0)).cast("bigint").alias("n_r"),
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce("nn", F.lit(0))
+                / F.nullif(F.col("n_r").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("r_star"),
+            F.col("n_tokens").cast("bigint").alias("total_tokens"),
+            F.col("n_types").cast("bigint").alias("total_types"),
+            F.round(F.col("n_1") / F.col("n_tokens"), 6).alias("p_unseen"),
+        )
+        .orderBy("r")
+    )
+
+
+_ATTR_SQL = (
+    _substr_chain(_SUBSTR_K)[
+        : _substr_chain(_SUBSTR_K).index(",\nr AS (")
+    ]
+    + f""",
+rr AS (SELECT doc_id, pos, gk,
+              row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+       FROM g),
+rep AS (SELECT gk, doc_id AS dup_doc FROM rr WHERE rn > 1),
+fst AS (SELECT gk, doc_id AS first_doc FROM rr WHERE rn = 1),
+pr AS (
+  SELECT d1.source AS src_first, d2.source AS src_dup, rep.gk
+  FROM rep JOIN fst USING (gk)
+  JOIN documents d1 ON d1.doc_id = fst.first_doc
+  JOIN documents d2 ON d2.doc_id = rep.dup_doc)
+SELECT src_first, src_dup,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT gk) AS BIGINT) AS n_grams
+FROM pr GROUP BY src_first, src_dup
+ORDER BY src_first, src_dup"""
+)
+
+
+@register(
+    "q320_boilerplate_source_attribution",
+    _ATTR_SQL,
+    ops=("ext-substring-attribution",),
+    doc="CROSS-SOURCE BOILERPLATE ATTRIBUTION — who repeats whose "
+    "text: every repeated (non-first) sliding-gram occurrence from "
+    "q311's derivation is attributed as a directed (source of the "
+    "FIRST corpus occurrence -> source of the repeat) edge, "
+    "aggregated to a |sources|^2-bounded matrix of repeat "
+    "occurrences and distinct repeated grams.  The diagonal is "
+    "within-source boilerplate (template text); off-diagonal mass "
+    "is cross-source copying/syndication — the observability view "
+    "that tells a pipeline owner WHERE the q311 dup mass comes "
+    "from before deciding which source to clean at 100 TB.  Scale: "
+    "the q311 gram aggregate (min-struct winners; here the oracle's "
+    "rn ranking maps to the same min-struct discipline in the Spark "
+    "plan) + two broadcast-dimension joins on doc_id; output is "
+    "source-cardinality bounded.",
+)
+def q320_boilerplate_source_attribution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    _base, _spans, occ = text_dedup._repeat_spans(
+        docs, "text", "doc_id", _SUBSTR_K
+    )
+    stats = occ.groupBy("gk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+            "first"
+        ),
+    )
+    rep = (
+        occ.join(stats, "gk")
+        .filter(
+            (F.col("cnt") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select("gk", "doc_id", F.col("first.d").alias("first_doc"))
+    )
+    return (
+        rep.join(
+            src.select(
+                F.col("doc_id").alias("first_doc"),
+                F.col("source").alias("src_first"),
+            ),
+            "first_doc",
+        )
+        .join(
+            src.select("doc_id", F.col("source").alias("src_dup")), "doc_id"
+        )
+        .groupBy("src_first", "src_dup")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("gk").cast("bigint").alias("n_grams"),
+        )
+        .orderBy("src_first", "src_dup")
+    )
+
+
 _SEMDD_T = 0.4
 
 
@@ -22839,7 +23015,7 @@ STAMP_PRIORITY: list[str] = [
     "q310_dsir_selection_depth",
     "q157_mad_robust_outliers",
     "q270_knn_ivf_loo_arrow",
-    # the eight r10 registrations (all full-oracle, each verified
+    # the ten r10 registrations (all full-oracle, each verified
     # green at sf0.001 AND sf0.01 before entering the window — no
     # new query is ever born outside the stamp window again):
     "q311_repeated_substring_dedup",
@@ -22850,13 +23026,15 @@ STAMP_PRIORITY: list[str] = [
     "q316_substring_window_sensitivity",
     "q317_curation_pipeline_v4",
     "q318_semantic_dedup_arrow",
+    "q319_good_turing_unseen_mass",
+    "q320_boilerplate_source_attribution",
     # head of the stale-r04 refresh queue (bodies unchanged,
     # pytest-green; stamps refresh oldest-first):
     "q11_top20_part_types",
     "q13_customers_without_orders",
+    # ---- r11 queue (beyond the 50-slot window; doc only) ----
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
-    # ---- r11 queue (beyond the 50-slot window; doc only) ----
     "q16_validation_counts",
     "q17_quarantine_rows",
     "q18_token_counts",

@@ -232,6 +232,45 @@ def test_arrow_kernels_blocked_exact(spark):
     spark.catalog.clearCache()
 
 
+def test_q319_good_turing_identities(spark):
+    """Frequency-of-frequencies sanity: p_unseen = N_1/total in
+    (0,1); r* is NULL exactly when N_r = 0; the mass accounted by
+    the r<=10 classes never exceeds the corpus."""
+    rows = sq.QUERY_REGISTRY["q319_good_turing_unseen_mass"].fn(
+        spark, SF_SMOKE
+    ).collect()
+    spark.catalog.clearCache()
+    assert [r["r"] for r in rows] == list(range(1, sq._GT_MAX_R + 1))
+    total = rows[0]["total_tokens"]
+    n1 = rows[0]["n_r"]
+    assert 0.0 <= rows[0]["p_unseen"] <= 1.0
+    assert abs(rows[0]["p_unseen"] - round(n1 / total, 6)) < 1e-12
+    assert sum(r["r"] * r["n_r"] for r in rows) <= total
+    for r in rows:
+        assert (r["r_star"] is None) == (r["n_r"] == 0)
+
+
+def test_q320_attribution_accounts_every_repeat(spark):
+    """The attribution matrix partitions the repeat occurrences:
+    sum(n_occurrences) over all source pairs must equal the
+    independently-computed total repeats (gram occurrences minus
+    distinct grams — each gram has exactly one first occurrence),
+    with no winner/ranking logic involved."""
+    from team_aragon_spark.operators import text_dedup
+
+    docs = sq._t(spark, SF_SMOKE, "documents")
+    _b, _s, occ = text_dedup._repeat_spans(
+        docs, "text", "doc_id", sq._SUBSTR_K
+    )
+    expected = occ.count() - occ.select("gk").distinct().count()
+    rows = sq.QUERY_REGISTRY["q320_boilerplate_source_attribution"].fn(
+        spark, SF_SMOKE
+    ).collect()
+    spark.catalog.clearCache()
+    assert sum(r["n_occurrences"] for r in rows) == expected
+    assert all(1 <= r["n_grams"] <= r["n_occurrences"] for r in rows)
+
+
 def test_q313_funnel_monotonicity(spark):
     """Per source: every pass count and the kept count are bounded by
     n_docs; keep_share is exactly round(n_kept/n_docs, 6); median
