@@ -366,22 +366,27 @@ def main() -> None:
     # The 150+-entry extra dict outgrew the driver's stdout-tail JSON
     # capture (BENCH_r07 recorded parsed:null) — the per-family
     # timings go to committed side files + stderr, and the compact
-    # headline line is the LAST thing on stdout.  Two files: the
-    # rolling BENCH_EXTRA.json (latest run) and a round-stamped
-    # BENCH_FULL_r{N}.json so round-over-round per-family comparison
-    # never depends on the driver's tail buffer (r9 VERDICT item 8);
-    # N = 1 + the highest driver-committed BENCH_r*.json.
+    # headline line is the LAST thing on stdout.  Default run writes
+    # only the rolling BENCH_EXTRA.json (latest run); the round-stamped
+    # BENCH_FULL_r{N}.json is written ONLY behind --round-stamp, so a
+    # post-stamp driver/judge bench run can never clobber the committed
+    # idle-box record for the round (it happened in r10: the committed
+    # 9.815 s record was silently replaced by a 12.081 s post-sweep
+    # run — r10 VERDICT item 3).  N = 1 + the highest driver-committed
+    # BENCH_r*.json.
     repo = os.path.dirname(os.path.abspath(__file__))
-    import glob
-    import re
+    targets = ["BENCH_EXTRA.json"]
+    if "--round-stamp" in sys.argv[1:]:
+        import glob
+        import re
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
-    ]
-    full_name = f"BENCH_FULL_r{(max(rounds, default=0) + 1):02d}.json"
-    for fname in ("BENCH_EXTRA.json", full_name):
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+        ]
+        targets.append(f"BENCH_FULL_r{(max(rounds, default=0) + 1):02d}.json")
+    for fname in targets:
         try:
             with open(os.path.join(repo, fname), "w") as f:
                 json.dump({**compact, "extra": extra_steady}, f, indent=1)
