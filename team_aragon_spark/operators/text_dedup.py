@@ -157,10 +157,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id", bands: in
 
 
 def incremental_candidate_pairs(
-    index_sigs: DataFrame,
+    index_sigs: DataFrame | None,
     batch_sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 32,
+    index_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (a, b) pairs between an EXISTING corpus index and a
     NEW batch only — the incremental-ingest dedup shape.
@@ -168,18 +169,24 @@ def incremental_candidate_pairs(
     ``a`` is an index id, ``b`` a batch id.  Unlike the symmetric
     self-join, index×index pairs never form: a daily 1 TB batch
     against a 100 TB corpus costs one equi-join of the batch's bucket
-    keys against the stored index relation (see :func:`banded_keys` —
-    in production the index side is read from storage, not recomputed;
-    here it is derived from signatures for a self-contained operator).
+    keys against the stored index relation.  The index side is either
+    derived in-session from ``index_sigs`` (self-contained form), or
+    passed directly as ``index_keys`` — the :func:`banded_keys`
+    relation READ FROM STORAGE (ParquetStore), which is the
+    production contract: written once at ingest, probed per batch,
+    never recomputed (round-trip equality with the derived form is
+    pytest-pinned).
     Caller contract: the two id sets are disjoint (the ``a != b``
     guard only protects against accidental overlap, not semantics).
     Cache contract: persists the batch-side keys (batch-sized, the
     small side); lifetime is caller-managed as in
     :func:`lsh_candidate_pairs` — clear after materializing.
     """
+    if index_keys is None:
+        assert index_sigs is not None, "need index_sigs or index_keys"
+        index_keys = banded_keys(index_sigs, id_col, bands)
     idx = (
-        banded_keys(index_sigs, id_col, bands)
-        .withColumnRenamed(id_col, "a")
+        index_keys.withColumnRenamed(id_col, "a")
         .persist()
         # In production this relation IS the stored LSH index (written
         # once at ingest, read per batch); persisting it here mirrors
@@ -692,50 +699,111 @@ def hashed_shingles(
     return base.select(F.col(id_col), F.expr(sh).alias(out_col))
 
 
+def _gram_occurrences(
+    df: DataFrame, text_col: str, id_col: str, window: int, persist: bool = True
+) -> DataFrame:
+    """Sliding ``window``-token gram digest table: one
+    ``(id, pos, gk)`` row per window position, md5-keyed (16-byte
+    shuffle payload, never gram text through the shuffle).
+
+    The token array is materialized as a column BEFORE the gram
+    lambda references it: with split() inlined inside the
+    transform(), the lambda re-tokenizes the document once per gram
+    position — O(tokens^2) characters per doc (the minhash shingle
+    hazard, operators/text_dedup.py::minhash_signatures).  The
+    filter between the projection and the generator also blocks
+    CollapseProject from re-inlining it.
+
+    ``persist=True`` caches the table (lifetime caller-managed) for
+    consumers that probe it twice (winner aggregate + repeat-test
+    join: without the cache the text scan, tokenize, and per-gram md5
+    all run twice — measured ~83 s saved at 100x, see PLANS.md);
+    single-pass consumers (index build) pass ``persist=False``.
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(0, size(__tk) - {window}), "
+        f"i -> md5(cast(array_join(slice(__tk, i + 1, {window}), ' ') AS binary)))"
+    )
+    occ = (
+        df.select(F.col(id_col), F.expr(toks).alias("__tk"))
+        .filter(F.size("__tk") >= window)
+        .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gk"))
+    )
+    return occ.persist() if persist else occ
+
+
+def _merge_islands(rep: DataFrame, id_col: str) -> DataFrame:
+    """Merge covered intervals ``(id, pos, endp)`` into maximal
+    per-document spans ``(id, isl, s, e)`` — gaps-and-islands windows
+    partitioned by the document id only (bounded by document
+    length)."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pm = F.max("endp").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        rep.withColumn(
+            "nw",
+            F.when(pm.isNull() | (F.col("pos") > pm + 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("nw").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "isl")
+        .agg(F.min("pos").alias("s"), F.max("endp").alias("e"))
+    )
+
+
+def _span_audit(base: DataFrame, spans: DataFrame, id_col: str) -> DataFrame:
+    """Per-document audit readout over merged spans: n_tokens /
+    dup_tokens / n_spans / max_span / dup_ratio (zeros for untouched
+    documents via the left join)."""
+    isl = spans.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max(F.col("e") - F.col("s") + 1).alias("max_span"),
+    )
+    return (
+        base.join(isl, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span", F.lit(0)).cast("bigint").alias("max_span"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def _repeat_spans(
     df: DataFrame, text_col: str, id_col: str, window: int
 ):
     """Shared span derivation for the ExactSubstr pair (audit
     ``exact_substring_spans`` / apply ``exact_substring_dedup_
     reassemble``): (1) every sliding ``window``-token gram keyed by
-    an md5 digest (16-byte shuffle payload, never gram text); (2)
-    first corpus-wide occurrence per digest via a partial-combinable
+    an md5 digest (:func:`_gram_occurrences`); (2) first corpus-wide
+    occurrence per digest via a partial-combinable
     ``min(struct(doc_id, pos)) + count`` hash aggregate (a
     million-fold repeated gram sends one row per mapper — never a
     window partition over the gram group); (3) non-first occurrences
     of repeated grams become covered intervals [pos, pos+window-1],
-    merged into maximal spans per document with gaps-and-islands
-    windows partitioned by doc_id only (bounded by document length).
+    merged into maximal spans per document (:func:`_merge_islands`).
 
     Returns ``(base, spans, occ)``: per-doc token counts, the merged
     (id, s, e) span relation, and the persisted gram table (so
-    multi-arm callers like q316 can unpersist an arm before building
-    the next).  Nothing is ever pairwise in |docs|.
+    callers can scope the cache — single-arm consumers checkpoint
+    their readout and unpersist before returning).  Nothing is ever
+    pairwise in |docs|.
     """
     toks = f"split({text_col}, ' ')"
-    # The token array is materialized as a column BEFORE the gram
-    # lambda references it: with split() inlined inside the
-    # transform(), the lambda re-tokenizes the document once per gram
-    # position — O(tokens^2) characters per doc (the minhash shingle
-    # hazard, operators/text_dedup.py::minhash_signatures).  The
-    # filter between the projection and the generator also blocks
-    # CollapseProject from re-inlining it.
-    grams = (
-        f"transform(sequence(0, size(__tk) - {window}), "
-        f"i -> md5(cast(array_join(slice(__tk, i + 1, {window}), ' ') AS binary)))"
-    )
     base = df.select(F.col(id_col), F.size(F.expr(toks)).alias("n_tokens"))
-    # persisted: the gram table feeds both the winner aggregate and
-    # the repeat-test join probe — without the cache the text scan,
-    # tokenize, and per-gram md5 all run twice (measured ~83 s -> by
-    # caching at 100x, see PLANS.md).  ~1 digest row per corpus
-    # token; cache lifetime caller-managed (bench clears per query).
-    occ = (
-        df.select(F.col(id_col), F.expr(toks).alias("__tk"))
-        .filter(F.size("__tk") >= window)
-        .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gk"))
-        .persist()
-    )
+    occ = _gram_occurrences(df, text_col, id_col, window)
     stats = occ.groupBy("gk").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
@@ -753,21 +821,7 @@ def _repeat_spans(
         )
         .select(id_col, "pos", (F.col("pos") + window - 1).alias("endp"))
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    pm = F.max("endp").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    spans = (
-        rep.withColumn(
-            "nw",
-            F.when(pm.isNull() | (F.col("pos") > pm + 1), 1).otherwise(0),
-        )
-        .withColumn(
-            "isl",
-            F.sum("nw").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy(id_col, "isl")
-        .agg(F.min("pos").alias("s"), F.max("endp").alias("e"))
-    )
-    return base, spans, occ
+    return base, _merge_islands(rep, id_col), occ
 
 
 def exact_substring_spans(
@@ -797,28 +851,16 @@ def exact_substring_spans(
     spans), ``max_span``, ``dup_ratio``.  Scale shape: see
     ``_repeat_spans``.
     """
-    base, spans, _occ = _repeat_spans(df, text_col, id_col, window)
-    isl = spans.groupBy(id_col).agg(
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
-        F.count(F.lit(1)).alias("n_spans"),
-        F.max(F.col("e") - F.col("s") + 1).alias("max_span"),
-    )
-    return (
-        base.join(isl, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
-            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
-            F.coalesce("max_span", F.lit(0)).cast("bigint").alias("max_span"),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0))
-                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
-                6,
-            ).alias("dup_ratio"),
-        )
-        .orderBy(id_col)
-    )
+    base, spans, occ = _repeat_spans(df, text_col, id_col, window)
+    # Scope the corpus-token-sized gram cache to this call (r10 review
+    # follow-up): materialize the merged span relation — bounded by
+    # removed-token islands, far smaller than the gram table — then
+    # drop the cache, so a full-registry sweep that never clearCaches
+    # between queries doesn't accumulate one gram cache per
+    # substring-family query in executor storage.
+    spans = spans.localCheckpoint(eager=True)
+    occ.unpersist()
+    return _span_audit(base, spans, id_col)
 
 
 def exact_substring_dedup_reassemble(
@@ -845,7 +887,12 @@ def exact_substring_dedup_reassemble(
     array_sort(collect_list) shape bounded by document length (the
     q98/q110 discipline).
     """
-    base, spans, _occ = _repeat_spans(df, text_col, id_col, window)
+    base, spans, occ = _repeat_spans(df, text_col, id_col, window)
+    # same gram-cache scoping as exact_substring_spans: the span
+    # relation is all the downstream (coverage explode + left-anti)
+    # needs, so checkpoint it and drop the token-sized cache here
+    spans = spans.localCheckpoint(eager=True)
+    occ.unpersist()
     toks = f"split({text_col}, ' ')"
     tok_tbl = df.select(
         F.col(id_col), F.posexplode(F.expr(toks)).alias("p", "tok")
@@ -878,3 +925,89 @@ def exact_substring_dedup_reassemble(
         )
         .orderBy(id_col)
     )
+
+
+def exact_substring_gram_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Build the STORED index relation for incremental ExactSubstr:
+    the distinct md5 digests of every sliding ``window``-token gram
+    in the corpus — one 16-byte-key row per distinct gram, written
+    once at ingest (ParquetStore) and probed per batch by
+    :func:`incremental_exact_substring_spans`.
+
+    This is the substring grain's sibling of the stored LSH band
+    index (:func:`incremental_candidate_pairs`): at 100 TB the index
+    is corpus-gram-sized but digest-distinct (boilerplate collapses),
+    spillable, and — if bucketed by ``gk`` at write time — lets a
+    daily batch probe it with a batch-side-only shuffle.  One pass,
+    no cache (the distinct is the only consumer of the gram table).
+    """
+    occ = _gram_occurrences(df, text_col, id_col, window, persist=False)
+    return occ.select("gk").distinct()
+
+
+def incremental_exact_substring_spans(
+    index_grams: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Batch-vs-index ExactSubstr audit — the incremental-ingest form
+    of :func:`exact_substring_spans`, completing the substring grain's
+    incremental story (the LSH grain has
+    :func:`incremental_candidate_pairs`): a daily batch's grams are
+    probed against the STORED gram-digest relation
+    (:func:`exact_substring_gram_index`), so ingest pays batch-sized
+    cost, never corpus-sized.
+
+    Repeat rule (ingestion order): every index occurrence precedes
+    every batch occurrence, so a batch gram occurrence is a repeat
+    iff its digest EXISTS in the index (then even the batch-first
+    occurrence repeats), OR an earlier occurrence exists within the
+    batch itself in (id, pos) order (first-in-batch wins among
+    batch-only grams).  When index ids all precede batch ids this is
+    EXACTLY the full-corpus audit restricted to batch documents
+    (pytest-pinned equality; q321 registers the replaying oracle).
+
+    Output: one row per batch document, the q311 audit schema
+    (n_tokens / dup_tokens / n_spans / max_span / dup_ratio).
+
+    Scale shape: the batch gram table is batch-sized and persisted
+    for its two probes (winner aggregate + index join; cache scoped
+    to this call); the index side joins on the 16-byte digest only —
+    stored bucketed by ``gk``, only the batch side shuffles.  Nothing
+    is pairwise, and nothing rescans the corpus text.
+    """
+    toks = f"split({text_col}, ' ')"
+    base = batch_df.select(F.col(id_col), F.size(F.expr(toks)).alias("n_tokens"))
+    bocc = _gram_occurrences(batch_df, text_col, id_col, window)
+    bstats = bocc.groupBy("gk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first"
+        ),
+    )
+    idx = index_grams.select("gk").distinct().withColumn("__in_idx", F.lit(1))
+    rep = (
+        bocc.join(bstats, "gk")
+        .join(idx, "gk", "left")
+        .filter(
+            F.col("__in_idx").isNotNull()
+            | (
+                (F.col("cnt") >= 2)
+                & ~(
+                    (F.col(id_col) == F.col("first.d"))
+                    & (F.col("pos") == F.col("first.p"))
+                )
+            )
+        )
+        .select(id_col, "pos", (F.col("pos") + window - 1).alias("endp"))
+    )
+    spans = _merge_islands(rep, id_col).localCheckpoint(eager=True)
+    bocc.unpersist()
+    return _span_audit(base, spans, id_col)
