@@ -266,6 +266,8 @@ EXTRA = [
     "q318_semantic_dedup_arrow",      # SemDeDup via Arrow kernels (q312 twin)
     "q319_good_turing_unseen_mass",   # freq-of-freq table + unseen mass
     "q320_boilerplate_source_attribution",  # who repeats whose text
+    # round-11 families:
+    "q321_incremental_exact_substring",  # batch vs stored gram index
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]
