@@ -296,21 +296,23 @@ def test_q313_funnel_monotonicity(spark):
 
 
 def test_q314_gate_branches_equal_q246(spark, monkeypatch):
-    """Both physical branches of the gated LPA reproduce q246's rows
-    exactly: the default branch at smoke scale broadcasts the label
-    relation, the monkeypatched gate (0 nodes) forces the shuffled
-    branch."""
-    ref = _rows(sq.QUERY_REGISTRY["q246_label_propagation_communities"].fn(
-        spark, SF_SMOKE))
+    """Both physical branches of the (now shared) gated LPA body
+    produce identical rows, and q246/q314 — which both delegate to it
+    since r11 (r10 VERDICT item 2: no ungated slow twin in the
+    registry) — agree with each other: the default branch at smoke
+    scale broadcasts the label relation, the monkeypatched gate
+    (0 nodes) forces the shuffled branch (the pre-r11 q246 plan, so
+    this pin also guards the shared oracle both names register)."""
+    fn246 = sq.QUERY_REGISTRY["q246_label_propagation_communities"].fn
+    fn314 = sq.QUERY_REGISTRY["q314_label_propagation_gated"].fn
+    bcast = _rows(fn314(spark, SF_SMOKE))
     spark.catalog.clearCache()
-    fn = sq.QUERY_REGISTRY["q314_label_propagation_gated"].fn
-    bcast = _rows(fn(spark, SF_SMOKE))
+    assert _rows(fn246(spark, SF_SMOKE)) == bcast
     spark.catalog.clearCache()
     monkeypatch.setattr(sq, "_LPA_BCAST_MAX_NODES", 0)
-    shuffled = _rows(fn(spark, SF_SMOKE))
+    shuffled = _rows(fn314(spark, SF_SMOKE))
     spark.catalog.clearCache()
-    assert bcast == ref
-    assert shuffled == ref
+    assert shuffled == bcast
 
 
 def test_q314_vote_join_physical_strategy(spark):

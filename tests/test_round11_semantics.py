@@ -1,0 +1,146 @@
+"""Round-11 semantics pins.
+
+The round's thesis: the substring grain's INCREMENTAL form (q321) and
+the stored-index contract proven end-to-end through ParquetStore.
+
+- q321 incremental ExactSubstr: exact equality to q311's full-corpus
+  audit restricted to the batch partition (the ordering argument:
+  index ids all precede batch ids, so "digest in index OR earlier in
+  batch" is exactly "earlier in (doc_id, pos) over the union"), plus
+  planted-corpus semantics the oracle cannot express directly (a
+  batch-FIRST occurrence of an indexed gram still repeats).
+- Stored-index round-trips: the gram-digest index and the LSH
+  banded-key index each written through ParquetStore, read back in a
+  FRESH session, and pinned output-identical to the in-session
+  derivation — until r11 every incremental operator derived its index
+  side in-session and only documented the storage contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_aragon_spark.operators import text_dedup
+from team_aragon_spark.pipeline.sinks import ParquetStore
+from team_aragon_spark.plans import star_queries as sq
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_q321_equals_q311_restricted_to_batch(spark):
+    """The incremental audit on (stored index = older 4/5 of ids,
+    batch = newest 1/5) equals the full-corpus q311 audit restricted
+    to batch docs — the exactness contract that lets q321 register a
+    full value oracle."""
+    full = sq.QUERY_REGISTRY["q311_repeated_substring_dedup"].fn(
+        spark, SF_SMOKE
+    )
+    mx = full.agg(F.max("doc_id")).first()[0]
+    cut = (mx * 4) // 5
+    ref = _rows(full.filter(F.col("doc_id") >= cut))
+    spark.catalog.clearCache()
+    inc = _rows(
+        sq.QUERY_REGISTRY["q321_incremental_exact_substring"].fn(
+            spark, SF_SMOKE
+        )
+    )
+    spark.catalog.clearCache()
+    assert inc == ref
+    assert inc, "batch partition must be non-empty for the pin to bite"
+
+
+def test_q321_batch_first_occurrence_of_indexed_gram_repeats(spark):
+    """Planted corpus, window=4: a batch document repeating INDEX text
+    is fully covered even though it is the batch's first occurrence of
+    those grams (the in-index rule); batch-internal repeats fall back
+    to first-in-batch-wins; batch text absent from the index is
+    untouched."""
+    a = "a b c d"          # indexed
+    fresh = "p q r s"      # appears only in the batch, twice
+    index_docs = spark.createDataFrame(
+        [(0, a)], "doc_id bigint, text string"
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            (10, a),                      # batch-first of indexed gram -> covered
+            (11, f"{fresh} x y z w"),     # first batch occurrence -> kept
+            (12, fresh),                  # second batch occurrence -> covered
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = text_dedup.exact_substring_gram_index(index_docs, window=4)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in text_dedup.incremental_exact_substring_spans(
+            idx, batch_docs, window=4
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {10: (4, 4), 11: (8, 0), 12: (4, 4)}
+
+
+def test_exact_substring_gram_index_parquet_roundtrip(spark, tmp_path):
+    """The stored-index contract, end to end: the gram-digest index
+    written through ParquetStore, read back in a FRESH session, feeds
+    the incremental audit to the identical result as the in-session
+    derivation (r10 VERDICT item 5)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    cut = (mx * 4) // 5
+    index_docs = docs.filter(F.col("doc_id") < cut)
+    batch_docs = docs.filter(F.col("doc_id") >= cut)
+
+    idx = text_dedup.exact_substring_gram_index(index_docs, window=8)
+    ref = _rows(
+        text_dedup.incremental_exact_substring_spans(idx, batch_docs, window=8)
+    )
+    spark.catalog.clearCache()
+
+    store = ParquetStore(str(tmp_path))
+    store.append(idx, "substr_gram_index")
+    fresh = spark.newSession()
+    stored_idx = store.read(fresh, "substr_gram_index")
+    got = _rows(
+        text_dedup.incremental_exact_substring_spans(
+            stored_idx,
+            fresh.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") >= cut),
+            window=8,
+        )
+    )
+    spark.catalog.clearCache()
+    assert got == ref
+    assert got, "round-trip pin must compare non-empty audits"
+
+
+def test_lsh_banded_index_parquet_roundtrip(spark, tmp_path):
+    """The LSH grain's stored-index contract: banded keys written
+    through ParquetStore and read back in a fresh session produce the
+    identical incremental candidate set as the in-session derivation
+    (incremental_candidate_pairs index_keys= form)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = text_dedup.minhash_signatures(docs).persist()
+    index_sigs = sigs.filter(F.col("doc_id") % 5 != 4)
+    batch_sigs = sigs.filter(F.col("doc_id") % 5 == 4)
+    ref = _rows(text_dedup.incremental_candidate_pairs(index_sigs, batch_sigs))
+    spark.catalog.clearCache()
+
+    store = ParquetStore(str(tmp_path))
+    store.append(text_dedup.banded_keys(index_sigs), "lsh_band_index")
+    fresh = spark.newSession()
+    stored_keys = store.read(fresh, "lsh_band_index")
+    got = _rows(
+        text_dedup.incremental_candidate_pairs(
+            None, batch_sigs, index_keys=stored_keys
+        )
+    )
+    spark.catalog.clearCache()
+    assert got == ref
