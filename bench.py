@@ -268,6 +268,7 @@ EXTRA = [
     "q320_boilerplate_source_attribution",  # who repeats whose text
     # round-11 families:
     "q321_incremental_exact_substring",  # batch vs stored gram index
+    "q322_incremental_exact_substring_apply",  # incremental removal+reassembly
     # q303 shares q276/q277's CC-round-dominated profile (~35 s at
     # sf0.1) and is ledgered in PLANS.md rather than timed per-run.
 ]

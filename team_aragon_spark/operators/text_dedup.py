@@ -893,6 +893,16 @@ def exact_substring_dedup_reassemble(
     # needs, so checkpoint it and drop the token-sized cache here
     spans = spans.localCheckpoint(eager=True)
     occ.unpersist()
+    return _reassemble_readout(df, base, spans, text_col, id_col)
+
+
+def _reassemble_readout(
+    df: DataFrame, base: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild each document from the tokens NOT covered by its merged
+    spans: coverage explode (rows == removed tokens, linear) ->
+    left-anti against the token table -> array_sort(collect_list)
+    reassembly bounded by document length (the q98/q110 discipline)."""
     toks = f"split({text_col}, ' ')"
     tok_tbl = df.select(
         F.col(id_col), F.posexplode(F.expr(toks)).alias("p", "tok")
@@ -983,6 +993,23 @@ def incremental_exact_substring_spans(
     stored bucketed by ``gk``, only the batch side shuffles.  Nothing
     is pairwise, and nothing rescans the corpus text.
     """
+    base, spans = _incremental_spans(
+        index_grams, batch_df, text_col, id_col, window
+    )
+    return _span_audit(base, spans, id_col)
+
+
+def _incremental_spans(
+    index_grams: DataFrame,
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+):
+    """Shared batch-vs-index span derivation for the incremental
+    audit/apply pair: batch gram table (persisted for its two probes,
+    cache scoped here), the in-index-OR-earlier-in-batch repeat rule,
+    merged islands checkpointed.  Returns ``(base, spans)``."""
     toks = f"split({text_col}, ' ')"
     base = batch_df.select(F.col(id_col), F.size(F.expr(toks)).alias("n_tokens"))
     bocc = _gram_occurrences(batch_df, text_col, id_col, window)
@@ -1010,4 +1037,31 @@ def incremental_exact_substring_spans(
     )
     spans = _merge_islands(rep, id_col).localCheckpoint(eager=True)
     bocc.unpersist()
-    return _span_audit(base, spans, id_col)
+    return base, spans
+
+
+def incremental_exact_substring_reassemble(
+    index_grams: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """APPLY the incremental ExactSubstr dedup that
+    :func:`incremental_exact_substring_spans` audits: drop every
+    batch token covered by an in-index-or-earlier-in-batch repeated
+    ``window``-gram span and rebuild each batch document from its
+    survivors — what a daily ingest actually WRITES after probing the
+    stored index.  Equals :func:`exact_substring_dedup_reassemble` on
+    the union restricted to batch docs when index ids precede batch
+    ids (pytest-pinned; q322 registers the replaying oracle).
+
+    Output per batch document: ``clean_text`` / ``n_kept_tokens`` /
+    ``n_removed_tokens`` (the q315 schema).  Scale shape: the q321
+    span derivation + the linear coverage-explode/left-anti
+    reassembly bounded by document length.
+    """
+    base, spans = _incremental_spans(
+        index_grams, batch_df, text_col, id_col, window
+    )
+    return _reassemble_readout(batch_df, base, spans, text_col, id_col)

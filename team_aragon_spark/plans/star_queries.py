@@ -22615,8 +22615,12 @@ def q320_boilerplate_source_attribution(spark, sf_dir):
 # stored-index) form — the last dedup family without one
 # ---------------------------------------------------------------------------
 
-_INC_SUBSTR_SQL = (
-    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared index+batch upstream of the incremental pair (q321 audit /
+# q322 apply): tokenize, the integer-exact newest-fifth cut, the
+# index partition's distinct gram digests, the batch gram table, and
+# the in-index-OR-earlier-in-batch repeat rule producing the same
+# `d` relation the shared _substr_chain island/span segment consumes.
+_INC_SUBSTR_PREFIX = f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
 bt AS (SELECT doc_id, toks FROM t, cut WHERE doc_id >= cut.c),
 n AS (SELECT doc_id, len(toks) AS n_tokens FROM bt),
@@ -22637,6 +22641,9 @@ d AS (SELECT rr.doc_id, rr.pos, rr.pos + {_SUBSTR_K - 1} AS endp
       FROM rr LEFT JOIN idx USING (gk)
       WHERE idx.gk IS NOT NULL OR rr.rn > 1),
 """
+
+_INC_SUBSTR_SQL = (
+    _INC_SUBSTR_PREFIX
     + _substr_chain(_SUBSTR_K, after="d")
     + """
 SELECT n.doc_id,
@@ -22679,14 +22686,72 @@ FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id"""
     "the call; nothing rescans corpus text, nothing is pairwise.",
 )
 def q321_incremental_exact_substring(spark, sf_dir):
+    idx, batch = _inc_substr_sides(spark, sf_dir)
+    return text_dedup.incremental_exact_substring_spans(
+        idx, batch, window=_SUBSTR_K
+    )
+
+
+def _inc_substr_sides(spark, sf_dir):
+    """The incremental pair's shared split: stored-index side (older
+    4/5 of ids, derived in-session here; ParquetStore round-trip
+    pinned in pytest) and the daily-batch side (newest fifth)."""
     docs = _t(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id")).first()[0]  # bounded scalar
     cut = (mx * 4) // 5
     idx = text_dedup.exact_substring_gram_index(
         docs.filter(F.col("doc_id") < cut), window=_SUBSTR_K
     )
-    return text_dedup.incremental_exact_substring_spans(
-        idx, docs.filter(F.col("doc_id") >= cut), window=_SUBSTR_K
+    return idx, docs.filter(F.col("doc_id") >= cut)
+
+
+_INC_APPLY_SQL = (
+    _INC_SUBSTR_PREFIX
+    + _substr_chain(_SUBSTR_K, upto="sp", after="d")
+    + """,
+tk0 AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks FROM bt),
+tk AS (SELECT doc_id, CAST(p AS INT) AS p, toks[p + 1] AS tok FROM tk0),
+cov AS (SELECT doc_id, CAST(unnest(range(s, e + 1)) AS INT) AS p FROM sp),
+kept AS (
+  SELECT tk.doc_id, tk.p, tk.tok
+  FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+  WHERE cov.p IS NULL),
+reasm AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT n.doc_id, reasm.clean_text,
+       CAST(coalesce(reasm.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       CAST(n.n_tokens - coalesce(reasm.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens
+FROM n LEFT JOIN reasm USING (doc_id) ORDER BY n.doc_id"""
+)
+
+
+@register(
+    "q322_incremental_exact_substring_apply",
+    _INC_APPLY_SQL,
+    ops=("ext-substring-dedup-incremental-apply",),
+    doc="INCREMENTAL EXACT-SUBSTRING DEDUP, APPLIED — q321's audit "
+    "turned into the write path a daily ingest actually runs: every "
+    "batch token covered by an in-index-or-earlier-in-batch repeated "
+    f"{_SUBSTR_K}-gram span is dropped and each batch document is "
+    "rebuilt from its survivors (text_dedup."
+    "incremental_exact_substring_reassemble), completing the "
+    "incremental pair the way q315 completes q311.  Same split and "
+    "repeat rule as q321 (shared _incremental_spans derivation and "
+    "_INC_SUBSTR_PREFIX oracle upstream); equals q315's full-corpus "
+    "apply restricted to batch docs (pytest-pinned), and the "
+    "audit==apply identity (n_removed == q321.dup_tokens per doc) "
+    "is pinned too.  Scale: the q321 probe profile + the linear "
+    "coverage-explode/left-anti reassembly bounded by document "
+    "length; clean_text NULL when the whole batch document was "
+    "already-indexed material.",
+)
+def q322_incremental_exact_substring_apply(spark, sf_dir):
+    idx, batch = _inc_substr_sides(spark, sf_dir)
+    return text_dedup.incremental_exact_substring_reassemble(
+        idx, batch, window=_SUBSTR_K
     )
 
 
@@ -23090,10 +23155,12 @@ STAMP_PRIORITY: list[str] = [
     # before entering — new queries stamp the round they are born),
     # then ALL 40 stampable stale-r04 rows (the oldest stamps in the
     # merged ledger; q70 excluded — rows-only by design, rows-only
-    # queries never occupy stamp slots), then the 9 oldest r05 rows.
-    # After this window clears, the oldest stamp in the merged ledger
-    # is r05 (36 rows), queued below for r12.
+    # queries never occupy stamp slots), then the 8 oldest r05 rows
+    # (q105 yields its slot to q322, the second r11 birth).  After
+    # this window clears, the oldest stamp in the merged ledger is
+    # r05 (37 rows), queued below for r12.
     "q321_incremental_exact_substring",
+    "q322_incremental_exact_substring_apply",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23142,8 +23209,8 @@ STAMP_PRIORITY: list[str] = [
     "q101_streaming_click_error_join",
     "q103_video_mp4_meta",
     "q104_temperature_source_mix",
-    "q105_streaming_enriched_purchases",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q105_streaming_enriched_purchases",
     # remaining stale-r05 rows first, then the r06 block (q25/q26/
     # q39/q42/q102/q113/q152/q153 excluded everywhere: rows-only)
     "q106_streaming_sliding_stats",

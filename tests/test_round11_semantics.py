@@ -52,6 +52,36 @@ def test_q321_equals_q311_restricted_to_batch(spark):
     assert inc, "batch partition must be non-empty for the pin to bite"
 
 
+def test_q322_equals_q315_restricted_to_batch_and_q321_identity(spark):
+    """The incremental APPLY equals the full-corpus q315 apply
+    restricted to batch docs (same ordering argument as q321), and
+    the audit==apply identity holds: per batch doc, q322's
+    n_removed_tokens == q321's dup_tokens."""
+    full = sq.QUERY_REGISTRY["q315_exact_substring_dedup_apply"].fn(
+        spark, SF_SMOKE
+    )
+    mx = full.agg(F.max("doc_id")).first()[0]
+    cut = (mx * 4) // 5
+    ref = _rows(full.filter(F.col("doc_id") >= cut))
+    spark.catalog.clearCache()
+    inc = _rows(
+        sq.QUERY_REGISTRY["q322_incremental_exact_substring_apply"].fn(
+            spark, SF_SMOKE
+        )
+    )
+    spark.catalog.clearCache()
+    assert inc == ref and inc
+    removed = {r[0]: r[3] for r in inc}  # doc_id -> n_removed_tokens
+    audit = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in sq.QUERY_REGISTRY["q321_incremental_exact_substring"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert removed == audit
+
+
 def test_q321_batch_first_occurrence_of_indexed_gram_repeats(spark):
     """Planted corpus, window=4: a batch document repeating INDEX text
     is fully covered even though it is the batch's first occurrence of
