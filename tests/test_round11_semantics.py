@@ -174,3 +174,26 @@ def test_lsh_banded_index_parquet_roundtrip(spark, tmp_path):
     )
     spark.catalog.clearCache()
     assert got == ref
+
+
+def test_incremental_pair_plan_shapes(spark):
+    """Scale-critical plan shapes of the incremental pair: the batch
+    cut reaches the parquet scan as a pushed filter (ingest reads the
+    batch partition, not the corpus), the scan is pruned to
+    (doc_id, text), and nothing is cartesian or Python in the hot
+    path."""
+    from team_aragon_spark.plans.star_queries import QUERY_REGISTRY
+
+    for name in (
+        "q321_incremental_exact_substring",
+        "q322_incremental_exact_substring_apply",
+    ):
+        p = (
+            QUERY_REGISTRY[name].fn(spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "GreaterThanOrEqual(doc_id" in p, f"{name}: batch cut not pushed"
+        assert "struct<doc_id:bigint,text:string>" in p, f"{name}: scan not pruned"
