@@ -952,9 +952,13 @@ def exact_substring_gram_index(
     This is the substring grain's sibling of the stored LSH band
     index (:func:`incremental_candidate_pairs`): at 100 TB the index
     is corpus-gram-sized but digest-distinct (boilerplate collapses),
-    spillable, and — if bucketed by ``gk`` at write time — lets a
-    daily batch probe it with a batch-side-only shuffle.  One pass,
-    no cache (the distinct is the only consumer of the gram table).
+    spillable, and — written ``bucketBy(n, "gk")`` — lets a daily
+    batch probe it with a batch-side-only shuffle (plan-pinned:
+    exactly one Exchange, on the batch side, in
+    tests/test_round11_semantics.py::
+    test_bucketed_gram_index_probe_shuffles_batch_side_only).  One
+    pass, no cache (the distinct is the only consumer of the gram
+    table).
     """
     occ = _gram_occurrences(df, text_col, id_col, window, persist=False)
     return occ.select("gk").distinct()
