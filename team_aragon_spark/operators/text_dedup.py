@@ -1069,3 +1069,39 @@ def incremental_exact_substring_reassemble(
         index_grams, batch_df, text_col, id_col, window
     )
     return _reassemble_readout(batch_df, base, spans, text_col, id_col)
+
+
+def update_exact_substring_gram_index(
+    store,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> None:
+    """MAINTAIN the stored gram-digest index after ingesting a batch —
+    the third leg of the incremental ExactSubstr story (build:
+    :func:`exact_substring_gram_index`; probe:
+    :func:`incremental_exact_substring_spans`; maintain: this).
+
+    The batch's distinct digests not already present in the stored
+    index land in the batch's own partition via
+    ``ParquetStore.append_batch`` — so a crash/retry/orchestrator
+    REPLAY of the same batch_id overwrites exactly its own partition
+    (the O5 idempotency contract) and the index never double-applies.
+    The index is a SET of digests (the probe joins on existence), so
+    set semantics are what replay preserves: replaying an old batch
+    after later batches landed may re-derive a smaller anti-join
+    remainder, but the union of partitions is unchanged
+    (pytest-pinned against the one-shot full-corpus index).
+
+    Scale: one batch-sized gram pass + one anti-join against the
+    stored relation on the 16-byte digest (index side bucketed by
+    ``gk`` -> batch-side-only shuffle); never rescans the corpus.
+    """
+    new = exact_substring_gram_index(batch_df, text_col, id_col, window)
+    if store.exists(table):
+        existing = store.read(batch_df.sparkSession, table)
+        new = new.join(existing.select("gk"), "gk", "left_anti")
+    store.append_batch(new, table, batch_id)

@@ -237,3 +237,49 @@ def test_bucketed_gram_index_probe_shuffles_batch_side_only(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS substr_gram_index_b")
         spark.catalog.clearCache()
+
+
+def test_gram_index_maintenance_replay_idempotent(spark, tmp_path):
+    """The incremental story's third leg: ingest three batches through
+    update_exact_substring_gram_index, REPLAY the middle batch (the O5
+    crash/retry contract), and the stored index's digest set equals
+    the one-shot full-corpus index; the probe through the maintained
+    index matches the probe through the one-shot index."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    cut = (mx * 4) // 5
+    index_docs = docs.filter(F.col("doc_id") < cut)
+    batch_docs = docs.filter(F.col("doc_id") >= cut)
+
+    store = ParquetStore(str(tmp_path))
+    b2 = index_docs.filter((F.col("doc_id") % 3) == 1)
+    batches = [
+        ("b1", index_docs.filter((F.col("doc_id") % 3) == 0)),
+        ("b2", b2),
+        ("b3", index_docs.filter((F.col("doc_id") % 3) == 2)),
+        ("b2", b2),  # replay after a later batch landed
+    ]
+    for bid, bdf in batches:
+        text_dedup.update_exact_substring_gram_index(
+            store, "gram_idx", bdf, bid, window=8
+        )
+        spark.catalog.clearCache()
+
+    maintained = store.read(spark, "gram_idx").select("gk").distinct()
+    oneshot = text_dedup.exact_substring_gram_index(index_docs, window=8)
+    assert _rows(maintained) == _rows(oneshot)
+    got = _rows(
+        text_dedup.incremental_exact_substring_spans(
+            maintained, batch_docs, window=8
+        )
+    )
+    spark.catalog.clearCache()
+    ref = _rows(
+        text_dedup.incremental_exact_substring_spans(
+            oneshot, batch_docs, window=8
+        )
+    )
+    spark.catalog.clearCache()
+    assert got == ref and got
