@@ -14,8 +14,14 @@ sys.path.insert(0, "tests")
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
+    if not sf.startswith("sf") and "/" not in sf:
+        sys.exit(f"first arg must be an sf name (sf0.001/sf0.01/...) "
+                 f"or a path, got {sf!r} — did you forget it?")
     want = sys.argv[2:]
-    sf_dir = f"/root/testdata/{sf}"
+    if not want:
+        sys.exit("no query names given (pass names or --all) — "
+                 "refusing to print a false-green 'done: 0 checked'")
+    sf_dir = sf if "/" in sf else f"/root/testdata/{sf}"
 
     from pyspark.sql import SparkSession
 

@@ -993,9 +993,12 @@ def incremental_exact_substring_spans(
 
     Scale shape: the batch gram table is batch-sized and persisted
     for its two probes (winner aggregate + index join; cache scoped
-    to this call); the index side joins on the 16-byte digest only —
-    stored bucketed by ``gk``, only the batch side shuffles.  Nothing
-    is pairwise, and nothing rescans the corpus text.
+    to this call); the index side joins on the 16-byte digest only.
+    Store the index as a ``bucketBy(n, "gk")`` table and only the
+    batch side shuffles (plan-pinned in test_round11_semantics); a
+    plain-parquet index (ParquetStore) joins correctly but shuffles
+    both sides.  Nothing is pairwise, and nothing rescans the corpus
+    text.
     """
     base, spans = _incremental_spans(
         index_grams, batch_df, text_col, id_col, window
@@ -1085,23 +1088,36 @@ def update_exact_substring_gram_index(
     :func:`exact_substring_gram_index`; probe:
     :func:`incremental_exact_substring_spans`; maintain: this).
 
-    The batch's distinct digests not already present in the stored
-    index land in the batch's own partition via
+    The batch's distinct digests not already present in OTHER
+    batches' partitions land in the batch's own partition via
     ``ParquetStore.append_batch`` — so a crash/retry/orchestrator
     REPLAY of the same batch_id overwrites exactly its own partition
     (the O5 idempotency contract) and the index never double-applies.
-    The index is a SET of digests (the probe joins on existence), so
-    set semantics are what replay preserves: replaying an old batch
-    after later batches landed may re-derive a smaller anti-join
+    Two review-found subtleties encoded here: the anti-join must
+    EXCLUDE the current batch_id's own partition (a retry after a
+    partially-visible write would otherwise subtract the partial
+    digests and the dynamic overwrite would then drop them from the
+    index forever), and it dedups cross-batch (a digest seen by an
+    earlier batch is never re-stored, so index bytes stay
+    ~|distinct grams|, not |grams x batches|).  The index is a SET
+    of digests (the probe joins on existence): replaying an old
+    batch after later batches landed may re-derive a smaller
     remainder, but the union of partitions is unchanged
-    (pytest-pinned against the one-shot full-corpus index).
+    (pytest-pinned against the one-shot full-corpus index, including
+    the partial-write retry case).
 
     Scale: one batch-sized gram pass + one anti-join against the
-    stored relation on the 16-byte digest (index side bucketed by
-    ``gk`` -> batch-side-only shuffle); never rescans the corpus.
+    stored relation on the 16-byte digest; never rescans the corpus.
+    (Written through this plain-parquet store both join sides
+    shuffle; store the index as a ``bucketBy(n, "gk")`` table to get
+    the batch-side-only-shuffle probe — plan-pinned separately.)
     """
+    from team_aragon_spark.pipeline.sinks import BATCH_COL
+
     new = exact_substring_gram_index(batch_df, text_col, id_col, window)
     if store.exists(table):
-        existing = store.read(batch_df.sparkSession, table)
+        existing = batch_df.sparkSession.read.parquet(store.path(table))
+        if BATCH_COL in existing.columns:
+            existing = existing.filter(F.col(BATCH_COL) != str(batch_id))
         new = new.join(existing.select("gk"), "gk", "left_anti")
     store.append_batch(new, table, batch_id)

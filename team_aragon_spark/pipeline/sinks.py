@@ -63,8 +63,17 @@ class ParquetStore:
         return base
 
     def exists(self, table: str) -> bool:
+        """True when the table holds data: plain data files, hive
+        partition dirs, or ``__batch=`` lineage partitions.  The
+        underscore skip is for marker files (_SUCCESS, _temporary),
+        but ``append_batch`` tables legitimately contain ONLY
+        ``__batch=<id>`` dirs — without the second clause every such
+        table read as nonexistent forever (r11 review finding)."""
         p = self.path(table)
-        return os.path.isdir(p) and any(not f.startswith(("_", ".")) for f in os.listdir(p))
+        return os.path.isdir(p) and any(
+            not f.startswith(("_", ".")) or f.startswith(BATCH_COL + "=")
+            for f in os.listdir(p)
+        )
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         df = spark.read.parquet(self.path(table))

@@ -22077,6 +22077,23 @@ def q310_dsir_selection_depth(spark, sf_dir):
 _SUBSTR_K = 8
 
 
+def _gram_md5(k: int) -> str:
+    """The gram digest expression — THE arithmetic every substring-
+    family oracle shares (chain g, incremental prefix idx/bg); one
+    definition so a slice/digest change cannot silently diverge the
+    q321/q322 oracles from q311/q315's (r11 review finding)."""
+    return f"md5(array_to_string(toks[pos + 1 : pos + {k}], ' '))"
+
+
+def _gram_positions(k: int) -> str:
+    """Window-position generator shared by chain g0 and prefix ig0/bg0."""
+    return f"unnest(range(len(toks) - {k - 1})) AS pos"
+
+
+# First-occurrence ranking shared by chain r and prefix rr.
+_RN_RANK = "row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn"
+
+
 def _substr_chain(k: int, upto: str = "agg", after: str | None = None) -> str:
     """The repeated-substring span-derivation CTE chain (t/n/g/r/d ->
     merged spans sp -> per-doc agg) with the gram window ``k``
@@ -22095,19 +22112,19 @@ def _substr_chain(k: int, upto: str = "agg", after: str | None = None) -> str:
         ("n", "n AS (SELECT doc_id, len(toks) AS n_tokens FROM t)"),
         (
             "g0",
-            f"""g0 AS (SELECT doc_id, unnest(range(len(toks) - {k - 1})) AS pos, toks
+            f"""g0 AS (SELECT doc_id, {_gram_positions(k)}, toks
        FROM t WHERE len(toks) >= {k})""",
         ),
         (
             "g",
             f"""g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
-             md5(array_to_string(toks[pos + 1 : pos + {k}], ' ')) AS gk
+             {_gram_md5(k)} AS gk
       FROM g0)""",
         ),
         (
             "r",
-            """r AS (SELECT doc_id, pos,
-             row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+            f"""r AS (SELECT doc_id, pos,
+             {_RN_RANK}
       FROM g)""",
         ),
         ("d", f"d AS (SELECT doc_id, pos, pos + {k - 1} AS endp FROM r WHERE rn > 1)"),
@@ -22624,18 +22641,18 @@ _INC_SUBSTR_PREFIX = f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS to
 cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
 bt AS (SELECT doc_id, toks FROM t, cut WHERE doc_id >= cut.c),
 n AS (SELECT doc_id, len(toks) AS n_tokens FROM bt),
-ig0 AS (SELECT unnest(range(len(toks) - {_SUBSTR_K - 1})) AS pos, toks
+ig0 AS (SELECT {_gram_positions(_SUBSTR_K)}, toks
         FROM t, cut WHERE doc_id < cut.c AND len(toks) >= {_SUBSTR_K}),
 idx AS (SELECT DISTINCT
-               md5(array_to_string(toks[pos + 1 : pos + {_SUBSTR_K}], ' ')) AS gk
+               {_gram_md5(_SUBSTR_K)} AS gk
         FROM ig0),
-bg0 AS (SELECT doc_id, unnest(range(len(toks) - {_SUBSTR_K - 1})) AS pos, toks
+bg0 AS (SELECT doc_id, {_gram_positions(_SUBSTR_K)}, toks
         FROM bt WHERE len(toks) >= {_SUBSTR_K}),
 bg AS (SELECT doc_id, CAST(pos AS INT) AS pos,
-              md5(array_to_string(toks[pos + 1 : pos + {_SUBSTR_K}], ' ')) AS gk
+              {_gram_md5(_SUBSTR_K)} AS gk
        FROM bg0),
 rr AS (SELECT doc_id, pos, gk,
-              row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+              {_RN_RANK}
        FROM bg),
 d AS (SELECT rr.doc_id, rr.pos, rr.pos + {_SUBSTR_K - 1} AS endp
       FROM rr LEFT JOIN idx USING (gk)
@@ -22681,9 +22698,11 @@ FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id"""
     "In production the index side is read from ParquetStore — the "
     "round-trip (write, re-read in a fresh session, identical "
     "output) is pytest-pinned.  Scale: the index join is on the "
-    "16-byte digest only (store bucketed by gk -> batch-side-only "
-    "shuffle); the batch gram table is batch-sized, cache scoped to "
-    "the call; nothing rescans corpus text, nothing is pairwise.",
+    "16-byte digest only (stored as a bucketBy(n, gk) table the "
+    "probe shuffles the batch side only — plan-pinned; plain "
+    "parquet joins correctly but shuffles both sides); the batch "
+    "gram table is batch-sized, cache scoped to the call; nothing "
+    "rescans corpus text, nothing is pairwise.",
 )
 def q321_incremental_exact_substring(spark, sf_dir):
     idx, batch = _inc_substr_sides(spark, sf_dir)
@@ -22698,7 +22717,9 @@ def _inc_substr_sides(spark, sf_dir):
     pinned in pytest) and the daily-batch side (newest fifth)."""
     docs = _t(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id")).first()[0]  # bounded scalar
-    cut = (mx * 4) // 5
+    # empty/all-NULL table -> cut 0: both sides empty, matching the
+    # oracle's clean empty result instead of a NoneType crash
+    cut = ((mx or 0) * 4) // 5
     idx = text_dedup.exact_substring_gram_index(
         docs.filter(F.col("doc_id") < cut), window=_SUBSTR_K
     )

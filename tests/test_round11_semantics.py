@@ -270,6 +270,13 @@ def test_gram_index_maintenance_replay_idempotent(spark, tmp_path):
     maintained = store.read(spark, "gram_idx").select("gk").distinct()
     oneshot = text_dedup.exact_substring_gram_index(index_docs, window=8)
     assert _rows(maintained) == _rows(oneshot)
+    # cross-batch dedup is REAL, not read-side distinct: the stored
+    # RAW row count equals the distinct digest count (the r11 review
+    # found exists() returned False for batch-partition-only tables,
+    # silently skipping the anti-join and re-storing every duplicate)
+    n_raw = store.read(spark, "gram_idx").count()
+    n_set = oneshot.count()
+    assert n_raw == n_set, f"duplicates stored across batches: {n_raw} != {n_set}"
     got = _rows(
         text_dedup.incremental_exact_substring_spans(
             maintained, batch_docs, window=8
@@ -283,3 +290,33 @@ def test_gram_index_maintenance_replay_idempotent(spark, tmp_path):
     )
     spark.catalog.clearCache()
     assert got == ref and got
+
+
+def test_gram_index_retry_after_partial_write_loses_nothing(spark, tmp_path):
+    """The O5 crash contract under the worst interleaving: batch b2's
+    write crashes with HALF its digests already visible in its
+    partition; the retry must not anti-join them away (the dynamic
+    overwrite replaces the whole partition, so subtracting the
+    partial rows would delete them from the index forever — the r11
+    review's second maintenance finding)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    store = ParquetStore(str(tmp_path))
+    text_dedup.update_exact_substring_gram_index(store, "gidx", b1, "b1", window=8)
+
+    # simulate the crash: half of b2's NEW digests land in __batch=b2
+    b2_new = (
+        text_dedup.exact_substring_gram_index(b2, window=8)
+        .join(store.read(spark, "gidx").select("gk"), "gk", "left_anti")
+    )
+    half = b2_new.orderBy("gk").limit(max(1, b2_new.count() // 2))
+    half.write.mode("overwrite").parquet(f"{tmp_path}/gidx/__batch=b2")
+
+    text_dedup.update_exact_substring_gram_index(store, "gidx", b2, "b2", window=8)
+    maintained = store.read(spark, "gidx").select("gk").distinct()
+    oneshot = text_dedup.exact_substring_gram_index(docs, window=8)
+    assert _rows(maintained) == _rows(oneshot), "partial digests lost on retry"
+    spark.catalog.clearCache()
