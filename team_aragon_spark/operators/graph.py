@@ -88,6 +88,101 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges`` —
+    the exact contract of ``connected_components`` (component = the
+    minimum node id reachable, isolated nodes excluded), computed by
+    the alternating LARGE-STAR / SMALL-STAR contraction of Kiveris et
+    al., "Connected Components in MapReduce and Beyond" (SoCC 2014,
+    §3 "two-hashing" alternating algorithm) instead of min-label
+    propagation.
+
+    Why a second implementation: min-label propagation needs
+    O(component diameter) rounds — fine on shallow dup clusters, but a
+    100 TB pair graph can hide long chains (boilerplate variants each
+    overlapping only the next).  Large-star/small-star re-wires every
+    node to the minimum of a closed neighborhood each round, so chains
+    collapse geometrically: O(log n) rounds regardless of diameter.
+    Skew posture: a high-degree hub never fans its neighborhood out —
+    each step is a groupBy-min on one endpoint followed by a re-emit
+    that is linear in the edge list, so hot keys cost one combine-able
+    aggregate, not a quadratic join expansion.
+
+    State is the canonically-directed edge list (hi > lo), rewritten
+    by both steps; each round materializes via ``localCheckpoint`` (the
+    rewrite is total, so lineage would otherwise stack per round) and
+    convergence is detected with an order-free set fingerprint
+    (count + bit_xor of per-edge xxhash64 — edges are distinct, so the
+    xor is a faithful set digest) instead of an edge-set diff join.
+    The converged state is a forest of stars rooted at each
+    component's minimum — a fixed point of both steps — from which the
+    labels read out without further shuffles.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        # large-star: every strictly-larger neighbor of u re-attaches
+        # to min(N(u) ∪ {u}).  Emitted edges keep hi > lo by
+        # construction (m <= u < v).
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: every smaller neighbor of hi (and hi itself)
+        # re-attaches to hi's minimum smaller neighbor.
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(F.col("lo").alias("n"), F.col("m"))
+            .union(smins.select(F.col("hi").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_fp = _fingerprint(small)
+        prev = e
+        e = small
+        prev.unpersist()
+        if new_fp == fp:
+            break
+        fp = new_fp
+    labels = e.select(
+        F.col("hi").alias("node"), F.col("lo").alias("component")
+    ).union(
+        e.select(F.col("lo").alias("node"), F.col("lo").alias("component")).distinct()
+    )
+    return labels
+
+
 def canonical_per_cluster(
     df: DataFrame,
     pairs: DataFrame,

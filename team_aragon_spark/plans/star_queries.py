@@ -23168,20 +23168,59 @@ def q318_semantic_dedup_arrow(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+@register(
+    "q323_connected_components_star",
+    _CC_ORACLE_SQL,  # q64's oracle verbatim: both operators compute
+    # the same mathematical object (node -> min reachable id over the
+    # same deterministic exact-Jaccard pair relation), so the same
+    # recursive-CTE transitive closure is a full value oracle here.
+    ops=("ext-dedup-clustering-star",),
+    doc="LARGE-STAR / SMALL-STAR connected components (Kiveris et "
+    "al., SoCC 2014) over the q64 pair relation — the O(log n)-round "
+    "scale twin of q64's min-label propagation, same (node, "
+    "component=min id) contract, same DuckDB oracle.  Why it earns a "
+    "slot: label propagation converges in O(component diameter) "
+    "rounds and q64's max_iter=25 silently truncates on a longer "
+    "chain (a 64-node path leaves mid-chain nodes mislabeled — "
+    "pinned in tests/test_operators.py::"
+    "test_cc_star_contracts_long_path, where the star form returns "
+    "the correct all-min labeling).  Near-dup graphs at 100 TB DO "
+    "grow long chains (template drift: each variant overlaps only "
+    "its neighbors), so the production clustering step needs the "
+    "diameter-free form.  Per round: two groupBy-min on an endpoint "
+    "+ a linear re-emit of the evolving edge list — a hub node only "
+    "ever sends its neighborhood minimum (combine-able aggregate), "
+    "never fans out, so degree skew cannot blow up a join.  "
+    "Convergence is fingerprint-detected (count + bit_xor of "
+    "xxhash64 over the distinct edge set), and the converged star "
+    "forest reads out as labels with zero extra shuffles.  Equality "
+    "with q64 on shallow graphs is pinned in pytest; on "
+    "diameter-stressed graphs the star form is the correct one.",
+)
+def q323_connected_components_star(spark, sf_dir):
+    from team_aragon_spark.operators.graph import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = text_dedup.lsh_candidate_pairs(text_dedup.minhash_signatures(docs))
+    pairs = text_dedup.jaccard_pairs(docs, candidates=cands, threshold=0.5).select("a", "b")
+    return connected_components_star(pairs)
+
 
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the one r11 birth (q321, verified green at sf0.001 AND sf0.01
-    # before entering — new queries stamp the round they are born),
-    # then ALL 40 stampable stale-r04 rows (the oldest stamps in the
-    # merged ledger; q70 excluded — rows-only by design, rows-only
-    # queries never occupy stamp slots), then the 8 oldest r05 rows
-    # (q105 yields its slot to q322, the second r11 birth).  After
-    # this window clears, the oldest stamp in the merged ledger is
-    # r05 (37 rows), queued below for r12.
+    # the three r11 births (q321/q322/q323, each verified green at
+    # sf0.001 AND sf0.01 before entering — new queries stamp the
+    # round they are born), then ALL 40 stampable stale-r04 rows (the
+    # oldest stamps in the merged ledger; q70 excluded — rows-only by
+    # design, rows-only queries never occupy stamp slots), then the 7
+    # oldest r05 rows (q104 and q105 yield their slots to q322/q323,
+    # the later r11 births).  After this window clears, the oldest
+    # stamp in the merged ledger is r05 (38 rows), queued below for
+    # r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
+    "q323_connected_components_star",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23229,8 +23268,8 @@ STAMP_PRIORITY: list[str] = [
     "q100_hourly_gap_fill",
     "q101_streaming_click_error_join",
     "q103_video_mp4_meta",
-    "q104_temperature_source_mix",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q104_temperature_source_mix",
     "q105_streaming_enriched_purchases",
     # remaining stale-r05 rows first, then the r06 block (q25/q26/
     # q39/q42/q102/q113/q152/q153 excluded everywhere: rows-only)

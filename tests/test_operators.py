@@ -475,6 +475,63 @@ def test_connected_components_chain_triangle_singleton(spark):
     assert kept == {1, 10, 20, 99}  # cluster minima + untouched 99
 
 
+def test_cc_star_equals_iterative_on_shallow_graphs(spark):
+    """q323's large-star/small-star CC and q64's min-label propagation
+    must agree label-for-label wherever the iterative form converges
+    (shallow graphs: the chain/triangle/pair fixture plus a seeded
+    random graph).  This is the equality that lets q323 register
+    q64's recursive-CTE oracle verbatim."""
+    import random
+
+    from team_aragon_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    fixtures = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(5, 4), (4, 5), (4, 4), (7, 8)],  # dup/reversed edges, self loop
+    ]
+    rng = random.Random(7)
+    fixtures.append(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    )
+    for pairs in fixtures:
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        got_iter = {
+            (r.node, r.component) for r in connected_components(edges).collect()
+        }
+        got_star = {
+            (r.node, r.component)
+            for r in connected_components_star(edges).collect()
+        }
+        assert got_star == got_iter
+
+
+def test_cc_star_contracts_long_path(spark):
+    """Diameter robustness: on a 64-node path the min-label iterative
+    form truncates at max_iter=25 (min propagates one hop per round,
+    so mid-chain nodes keep stale labels), while the star form
+    contracts geometrically and labels every node with the true
+    component minimum 0 well inside its round budget."""
+    from team_aragon_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    star = {r.node: r.component for r in connected_components_star(edges).collect()}
+    assert star == {i: 0 for i in range(64)}
+    # document the cliff the star form exists to remove: the iterative
+    # operator at its default budget does NOT fully converge here
+    trunc = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert any(v != 0 for v in trunc.values())
+
+
 def test_multimodal_resize_and_features_pipeline(spark):
     """The full multimodal chain — attach payload → resize → feature
     extract — must preserve row identity, produce the declared shapes,
