@@ -23206,21 +23206,80 @@ def q323_connected_components_star(spark, sf_dir):
     return connected_components_star(pairs)
 
 
+_SNB_WINDOW = 6  # compare each record to its 5 successors in sort order
+
+
+@register(
+    "q324_sorted_neighborhood_pairs",
+    f"""WITH c AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+r AS (
+  SELECT c_custkey, cents,
+         row_number() OVER (ORDER BY cents, c_custkey) AS rn
+  FROM c)
+SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+       CAST(b.rn - a.rn AS BIGINT) AS gap,
+       b.cents - a.cents AS cents_diff
+FROM r a JOIN r b
+  ON b.rn >= a.rn + 1 AND b.rn <= a.rn + {_SNB_WINDOW - 1}""",
+    ops=("ext-er-sorted-neighborhood",),
+    doc="SORTED-NEIGHBORHOOD candidate blocking (Hernández & Stolfo, "
+    "SIGMOD 1995 merge/purge) — the sliding-window complement to "
+    "q248's key-equality blocking: sort customers by exact "
+    "integer-cent balance (tie-break custkey) and emit each record "
+    "against its 5 successors, so near-identical balances become "
+    "candidates even when every equality blocking key disagrees.  "
+    "|candidates| = 5n, linear, no block-density quadratic term.  "
+    "The distributed hazard this query exists to pin is the GLOBAL "
+    "row_number: a bare ORDER BY window is a single-partition "
+    "WindowExec over the corpus.  operators/blocking.py instead "
+    "bucketizes the key monotonically (bounded bucket domain), "
+    "prefix-sums counts over the BUCKET relation only, and adds the "
+    "broadcast offset to a per-bucket parallel row_number — exact "
+    "global ranks in two corpus shuffles.  Neighbor pairs are an "
+    "EQUI-join (explode gaps 1..5, probe rn+gap), never a non-equi "
+    "range join's nested loop — both pinned in tests/"
+    "test_operators.py::test_sorted_neighborhood_plan_and_values.  "
+    "Integer-exact outputs (gap, cents_diff), no float boundary.",
+)
+def q324_sorted_neighborhood_pairs(spark, sf_dir):
+    from team_aragon_spark.operators.blocking import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        cust,
+        order_cols=["cents", "c_custkey"],
+        bucket=F.floor(F.col("cents") / 10000).cast("bigint"),
+        window=_SNB_WINDOW,
+        keep_cols=["c_custkey", "cents"],
+    )
+    return pairs.select(
+        F.col("a_c_custkey").alias("a_custkey"),
+        F.col("b_c_custkey").alias("b_custkey"),
+        "gap",
+        (F.col("b_cents") - F.col("a_cents")).alias("cents_diff"),
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the three r11 births (q321/q322/q323, each verified green at
-    # sf0.001 AND sf0.01 before entering — new queries stamp the
+    # the four r11 births (q321/q322/q323/q324, each verified green
+    # at sf0.001 AND sf0.01 before entering — new queries stamp the
     # round they are born), then ALL 40 stampable stale-r04 rows (the
     # oldest stamps in the merged ledger; q70 excluded — rows-only by
-    # design, rows-only queries never occupy stamp slots), then the 7
-    # oldest r05 rows (q104 and q105 yield their slots to q322/q323,
-    # the later r11 births).  After this window clears, the oldest
-    # stamp in the merged ledger is r05 (38 rows), queued below for
-    # r12.
+    # design, rows-only queries never occupy stamp slots), then the 6
+    # oldest r05 rows (q103/q104/q105 yield their slots to the later
+    # r11 births).  After this window clears, the oldest stamp in the
+    # merged ledger is r05 (39 rows), queued below for r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
+    "q324_sorted_neighborhood_pairs",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23267,8 +23326,8 @@ STAMP_PRIORITY: list[str] = [
     "q99_streaming_dedup_replay",
     "q100_hourly_gap_fill",
     "q101_streaming_click_error_join",
-    "q103_video_mp4_meta",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q103_video_mp4_meta",
     "q104_temperature_source_mix",
     "q105_streaming_enriched_purchases",
     # remaining stale-r05 rows first, then the r06 block (q25/q26/

@@ -532,6 +532,61 @@ def test_cc_star_contracts_long_path(spark):
     assert any(v != 0 for v in trunc.values())
 
 
+def test_sorted_neighborhood_plan_and_values(spark):
+    """q324's blocking operator: (1) values equal the naive
+    global-window sorted-neighborhood on a synthetic corpus spanning
+    several buckets (incl. duplicate sort keys and a bucket-boundary
+    straddle); (2) the corpus row_number is BUCKET-partitioned (no
+    single-partition window over the data) and the neighbor probe is
+    an equi-join (no nested loop)."""
+    from pyspark.sql import Window as W
+
+    from team_aragon_spark.operators.blocking import (
+        global_row_number,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, -150),
+        (2, -3),
+        (3, 0),
+        (4, 0),  # tie on sort key, broken by id
+        (5, 7),
+        (6, 99),
+        (7, 100),  # straddles the width-100 bucket boundary
+        (8, 101),
+        (9, 5000),
+    ]
+    df = spark.createDataFrame(rows, "id long, key long")
+    bucket = F.floor(F.col("key") / 100).cast("bigint")
+
+    ranked = global_row_number(df, ["key", "id"], bucket)
+    naive = df.withColumn(
+        "rn_naive", F.row_number().over(W.orderBy("key", "id")).cast("bigint")
+    )
+    joined = ranked.join(naive, ["id", "key"])
+    assert joined.filter(F.col("rn") != F.col("rn_naive")).count() == 0
+
+    pairs = sorted_neighborhood_pairs(
+        df, ["key", "id"], bucket, window=4, keep_cols=["id", "key"]
+    )
+    got = {
+        (r.a_id, r.b_id, r.gap) for r in pairs.collect()
+    }
+    order = [r.id for r in naive.orderBy("rn_naive").collect()]
+    want = {
+        (order[i], order[i + g], g)
+        for i in range(len(order))
+        for g in (1, 2, 3)
+        if i + g < len(order)
+    }
+    assert got == want
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(__b" in plan  # bucket-partitioned rank
+
+
 def test_multimodal_resize_and_features_pipeline(spark):
     """The full multimodal chain — attach payload → resize → feature
     extract — must preserve row identity, produce the declared shapes,
