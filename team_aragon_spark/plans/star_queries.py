@@ -23265,21 +23265,69 @@ def q324_sorted_neighborhood_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "q325_jsonl_ingest_consistency",
+    """SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(('0x' || substr(md5(text), 17, 15))::UBIGINT AS BIGINT))
+         AS text_digest,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       count(DISTINCT lang) AS n_langs
+       FROM documents GROUP BY source""",
+    ops=("ext-source-jsonl",),
+    doc="JSONL SOURCE ROUND-TRIP — training-data interchange is "
+    "newline-delimited JSON, so the source matrix needs the JSONL leg "
+    "proven end-to-end: sources/jsonl.py stages the documents corpus "
+    "through Spark's JSON sink and reads it back with the DECLARED "
+    "schema (never inference — inference is an extra full pass at "
+    "100 TB and silently widens types; a declared schema surfaces "
+    "drift as nulls).  This query aggregates per-source counts, "
+    "char totals, and an order-free 60-bit md5 text digest (bit_xor "
+    "— overflow-proof under ANSI mode, engine-portable) FROM THE "
+    "JSONL COPY while the oracle computes the same from the ORIGINAL "
+    "parquet, so a single lossy JSON escape (embedded quote, "
+    "backslash, newline, non-ASCII), dropped row, or mis-typed "
+    "column flips the value hash.  Adversarial byte round-trip is "
+    "additionally pinned in tests/test_pipeline.py::"
+    "test_jsonl_roundtrip_adversarial_text.  Scale: the staged copy "
+    "is written once per (sf, source-fingerprint) with atomic "
+    "rename; the aggregate is one partial+final hash agg on source "
+    "(bounded cardinality).",
+)
+def q325_jsonl_ingest_consistency(spark, sf_dir):
+    from team_aragon_spark.sources.jsonl import staged_documents_jsonl
+
+    j = staged_documents_jsonl(spark, sf_dir)
+    tune(spark)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(text), 17, 15), 16, 10) as bigint))"
+        ).alias("text_digest"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the four r11 births (q321/q322/q323/q324, each verified green
-    # at sf0.001 AND sf0.01 before entering — new queries stamp the
-    # round they are born), then ALL 40 stampable stale-r04 rows (the
-    # oldest stamps in the merged ledger; q70 excluded — rows-only by
-    # design, rows-only queries never occupy stamp slots), then the 6
-    # oldest r05 rows (q103/q104/q105 yield their slots to the later
-    # r11 births).  After this window clears, the oldest stamp in the
-    # merged ledger is r05 (39 rows), queued below for r12.
+    # the five r11 births (q321–q325, each verified green at sf0.001
+    # AND sf0.01 before entering — new queries stamp the round they
+    # are born), then ALL 40 stampable stale-r04 rows (the oldest
+    # stamps in the merged ledger; q70 excluded — rows-only by
+    # design, rows-only queries never occupy stamp slots), then the 5
+    # oldest r05 rows (q101/q103/q104/q105 yield their slots to the
+    # later r11 births).  After this window clears, the oldest stamp
+    # in the merged ledger is r05 (40 rows), queued below for r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
     "q324_sorted_neighborhood_pairs",
+    "q325_jsonl_ingest_consistency",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23325,8 +23373,8 @@ STAMP_PRIORITY: list[str] = [
     "q47_streaming_user_totals",
     "q99_streaming_dedup_replay",
     "q100_hourly_gap_fill",
-    "q101_streaming_click_error_join",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q101_streaming_click_error_join",
     "q103_video_mp4_meta",
     "q104_temperature_source_mix",
     "q105_streaming_enriched_purchases",

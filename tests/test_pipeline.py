@@ -159,3 +159,50 @@ def test_jdbc_sink_roundtrip_derby(spark, store, tmp_path):
     # append mode really appends (the reference INSERTs, never replaces)
     jdbc_append(hosp, url, "hospitals_sink", properties=props)
     assert spark.read.jdbc(url, "hospitals_sink", properties=props).count() == 2 * hosp.count()
+
+
+def test_jsonl_roundtrip_adversarial_text(spark, tmp_path):
+    """The JSONL source leg (q325) must round-trip every byte of
+    ``text`` through JSON escaping: embedded quotes, backslashes,
+    literal newlines/tabs, non-ASCII, and the empty string."""
+    from team_aragon_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    rows = [
+        (1, 'she said "hi"', "en", "web", 13),
+        (2, "back\\slash and tab\there", "en", "web", 23),
+        (3, "line\nbreak\r\nand more", "en", "books", 20),
+        (4, "naïve — résumé — 日本語 — 𝕌nicode", "fr", "books", 31),
+        (5, "", "en", "web", 0),
+        (6, "{\"looks\": \"like json\"}", "en", "code", 22),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    path = str(tmp_path / "docs_jsonl")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    got = {tuple(r) for r in back.collect()}
+    assert got == {tuple(r) for r in rows}
+
+
+def test_staged_jsonl_equals_parquet_rows(spark):
+    """sources/jsonl.py staging: the JSONL copy of the documents table
+    is row-for-row identical to the parquet original (full outer
+    compare on doc_id, every column equal)."""
+    from team_aragon_spark.sources.catalog import read_table
+    from team_aragon_spark.sources.jsonl import staged_documents_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    orig = read_table(spark, "documents", sf)
+    back = staged_documents_jsonl(spark, sf)
+    assert back.count() == orig.count()
+    joined = orig.alias("o").join(back.alias("j"), "doc_id", "full_outer")
+    from pyspark.sql import functions as F
+
+    bad = joined.filter(
+        ~(
+            F.col("o.text").eqNullSafe(F.col("j.text"))
+            & F.col("o.lang").eqNullSafe(F.col("j.lang"))
+            & F.col("o.source").eqNullSafe(F.col("j.source"))
+            & F.col("o.n_chars").eqNullSafe(F.col("j.n_chars"))
+        )
+    )
+    assert bad.count() == 0
