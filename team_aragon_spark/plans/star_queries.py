@@ -23312,22 +23312,115 @@ def q325_jsonl_ingest_consistency(spark, sf_dir):
     )
 
 
+_KN_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+u AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM u
+       WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+cc AS (SELECT a, count(*) AS c_a, count(DISTINCT b) AS n1p_fw
+       FROM bg GROUP BY a),
+bw AS (SELECT b, count(DISTINCT a) AS n1p_bw FROM bg GROUP BY b),
+tt AS (SELECT count(*) AS t_types FROM bc)
+SELECT bg.doc_id,
+       round(avg(ln(((c_ab - 0.75) / c_a)
+                    + (((0.75 * n1p_fw) / c_a) * (n1p_bw / t_types)))), 6)
+         AS avg_kn_logprob,
+       count(*) AS n_bigrams
+FROM bg JOIN bc USING (a, b) JOIN cc USING (a) JOIN bw USING (b), tt
+GROUP BY bg.doc_id ORDER BY bg.doc_id"""
+
+
+@register(
+    "q326_kneser_ney_bigram_scores",
+    _KN_SQL,
+    ops=("ext-text-kneser-ney",),
+    doc="KNESER-NEY-smoothed bigram LM document scoring — the "
+    "standard LM smoothing (Kneser & Ney 1995; Chen & Goodman 1999 "
+    "interpolated form, fixed discount d=0.75) upgrading q156's "
+    "add-one bigram filter: P(b|a) = (c_ab - d)/c_a + (d * "
+    "N1+(a.)/c_a) * N1+(.b)/N1+(..), where the continuation "
+    "probability N1+(.b)/T scores how many CONTEXTS a word follows, "
+    "not how often it occurs — the property that makes KN the "
+    "default perplexity filter for pretraining curation (burst-y "
+    "boilerplate tokens get low continuation mass even at high raw "
+    "frequency).  Scoring the corpus's own observed bigrams keeps "
+    "c_ab >= 1 > d, so the max(.,0) clamp is vacuously satisfied "
+    "and every probability is strictly positive — no log-of-zero "
+    "edge.  All inputs are integer counts; the formula is "
+    "parenthesized IDENTICALLY in both engines so each double op "
+    "sees the same operands (same IEEE result), with one round(6) "
+    "at the per-doc avg (the q156 discipline).  Scale: the exploded "
+    "bigram relation is persisted and feeds all three count "
+    "aggregates (map-combined) plus the scoring join; the "
+    "continuation and context tables are vocabulary-sized; no "
+    "window, no self-join.",
+)
+def q326_kneser_ney_bigram_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = "split(trim(text), '\\\\s+')"
+    bg = (
+        docs.withColumn("__t", F.expr(toks))
+        .filter(F.expr("size(__t) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(__t, 1, size(__t) - 1), "
+                    "slice(__t, 2, size(__t) - 1), "
+                    "(x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.a", "g.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+        .persist()
+    )
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cc = bg.groupBy("a").agg(
+        F.count(F.lit(1)).alias("c_a"),
+        F.countDistinct("b").alias("n1p_fw"),
+    )
+    bw = bg.groupBy("b").agg(F.countDistinct("a").alias("n1p_bw"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t_types"))
+    p_kn = ((F.col("c_ab") - 0.75) / F.col("c_a")) + (
+        ((0.75 * F.col("n1p_fw")) / F.col("c_a"))
+        * (F.col("n1p_bw") / F.col("t_types"))
+    )
+    return (
+        bg.join(bc, ["a", "b"])
+        .join(cc, "a")
+        .join(bw, "b")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the five r11 births (q321–q325, each verified green at sf0.001
+    # the six r11 births (q321–q326, each verified green at sf0.001
     # AND sf0.01 before entering — new queries stamp the round they
     # are born), then ALL 40 stampable stale-r04 rows (the oldest
     # stamps in the merged ledger; q70 excluded — rows-only by
-    # design, rows-only queries never occupy stamp slots), then the 5
-    # oldest r05 rows (q101/q103/q104/q105 yield their slots to the
-    # later r11 births).  After this window clears, the oldest stamp
-    # in the merged ledger is r05 (40 rows), queued below for r12.
+    # design, rows-only queries never occupy stamp slots), then the 4
+    # oldest r05 rows (q100/q101/q103/q104/q105 yield their slots to
+    # the later r11 births).  After this window clears, the oldest
+    # stamp in the merged ledger is r05 (41 rows), queued below for
+    # r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
     "q324_sorted_neighborhood_pairs",
     "q325_jsonl_ingest_consistency",
+    "q326_kneser_ney_bigram_scores",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23372,8 +23465,8 @@ STAMP_PRIORITY: list[str] = [
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
     "q99_streaming_dedup_replay",
-    "q100_hourly_gap_fill",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q100_hourly_gap_fill",
     "q101_streaming_click_error_join",
     "q103_video_mp4_meta",
     "q104_temperature_source_mix",

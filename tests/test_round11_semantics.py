@@ -320,3 +320,52 @@ def test_gram_index_retry_after_partial_write_loses_nothing(spark, tmp_path):
     oneshot = text_dedup.exact_substring_gram_index(docs, window=8)
     assert _rows(maintained) == _rows(oneshot), "partial digests lost on retry"
     spark.catalog.clearCache()
+
+
+def test_q326_kneser_ney_hand_computed_toy(spark):
+    """KN bigram scoring pinned against hand-computed math on a toy
+    corpus, plus the two structural properties the smoothing exists
+    for: strictly positive probabilities and per-context mass over
+    observed bigrams strictly below 1 (the held-out discount)."""
+    import math
+
+    import team_aragon_spark.plans.star_queries as sq2
+
+    # corpus: doc1 = "x y x y", doc2 = "x z"
+    # bigrams: d1: (x,y) (y,x) (x,y);  d2: (x,z)
+    # c(x,y)=2 c(y,x)=1 c(x,z)=1 ; c_a: x=3, y=1
+    # N1+(x.)=2, N1+(y.)=1 ; N1+(.y)=1, N1+(.x)=1, N1+(.z)=1 ; T=3
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x z")], ["doc_id", "text"]
+    )
+
+    def fake_t(s, sf, name):
+        assert name == "documents"
+        return docs
+
+    orig = sq2._t
+    sq2._t = lambda s, sf, name: fake_t(s, sf, name)
+    try:
+        out = {
+            r.doc_id: (r.avg_kn_logprob, r.n_bigrams)
+            for r in sq2.QUERY_REGISTRY[
+                "q326_kneser_ney_bigram_scores"
+            ].fn(spark, "ignored").collect()
+        }
+    finally:
+        sq2._t = orig
+
+    d = 0.75
+    p_xy = ((2 - d) / 3) + (((d * 2) / 3) * (1 / 3))
+    p_yx = ((1 - d) / 1) + (((d * 1) / 1) * (1 / 3))
+    p_xz = ((1 - d) / 3) + (((d * 2) / 3) * (1 / 3))
+    want1 = round((math.log(p_xy) + math.log(p_yx) + math.log(p_xy)) / 3, 6)
+    want2 = round(math.log(p_xz), 6)
+    assert out[1] == (want1, 3)
+    assert out[2] == (want2, 1)
+    for p in (p_xy, p_yx, p_xz):
+        assert 0 < p < 1
+    # discounting leaves held-out mass: observed-bigram mass per
+    # context sums strictly below 1
+    assert p_xy + p_xz < 1  # context x
+    assert p_yx < 1  # context y
