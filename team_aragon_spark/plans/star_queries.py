@@ -23312,6 +23312,130 @@ def q325_jsonl_ingest_consistency(spark, sf_dir):
     )
 
 
+_WALK_STEPS = 4
+_WALK_STARTS = 100
+
+
+def _walk_digest_sql(node: str, t: int, walk: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({node} || '|' || {t} || '|' || {walk}), "
+        f"17, 15))::UBIGINT AS BIGINT)"
+    )
+
+
+def _walk_oracle_sql() -> str:
+    steps = []
+    prev = "s0"
+    for t in range(1, _WALK_STEPS + 1):
+        dig = _walk_digest_sql(f"{prev}.node", t, f"{prev}.walk_id")
+        steps.append(
+            f"""s{t} AS (
+  SELECT {prev}.walk_id, {t} AS step, adj.v AS node
+  FROM {prev} JOIN deg ON {prev}.node = deg.u
+  JOIN adj ON adj.u = {prev}.node AND adj.r = {dig} % deg.d)"""
+        )
+        prev = f"s{t}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({'0' if t == 0 else f's{t}.step'} AS BIGINT) "
+        f"AS step, node FROM s{t}"
+        for t in range(_WALK_STEPS + 1)
+    )
+    return f"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+adj1 AS (SELECT DISTINCT u, v FROM
+         (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p)),
+adj AS (SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS r
+        FROM adj1),
+deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+starts AS (SELECT DISTINCT u FROM adj ORDER BY u LIMIT {_WALK_STARTS}),
+s0 AS (SELECT u AS walk_id, 0 AS step, u AS node FROM starts),
+{",".join(steps)}
+{union}"""
+
+
+@register(
+    "q327_seeded_random_walks",
+    _walk_oracle_sql(),
+    ops=("ext-graph-random-walks",),
+    doc="SEEDED RANDOM-WALK corpus generation (DeepWalk, Perozzi et "
+    "al. KDD 2014 / node2vec p=q=1) over the co-purchase part graph "
+    "— the walk corpus that feeds skip-gram graph embeddings, as a "
+    "DETERMINISTIC dataflow: at (node, step, walk) the next hop is "
+    "neighbor rank md5_60bit(node|step|walk) % degree, so the walks "
+    "are exactly reproducible across engines (the q63 portable-"
+    "digest idiom) and the DuckDB oracle replays every hop through "
+    "the identical chained CTEs.  No RNG state, no seed plumbing — "
+    "pseudo-randomness is a pure column function of position, which "
+    "is also the 100 TB answer: any executor can (re)compute any "
+    "walk segment independently, retries are idempotent, and "
+    "nothing serializes through a driver-side generator.  Graph "
+    "build: one order-key self-join (a<b halves), symmetrized + "
+    "distinct, neighbor ranks via a u-partitioned window (parallel "
+    "across nodes); each of the 4 hops joins the walk frontier "
+    "(bounded by the start count) to (u, rank) — frontier "
+    "broadcast, adjacency persisted and never reshuffled, the q181 "
+    "BFS shape.  Dead ends cannot occur: the graph is symmetric, "
+    "so every reached node has degree >= 1.",
+)
+def q327_seeded_random_walks(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+    adj1 = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    adj = adj1.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1,
+    ).persist()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    starts = adj.select("u").distinct().orderBy("u").limit(_WALK_STARTS)
+    cur = starts.select(
+        F.col("u").alias("walk_id"),
+        F.lit(0).cast("bigint").alias("step"),
+        F.col("u").alias("node"),
+    ).localCheckpoint()
+    out = [cur]
+    for t in range(1, _WALK_STEPS + 1):
+        dig = F.expr(
+            "cast(conv(substr(md5(concat(cast(node as string), '|', "
+            f"'{t}', '|', cast(walk_id as string))), 17, 15), 16, 10) "
+            "as bigint)"
+        )
+        stepped = (
+            F.broadcast(cur)
+            .join(deg, F.col("node") == F.col("u"))
+            .withColumn("idx", dig % F.col("d"))
+            .drop("u", "d")
+        )
+        cur = (
+            stepped.join(
+                adj,
+                (stepped["node"] == adj["u"]) & (stepped["idx"] == adj["r"]),
+            )
+            .select(
+                "walk_id",
+                F.lit(t).cast("bigint").alias("step"),
+                F.col("v").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        out.append(cur)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 _KN_SQL = r"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
            FROM documents),
@@ -23406,21 +23530,22 @@ def q326_kneser_ney_bigram_scores(spark, sf_dir):
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the six r11 births (q321–q326, each verified green at sf0.001
-    # AND sf0.01 before entering — new queries stamp the round they
-    # are born), then ALL 40 stampable stale-r04 rows (the oldest
-    # stamps in the merged ledger; q70 excluded — rows-only by
-    # design, rows-only queries never occupy stamp slots), then the 4
-    # oldest r05 rows (q100/q101/q103/q104/q105 yield their slots to
-    # the later r11 births).  After this window clears, the oldest
-    # stamp in the merged ledger is r05 (41 rows), queued below for
-    # r12.
+    # the seven r11 births (q321–q327, each verified green at
+    # sf0.001 AND sf0.01 before entering — new queries stamp the
+    # round they are born), then ALL 40 stampable stale-r04 rows
+    # (the oldest stamps in the merged ledger; q70 excluded —
+    # rows-only by design, rows-only queries never occupy stamp
+    # slots), then the 3 oldest r05 rows (q99–q105's stampable rows
+    # yield slots to the later r11 births).  After this window
+    # clears, the oldest stamp in the merged ledger is r05 (42
+    # rows), queued below for r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
     "q324_sorted_neighborhood_pairs",
     "q325_jsonl_ingest_consistency",
     "q326_kneser_ney_bigram_scores",
+    "q327_seeded_random_walks",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23464,8 +23589,8 @@ STAMP_PRIORITY: list[str] = [
     "q44_approx_distinct_users",
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
-    "q99_streaming_dedup_replay",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q99_streaming_dedup_replay",
     "q100_hourly_gap_fill",
     "q101_streaming_click_error_join",
     "q103_video_mp4_meta",

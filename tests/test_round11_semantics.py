@@ -369,3 +369,43 @@ def test_q326_kneser_ney_hand_computed_toy(spark):
     # context sums strictly below 1
     assert p_xy + p_xz < 1  # context x
     assert p_yx < 1  # context y
+
+
+def test_q327_walks_are_valid_and_deterministic(spark):
+    """Seeded random walks: every hop follows a real co-purchase
+    edge, every walk starts at its walk_id and has exactly
+    _WALK_STEPS+1 positions, and two independent evaluations are
+    bit-identical (the no-RNG-state property the operator exists
+    for)."""
+    fn = sq.QUERY_REGISTRY["q327_seeded_random_walks"].fn
+    out1 = fn(spark, SF_SMOKE)
+    rows = out1.collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    assert all(w[0] == wid for wid, w in by_walk.items())
+    assert all(
+        sorted(w) == list(range(sq._WALK_STEPS + 1)) for w in by_walk.values()
+    )
+
+    li = sq._t(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = {
+        (r.a, r.b)
+        for r in l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .collect()
+    }
+    for w in by_walk.values():
+        for t in range(1, sq._WALK_STEPS + 1):
+            a, b = w[t - 1], w[t]
+            assert (min(a, b), max(a, b)) in edges
+
+    rows2 = {(r.walk_id, r.step, r.node) for r in fn(spark, SF_SMOKE).collect()}
+    assert rows2 == {(r.walk_id, r.step, r.node) for r in rows}
