@@ -23312,6 +23312,119 @@ def q325_jsonl_ingest_consistency(spark, sf_dir):
     )
 
 
+_SHAPLEY_SQL = """
+WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id),
+tm AS (SELECT e.user_id,
+              sum(DISTINCT CASE e.event_type WHEN 'click' THEN 1
+                   WHEN 'view' THEN 2 WHEN 'signup' THEN 4
+                   WHEN 'error' THEN 8 ELSE 0 END) AS mask
+       FROM events e JOIN fp ON e.user_id = fp.user_id AND e.ts < fp.pts
+       WHERE e.event_type IN ('click', 'view', 'signup', 'error')
+       GROUP BY e.user_id),
+cm AS (SELECT mask, count(*) AS n FROM tm WHERE mask > 0 GROUP BY mask),
+coal AS (SELECT unnest(generate_series(0, 15)) AS s),
+v AS (SELECT coal.s, CAST(coalesce(sum(cm.n), 0) AS BIGINT) AS v
+      FROM coal LEFT JOIN cm ON (cm.mask & coal.s) = cm.mask
+      GROUP BY coal.s),
+ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4),
+                             ('error', 8)) AS t(channel, bit)),
+terms AS (SELECT ch.channel, ch.bit, bit_count(v0.s) AS k,
+                 v1.v - v0.v AS mc
+          FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+          JOIN v v1 ON v1.s = v0.s + ch.bit)
+SELECT terms.channel,
+       round(sum((CAST(CASE k WHEN 0 THEN 6 WHEN 1 THEN 2
+                            WHEN 2 THEN 2 WHEN 3 THEN 6 END AS DOUBLE)
+                  / CAST(24 AS DOUBLE))
+                 * mc), 6) AS shapley_conversions,
+       max(solo.v) AS solo_conversions
+FROM terms JOIN v solo ON solo.s = terms.bit
+GROUP BY terms.channel"""
+
+
+@register(
+    "q328_shapley_attribution",
+    _SHAPLEY_SQL,
+    ops=("ext-attribution-shapley",),
+    doc="EXACT SHAPLEY-VALUE multi-touch attribution (Shapley 1953; "
+    "the MTA formulation of Zhao et al. 2018) — completes the "
+    "attribution trio next to q140's linear-touch and q257's "
+    "Markov-removal models.  Coalition value v(S) = converted users "
+    "whose pre-purchase touch set is a nonempty subset of S; "
+    "channel i's credit is the factorially-weighted average of its "
+    "marginal contribution v(S+i)-v(S) over all 8 coalitions "
+    "excluding i.  The 100 TB shape: the ONLY corpus-sized work is "
+    "the per-user touch-set bitmask (one join to first-purchase "
+    "times + one map-combined distinct-bit sum); everything after "
+    "operates on the 16-row coalition lattice (subset-sum via a "
+    "bounded bitwise-containment join, marginal terms via two "
+    "lattice self-joins) — the game enumeration never touches the "
+    "fact table, and 4 channels keeps it exact (2^n coalitions; "
+    "beyond ~20 channels you sample permutations instead).  "
+    "Weights are the exact rationals k!(n-1-k)!/n! spelled as the "
+    "same double division in both engines; marginals are integer "
+    "counts; one round(6) at the end.  Efficiency (sum of Shapley "
+    "credits == v(full set)) is pinned in pytest.",
+)
+def q328_shapley_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    bit = F.expr(
+        "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+        "WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END"
+    )
+    tm = (
+        ev.join(fp, "user_id")
+        .filter(F.col("ts") < F.col("pts"))
+        .filter(F.col("event_type").isin("click", "view", "signup", "error"))
+        .select("user_id", bit.alias("bit"))
+        .groupBy("user_id")
+        .agg(F.sum_distinct("bit").alias("mask"))
+    )
+    cm = (
+        tm.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    coal = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(cm),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit long",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    solo = v.select(F.col("s").alias("sb"), F.col("v").alias("solo_v"))
+    terms = (
+        ch.join(F.broadcast(v0), F.col("s0").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(v1), F.col("s1") == F.col("s0") + F.col("bit"))
+        .join(F.broadcast(solo), F.col("sb") == F.col("bit"))
+    )
+    weight = F.expr(
+        "CAST(CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2 "
+        "WHEN 2 THEN 2 WHEN 3 THEN 6 END AS DOUBLE) / CAST(24 AS DOUBLE)"
+    )
+    return terms.groupBy("channel").agg(
+        F.round(F.sum(weight * (F.col("v1") - F.col("v0"))), 6).alias(
+            "shapley_conversions"
+        ),
+        F.max("solo_v").alias("solo_conversions"),
+    )
+
+
 _WALK_STEPS = 4
 _WALK_STARTS = 100
 
@@ -23530,15 +23643,15 @@ def q326_kneser_ney_bigram_scores(spark, sf_dir):
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the seven r11 births (q321–q327, each verified green at
+    # the eight r11 births (q321–q328, each verified green at
     # sf0.001 AND sf0.01 before entering — new queries stamp the
     # round they are born), then ALL 40 stampable stale-r04 rows
     # (the oldest stamps in the merged ledger; q70 excluded —
     # rows-only by design, rows-only queries never occupy stamp
-    # slots), then the 3 oldest r05 rows (q99–q105's stampable rows
-    # yield slots to the later r11 births).  After this window
-    # clears, the oldest stamp in the merged ledger is r05 (42
-    # rows), queued below for r12.
+    # slots), then the 2 oldest r05 rows (later births displace the
+    # r05 tail into the r12 queue).  After this window clears, the
+    # oldest stamp in the merged ledger is r05 (43 rows), queued
+    # below for r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
@@ -23546,6 +23659,7 @@ STAMP_PRIORITY: list[str] = [
     "q325_jsonl_ingest_consistency",
     "q326_kneser_ney_bigram_scores",
     "q327_seeded_random_walks",
+    "q328_shapley_attribution",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23588,8 +23702,8 @@ STAMP_PRIORITY: list[str] = [
     "q98_session_transcripts",
     "q44_approx_distinct_users",
     "q46_streaming_hourly_stats",
-    "q47_streaming_user_totals",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q47_streaming_user_totals",
     "q99_streaming_dedup_replay",
     "q100_hourly_gap_fill",
     "q101_streaming_click_error_join",

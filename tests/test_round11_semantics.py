@@ -409,3 +409,65 @@ def test_q327_walks_are_valid_and_deterministic(spark):
 
     rows2 = {(r.walk_id, r.step, r.node) for r in fn(spark, SF_SMOKE).collect()}
     assert rows2 == {(r.walk_id, r.step, r.node) for r in rows}
+
+
+def test_q328_shapley_efficiency_and_toy_game(spark):
+    """Shapley attribution must satisfy EFFICIENCY (credits sum to
+    v(all channels) = all attributable conversions) on the real
+    testdata, and match the hand-solved game on a planted corpus
+    where one channel alone converts everyone (it must take all
+    credit) plus a two-channel complementary pair (equal split)."""
+    import datetime as dt
+
+    fn = sq.QUERY_REGISTRY["q328_shapley_attribution"].fn
+    out = fn(spark, SF_SMOKE).collect()
+    total_credit = sum(r.shapley_conversions for r in out)
+
+    # v(full set) = all converted users with >= 1 prior touch
+    ev = sq._t(spark, SF_SMOKE, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    attributable = (
+        ev.join(fp, "user_id")
+        .filter(F.col("ts") < F.col("pts"))
+        .filter(F.col("event_type").isin("click", "view", "signup", "error"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - attributable) < 1e-4
+
+    # toy game: u1/u2 touch only click then buy; u3 touches view+signup
+    # then buys.  Shapley: click = 2, view = signup = 0.5, error = 0.
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev_row(u, typ, minute):
+        nonlocal eid
+        eid += 1
+        return (eid, t0 + dt.timedelta(minutes=minute), u, typ, 1.0, "{}")
+
+    rows += [ev_row(1, "click", 0), ev_row(1, "purchase", 5)]
+    rows += [ev_row(2, "click", 0), ev_row(2, "purchase", 5)]
+    rows += [
+        ev_row(3, "view", 0),
+        ev_row(3, "signup", 1),
+        ev_row(3, "purchase", 5),
+    ]
+    toy = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    orig = sq._t
+    sq._t = lambda s, sf, name: toy
+    try:
+        got = {r.channel: r.shapley_conversions for r in fn(spark, "x").collect()}
+    finally:
+        sq._t = orig
+    assert got["click"] == 2.0
+    assert got["view"] == 0.5 and got["signup"] == 0.5
+    assert got["error"] == 0.0
