@@ -23557,6 +23557,51 @@ def q327_seeded_random_walks(spark, sf_dir):
     return res
 
 
+@register(
+    "q329_orc_ingest_consistency",
+    """SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       bit_xor(event_id) AS id_digest,
+       bit_xor(epoch_us(ts)) AS ts_digest,
+       count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+    ops=("ext-source-orc",),
+    doc="ORC SOURCE ROUND-TRIP — the columnar-interchange leg of the "
+    "source matrix (parquet native, CSV reference-parity, JSONL "
+    "q325, JDBC Derby): events staged through Spark's ORC sink and "
+    "read back with the declared schema.  Events is deliberately "
+    "the staged table because its surface is what ORC historically "
+    "gets wrong: ORC's plain TIMESTAMP is WALL-CLOCK, so under the "
+    "driver's non-UTC session a write/read crosses a DST-ambiguous "
+    "hour twice and the fall-back hour is unrecoverable BY SPEC — "
+    "sources/orc.py therefore stages instants as epoch-microsecond "
+    "BIGINTs (the standard interchange practice) and documents the "
+    "trap instead of silently shipping it.  The query aggregates "
+    "per-type counts, integer-cent sums, and order-free bit_xor "
+    "digests of BOTH event ids and the epoch-micro timestamps FROM "
+    "THE ORC COPY while the oracle computes the same from the "
+    "original parquet — a one-microsecond shift anywhere flips the "
+    "hash.  Scale: staging is write-once per source fingerprint; "
+    "the aggregate is one partial+final hash agg on the bounded "
+    "event_type key.",
+)
+def q329_orc_ingest_consistency(spark, sf_dir):
+    from team_aragon_spark.sources.orc import staged_events_orc
+
+    ev = staged_events_orc(spark, sf_dir)
+    tune(spark)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.expr("bit_xor(event_id)").alias("id_digest"),
+        F.expr("bit_xor(ts_us)").alias("ts_digest"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 _KN_SQL = r"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
            FROM documents),
@@ -23651,14 +23696,14 @@ def q326_kneser_ney_bigram_scores(spark, sf_dir):
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the eight r11 births (q321–q328, each verified green at
+    # the nine r11 births (q321–q329, each verified green at
     # sf0.001 AND sf0.01 before entering — new queries stamp the
     # round they are born), then ALL 40 stampable stale-r04 rows
     # (the oldest stamps in the merged ledger; q70 excluded —
     # rows-only by design, rows-only queries never occupy stamp
-    # slots), then the 2 oldest r05 rows (later births displace the
-    # r05 tail into the r12 queue).  After this window clears, the
-    # oldest stamp in the merged ledger is r05 (43 rows), queued
+    # slots), then the single oldest r05 row (later births displace
+    # the r05 tail into the r12 queue).  After this window clears,
+    # the oldest stamp in the merged ledger is r05 (44 rows), queued
     # below for r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
@@ -23668,6 +23713,7 @@ STAMP_PRIORITY: list[str] = [
     "q326_kneser_ney_bigram_scores",
     "q327_seeded_random_walks",
     "q328_shapley_attribution",
+    "q329_orc_ingest_consistency",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23709,8 +23755,8 @@ STAMP_PRIORITY: list[str] = [
     "q97_incremental_neardup",
     "q98_session_transcripts",
     "q44_approx_distinct_users",
-    "q46_streaming_hourly_stats",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
     "q99_streaming_dedup_replay",
     "q100_hourly_gap_fill",

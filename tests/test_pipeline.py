@@ -206,3 +206,40 @@ def test_staged_jsonl_equals_parquet_rows(spark):
         )
     )
     assert bad.count() == 0
+
+
+def test_staged_orc_events_equal_parquet_rows(spark):
+    """sources/orc.py staging: the ORC copy of events is row-for-row
+    identical to the parquet original — ids, epoch-microsecond
+    timestamps (the zone-free interchange form; ORC's wall-clock
+    TIMESTAMP cannot round-trip under a non-UTC session), values,
+    and props."""
+    from team_aragon_spark.session import tune
+    from team_aragon_spark.sources.catalog import read_table
+    from team_aragon_spark.sources.orc import staged_events_orc
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    tune(spark)
+    orig = read_table(spark, "events", sf).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    back = staged_events_orc(spark, sf)
+    assert back.count() == orig.count()
+    joined = orig.alias("o").join(back.alias("b"), "event_id", "full_outer")
+    bad = joined.filter(
+        ~(
+            F.col("o.ts_us").eqNullSafe(F.col("b.ts_us"))
+            & F.col("o.user_id").eqNullSafe(F.col("b.user_id"))
+            & F.col("o.event_type").eqNullSafe(F.col("b.event_type"))
+            & F.col("o.value").eqNullSafe(F.col("b.value"))
+            & F.col("o.props").eqNullSafe(F.col("b.props"))
+        )
+    )
+    assert bad.count() == 0
