@@ -32,6 +32,28 @@ def bpe_ish_token_count(col: str) -> Column:
     return F.size(F.expr(f"regexp_extract_all({col}, '{pattern}', 0)")).cast("long")
 
 
+def md5_60bit_sql(expr: str) -> str:
+    """Spark SQL fragment: engine-portable 60-bit digest of ``expr``
+    (lower 15 hex chars of md5 as a non-negative BIGINT).
+
+    This is the cross-engine determinism contract used wherever a
+    value must hash identically in Spark and the DuckDB oracle —
+    portable MinHash (q63), seeded random walks (q327), and the
+    source-consistency digests (q325/q329).  xxhash64 is cheaper but
+    engine-specific; md5 is bit-identical everywhere.  60 bits keeps
+    the value strictly inside BIGINT (no sign wrap), and bit_xor /
+    modulo arithmetic over it is overflow-free under ANSI mode.
+    ``tests/test_operators.py::test_md5_60bit_portable_contract``
+    pins Spark == DuckDB on a corpus of adversarial strings.
+    """
+    return f"cast(conv(substr(md5({expr}), 17, 15), 16, 10) as bigint)"
+
+
+def md5_60bit_duckdb(expr: str) -> str:
+    """DuckDB twin of :func:`md5_60bit_sql` — byte-identical values."""
+    return f"CAST(('0x' || substr(md5({expr}), 17, 15))::UBIGINT AS BIGINT)"
+
+
 def ratio_of_sums(num: Column, den: Column, digits: int = 6) -> Column:
     """SUM(expr)/SUM(expr) with NULL-propagating terms (A5 semantics:
     a row with a NULL term drops out of that SUM, exactly as in SQL).

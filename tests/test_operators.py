@@ -1835,3 +1835,41 @@ def test_triangle_enumerate_near_maxlong_ids_no_overflow(spark):
     )
     got = [(r.n1, r.n2, r.n3) for r in triangle_enumerate(df).collect()]
     assert got == [(a, b, c)]
+
+
+def test_md5_60bit_portable_contract(spark):
+    """The shared 60-bit md5 digest (functions.md5_60bit_sql /
+    md5_60bit_duckdb) must produce byte-identical BIGINTs in Spark
+    and DuckDB — the determinism contract under q63's MinHash, q327's
+    walk seeding, and the q325/q329 source-consistency digests."""
+    import duckdb
+
+    from team_aragon_spark.functions import md5_60bit_duckdb, md5_60bit_sql
+
+    strings = [
+        "",
+        "a",
+        "hello world",
+        'quote " and back\\slash',
+        "naïve 日本語 𝕌nicode",
+        "123|456|789",
+        "x" * 10_000,
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got_spark = [
+        r.d
+        for r in df.select(F.expr(md5_60bit_sql("s")).alias("d"))
+        .orderBy("s")
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        row[0]
+        for row in con.execute(
+            f"SELECT {md5_60bit_duckdb('s')} FROM (SELECT unnest(?) AS s) "
+            "ORDER BY s",
+            [strings],
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    assert all(0 <= d < (1 << 60) for d in got_spark)
