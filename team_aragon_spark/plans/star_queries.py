@@ -23602,6 +23602,66 @@ def q329_orc_ingest_consistency(spark, sf_dir):
     )
 
 
+_SKIPGRAM_WINDOW = 2
+
+
+def _skipgram_oracle_sql() -> str:
+    walk = _walk_oracle_sql()
+    return f"""WITH w AS ({walk})
+SELECT a.node AS center, b.node AS context,
+       count(*) AS n_pairs
+FROM w a JOIN w b
+  ON a.walk_id = b.walk_id
+ AND b.step >= a.step - {_SKIPGRAM_WINDOW}
+ AND b.step <= a.step + {_SKIPGRAM_WINDOW}
+ AND a.step <> b.step
+GROUP BY a.node, b.node"""
+
+
+@register(
+    "q330_walk_skipgram_pairs",
+    _skipgram_oracle_sql(),
+    ops=("ext-graph-skipgram",),
+    doc="SKIP-GRAM PAIR EXTRACTION over q327's seeded walks — the "
+    "actual training-data deliverable of DeepWalk/node2vec: (center, "
+    "context) co-occurrence counts within a +-2-step window of each "
+    "walk, the input relation a skip-gram embedding trainer consumes "
+    "(Perozzi et al. 2014 §4.2; Mikolov et al. 2013 for the "
+    "objective).  Pairing is done WITHOUT a self-join on the corpus: "
+    "each walk's 5 positions are collected into one ordered array "
+    "per walk_id (walks are fixed-length, so the row is bounded) "
+    "and the window pairs explode from array index arithmetic — "
+    "corpus-sized work is one walk_id shuffle + a linear explode; "
+    "the count aggregate is map-combined.  The oracle replays the "
+    "walk CTE chain and forms the same pairs via a step-range "
+    "self-join (fine at oracle scale; the array form is the "
+    "at-scale shape).  Fully deterministic because q327's walks "
+    "are.",
+)
+def q330_walk_skipgram_pairs(spark, sf_dir):
+    walks = q327_seeded_random_walks(spark, sf_dir)
+    per_walk = walks.groupBy("walk_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("step", "node"))
+        ).alias("path")
+    )
+    w = _SKIPGRAM_WINDOW
+    pairs = per_walk.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(path, (c, i) -> "
+                "filter(transform(path, (x, j) -> "
+                f"IF(j >= i - {w} AND j <= i + {w} AND j != i, "
+                "struct(c.node AS center, x.node AS context), NULL)), "
+                "p -> p IS NOT NULL)))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.center").alias("center"), F.col("p.context").alias("context")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 _KN_SQL = r"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
            FROM documents),
@@ -23696,15 +23756,14 @@ def q326_kneser_ney_bigram_scores(spark, sf_dir):
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the nine r11 births (q321–q329, each verified green at
-    # sf0.001 AND sf0.01 before entering — new queries stamp the
-    # round they are born), then ALL 40 stampable stale-r04 rows
-    # (the oldest stamps in the merged ledger; q70 excluded —
-    # rows-only by design, rows-only queries never occupy stamp
-    # slots), then the single oldest r05 row (later births displace
-    # the r05 tail into the r12 queue).  After this window clears,
-    # the oldest stamp in the merged ledger is r05 (44 rows), queued
-    # below for r12.
+    # the ten r11 births (q321–q330, each verified green at sf0.001
+    # AND sf0.01 before entering — new queries stamp the round they
+    # are born), then ALL 40 stampable stale-r04 rows (the oldest
+    # stamps in the merged ledger; q70 excluded — rows-only by
+    # design, rows-only queries never occupy stamp slots).  The r05
+    # block has been displaced entirely into the r12 queue by the
+    # later births; after this window clears, the oldest stamp in
+    # the merged ledger is r05 (45 rows), queued below for r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
@@ -23714,6 +23773,7 @@ STAMP_PRIORITY: list[str] = [
     "q327_seeded_random_walks",
     "q328_shapley_attribution",
     "q329_orc_ingest_consistency",
+    "q330_walk_skipgram_pairs",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23754,8 +23814,8 @@ STAMP_PRIORITY: list[str] = [
     "q96_funnel_conversion",
     "q97_incremental_neardup",
     "q98_session_transcripts",
-    "q44_approx_distinct_users",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q44_approx_distinct_users",
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",
     "q99_streaming_dedup_replay",

@@ -471,3 +471,31 @@ def test_q328_shapley_efficiency_and_toy_game(spark):
     assert got["click"] == 2.0
     assert got["view"] == 0.5 and got["signup"] == 0.5
     assert got["error"] == 0.0
+
+
+def test_q330_skipgram_pairs_match_walks(spark):
+    """Skip-gram extraction must equal the naive per-walk window
+    enumeration of q327's walks: symmetric pair counts (center/context
+    swapped) and total pairs == sum over walks of window-pair count."""
+    walks = sq.QUERY_REGISTRY["q327_seeded_random_walks"].fn(spark, SF_SMOKE)
+    by_walk = {}
+    for r in walks.collect():
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    want = {}
+    W = sq._SKIPGRAM_WINDOW
+    for path in by_walk.values():
+        steps = sorted(path)
+        for i in steps:
+            for j in steps:
+                if j != i and abs(j - i) <= W:
+                    k = (path[i], path[j])
+                    want[k] = want.get(k, 0) + 1
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in sq.QUERY_REGISTRY["q330_walk_skipgram_pairs"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
+    # symmetry: the +-window relation is symmetric in (center, context)
+    assert all(got[(b, a)] == n for (a, b), n in got.items())
