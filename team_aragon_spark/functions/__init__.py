@@ -37,9 +37,11 @@ def md5_60bit_sql(expr: str) -> str:
     (lower 15 hex chars of md5 as a non-negative BIGINT).
 
     This is the cross-engine determinism contract used wherever a
-    value must hash identically in Spark and the DuckDB oracle —
-    portable MinHash (q63), seeded random walks (q327), and the
-    source-consistency digests (q325/q329).  xxhash64 is cheaper but
+    value must hash identically in Spark and the DuckDB oracle — the
+    seeded random walks (q327) and the JSONL source-consistency
+    digest (q325) route through these builders; q63's portable
+    MinHash predates them and keeps its fused per-shingle form
+    inline.  xxhash64 is cheaper but
     engine-specific; md5 is bit-identical everywhere.  60 bits keeps
     the value strictly inside BIGINT (no sign wrap), and bit_xor /
     modulo arithmetic over it is overflow-free under ANSI mode.

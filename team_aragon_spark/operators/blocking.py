@@ -76,6 +76,11 @@ def sorted_neighborhood_pairs(
     ``gap`` (rank distance 1..window-1).  ``a`` is the lower-ranked
     record of the pair.
     """
+    if window < 2:
+        # sequence(1, window-1) would run DESCENDING (Spark steps -1
+        # when start > stop), silently emitting self-pairs (gap 0) and
+        # backward pairs — fail loudly instead.
+        raise ValueError(f"sorted_neighborhood_pairs needs window >= 2, got {window}")
     keep = keep_cols if keep_cols is not None else df.columns
     ranked = global_row_number(df, order_cols, bucket).select("rn", *keep)
     gaps = F.explode(

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from team_aragon_spark.functions import md5_60bit_duckdb, md5_60bit_sql
 from team_aragon_spark.operators import dedup, multimodal, similarity, text, text_dedup, windows
 from team_aragon_spark.session import tune
 from team_aragon_spark.sources.catalog import read_table
@@ -23272,11 +23273,10 @@ def q324_sorted_neighborhood_pairs(spark, sf_dir):
 
 @register(
     "q325_jsonl_ingest_consistency",
-    """SELECT source,
+    f"""SELECT source,
        count(*) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS sum_chars,
-       bit_xor(CAST(('0x' || substr(md5(text), 17, 15))::UBIGINT AS BIGINT))
-         AS text_digest,
+       bit_xor({md5_60bit_duckdb("text")}) AS text_digest,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
        count(DISTINCT lang) AS n_langs
        FROM documents GROUP BY source""",
@@ -23308,9 +23308,7 @@ def q325_jsonl_ingest_consistency(spark, sf_dir):
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
-        F.expr(
-            "bit_xor(cast(conv(substr(md5(text), 17, 15), 16, 10) as bigint))"
-        ).alias("text_digest"),
+        F.expr(f"bit_xor({md5_60bit_sql('text')})").alias("text_digest"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
         F.countDistinct("lang").alias("n_langs"),
@@ -23435,10 +23433,7 @@ _WALK_STARTS = 100
 
 
 def _walk_digest_sql(node: str, t: int, walk: str) -> str:
-    return (
-        f"CAST(('0x' || substr(md5({node} || '|' || {t} || '|' || {walk}), "
-        f"17, 15))::UBIGINT AS BIGINT)"
-    )
+    return md5_60bit_duckdb(f"{node} || '|' || {t} || '|' || {walk}")
 
 
 def _walk_oracle_sql() -> str:
@@ -23534,9 +23529,10 @@ def q327_seeded_random_walks(spark, sf_dir):
     out = [cur]
     for t in range(1, _WALK_STEPS + 1):
         dig = F.expr(
-            "cast(conv(substr(md5(concat(cast(node as string), '|', "
-            f"'{t}', '|', cast(walk_id as string))), 17, 15), 16, 10) "
-            "as bigint)"
+            md5_60bit_sql(
+                "concat(cast(node as string), '|', "
+                f"'{t}', '|', cast(walk_id as string))"
+            )
         )
         cur = (
             adj.join(F.broadcast(cur), adj["u"] == F.col("node"))

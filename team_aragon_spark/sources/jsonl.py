@@ -16,32 +16,20 @@ aggregating per-source digests from the JSONL copy and comparing them
 against the DuckDB oracle computed on the ORIGINAL parquet, so any
 lossy escape or dropped row flips the value hash.
 
-Staging is write-once per (sf, source fingerprint) with the same
-atomic-rename discipline as ``sources/partitioned.py``.
+Write-once / atomic staging discipline: ``sources/staging.py``.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from team_aragon_spark.sources.staging import stage_once, stage_root
 
 DOCUMENTS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
-
-
-def _stage_root(sf_dir: str) -> str:
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{sf}-{int(st.st_mtime)}-{st.st_size}"
-    except OSError:
-        fp = sf
-    return os.path.join(tempfile.gettempdir(), "aragon_jsonl", fp)
 
 
 def staged_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,16 +37,13 @@ def staged_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared schema (never inference)."""
     from team_aragon_spark.sources.catalog import read_table
 
-    path = os.path.join(_stage_root(sf_dir), "documents_jsonl")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + f".__stage{os.getpid()}"
-        read_table(spark, "documents", sf_dir).write.mode("overwrite").json(tmp)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                raise
+    path = os.path.join(
+        stage_root(sf_dir, "documents", "aragon_jsonl"), "documents_jsonl"
+    )
+    stage_once(
+        path,
+        lambda tmp: read_table(spark, "documents", sf_dir)
+        .write.mode("overwrite")
+        .json(tmp),
+    )
     return spark.read.schema(DOCUMENTS_SCHEMA).json(path)

@@ -19,34 +19,22 @@ timestamps from the ORC copy must equal the DuckDB oracle computed on
 the original parquet — a one-microsecond shift anywhere flips the
 hash.
 
-Same write-once / atomic-rename staging discipline as
-``sources/partitioned.py`` and ``sources/jsonl.py``.
+Write-once / atomic staging discipline: ``sources/staging.py``.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from team_aragon_spark.sources.staging import stage_once, stage_root
 
 EVENTS_ORC_SCHEMA = (
     "event_id bigint, ts_us bigint, user_id bigint, "
     "event_type string, value double, props string"
 )
-
-
-def _stage_root(sf_dir: str) -> str:
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{sf}-{int(st.st_mtime)}-{st.st_size}"
-    except OSError:
-        fp = sf
-    return os.path.join(tempfile.gettempdir(), "aragon_orc", fp)
 
 
 def staged_events_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,9 +46,8 @@ def staged_events_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from team_aragon_spark.sources.catalog import read_table
 
     tune(spark)  # pins session tz UTC, so the NTZ->LTZ cast below is exact
-    path = os.path.join(_stage_root(sf_dir), "events_orc")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + f".__stage{os.getpid()}"
+
+    def _write(tmp: str) -> None:
         (
             read_table(spark, "events", sf_dir)
             # unix_micros rejects TIMESTAMP_NTZ; under the UTC session
@@ -72,12 +59,9 @@ def staged_events_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .orc(tmp)
         )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                raise
+
+    path = os.path.join(
+        stage_root(sf_dir, "events", "aragon_orc"), "events_orc"
+    )
+    stage_once(path, _write)
     return spark.read.schema(EVENTS_ORC_SCHEMA).orc(path)

@@ -15,44 +15,29 @@ query over it demonstrates the end-to-end prune on the TPC-H-ish star
 schema too (see ``q65_partitioned_month_revenue`` and
 ``tests/test_scale.py::test_partitioned_orders_month_pruning``).
 
-Staging is write-once (``_SUCCESS`` marker) and atomic (write to a
-temp suffix, ``os.rename`` into place) so repeated or concurrent
-query invocations reuse one copy.
+Staging is write-once and atomic via ``sources/staging.py`` (the
+shared ``_SUCCESS``-gated, fingerprint-keyed, rename-into-place
+discipline) so repeated or concurrent query invocations reuse one
+copy.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from team_aragon_spark.sources.staging import stage_once, stage_root
+
 PART_COL = "o_mon"
-
-
-def _stage_root(sf_dir: str) -> str:
-    """Stage key = sf name + source-content fingerprint (mtime+size of
-    the source parquet), so regenerated testdata can never silently
-    reuse a stale staged copy."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(sf_dir, "orders.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{sf}-{int(st.st_mtime)}-{st.st_size}"
-    except OSError:
-        fp = sf
-    return os.path.join(tempfile.gettempdir(), "aragon_partitioned", fp)
 
 
 def staged_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The orders table, hive-partitioned by order month (``o_mon``)."""
     from team_aragon_spark.sources.catalog import read_table
 
-    path = os.path.join(_stage_root(sf_dir), "orders_by_month")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + f".__stage{os.getpid()}"
+    def _write(tmp: str) -> None:
         (
             read_table(spark, "orders", sf_dir)
             .withColumn(PART_COL, F.date_format("o_orderdate", "yyyy-MM"))
@@ -61,15 +46,9 @@ def staged_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy(PART_COL)
             .parquet(tmp)
         )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # Only treat this as a lost concurrency race if the winner's
-            # complete copy is actually there; a genuine rename failure
-            # (EXDEV, permissions) must NOT destroy the only copy.
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                raise
+
+    path = os.path.join(
+        stage_root(sf_dir, "orders", "aragon_partitioned"), "orders_by_month"
+    )
+    stage_once(path, _write)
     return spark.read.parquet(path)
