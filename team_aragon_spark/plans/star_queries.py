@@ -23598,6 +23598,191 @@ def q329_orc_ingest_consistency(spark, sf_dir):
     )
 
 
+# node2vec 2nd-order bias, integer-scaled: p=4 (return discouraged),
+# q=2 (outward discouraged), scale 4 -> return 1, shared 4, far 2.
+_N2V_W_RETURN, _N2V_W_SHARED, _N2V_W_FAR = 1, 4, 2
+
+
+def _n2v_oracle_sql() -> str:
+    w_ret, w_sh, w_far = _N2V_W_RETURN, _N2V_W_SHARED, _N2V_W_FAR
+    dig1 = _walk_digest_sql("s0.node", 1, "s0.walk_id")
+    steps = []
+    prev = "s1"
+    for t in range(2, _WALK_STEPS + 1):
+        dig = _walk_digest_sql(f"{prev}.cur", t, f"{prev}.walk_id")
+        steps.append(
+            f"""c{t} AS (
+  SELECT {prev}.walk_id, {prev}.prev, {prev}.cur, adj.v AS cand, adj.r,
+         CASE WHEN adj.v = {prev}.prev THEN {w_ret}
+              WHEN EXISTS (SELECT 1 FROM adj pn
+                           WHERE pn.u = {prev}.prev AND pn.v = adj.v)
+                THEN {w_sh}
+              ELSE {w_far} END AS w,
+         {dig} AS dg
+  FROM {prev} JOIN adj ON adj.u = {prev}.cur),
+t{t} AS (
+  SELECT walk_id, prev, cur, cand, w, dg,
+         sum(w) OVER (PARTITION BY walk_id ORDER BY r) AS cum,
+         sum(w) OVER (PARTITION BY walk_id) AS tot
+  FROM c{t}),
+s{t} AS (
+  SELECT walk_id, cur AS prev, cand AS cur
+  FROM t{t}
+  WHERE (dg % tot) >= cum - w AND (dg % tot) < cum)"""
+        )
+        prev = f"s{t}"
+    union = "\nUNION ALL\n".join(
+        ["SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS node FROM starts"]
+        + [
+            f"SELECT walk_id, CAST(1 AS BIGINT) AS step, cur AS node FROM s1"
+        ]
+        + [
+            f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS node FROM s{t}"
+            for t in range(2, _WALK_STEPS + 1)
+        ]
+    )
+    return f"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+adj1 AS (SELECT DISTINCT u, v FROM
+         (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p)),
+adj AS (SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS r
+        FROM adj1),
+deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+starts AS (SELECT DISTINCT u AS walk_id FROM adj ORDER BY u LIMIT {_WALK_STARTS}),
+s0 AS (SELECT walk_id, walk_id AS node FROM starts),
+s1 AS (SELECT s0.walk_id, s0.node AS prev, adj.v AS cur
+       FROM s0 JOIN deg ON s0.node = deg.u
+       JOIN adj ON adj.u = s0.node AND adj.r = {dig1} % deg.d),
+{",".join(steps)}
+{union}"""
+
+
+@register(
+    "q331_node2vec_walks",
+    _n2v_oracle_sql(),
+    ops=("ext-graph-node2vec",),
+    doc="NODE2VEC biased walks (Grover & Leskovec, KDD 2016) — q327 "
+    "upgraded to the full 2nd-order walk: the next hop's "
+    "distribution depends on the PREVIOUS node via the return "
+    "parameter p and in-out parameter q (here p=4, q=2, scaled to "
+    "the integer weights return=1, shared-neighbor=4, far=2, so all "
+    "arithmetic stays exact).  Selection is the same deterministic "
+    "hash discipline as q327: r = md5_60bit(cur|step|walk) % "
+    "total_weight picks the candidate whose cumulative-weight "
+    "interval (in sorted-neighbor order) contains r — reproducible "
+    "on any engine, replayed in the oracle by a window cumsum over "
+    "the (u, rank) adjacency with an EXISTS shared-neighbor test.  "
+    "Spark side carries the previous node's neighbor ARRAY in the "
+    "bounded frontier (no second adjacency probe): per step one "
+    "broadcast join against the persisted neighbor table, weights "
+    "via transform (array_contains on the carried array), and an "
+    "O(degree) single-pass aggregate picks the interval — no "
+    "per-candidate explode, no window.  Scale: identical posture to "
+    "q327 (one-time adjacency build, frontier-bounded steps); the "
+    "2nd-order state adds one carried array per walk row.",
+)
+def q331_node2vec_walks(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+    adj = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
+        .persist()
+    )
+    starts = adj.select("u").orderBy("u").limit(_WALK_STARTS)
+    out = [
+        starts.select(
+            F.col("u").alias("walk_id"),
+            F.lit(0).cast("bigint").alias("step"),
+            F.col("u").alias("node"),
+        ).localCheckpoint()
+    ]
+    # step 1: unbiased (no previous node) — exactly the q327 rule
+    dig1 = F.expr(
+        md5_60bit_sql(
+            "concat(cast(node as string), '|', '1', '|', "
+            "cast(walk_id as string))"
+        )
+    )
+    cur = (
+        adj.join(F.broadcast(out[0]), adj["u"] == F.col("node"))
+        .withColumn("idx", dig1 % F.size("nbrs"))
+        .select(
+            "walk_id",
+            F.col("node").alias("prev"),
+            F.col("nbrs").alias("prev_nbrs"),
+            F.element_at("nbrs", (F.col("idx") + 1).cast("int")).alias("cur"),
+        )
+        .localCheckpoint()
+    )
+    out.append(
+        cur.select(
+            "walk_id",
+            F.lit(1).cast("bigint").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    )
+    w_ret, w_sh, w_far = _N2V_W_RETURN, _N2V_W_SHARED, _N2V_W_FAR
+    for t in range(2, _WALK_STEPS + 1):
+        dig = md5_60bit_sql(
+            f"concat(cast(cur as string), '|', '{t}', '|', "
+            "cast(walk_id as string))"
+        )
+        # integer candidate weights in sorted-neighbor order, then an
+        # O(degree) single-pass interval pick: state (cumsum, chosen)
+        ws = (
+            "transform(nbrs, c -> CASE WHEN c = prev THEN "
+            f"{w_ret}L WHEN array_contains(prev_nbrs, c) THEN {w_sh}L "
+            f"ELSE {w_far}L END)"
+        )
+        pick = (
+            "aggregate(zip_with(__ws, sequence(0, size(__ws) - 1), "
+            "(w, i) -> struct(w AS w, i AS i)), "
+            "struct(cast(0 as bigint) AS s, cast(-1 as int) AS k), "
+            "(acc, x) -> IF(acc.k >= 0, acc, "
+            "struct((acc.s + x.w) AS s, "
+            "IF(acc.s + x.w > __r, x.i, cast(-1 as int)) AS k)), "
+            "acc -> acc.k)"
+        )
+        stepped = (
+            adj.join(F.broadcast(cur), adj["u"] == F.col("cur"))
+            .withColumn("__ws", F.expr(ws))
+            .withColumn(
+                "__r",
+                F.expr(dig)
+                % F.expr("aggregate(__ws, cast(0 as bigint), (a, x) -> a + x)"),
+            )
+            .withColumn("__k", F.expr(pick))
+        )
+        cur = stepped.select(
+            "walk_id",
+            F.col("cur").alias("prev"),
+            F.col("nbrs").alias("prev_nbrs"),
+            F.element_at("nbrs", (F.col("__k") + 1).cast("int")).alias("cur"),
+        ).localCheckpoint()
+        out.append(
+            cur.select(
+                "walk_id",
+                F.lit(t).cast("bigint").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 _SKIPGRAM_WINDOW = 2
 
 
@@ -23752,14 +23937,15 @@ def q326_kneser_ney_bigram_scores(spark, sf_dir):
 STAMP_PRIORITY: list[str] = [
     # ---- round-11 window (first 50 = the driver's stamp set) ----
     # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the ten r11 births (q321–q330, each verified green at sf0.001
-    # AND sf0.01 before entering — new queries stamp the round they
-    # are born), then ALL 40 stampable stale-r04 rows (the oldest
-    # stamps in the merged ledger; q70 excluded — rows-only by
-    # design, rows-only queries never occupy stamp slots).  The r05
-    # block has been displaced entirely into the r12 queue by the
-    # later births; after this window clears, the oldest stamp in
-    # the merged ledger is r05 (45 rows), queued below for r12.
+    # the eleven r11 births (q321–q331, each verified green at
+    # sf0.001 AND sf0.01 before entering — new queries stamp the
+    # round they are born), then 39 of the 40 stampable stale-r04
+    # rows (the oldest stamps in the merged ledger; q70 excluded —
+    # rows-only by design, rows-only queries never occupy stamp
+    # slots; q98 — the youngest r04 row — yields its slot to q331
+    # and heads the r12 queue).  The r05 block follows it there;
+    # after this window clears, the oldest stamps remaining are 1
+    # r04 row + 45 r05 rows, queued below for r12.
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
@@ -23770,6 +23956,7 @@ STAMP_PRIORITY: list[str] = [
     "q328_shapley_attribution",
     "q329_orc_ingest_consistency",
     "q330_walk_skipgram_pairs",
+    "q331_node2vec_walks",
     "q14_customers_with_recent_orders",
     "q15_dedup_docs_exact",
     "q16_validation_counts",
@@ -23809,8 +23996,8 @@ STAMP_PRIORITY: list[str] = [
     "q95_user_last_event_state",
     "q96_funnel_conversion",
     "q97_incremental_neardup",
-    "q98_session_transcripts",
     # ---- r12 queue (beyond the 50-slot window; doc only) ----
+    "q98_session_transcripts",
     "q44_approx_distinct_users",
     "q46_streaming_hourly_stats",
     "q47_streaming_user_totals",

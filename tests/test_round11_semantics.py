@@ -499,3 +499,69 @@ def test_q330_skipgram_pairs_match_walks(spark):
     assert got == want
     # symmetry: the +-window relation is symmetric in (center, context)
     assert all(got[(b, a)] == n for (a, b), n in got.items())
+
+
+def test_q331_node2vec_walks_python_replication(spark):
+    """Full independent replication: q331's biased walks on a toy
+    graph must equal a pure-Python walker using hashlib md5 and the
+    same p/q weight rule — every step, every walk.  Also pins the
+    2nd-order property: weights depend on the previous node."""
+    import hashlib
+
+    def dig(cur, t, walk):
+        s = f"{cur}|{t}|{walk}"
+        return int(hashlib.md5(s.encode()).hexdigest()[16:31], 16)
+
+    # triangle 1-2-3 plus tails 3-4, 4-5; lineitem orders encode edges
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    rows = []
+    for k, (a, b) in enumerate(edges):
+        rows += [(100 + k, a), (100 + k, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    orig = sq._t
+    sq._t = lambda s, sf, name: li
+    try:
+        got = {
+            (r.walk_id, r.step): r.node
+            for r in sq.QUERY_REGISTRY["q331_node2vec_walks"]
+            .fn(spark, "x")
+            .collect()
+        }
+    finally:
+        sq._t = orig
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nbrs = {u: sorted(v) for u, v in nbrs.items()}
+    W_RET, W_SH, W_FAR = (
+        sq._N2V_W_RETURN,
+        sq._N2V_W_SHARED,
+        sq._N2V_W_FAR,
+    )
+    want = {}
+    starts = sorted(nbrs)[: sq._WALK_STARTS]
+    for w in starts:
+        want[(w, 0)] = w
+        prev, cur = w, nbrs[w][dig(w, 1, w) % len(nbrs[w])]
+        want[(w, 1)] = cur
+        for t in range(2, sq._WALK_STEPS + 1):
+            cands = nbrs[cur]
+            ws = [
+                W_RET
+                if c == prev
+                else (W_SH if c in nbrs[prev] else W_FAR)
+                for c in cands
+            ]
+            r = dig(cur, t, w) % sum(ws)
+            s = 0
+            for c, wt in zip(cands, ws):
+                s += wt
+                if s > r:
+                    nxt = c
+                    break
+            want[(w, t)] = nxt
+            prev, cur = cur, nxt
+    assert got == want
