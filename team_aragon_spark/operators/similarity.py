@@ -53,6 +53,100 @@ def cosine_expr(a: str, b: str) -> str:
     return f"try_divide({_DOT.format(a=a, b=b)}, ({_norm_expr(a)} * {_norm_expr(b)}))"
 
 
+# Above this corpus size the audit-pin shortlist keeps the fully
+# distributed brute plan: the shortlist stage materializes the corpus
+# matrix on the driver (n x dim doubles, ~100 MB at the cap), which is
+# gate-bounded the same way train_centroids' sample collect is.  At
+# corpus scale the production kNN is the IVF family (q264/q270); the
+# brute operator's job is oracle parity, so only its gate-scale cost
+# matters.
+_SHORTLIST_MAX_CORPUS = 200_000
+
+# Below this many candidate folds the distributed brute fold is already
+# cheaper than the collect + createDataFrame overhead of the shortlist
+# (measured: ~4 folds/us JVM-side at dim 64).
+_SHORTLIST_MIN_FOLDS = 1_000_000
+
+
+def _topk_shortlist(c: DataFrame, q: DataFrame, k: int, round_digits: int):
+    """Candidate (query_id, neighbor_id) pairs that provably contain
+    every exact top-k winner, or None when the distributed brute plan
+    must be kept.
+
+    A float64 BLAS matmul computes approximate cosines; every neighbor
+    within ``margin`` of the query's k-th best is kept, where margin =
+    2.5 * 10^-round_digits + 1e-9 exceeds (a) the rounding granularity
+    under which the final ranking compares values (winners are decided
+    on round(cos, d), so a winner can trail the k-th raw value by at
+    most one grid step) and (b) the worst-case fp divergence between a
+    blocked matmul and the JVM's left-to-right fold (~1e-12 at dim 64).
+    The survivors are re-scored with the *identical* JVM expression and
+    re-ranked by the identical window, so the output rows are
+    bit-for-bit the brute-force result — this is the Bloom-filter
+    pattern of guide §3.2: an upper-bound proxy prunes, the exact
+    predicate decides.
+
+    Falls back (returns None) on: corpus over the gate, empty sides, or
+    any zero-norm / non-finite vector (those rows carry NULL cosines
+    through try_divide in the exact plan; the shortlist does not model
+    NULL ordering, so it declines rather than risk divergence).
+    """
+    import numpy as np
+
+    n_corpus = c.count()
+    if n_corpus > _SHORTLIST_MAX_CORPUS:
+        return None
+    qrows = q.collect()
+    if (
+        not qrows
+        or len(qrows) > _SHORTLIST_MAX_CORPUS
+        or len(qrows) * n_corpus < _SHORTLIST_MIN_FOLDS
+    ):
+        return None
+    crows = c.collect()
+    if not crows:
+        return None
+    cids = [r[0] for r in crows]
+    qids = [r[0] for r in qrows]
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    if not (np.isfinite(C).all() and np.isfinite(Q).all()):
+        return None
+    cn = np.linalg.norm(C, axis=1)
+    qn = np.linalg.norm(Q, axis=1)
+    if (cn == 0.0).any() or (qn == 0.0).any():
+        return None
+    Cn = (C / cn[:, None]).T  # (dim, n) — transposed once for the matmul
+    Qn = Q / qn[:, None]
+    margin = 2.5 * 10.0 ** (-round_digits) + 1e-9
+    cindex = {v: i for i, v in enumerate(cids)}
+    n = len(cids)
+    out_q: list = []
+    out_n: list = []
+    block = max(1, 8_000_000 // n)  # ~64 MB of scores per block
+    for s in range(0, len(qids), block):
+        S = Qn[s : s + block] @ Cn  # (b, n) approximate cosines
+        for bi in range(S.shape[0]):
+            row = S[bi]
+            self_idx = cindex.get(qids[s + bi])
+            if self_idx is not None:
+                row = row.copy()
+                row[self_idx] = -np.inf
+            m = n - (1 if self_idx is not None else 0)
+            if m <= k:
+                idx = np.nonzero(row > -np.inf)[0]
+            else:
+                thr = np.partition(row, n - k)[n - k] - margin
+                idx = np.nonzero(row >= thr)[0]
+            out_q.extend([qids[s + bi]] * len(idx))
+            out_n.extend(cids[i] for i in idx)
+    spark = c.sparkSession
+    id_t = c.schema["neighbor_id"].dataType.simpleString()
+    return spark.createDataFrame(
+        list(zip(out_q, out_n)), f"query_id {id_t}, neighbor_id {id_t}"
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,12 +161,32 @@ def cosine_topk_bruteforce(
     self-matches excluded.  Similarity is rounded before ranking and
     ties broken by neighbor id, so the result set is fully
     deterministic (and oracle-hashable).
+
+    Physical strategy (values identical either way): under the
+    ``_SHORTLIST_MAX_CORPUS`` gate a driver-side BLAS shortlist
+    (:func:`_topk_shortlist`) prunes the n*m candidate space to
+    ~k-per-query pairs with a provably winner-preserving margin, and
+    only those pairs pay the exact JVM fold — the guide-§3.2 "prune
+    with a proxy, decide with the exact predicate" shape.  Above the
+    gate (true corpus scale) the fully distributed broadcast-nested-
+    loop brute plan runs unchanged.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = ensure_parallelism(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")))
-    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    c_raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    short = _topk_shortlist(c_raw, q, k, round_digits)
+    if short is not None:
+        pairs = (
+            short.join(F.broadcast(c_raw), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+    else:
+        c = ensure_parallelism(c_raw)
+        pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine", F.round(F.expr(cosine_expr("__qv", "__cv")), round_digits)
     )
