@@ -26,6 +26,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Under this many DISTINCT edges the transitive closure runs as a
+# driver-side union-find (one bounded collect, zero per-round jobs);
+# above it the distributed min-label propagation runs unchanged.  A
+# dedup pair graph is pairs-that-passed-verification — orders of
+# magnitude smaller than the corpus — so the gate covers every
+# realistic dedup readout while billion-edge graphs keep the
+# distributed path.  16 MB of (long, long) rows at the cap: the same
+# bounded-collect budget as train_centroids / the top-k shortlist.
+_CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _cc_driver_labels(edges: DataFrame, a_col: str, b_col: str):
+    """(node, component) via driver union-find, or None above the gate.
+
+    Semantics identical to the distributed propagation: component =
+    minimum node id reachable; only nodes appearing in edges appear.
+    The collect is LIMIT-bounded (gate + 1 rows) so declining costs one
+    truncated job, never an unbounded transfer.
+    """
+    rows = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .distinct()
+        .limit(_CC_DRIVER_MAX_EDGES + 1)
+        .collect()
+    )
+    if len(rows) > _CC_DRIVER_MAX_EDGES:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    id_t = edges.schema[a_col].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent],
+        f"node {id_t}, component {id_t}",
+    )
+
 
 def connected_components(
     edges: DataFrame,
@@ -40,7 +97,17 @@ def connected_components(
     Undirected: each input pair is used in both directions.  Isolated
     nodes (no edges) are the caller's concern — they are their own
     canonical by definition and never appear here.
+
+    Physical strategy (values identical either way): under the
+    ``_CC_DRIVER_MAX_EDGES`` gate the closure is a driver union-find
+    over one bounded collect — a dedup pair relation is tiny next to
+    its corpus, and the distributed form pays ~3 scheduled jobs PER
+    ROUND for it.  Above the gate the distributed min-label
+    propagation below runs unchanged.
     """
+    driver = _cc_driver_labels(edges, a_col, b_col)
+    if driver is not None:
+        return driver
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

@@ -287,10 +287,17 @@ def ntile_from_rank(rank_col, n_col, k: int):
 
 
 def session_stats(df: DataFrame, user_col: str = "user_id", **kwargs) -> DataFrame:
-    """Per-user session summary: number of sessions and events."""
+    """Per-user session summary: number of sessions and events.
+
+    ``session_id`` is a running count of session starts (sessionize),
+    so per user it is dense 1..n — ``max`` IS the distinct count,
+    computed as one map-combinable aggregate instead of the distinct
+    aggregate's two-pass expand (same bigint values, cheaper at any
+    scale; pinned against countDistinct in tests).
+    """
     s = sessionize(df, user_col=user_col, **kwargs)
     return s.groupBy(user_col).agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
 

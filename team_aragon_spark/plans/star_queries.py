@@ -9826,6 +9826,7 @@ def q193_mann_whitney_utest(spark, sf_dir):
     )
 
 
+_HITS_BCAST_MAX_NODES = 5_000_000  # ~80 MB of (id, s) longs — q314's gate rationale
 _HITS_ITERS = 4
 _HITS_TOPK = 20
 
@@ -9896,16 +9897,28 @@ def q194_bipartite_hits(spark, sf_dir):
     # OOM'd the 24g heap at 100x; with two alternating join keys the
     # single unpartitioned cache is the memory-safe formulation.)
     h = e.select("c").distinct().withColumn("s", F.lit(1).cast("bigint"))
+    # Size-gated broadcast of the score relation (the q314/q246 LPA
+    # discipline applied to HITS): each half-step joins the CACHED
+    # edge list with a |nodes|-row (id, bigint) score table.  Under
+    # the gate, broadcasting the scores turns the per-half-step plan
+    # from THREE exchanges (e shuffled on the join key, scores
+    # shuffled, then the groupBy) into ONE small exchange (the
+    # partial-aggregated sums), and the edge cache is probed in
+    # place.  Above the gate the original shuffle-join plan runs
+    # unchanged.  Values identical either way: integer sums.
+    n_c = h.count()
+    n_p = e.select("p").distinct().count()
+    wrap = F.broadcast if max(n_c, n_p) <= _HITS_BCAST_MAX_NODES else (lambda df: df)
     a = None
     for _ in range(_HITS_ITERS):
         a = (
-            e.join(h, "c")
+            e.join(wrap(h), "c")
             .groupBy("p")
             .agg(F.sum("s").alias("s"))
             .localCheckpoint(eager=True)
         )
         h = (
-            e.join(a, "p")
+            e.join(wrap(a), "p")
             .groupBy("c")
             .agg(F.sum("s").alias("s"))
             .localCheckpoint(eager=True)
@@ -10712,12 +10725,29 @@ def q203_label_medoids(spark, sf_dir):
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("vb_id"))
+    # Each unordered pair's cosine is computed ONCE and mirrored (the
+    # q264 same-cell trick): per-dim products and the norm product
+    # commute exactly in IEEE, so cos(a,b) == cos(b,a) bit-for-bit and
+    # the mirror row reuses the value.  That halves the label-bounded
+    # fold work — the measured wall of this query — while the per-
+    # (label, vec) sum sees the identical multiset of summands (only
+    # arrival order changes, which the grouped sum never fixed anyway).
+    pairs = a.join(b, "label").filter(F.col("vec_id") < F.col("vb_id"))
     cos = F.expr(
         f"try_divide({_DOT.format(a='va', b='vb')}, (na * nb))"
     )
     tot = (
-        pairs.select("label", "vec_id", cos.alias("cos"))
+        pairs.select("label", "vec_id", "vb_id", cos.alias("cos"))
+        .select(
+            "label",
+            F.explode(
+                F.array(
+                    F.struct(F.col("vec_id").alias("id"), F.col("cos")),
+                    F.struct(F.col("vb_id").alias("id"), F.col("cos")),
+                )
+            ).alias("__m"),
+        )
+        .select("label", F.col("__m.id").alias("vec_id"), F.col("__m.cos").alias("cos"))
         .groupBy("label", "vec_id")
         .agg(
             F.round(F.sum("cos"), 4).alias("total_cos"),

@@ -30,6 +30,39 @@ def test_topk_shortlist_equals_brute(spark, monkeypatch):
     assert fast == brute and len(fast) > 0
 
 
+def test_session_stats_max_equals_count_distinct(spark):
+    """session_id is a dense running count per user, so the max-based
+    n_sessions must equal the countDistinct it replaced, row for row."""
+    from team_aragon_spark.operators.windows import sessionize, session_stats
+
+    ev = read_table(spark, "events", SF)
+    got = _rows(session_stats(ev))
+    s = sessionize(ev)
+    want = _rows(
+        s.groupBy("user_id").agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cc_driver_gate_equals_distributed(spark, monkeypatch):
+    """The gated driver union-find must reproduce the distributed
+    min-label propagation exactly — same nodes, same min-id labels —
+    including chains, self-loops and duplicate edges."""
+    from team_aragon_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (5, 5), (7, 8), (9, 8), (10, 11), (11, 12), (12, 13)],
+        "a bigint, b bigint",
+    )
+    fast = _rows(graph.connected_components(edges))
+    monkeypatch.setattr(graph, "_CC_DRIVER_MAX_EDGES", -1)
+    dist = _rows(graph.connected_components(edges))
+    assert fast == dist and len(fast) > 0
+
+
 def test_topk_shortlist_declines_zero_norm(spark):
     """A zero-norm vector carries NULL cosine through try_divide; the
     shortlist cannot model NULL ordering so it must decline (return
