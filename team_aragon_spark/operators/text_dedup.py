@@ -63,6 +63,63 @@ def shingle_expr(text_col: str, n: int = 3) -> str:
     )
 
 
+def shingle_relation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "__sh",
+    extra_cols: tuple = (),
+    keep_empty: bool = False,
+    explode: bool = False,
+) -> DataFrame:
+    """Word-``n``-gram shingle relation with the token array
+    materialized ONCE per row — the string-shingle sibling of
+    :func:`hashed_shingles` / :func:`_gram_occurrences`.
+
+    ``shingle_expr`` inlined into a single projection re-evaluates its
+    ``split(trim(text))`` child at EVERY reference, including the one
+    inside the interpreted ``transform`` lambda — the document is
+    re-tokenized once per gram position, O(tokens x grams) characters
+    per doc (the exact hazard _gram_occurrences documents; measured
+    3.2 s -> 0.4 s for the corpus shingle pass at sf0.1, and it
+    compounds into every LSH/Jaccard consumer).  Materializing the
+    token array as a column in its own projection makes it a single
+    evaluation: CollapseProject does not inline a non-cheap alias that
+    is referenced more than once, and the grams expression references
+    ``__tk`` three times (two sizes + the lambda slice).
+
+    ``keep_empty=True`` emits an empty array for docs with fewer than
+    ``n`` tokens (signature consumers keep their sentinel rows);
+    otherwise those rows are dropped up front — identical to the
+    ``filter(size(shingles) > 0)`` the pair consumers apply, one
+    projection earlier.  ``explode=True`` returns the (id, gram)
+    membership relation with the generator adjacent to the gram
+    expression (the hashed_shingles discipline).  ``extra_cols`` are
+    passed-through Columns/names carried alongside the id.
+
+    Gram STRINGS are byte-identical to ``shingle_expr``'s, so every
+    downstream value (signatures, Jaccard, md5 digests) is unchanged —
+    pinned in tests/test_round11_opt.py.
+    """
+    toks = rf"split(trim({text_col}), '\\s+')"
+    grams = (
+        f"array_distinct(transform(sequence(1, size(__tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__tk, i, {n}))))"
+    )
+    cols = [F.col(id_col) if isinstance(id_col, str) else id_col]
+    cols += [F.col(c) if isinstance(c, str) else c for c in extra_cols]
+    base = df.select(*cols, F.expr(toks).alias("__tk"))
+    out = [F.col(c) for c in base.columns[:-1]]
+    if keep_empty:
+        g = f"if(size(__tk) < {n}, array(), {grams})"
+        return base.select(*out, F.expr(g).alias(out_col))
+    base = base.filter(F.size("__tk") >= n)
+    if explode:
+        return base.select(*out, F.explode(F.expr(grams)).alias(out_col))
+    return base.select(*out, F.expr(grams).alias(out_col))
+
+
 def _perm_constants(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Fixed multiply-add constants for the minhash permutations."""
     import random
@@ -85,10 +142,18 @@ def minhash_signatures(
     whole-stage codegen), so k separate ``array_min(transform(...))``
     projections cost k interpreted sweeps over every shingle array —
     measured ~5x slower than this fold at sf0.1.
+
+    The shingle array comes from :func:`shingle_relation` (token array
+    materialized once; inlining ``shingle_expr`` re-tokenized the doc
+    per gram — r11 optimization, values identical).  Empty-shingle
+    docs keep their sentinel signature (``keep_empty=True``).
     """
-    df = ensure_parallelism(df)
-    sig = _signature_expr(shingle_expr(text_col, shingle_n), n_hashes)
-    return df.select(F.col(id_col), F.expr(sig).alias("signature"))
+    sh = shingle_relation(
+        ensure_parallelism(df), text_col, id_col, shingle_n, keep_empty=True
+    )
+    return sh.select(
+        F.col(id_col), F.expr(_signature_expr("__sh", n_hashes)).alias("signature")
+    )
 
 
 def _signature_expr(shingles: str, n_hashes: int) -> str:
@@ -224,9 +289,9 @@ def jaccard_pairs(
     LSH candidate set it is the verify stage of minhash dedup.
     Output: (a, b, jaccard), a < b, jaccard >= threshold.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col), F.expr(shingle_expr(text_col, shingle_n)).alias("__sh")
-    )
+    sh = shingle_relation(
+        ensure_parallelism(df), text_col, id_col, shingle_n, keep_empty=True
+    )  # keep_empty: empty-set pairs must still flow to the NULL/0.0 jaccard
     left = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     right = sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
     if candidates is not None:
@@ -275,12 +340,9 @@ def minhash_neardup_pairs(
     collide in EVERY band — degrading candidate generation to O(n²)
     pairs on corpora with many short/empty docs (a real 100 TB hazard).
     """
-    sh = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.expr(shingle_expr(text_col, shingle_n)).alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .persist()
-    )
+    sh = shingle_relation(
+        ensure_parallelism(df), text_col, id_col, shingle_n
+    ).persist()  # short docs dropped in shingle_relation (== the old size>0 filter)
     sigs = sh.select(F.col(id_col), F.expr(_signature_expr("__sh", n_hashes)).alias("signature"))
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     left = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
@@ -326,16 +388,13 @@ def incremental_neardup_pairs(
     derives both sides for a self-contained harness, paying one full
     pass.  Cache lifetime caller-managed, as everywhere in this module.
     """
-    sh = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col),
-            batch_predicate.alias("__is_new"),
-            F.expr(shingle_expr(text_col, shingle_n)).alias("__sh"),
-        )
-        .filter(F.size("__sh") > 0)
-        .persist()
-    )
+    sh = shingle_relation(
+        ensure_parallelism(df),
+        text_col,
+        id_col,
+        shingle_n,
+        extra_cols=(batch_predicate.alias("__is_new"),),
+    ).persist()  # short docs dropped in shingle_relation (== size>0 filter)
     sig = F.expr(_signature_expr("__sh", n_hashes)).alias("signature")
     idx_sigs = sh.filter(~F.col("__is_new")).select(F.col(id_col), sig)
     new_sigs = sh.filter(F.col("__is_new")).select(F.col(id_col), sig)

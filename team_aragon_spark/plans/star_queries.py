@@ -1648,7 +1648,7 @@ def _md5_minhash_sigs(docs):
         f"zip_with(acc, {consts}, (m, c) -> least(m, x ^ c)))"
     )
     return (
-        docs.select("doc_id", F.expr(text_dedup.shingle_expr("text", 3)).alias("__sh"))
+        text_dedup.shingle_relation(docs, "text", "doc_id", 3, keep_empty=True)
         .select("doc_id", F.posexplode(F.expr(fold)).alias("perm", "__m"))
         .select(
             "doc_id",
@@ -5625,10 +5625,7 @@ GROUP BY sh.doc_id ORDER BY sh.doc_id"""
 def q149_doc_ngram_novelty(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = (
-        docs.select(
-            "doc_id",
-            F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("g"),
-        )
+        text_dedup.shingle_relation(docs, "text", "doc_id", 3, out_col="g", explode=True)
         # two consumers (df aggregate + join back): cache or the
         # corpus-wide shingle build runs twice (q87/q120/q145 rule)
         .persist()
@@ -5685,10 +5682,7 @@ ORDER BY src_a, src_b"""
 def q150_source_overlap_matrix(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sg = (
-        docs.select(
-            "source",
-            F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("g"),
-        )
+        text_dedup.shingle_relation(docs, "text", "source", 3, out_col="g", explode=True)
         .distinct()
         .persist()
     )
@@ -6137,9 +6131,8 @@ def q158_doc_containment_pairs(spark, sf_dir):
     from team_aragon_spark.operators.setsim import containment_join
 
     docs = _t(spark, sf_dir, "documents")
-    m = docs.select(
-        "doc_id",
-        F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("g"),
+    m = text_dedup.shingle_relation(
+        docs, "text", "doc_id", 3, out_col="g", explode=True
     )
     return (
         containment_join(m, threshold=0.9, id_col="doc_id", item_col="g")
@@ -18200,9 +18193,8 @@ def _lsh_truth_cands(spark, docs, sigs):
     q279 S-curve).  Both persisted; cache lifetime caller-managed."""
     from team_aragon_spark.operators.setsim import set_similarity_join
 
-    mem = docs.select(
-        "doc_id",
-        F.explode(F.expr(text_dedup.shingle_expr("text", 3))).alias("item"),
+    mem = text_dedup.shingle_relation(
+        docs, "text", "doc_id", 3, out_col="item", explode=True
     )
     truth = (
         set_similarity_join(mem, "doc_id", "item", 0.3)
@@ -21723,10 +21715,8 @@ ORDER BY base.source"""
 )
 def q306_fuzzy_decontamination(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.expr(text_dedup.shingle_expr("text", 3)).alias("s"),
+    sh = text_dedup.shingle_relation(
+        docs, "text", "doc_id", 3, out_col="s", extra_cols=("source",), keep_empty=True
     ).persist()
     bench = (
         sh.filter(F.col("source") == "src0")

@@ -63,6 +63,65 @@ def test_cc_driver_gate_equals_distributed(spark, monkeypatch):
     assert fast == dist and len(fast) > 0
 
 
+def test_shingle_relation_equals_inline_expr(spark):
+    """shingle_relation (token array materialized once — the r11
+    re-tokenize fix) must emit byte-identical gram arrays to the
+    inline shingle_expr it replaced, across every consumer shape:
+    array / keep_empty / explode, including sub-n-token and
+    empty/whitespace documents."""
+    from team_aragon_spark.operators import text_dedup as td
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b"),               # shorter than n -> empty set
+            (3, ""),                  # empty text
+            (4, "   "),               # whitespace only
+            (5, "x  y\tz x  y z x"),  # runs of whitespace, repeats
+            (6, "a b c"),             # exactly n tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    inline = docs.select(
+        "doc_id", F.expr(td.shingle_expr("text", 3)).alias("__sh")
+    )
+    keep = td.shingle_relation(docs, "text", "doc_id", 3, keep_empty=True)
+    assert _rows(inline) == _rows(keep)
+
+    filt = td.shingle_relation(docs, "text", "doc_id", 3)
+    assert _rows(inline.filter(F.size("__sh") > 0)) == _rows(filt)
+
+    ex_inline = docs.select(
+        "doc_id", F.explode(F.expr(td.shingle_expr("text", 3))).alias("g")
+    )
+    ex = td.shingle_relation(docs, "text", "doc_id", 3, out_col="g", explode=True)
+    assert _rows(ex_inline) == _rows(ex) and len(_rows(ex)) > 0
+
+    extra = td.shingle_relation(
+        docs, "text", "doc_id", 3, extra_cols=(F.length("text").alias("L"),)
+    )
+    assert extra.columns == ["doc_id", "L", "__sh"]
+
+
+def test_shingle_relation_plan_materializes_tokens_once(spark):
+    """The physical plan must carry the split() exactly once per
+    consumer branch — the inline form evaluated it per gram position
+    (O(tokens x grams)); CollapseProject must not re-inline it."""
+    from team_aragon_spark.operators import text_dedup as td
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    plan = (
+        td.shingle_relation(docs, "text", "doc_id", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the gram lambda must slice the materialized __tk column, never a
+    # re-inlined split() (pushdown may copy split into the Filter — a
+    # linear, per-row cost — but the per-gram lambda must not carry it)
+    assert "slice(__tk" in plan
+    lam = plan[plan.index("lambdafunction") :].split("\n", 1)[0]
+    assert "split(" not in lam
+
+
 def test_topk_shortlist_declines_zero_norm(spark):
     """A zero-norm vector carries NULL cosine through try_divide; the
     shortlist cannot model NULL ordering so it must decline (return
