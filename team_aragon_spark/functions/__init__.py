@@ -64,15 +64,24 @@ def ratio_of_sums(num: Column, den: Column, digits: int = 6) -> Column:
     return F.round(F.try_divide(F.sum(num), F.sum(den)), digits)
 
 
-def rolling_hash_fingerprints(col: str, window: int = 8, keep_every: int = 16) -> Column:
+def rolling_hash_fingerprints(
+    col: str, window: int = 8, keep_every: int = 16, tok_col: str | None = None
+) -> Column:
     """Winnowing-style document fingerprint set.
 
     Polynomial rolling hash over ``window``-token char-joined grams via
     xxhash64, keeping hashes ≡ 0 (mod keep_every) — a deterministic
     ~1/keep_every sample of positions, robust to local edits (the
     classic MOSS/winnowing trick, computed as one array expression).
+
+    ``tok_col`` names a PRE-MATERIALIZED token-array column; without
+    it the tokenizer is inlined and the interpreted ``slice`` lambda
+    re-tokenizes the document once per gram position (O(tokens x
+    grams) per doc — the shingle_relation hazard).  Hot callers should
+    project ``split(trim(col), '\\\\s+')`` into a column first and pass
+    its name.
     """
-    tok = rf"split(trim({col}), '\\s+')"
+    tok = tok_col or rf"split(trim({col}), '\\s+')"
     # if-guard: texts shorter than the window yield an empty gram set
     # (sequence(1, 0) is descending [1, 0] in Spark; slice at 0 throws).
     grams = (

@@ -558,15 +558,21 @@ def passage_dedup_reassemble(
     state; passage keys could be digested (md5) to cut shuffle bytes
     at 100 TB — left as raw text here so the oracle stays readable.
     """
+    # Token array materialized ONCE per row (the shingle_relation /
+    # _gram_occurrences discipline): with split() inlined, the slice
+    # inside the interpreted transform lambda re-tokenizes the document
+    # once per passage — O(tokens^2 / window) characters per doc.
     toks = f"split({text_col}, ' ')"
     passages = (
-        f"CASE WHEN size({toks}) = 0 THEN array() "
-        f"ELSE transform(sequence(0, int(ceil(size({toks}) / {window}.0)) - 1), "
+        f"CASE WHEN size(__tk) = 0 THEN array() "
+        f"ELSE transform(sequence(0, int(ceil(size(__tk) / {window}.0)) - 1), "
         f"i -> struct(i AS pos, "
-        f"array_join(slice({toks}, i * {window} + 1, {window}), ' ') AS passage)) END"
+        f"array_join(slice(__tk, i * {window} + 1, {window}), ' ') AS passage)) END"
     )
-    p = df.select(F.col(id_col), F.explode(F.expr(passages)).alias("p")).select(
-        id_col, F.col("p.pos").alias("pos"), F.col("p.passage").alias("passage")
+    p = (
+        df.select(F.col(id_col), F.expr(toks).alias("__tk"))
+        .select(F.col(id_col), F.explode(F.expr(passages)).alias("p"))
+        .select(id_col, F.col("p.pos").alias("pos"), F.col("p.passage").alias("passage"))
     )
     kept = (
         p.groupBy("passage")
@@ -636,16 +642,23 @@ def portable_winnowing_fingerprints(
     M = 1 << 20
     toks = f"split(trim({text_col}), '\\\\s+')"
     if hash_fn == "md5":
-        gram_txt = f"concat_ws(' ', slice({toks}, i, {k}))"
+        # token array materialized once (the shingle_relation
+        # discipline) — inlined, the lambda's slice re-tokenized the
+        # document per gram position
+        gram_txt = f"concat_ws(' ', slice(__tk, i, {k}))"
         h = f"cast(conv(substr(md5({gram_txt}), 1, 8), 16, 10) AS BIGINT)"
         grams = (
-            f"transform(sequence(1, size({toks}) - {k - 1}), "
+            f"transform(sequence(1, size(__tk) - {k - 1}), "
             f"i -> struct(i AS pos, {h} AS h))"
         )
-        src = df.filter(F.expr(f"size({toks}) >= {k}")).select(
-            id_col,
-            (F.expr(f"size({toks})") - F.lit(k - 1)).alias("n_grams"),
-            F.explode(F.expr(grams)).alias("g"),
+        src = (
+            df.select(F.col(id_col), F.expr(toks).alias("__tk"))
+            .filter(F.expr(f"size(__tk) >= {k}"))
+            .select(
+                id_col,
+                (F.expr("size(__tk)") - F.lit(k - 1)).alias("n_grams"),
+                F.explode(F.expr(grams)).alias("g"),
+            )
         )
     elif hash_fn == "xxhash64":
         # 32-bit token hashes keep the polynomial partials < 2^52

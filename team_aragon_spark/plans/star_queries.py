@@ -937,8 +937,13 @@ def q39_winnowing_fingerprints(spark, sf_dir):
     from team_aragon_spark.functions import rolling_hash_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(rolling_hash_fingerprints("text")).alias("fingerprint")
+    # token array materialized once (shingle_relation discipline)
+    toked = docs.select("doc_id", F.expr(r"split(trim(text), '\\s+')").alias("__tk"))
+    return toked.select(
+        "doc_id",
+        F.explode(rolling_hash_fingerprints("text", tok_col="__tk")).alias(
+            "fingerprint"
+        ),
     )
 
 

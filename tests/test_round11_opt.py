@@ -122,6 +122,28 @@ def test_shingle_relation_plan_materializes_tokens_once(spark):
     assert "split(" not in lam
 
 
+def test_rolling_hash_tok_col_equals_inline(spark):
+    """rolling_hash_fingerprints over a pre-materialized token column
+    must emit the identical fingerprint sets as the inline-tokenizer
+    form it optimizes (q39's r11 rewire)."""
+    from team_aragon_spark.functions import rolling_hash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 7}" for i in range(40))), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    inline = docs.select(
+        "doc_id", rolling_hash_fingerprints("text", keep_every=2).alias("f")
+    )
+    toked = docs.select(
+        "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("__tk")
+    ).select(
+        "doc_id",
+        rolling_hash_fingerprints("text", keep_every=2, tok_col="__tk").alias("f"),
+    )
+    assert _rows(inline) == _rows(toked)
+
+
 def test_topk_shortlist_declines_zero_norm(spark):
     """A zero-norm vector carries NULL cosine through try_divide; the
     shortlist cannot model NULL ordering so it must decline (return
