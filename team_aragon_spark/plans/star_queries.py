@@ -20654,6 +20654,65 @@ def q296_two_stage_rerank_eval(spark, sf_dir):
 _LR_ITERS, _LR_RATE = 4, 1.0
 
 
+def _logreg_gd_weights(feats):
+    """Logistic-GD weights over a persisted (y, x1, x2, x3) relation,
+    iterated EAGERLY: each iteration is one small job over the cached
+    features that returns the updated 4-double weight row (a bounded
+    scalar collect, the train_centroids budget).
+
+    Replaces the lazy broadcast-chain form (weights threaded through
+    ``crossJoin(F.broadcast(w))`` per iteration), whose final plan
+    nested 2 broadcast exchanges per iteration — ~3 s of pure
+    exchange/scheduling latency at sf0.1 for microseconds of
+    arithmetic (guide §2.4: remove exchanges outright).  All
+    arithmetic AND rounding stay Spark-side (z/p/gradient/update are
+    the same expressions, with the weights as literals instead of
+    broadcast columns; py4j round-trips IEEE doubles losslessly), so
+    the weight sequence is bit-identical — pinned in
+    tests/test_round11_opt.py and by the unchanged GD-replay oracles
+    of q297/q313.
+    """
+    w = (0.0, 0.0, 0.0, 0.0)
+    for _ in range(_LR_ITERS):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        row = (
+            feats.withColumn("p", p)
+            .agg(
+                F.round(F.avg(F.col("p") - F.col("y")), 6).alias("g0"),
+                F.round(F.avg((F.col("p") - F.col("y")) * F.col("x1")), 6).alias("g1"),
+                F.round(F.avg((F.col("p") - F.col("y")) * F.col("x2")), 6).alias("g2"),
+                F.round(F.avg((F.col("p") - F.col("y")) * F.col("x3")), 6).alias("g3"),
+            )
+            .select(
+                *[
+                    F.round(F.lit(w[i]) - _LR_RATE * F.col(f"g{i}"), 6).alias(f"w{i}")
+                    for i in range(4)
+                ]
+            )
+            .first()
+        )
+        w = (row.w0, row.w1, row.w2, row.w3)
+    return w
+
+
+def _lr_p_lit(w):
+    """The scoring expression p = sigmoid(w . x) with trained weights
+    as literals — the same z/p shape the GD ran."""
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+
+
 _LR_Z = "(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
 _LR_P = f"round(1.0 / (1.0 + exp(-{_LR_Z})), 9)"
 
@@ -20753,6 +20812,13 @@ def q297_logreg_domain_classifier(spark, sf_dir):
             F.least(F.lit(1.0), F.col("n_tokens") / 200.0), 6
         ).alias("x3"),
     ).persist()
+    # NOTE (r11 optimization round): the eager-GD form
+    # (_logreg_gd_weights) was A/B-measured here and LOSES for this
+    # query (steady 2.33 -> 3.03 s at sf0.1): q297's readout is one
+    # aggregate, so the lazy broadcast chain amortizes into a single
+    # action, while the eager form pays 4 extra job/compile barriers.
+    # q313 keeps the eager form because its chain was replicated into
+    # a much larger downstream plan (measured winner there).
     w = spark.createDataFrame(
         [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
     )
@@ -23025,40 +23091,11 @@ def q313_quality_ensemble_gate(spark, sf_dir):
             "x3"
         ),
     ).persist()
-    w = spark.createDataFrame(
-        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
-    )
-    z = (
-        F.col("w0")
-        + F.col("w1") * F.col("x1")
-        + F.col("w2") * F.col("x2")
-        + F.col("w3") * F.col("x3")
-    )
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
-    for _ in range(_LR_ITERS):
-        j = feats.crossJoin(F.broadcast(w)).withColumn("p", p)
-        g = j.agg(
-            F.round(F.avg(F.col("p") - F.col("y")), 6).alias("g0"),
-            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x1")), 6).alias(
-                "g1"
-            ),
-            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x2")), 6).alias(
-                "g2"
-            ),
-            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x3")), 6).alias(
-                "g3"
-            ),
-        )
-        w = g.crossJoin(F.broadcast(w)).select(
-            F.round(F.col("w0") - _LR_RATE * F.col("g0"), 6).alias("w0"),
-            F.round(F.col("w1") - _LR_RATE * F.col("g1"), 6).alias("w1"),
-            F.round(F.col("w2") - _LR_RATE * F.col("g2"), 6).alias("w2"),
-            F.round(F.col("w3") - _LR_RATE * F.col("g3"), 6).alias("w3"),
-        )
-    lr = (
-        feats.crossJoin(F.broadcast(w))
-        .select("doc_id", "source", p.alias("s_lr"))
-    )
+    # weights trained eagerly (one bounded job per iteration; bit-
+    # identical sequence — see _logreg_gd_weights) instead of the
+    # 2-broadcast-exchanges-per-iteration lazy chain
+    w = _logreg_gd_weights(feats)
+    lr = feats.select("doc_id", "source", _lr_p_lit(w).alias("s_lr"))
     lp = unigram_logprob_score(docs).select(
         "doc_id", F.col("avg_logprob").alias("s_lp")
     )
@@ -23075,12 +23112,24 @@ def q313_quality_ensemble_gate(spark, sf_dir):
         ).alias("s_rd"),
     )
     sc = lr.join(lp, "doc_id").join(rd, "doc_id").persist()
-    meds = None
-    for col, alias in [("s_lr", "m_lr"), ("s_lp", "m_lp"), ("s_rd", "m_rd")]:
-        m = exact_grouped_percentiles(sc, col, ["source"], [0.5]).select(
-            "source", F.col("p_50").alias(alias)
+    # ONE unpivoted percentile pass instead of three (guide §2.4 —
+    # three separate count-table/cumsum/agg chains over the same
+    # cached relation shared nothing): stack to (source, metric,
+    # value) rows, group the exact-median machinery by (source,
+    # metric), pivot the 3-rows-per-source result back.  Per-group
+    # counts/values are identical, so each median is bit-identical.
+    longf = sc.selectExpr(
+        "source", "stack(3, 'lr', s_lr, 'lp', s_lp, 'rd', s_rd) AS (m, v)"
+    )
+    meds = (
+        exact_grouped_percentiles(longf, "v", ["source", "m"], [0.5])
+        .groupBy("source")
+        .agg(
+            F.max(F.when(F.col("m") == "lr", F.col("p_50"))).alias("m_lr"),
+            F.max(F.when(F.col("m") == "lp", F.col("p_50"))).alias("m_lp"),
+            F.max(F.when(F.col("m") == "rd", F.col("p_50"))).alias("m_rd"),
         )
-        meds = m if meds is None else meds.join(m, "source")
+    )
     p1 = (F.col("s_lr") >= F.col("m_lr")).cast("int")
     p2 = (F.col("s_lp") >= F.col("m_lp")).cast("int")
     p3 = (F.col("s_rd") >= F.col("m_rd")).cast("int")

@@ -122,6 +122,93 @@ def test_shingle_relation_plan_materializes_tokens_once(spark):
     assert "split(" not in lam
 
 
+def test_eager_gd_weights_equal_lazy_chain(spark):
+    """q313's eagerly-iterated GD (_logreg_gd_weights) must produce
+    the bit-identical weight sequence of the lazy broadcast chain it
+    replaced — same expressions, weights as literals, Spark-side
+    rounding throughout."""
+    from team_aragon_spark.plans.star_queries import (
+        _LR_ITERS,
+        _LR_RATE,
+        _logreg_gd_weights,
+    )
+
+    feats = spark.createDataFrame(
+        [
+            (1.0, 0.25, 0.01, 0.5),
+            (0.0, 0.125, 0.04, 1.0),
+            (1.0, 0.3, 0.0, 0.155),
+            (0.0, 0.05, 0.2, 0.9),
+            (0.0, 0.4, 0.11, 0.345),
+        ],
+        "y double, x1 double, x2 double, x3 double",
+    ).persist()
+    got = _logreg_gd_weights(feats)
+
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    )
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    for _ in range(_LR_ITERS):
+        j = feats.crossJoin(F.broadcast(w)).withColumn("p", p)
+        g = j.agg(
+            F.round(F.avg(F.col("p") - F.col("y")), 6).alias("g0"),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x1")), 6).alias("g1"),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x2")), 6).alias("g2"),
+            F.round(F.avg((F.col("p") - F.col("y")) * F.col("x3")), 6).alias("g3"),
+        )
+        w = g.crossJoin(F.broadcast(w)).select(
+            F.round(F.col("w0") - _LR_RATE * F.col("g0"), 6).alias("w0"),
+            F.round(F.col("w1") - _LR_RATE * F.col("g1"), 6).alias("w1"),
+            F.round(F.col("w2") - _LR_RATE * F.col("g2"), 6).alias("w2"),
+            F.round(F.col("w3") - _LR_RATE * F.col("g3"), 6).alias("w3"),
+        )
+    want = tuple(w.first())
+    assert got == want
+
+
+def test_single_pass_medians_equal_per_column(spark):
+    """q313's unpivoted one-pass medians must equal the three
+    per-column exact_grouped_percentiles calls they replaced."""
+    from team_aragon_spark.operators.stats import exact_grouped_percentiles
+
+    sc = spark.createDataFrame(
+        [
+            ("s0", 0.1, -3.0, 55.0),
+            ("s0", 0.2, -2.5, 60.0),
+            ("s0", 0.3, -2.0, 44.0),
+            ("s1", 0.9, -1.0, 90.0),
+            ("s1", 0.8, -1.5, 10.0),
+        ],
+        "source string, s_lr double, s_lp double, s_rd double",
+    ).persist()
+    longf = sc.selectExpr(
+        "source", "stack(3, 'lr', s_lr, 'lp', s_lp, 'rd', s_rd) AS (m, v)"
+    )
+    got = _rows(
+        exact_grouped_percentiles(longf, "v", ["source", "m"], [0.5])
+        .groupBy("source")
+        .agg(
+            F.max(F.when(F.col("m") == "lr", F.col("p_50"))).alias("m_lr"),
+            F.max(F.when(F.col("m") == "lp", F.col("p_50"))).alias("m_lp"),
+            F.max(F.when(F.col("m") == "rd", F.col("p_50"))).alias("m_rd"),
+        )
+    )
+    meds = None
+    for col, alias in [("s_lr", "m_lr"), ("s_lp", "m_lp"), ("s_rd", "m_rd")]:
+        m = exact_grouped_percentiles(sc, col, ["source"], [0.5]).select(
+            "source", F.col("p_50").alias(alias)
+        )
+        meds = m if meds is None else meds.join(m, "source")
+    assert got == _rows(meds)
+
+
 def test_rolling_hash_tok_col_equals_inline(spark):
     """rolling_hash_fingerprints over a pre-materialized token column
     must emit the identical fingerprint sets as the inline-tokenizer
