@@ -42,6 +42,20 @@ from pyspark.sql import functions as F
 # path, with bit-identical output.
 _PREFIX_MIN_THRESHOLD = 0.3
 
+# Above the threshold knee, "auto" decides from the DATA, not the
+# threshold alone (r11; the q300/q314 measured-gate discipline): the
+# count path's exact shuffle row count is sum_f f*(f-1)/2 over the
+# item-frequency table — one bounded aggregate predicts it perfectly.
+# When that fan-out is within _COUNT_FANOUT_FACTOR rows per membership
+# row, the graph has no hot item and the count join wins (measured on
+# the sf0.1 trigram corpus at t=0.3: fan-out ratio 4.9, count 2.65 s
+# vs prefix 5.95 s, bit-identical output); a single hot item (f ~ 1M
+# at corpus scale -> 5e11 pairs) blows the ratio past any bound and
+# the prefix path — whose rarest-first blocking provably keeps hot
+# items OUT of prefixes — stays in charge.  Both paths are exact and
+# pinned against brute force in pytest.
+_COUNT_FANOUT_FACTOR = 32
+
 
 def set_similarity_join(
     sets_df: DataFrame,
@@ -66,8 +80,15 @@ def set_similarity_join(
       the prefix cannot prune.  Its exposure is a hyper-frequent item
       (quadratic pair fan-out) — exactly what the prefix path avoids,
       so the crossover favors "prefix" again as t grows.
-    - ``"auto"``: prefix iff ``threshold >= 0.3`` (see
-      ``_PREFIX_MIN_THRESHOLD``).
+    - ``"auto"``: count below the ``_PREFIX_MIN_THRESHOLD`` knee;
+      above it, decided by the MEASURED count-join fan-out
+      ``sum_f f*(f-1)/2`` from the item-frequency table (one bounded
+      aggregate — the exact row count the count join would shuffle):
+      count when it stays within ``_COUNT_FANOUT_FACTOR`` rows per
+      membership row (no hot item), prefix otherwise.  The gate reads
+      raw (pre-distinct) frequencies — an upper bound, conservative
+      toward prefix — so it costs one map-combined aggregate and no
+      cache.
     """
     if strategy not in ("auto", "prefix", "count"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -79,6 +100,27 @@ def set_similarity_join(
         strategy == "auto" and threshold < _PREFIX_MIN_THRESHOLD
     ):
         return _count_join(members, t)
+    if strategy == "auto":
+        # One map-combined aggregate over the RAW membership rows (no
+        # distinct, no cache): duplicate rows only inflate f, so the
+        # fan-out estimate is an upper bound — conservative toward the
+        # prefix path.  The gate picks a physical strategy only; both
+        # branches are exact, so a biased estimate cannot change values.
+        stats = (
+            sets_df.groupBy(F.col(item_col).alias("item"))
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(
+                F.sum(F.col("f") * (F.col("f") - 1)).alias("fan2"),
+                F.sum("f").alias("nm"),
+            )
+            .first()
+        )
+        if (
+            stats.nm
+            and stats.fan2 is not None
+            and stats.fan2 <= 2 * _COUNT_FANOUT_FACTOR * stats.nm
+        ):
+            return _count_join(members, t)
 
     # Canonical order: rarest item first, item value as tie-break so
     # the order (and therefore every prefix) is deterministic.

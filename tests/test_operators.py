@@ -1464,8 +1464,10 @@ def test_set_similarity_exact_boundary_pair_not_missed(spark):
 
 
 def test_set_similarity_auto_dispatch(spark):
-    """auto must pick count below the crossover (no array_sort /
-    collect_list stage in the plan) and prefix above it."""
+    """auto must pick count below the threshold knee (no array_sort /
+    collect_list stage in the plan); above the knee the r11 measured
+    fan-out gate decides — count on a hot-item-free input, prefix when
+    a hot item blows the fan-out bound (the scale-safety case)."""
     from team_aragon_spark.operators.setsim import set_similarity_join
 
     df = spark.createDataFrame(
@@ -1473,10 +1475,19 @@ def test_set_similarity_auto_dispatch(spark):
     )
     low = set_similarity_join(df, "sid", "item", 0.1)
     high = set_similarity_join(df, "sid", "item", 0.8)
+    hot_rows = [(i, "hot") for i in range(200)] + [(1, "b"), (2, "b")]
+    hot = set_similarity_join(
+        spark.createDataFrame(hot_rows, "sid long, item string"),
+        "sid",
+        "item",
+        0.8,
+    )
     low_plan = low._jdf.queryExecution().optimizedPlan().toString()
     high_plan = high._jdf.queryExecution().optimizedPlan().toString()
+    hot_plan = hot._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" not in low_plan, low_plan
-    assert "collect_list" in high_plan, high_plan
+    assert "collect_list" not in high_plan, high_plan  # fan-out gate: count
+    assert "collect_list" in hot_plan, hot_plan  # hot item: prefix
     # and both remain correct on this tiny identical-sets input
     assert {(r.id_a, r.id_b) for r in low.collect()} == {(1, 2)}
     assert {(r.id_a, r.id_b) for r in high.collect()} == {(1, 2)}

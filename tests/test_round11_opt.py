@@ -209,6 +209,37 @@ def test_single_pass_medians_equal_per_column(spark):
     assert got == _rows(meds)
 
 
+def test_ssjoin_auto_gate_dispatch(spark):
+    """set_similarity_join's auto strategy must pick the count join on
+    a hot-item-free input (fan-out within the factor) and keep the
+    prefix path when a hot item blows the measured fan-out — and both
+    dispatches stay exact (outputs equal the forced strategies)."""
+    from team_aragon_spark.operators.setsim import set_similarity_join
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cold = spark.createDataFrame(
+        [(i, f"it{i}{j}") for i in range(8) for j in range(4)]
+        + [(i, f"sh{i % 2}") for i in range(8)],
+        "sid int, item string",
+    )
+    got = set_similarity_join(cold, "sid", "item", 0.5)
+    assert "array_intersect" not in plan_of(got)  # count path
+    assert _rows(got) == _rows(
+        set_similarity_join(cold, "sid", "item", 0.5, strategy="count")
+    )
+
+    hot = spark.createDataFrame(
+        [(i, "hot") for i in range(200)], "sid int, item string"
+    )
+    got_hot = set_similarity_join(hot, "sid", "item", 0.5)
+    assert "array_intersect" in plan_of(got_hot)  # prefix path
+    assert _rows(got_hot) == _rows(
+        set_similarity_join(hot, "sid", "item", 0.5, strategy="prefix")
+    )
+
+
 def test_rolling_hash_tok_col_equals_inline(spark):
     """rolling_hash_fingerprints over a pre-materialized token column
     must emit the identical fingerprint sets as the inline-tokenizer
