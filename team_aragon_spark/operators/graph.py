@@ -338,3 +338,59 @@ def triangle_enumerate(
         F.element_at(srt, 2).alias("n2"),
         F.element_at(srt, 3).alias("n3"),
     )
+
+
+# Under this many DISTINCT edges the k-core peel runs on the driver as
+# a vectorized numpy loop over one bounded Arrow transfer (two int64
+# columns — 64 MB at the cap, no per-row Row objects); above it the
+# distributed incremental-degree peel runs unchanged.  The budget is
+# larger than _CC_DRIVER_MAX_EDGES because the transfer is columnar
+# (DataFrame.toArrow), not a py4j Row collect.
+_KCORE_DRIVER_MAX_EDGES = 4_000_000
+
+
+def kcore_peel_rounds(pairs: DataFrame, k: int, max_rounds: int):
+    """Synchronous k-core peel over an (a, b) distinct-edge relation on
+    the driver: ``(removed_rounds, core_nodes)`` — per-round removal
+    counts and the surviving node ids — or None above the gate.
+
+    Semantics are EXACTLY the distributed incremental-degree loop
+    (q186): round r removes every alive node whose degree within the
+    surviving subgraph is < k; neighbors are decremented
+    synchronously; early exit when a round removes nothing.  Pinned
+    equal to the distributed branch in tests/test_round11_opt.py.
+
+    The collect is LIMIT-bounded (gate + 1 rows) so declining costs
+    one truncated columnar job, never an unbounded transfer — the
+    _cc_driver_labels discipline, Arrow-shaped.
+    """
+    import numpy as np
+
+    tbl = pairs.limit(_KCORE_DRIVER_MAX_EDGES + 1).toArrow()
+    if tbl.num_rows > _KCORE_DRIVER_MAX_EDGES:
+        return None
+    a = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    n = len(nodes)
+    deg = np.bincount(ea, minlength=n) + np.bincount(eb, minlength=n)
+    alive = np.ones(n, dtype=bool)
+    edge_alive = np.ones(len(ea), dtype=bool)
+    removed_rounds: list[tuple[int, int]] = []
+    for rnd in range(1, max_rounds + 1):
+        rem = alive & (deg < k)
+        n_rem = int(rem.sum())
+        if n_rem == 0:
+            break
+        removed_rounds.append((rnd, n_rem))
+        # an edge dies with its first removed endpoint; its OTHER
+        # endpoint is decremented iff it survives this round — the
+        # synchronous-peel recomputation, vectorized
+        e_rm = edge_alive & (rem[ea] | rem[eb])
+        dec = np.concatenate([eb[e_rm & rem[ea]], ea[e_rm & rem[eb]]])
+        if dec.size:
+            deg = deg - np.bincount(dec, minlength=n)
+        alive &= ~rem
+        edge_alive &= ~e_rm
+    return removed_rounds, nodes[alive]

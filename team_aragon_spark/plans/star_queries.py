@@ -9089,8 +9089,24 @@ def q186_copurchase_kcore(spark, sf_dir):
             F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
         )
         .distinct()
-        .persist()
     )
+    # Bounded driver peel under the edge gate (r11; the CC union-find
+    # discipline, Arrow-shaped): the whole 12-round loop collapses to
+    # one columnar edge transfer + a vectorized numpy peel — zero
+    # per-round jobs, no localCheckpoint churn.  Above the gate the
+    # distributed incremental-degree loop below runs unchanged.
+    from team_aragon_spark.operators import graph as _graph
+
+    _peeled = _graph.kcore_peel_rounds(pairs, _KCORE_K, _KCORE_ROUNDS)
+    if _peeled is not None:
+        _removed, _core = _peeled
+        rows = [
+            (0, int(_core.size), int(_core.sum()) if _core.size else 0)
+        ] + [(r, n, -1) for r, n in _removed]
+        return spark.createDataFrame(
+            rows, "round bigint, n_nodes bigint, checksum bigint"
+        ).orderBy("round")
+    pairs = pairs.persist()
     # INCREMENTAL degree maintenance: the full-graph degree aggregate
     # runs ONCE; each later round only decrements the neighbors of
     # the nodes just removed (deg'(v) = deg(v) - |edges to removed|,

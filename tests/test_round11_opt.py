@@ -209,6 +209,79 @@ def test_single_pass_medians_equal_per_column(spark):
     assert got == _rows(meds)
 
 
+def test_kcore_driver_peel_equals_distributed_semantics(spark):
+    """The vectorized driver peel must reproduce the synchronous
+    incremental-degree peel round for round: same per-round removal
+    counts, same surviving core — including cascades (a node that
+    only drops below k after its neighbor is removed) and
+    early-exit."""
+    import numpy as np
+
+    from team_aragon_spark.operators import graph
+
+    # graph: a 4-clique (core at k=3) + a tail 5-6-7 hanging off node 1
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (1, 5), (5, 6), (6, 7),
+    ]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    removed, core = graph.kcore_peel_rounds(pairs, 3, 12)
+    # round 1 removes 7 (d=1), 6 (d=2), 5 (d=2)... synchronous: d(5)=2,
+    # d(6)=2, d(7)=1 all < 3 -> removed together; clique survives
+    assert removed == [(1, 3)]
+    assert sorted(core.tolist()) == [1, 2, 3, 4]
+
+    # cascade: a chain needs multiple rounds at k=2
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    removed2, core2 = graph.kcore_peel_rounds(chain, 2, 12)
+    assert removed2 == [(1, 2), (2, 2), (3, 1)] and core2.size == 0
+
+    # replicate the distributed loop in-test and compare on a random graph
+    rng = np.random.RandomState(7)
+    edg = {(int(a), int(b)) for a, b in rng.randint(0, 40, (120, 2)) if a < b}
+    pr = spark.createDataFrame(sorted(edg), "a bigint, b bigint").persist()
+    got_removed, got_core = graph.kcore_peel_rounds(pr, 3, 12)
+    deg = (
+        pr.select(F.col("a").alias("node"))
+        .unionByName(pr.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    want_removed = []
+    for rnd in range(1, 13):
+        rem = deg.filter(F.col("d") < 3).select("node").localCheckpoint()
+        n_rem = rem.count()
+        if n_rem == 0:
+            break
+        want_removed.append((rnd, n_rem))
+        rm = F.broadcast(rem)
+        dec = (
+            pr.join(rm, pr["a"] == rm["node"], "left_semi")
+            .select(F.col("b").alias("node"))
+            .unionByName(
+                pr.join(rm, pr["b"] == rm["node"], "left_semi").select(
+                    F.col("a").alias("node")
+                )
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        deg = (
+            deg.join(F.broadcast(rem), "node", "left_anti")
+            .join(dec, "node", "left")
+            .select(
+                "node", (F.col("d") - F.coalesce(F.col("c"), F.lit(0))).alias("d")
+            )
+            .localCheckpoint()
+        )
+    want_core = sorted(r.node for r in deg.select("node").collect())
+    assert got_removed == want_removed
+    assert sorted(got_core.tolist()) == want_core
+
+
 def test_ssjoin_auto_gate_dispatch(spark):
     """set_similarity_join's auto strategy must pick the count join on
     a hot-item-free input (fan-out within the factor) and keep the
