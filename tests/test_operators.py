@@ -508,12 +508,18 @@ def test_cc_star_equals_iterative_on_shallow_graphs(spark):
         assert got_star == got_iter
 
 
-def test_cc_star_contracts_long_path(spark):
+def test_cc_star_contracts_long_path(spark, monkeypatch):
     """Diameter robustness: on a 64-node path the min-label iterative
     form truncates at max_iter=25 (min propagates one hop per round,
     so mid-chain nodes keep stale labels), while the star form
     contracts geometrically and labels every node with the true
-    component minimum 0 well inside its round budget."""
+    component minimum 0 well inside its round budget.
+
+    Since the r11 driver union-find gate, the default
+    connected_components solves this chain EXACTLY (it sits far under
+    the edge gate), so the truncation cliff is documented on the
+    distributed branch specifically (gate forced closed)."""
+    from team_aragon_spark.operators import graph
     from team_aragon_spark.operators.graph import (
         connected_components,
         connected_components_star,
@@ -524,8 +530,12 @@ def test_cc_star_contracts_long_path(spark):
     )
     star = {r.node: r.component for r in connected_components_star(edges).collect()}
     assert star == {i: 0 for i in range(64)}
-    # document the cliff the star form exists to remove: the iterative
-    # operator at its default budget does NOT fully converge here
+    # the gated default is exact here — the union-find has no diameter cliff
+    gated = {r.node: r.component for r in connected_components(edges).collect()}
+    assert gated == star
+    # document the cliff the star form exists to remove: the DISTRIBUTED
+    # iterative operator at its default budget does NOT fully converge
+    monkeypatch.setattr(graph, "_CC_DRIVER_MAX_EDGES", -1)
     trunc = {
         r.node: r.component for r in connected_components(edges).collect()
     }
