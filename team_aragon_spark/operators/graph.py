@@ -366,7 +366,13 @@ def kcore_peel_rounds(pairs: DataFrame, k: int, max_rounds: int):
     """
     import numpy as np
 
-    tbl = pairs.limit(_KCORE_DRIVER_MAX_EDGES + 1).toArrow()
+    # Columns selected BY NAME (the documented (a, b) contract) so the
+    # Arrow transfer never depends on the caller's column order.  Note
+    # for callers: declining costs one truncated pairs job whose work
+    # is discarded — the distributed branch recomputes the pair build
+    # (persist() there happens after this gate), mirroring the
+    # _cc_driver_labels decline note.
+    tbl = pairs.select("a", "b").limit(_KCORE_DRIVER_MAX_EDGES + 1).toArrow()
     if tbl.num_rows > _KCORE_DRIVER_MAX_EDGES:
         return None
     a = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -106,11 +106,20 @@ def set_similarity_join(
         # fan-out estimate is an upper bound — conservative toward the
         # prefix path.  The gate picks a physical strategy only; both
         # branches are exact, so a biased estimate cannot change values.
+        # NOTE: this .first() is one extra eager pass over sets_df at
+        # DataFrame-construction time; callers whose membership relation
+        # is an expensive derivation (e.g. a corpus-wide shingle
+        # explode) should persist it around the call.
+        # f*(f-1) is estimated in DOUBLE: a hyper-frequent item
+        # (f ~ 3e9+, the exact hot-item case this gate exists to
+        # detect) overflows the bigint product under ANSI mode and
+        # would raise instead of falling back to the prefix path; the
+        # gate only picks a strategy, so lossy precision is fine.
         stats = (
             sets_df.groupBy(F.col(item_col).alias("item"))
             .agg(F.count(F.lit(1)).alias("f"))
             .agg(
-                F.sum(F.col("f") * (F.col("f") - 1)).alias("fan2"),
+                F.sum(F.col("f").cast("double") * (F.col("f") - 1)).alias("fan2"),
                 F.sum("f").alias("nm"),
             )
             .first()

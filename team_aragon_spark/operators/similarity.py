@@ -93,10 +93,17 @@ def _topk_shortlist(c: DataFrame, q: DataFrame, k: int, round_digits: int):
     """
     import numpy as np
 
-    n_corpus = c.count()
+    # LIMIT-bounded gate probe (the _cc_driver_labels / kcore_peel
+    # discipline): the count job early-stops at gate + 1 rows per
+    # partition instead of scanning a derived corpus relation to the
+    # end, and the result is exact whenever it is <= the gate.
+    n_corpus = c.limit(_SHORTLIST_MAX_CORPUS + 1).count()
     if n_corpus > _SHORTLIST_MAX_CORPUS:
         return None
-    qrows = q.collect()
+    # The queries side is LIMIT-bounded too (r11 VERDICT item 1): a
+    # huge queries relation must decline to the distributed plan, not
+    # land gate+1-unbounded on the driver.
+    qrows = q.limit(_SHORTLIST_MAX_CORPUS + 1).collect()
     if (
         not qrows
         or len(qrows) > _SHORTLIST_MAX_CORPUS
