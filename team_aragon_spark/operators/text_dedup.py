@@ -805,6 +805,103 @@ def _gram_occurrences(
     return occ.persist() if persist else occ
 
 
+def _gram_occurrences_at(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    pos_df: DataFrame,
+    persist: bool = True,
+) -> DataFrame:
+    """Like :func:`_gram_occurrences`, but grams are digested ONLY at
+    the candidate positions in ``pos_df`` (``id_col``, ``__ps``:
+    sorted int array of 0-based gram starts) — the cascade prune for
+    multi-window sensitivity scans (q316): an occurrence of a
+    corpus-repeated ``2k``-gram necessarily has both of its
+    ``k``-gram halves corpus-repeated, so the wider arm's gram table
+    (md5 work AND shuffle) shrinks to the duplicate-covered region
+    exactly, never approximately.
+
+    Docs absent from ``pos_df`` produce no rows (an inner join — they
+    provably carry no repeated ``window``-gram).  The token array is
+    materialized in its own projection with a blocking filter, the
+    :func:`_gram_occurrences` CollapseProject discipline.
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(__ps, i -> struct(i AS pos, "
+        f"md5(cast(array_join(slice(__tk, i + 1, {window}), ' ') AS binary)) AS gk))"
+    )
+    occ = (
+        df.join(pos_df, id_col)
+        .select(F.col(id_col), F.expr(toks).alias("__tk"), "__ps")
+        .filter(F.size("__tk") >= window)  # blocks CollapseProject re-inline
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("pg"))
+        .select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.gk").alias("gk"))
+    )
+    return occ.persist() if persist else occ
+
+
+def _repeat_spans_arm(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    cand: DataFrame | None = None,
+):
+    """One sensitivity-curve arm of the ExactSubstr span derivation
+    (q316): the :func:`_repeat_spans` machinery, with two additions —
+    an optional candidate-position restriction (``cand``: the
+    positions whose ``window``-gram can possibly be repeated, from
+    the previous arm's halves — see :func:`_gram_occurrences_at` for
+    the exactness argument) and a checkpointed per-occurrence repeat
+    relation from which BOTH the merged spans and the next arm's
+    repeated-position arrays derive without re-probing the gram
+    cache.
+
+    Returns ``(base, spans, rep_positions)`` where ``rep_positions``
+    is (id, ``__ps``: sorted int array of every occurrence position
+    of a corpus-repeated gram, FIRST occurrences included — the next
+    arm's half-filter needs repeats-anywhere, not non-first).  The
+    arm's gram cache is dropped before returning (the q316 arm
+    discipline); the checkpointed repeat relation is bounded by
+    duplicate coverage, far smaller than the gram table.
+    """
+    toks = f"split({text_col}, ' ')"
+    base = df.select(F.col(id_col), F.size(F.expr(toks)).alias("n_tokens"))
+    if cand is None:
+        occ = _gram_occurrences(df, text_col, id_col, window)
+    else:
+        occ = _gram_occurrences_at(df, text_col, id_col, window, cand)
+    stats = occ.groupBy("gk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first"
+        ),
+    )
+    repall = (
+        occ.join(stats, "gk")
+        .filter(F.col("cnt") >= 2)
+        .select(
+            id_col,
+            "pos",
+            (
+                (F.col(id_col) == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            ).alias("__isf"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    occ.unpersist()
+    rep = repall.filter(~F.col("__isf")).select(
+        id_col, "pos", (F.col("pos") + window - 1).alias("endp")
+    )
+    rep_positions = repall.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__ps")
+    )
+    return base, _merge_islands(rep, id_col), rep_positions
+
+
 def _merge_islands(rep: DataFrame, id_col: str) -> DataFrame:
     """Merge covered intervals ``(id, pos, endp)`` into maximal
     per-document spans ``(id, isl, s, e)`` — gaps-and-islands windows

@@ -9920,9 +9920,22 @@ def q194_bipartite_hits(spark, sf_dir):
     # partial-aggregated sums), and the edge cache is probed in
     # place.  Above the gate the original shuffle-join plan runs
     # unchanged.  Values identical either way: integer sums.
-    n_c = h.count()
-    n_p = e.select("p").distinct().count()
-    wrap = F.broadcast if max(n_c, n_p) <= _HITS_BCAST_MAX_NODES else (lambda df: df)
+    # ONE map-combined probe job replaces the two exact distinct-count
+    # jobs the gate used to pay unconditionally (r11 VERDICT item 9):
+    # approx_count_distinct is a partial-aggregable HLL sketch — no
+    # distinct shuffle — and it doubles as the cache materialization
+    # for e.  The ~5% sketch error only moves the broadcast/shuffle
+    # strategy choice near the gate boundary; values are integer sums,
+    # identical on either branch.
+    probe = e.agg(
+        F.approx_count_distinct("c").alias("nc"),
+        F.approx_count_distinct("p").alias("np"),
+    ).first()
+    wrap = (
+        F.broadcast
+        if max(probe.nc, probe.np) <= _HITS_BCAST_MAX_NODES
+        else (lambda df: df)
+    )
     a = None
     for _ in range(_HITS_ITERS):
         a = (
@@ -22421,8 +22434,35 @@ FROM n LEFT JOIN agg USING (doc_id))"""
 def q316_substring_window_sensitivity(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     rows = []
+    prev_k, prev_rep = None, None
     for k in _SENS2_KS:
-        base, spans, occ = text_dedup._repeat_spans(docs, "text", "doc_id", k)
+        # Cascade prune (r12; guide §3.2 "prune with a proxy, decide
+        # exact" / §8 decide-with-small-rows): an occurrence of a
+        # corpus-repeated 2j-gram at position p necessarily has its
+        # two j-gram halves (at p and p + j) corpus-repeated, so when
+        # this arm's window doubles the previous one, only positions
+        # whose both halves sit in the previous arm's repeated-
+        # position set can contribute — every occurrence of a truly
+        # repeated 2j-gram survives the filter (both halves repeat at
+        # BOTH of its corpus sites), so per-gram counts and first-
+        # winners over the pruned table are EXACT (pinned equal to
+        # the unpruned arms in tests/test_round12_opt.py).  The
+        # wider arms' md5 work and gram shuffle shrink from corpus-
+        # token-sized to the duplicate-covered region.  The r11
+        # shared-tokenize alternatives LOST because they cached fat
+        # token arrays; this prunes ROWS instead.
+        if prev_rep is not None and k == 2 * prev_k:
+            cand = prev_rep.select(
+                "doc_id",
+                F.expr(
+                    f"array_intersect(__ps, transform(__ps, p -> p - {prev_k}))"
+                ).alias("__ps"),
+            ).filter(F.size("__ps") > 0)
+        else:
+            cand = None
+        base, spans, rep_pos = text_dedup._repeat_spans_arm(
+            docs, "text", "doc_id", k, cand
+        )
         per_doc = spans.groupBy("doc_id").agg(
             F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens")
         )
@@ -22451,7 +22491,7 @@ def q316_substring_window_sensitivity(spark, sf_dir):
             )
             .first()
         )
-        occ.unpersist()
+        prev_k, prev_rep = k, rep_pos
         rows.append((k, *r))
     return spark.createDataFrame(
         rows,
@@ -24025,17 +24065,133 @@ def q326_kneser_ney_bigram_scores(spark, sf_dir):
 
 
 STAMP_PRIORITY: list[str] = [
-    # ---- round-11 window (first 50 = the driver's stamp set) ----
-    # r10 VERDICT item 1: retire the freshness debt.  The window is
-    # the eleven r11 births (q321–q331, each verified green at
-    # sf0.001 AND sf0.01 before entering — new queries stamp the
-    # round they are born), then 39 of the 40 stampable stale-r04
-    # rows (the oldest stamps in the merged ledger; q70 excluded —
-    # rows-only by design, rows-only queries never occupy stamp
-    # slots; q98 — the youngest r04 row — yields its slot to q331
-    # and heads the r12 queue).  The r05 block follows it there;
-    # after this window clears, the oldest stamps remaining are 1
-    # r04 row + 45 r05 rows, queued below for r12.
+    # ---- round-12 window (first 50 = the driver's stamp set) ----
+    # r11 VERDICT item 3: rotate the window onto the REWRITTEN heavy
+    # set so the driver (not only the builder's two-scale sweeps and
+    # pytest pins) validates every gated rewrite post-change — the
+    # BLAS-shortlist consumers (q22/q138/q175/q238/q252/q256/q271),
+    # the CC union-find consumers (q50/q64/q91/q276/q277/q303), the
+    # k-core / HITS / medoid / ensemble / winnowing rewrites (q186/
+    # q194/q203/q313/q133), and the shingle materialize-once
+    # consumers not already stamped in r11 (q24/q63/q83/q110/q149/
+    # q150/q158/q165/q273/q274/q279/q302/q306; q23/q29/q97 were
+    # r11-stamped post-change).  q127/q248/q316 carry this round's
+    # own changes.  The remaining 16 slots drain the stale-r04/r05
+    # queue head (q98 + the streaming/r05 block), keeping the
+    # freshness rotation alive.
+    "q256_knn_loo_classifier_eval",
+    "q252_ann_ndcg_eval",
+    "q271_retrieval_eval_pipeline",
+    "q238_mutual_nn_pairs",
+    "q175_ann_recall_audit",
+    "q138_hybrid_rrf_retrieval",
+    "q22_ann_cosine_topk",
+    "q64_neardup_cluster_labels",
+    "q91_cluster_representative",
+    "q276_dedup_cluster_size_histogram",
+    "q277_source_effective_size",
+    "q303_cluster_aware_split",
+    "q50_corpus_dedup_canonical",
+    "q313_quality_ensemble_gate",
+    "q186_copurchase_kcore",
+    "q203_label_medoids",
+    "q194_bipartite_hits",
+    "q133_portable_winnowing",
+    "q24_minhash_neardup_pairs",
+    "q63_md5_minhash_signatures",
+    "q83_neardup_edit_distance",
+    "q149_doc_ngram_novelty",
+    "q150_source_overlap_matrix",
+    "q158_doc_containment_pairs",
+    "q165_curation_pipeline",
+    "q273_lsh_recall_audit",
+    "q274_lsh_recall_audit_sampled",
+    "q279_lsh_s_curve",
+    "q302_dedup_threshold_sensitivity",
+    "q306_fuzzy_decontamination",
+    "q110_passage_dedup_reassembly",
+    "q127_basket_set_similarity",
+    "q316_substring_window_sensitivity",
+    "q248_entity_resolution_scoring",
+    "q98_session_transcripts",
+    "q44_approx_distinct_users",
+    "q46_streaming_hourly_stats",
+    "q47_streaming_user_totals",
+    "q99_streaming_dedup_replay",
+    "q100_hourly_gap_fill",
+    "q101_streaming_click_error_join",
+    "q103_video_mp4_meta",
+    "q104_temperature_source_mix",
+    "q105_streaming_enriched_purchases",
+    "q106_streaming_sliding_stats",
+    "q107_user_type_counts_unpivot",
+    "q108_token_hof_stats",
+    "q109_recursive_chunk_spans",
+    "q111_epoch_shard_plan",
+    "q112_train_val_test_split",
+    # ---- r13 queue (beyond the 50-slot window; doc only) ----
+    # remaining stale-r05 rows first, then the r06 block (q25/q26/
+    # q39/q42/q102/q113/q152/q153 excluded everywhere: rows-only)
+    "q114_streaming_latest_wins_state",
+    "q115_image_png_meta",
+    "q116_bm25_search",
+    "q117_curriculum_deciles",
+    "q118_user_value_scd2",
+    "q119_cohort_retention",
+    "q120_image_ahash_clusters",
+    "q121_audio_signal_features",
+    "q122_value_trend_stats",
+    "q123_token_bigram_counts",
+    "q125_orders_profile",
+    "q126_weighted_doc_sample",
+    "q128_state_snapshot_diff",
+    "q129_lang_source_chi2",
+    "q130_source_token_kl",
+    "q131_incremental_hourly_agg",
+    "q132_trade_pagerank",
+    "q134_per_source_weighted_sample",
+    "q135_lineitem_corr_matrix",
+    "q137_bpe_token_counts",
+    "q139_user_value_twap",
+    "q140_linear_touch_attribution",
+    "q141_value_psi_drift",
+    "q143_ab_conversion_ztest",
+    "q144_zorder_layout_keys",
+    "q145_dau_wau_stickiness",
+    "q146_period_contribution",
+    "q01_week_count",
+    "q02_records_per_week",
+    "q03_week_totals",
+    "q04_recent_weeks_totals",
+    "q05_revenue_ratio_by_segment",
+    "q06_weekly_volume",
+    "q07_active_customers_by_region",
+    "q08_priority_month_ratio",
+    "q09_top10_nations_by_balance",
+    "q12_first_line_per_order",
+    "q35_status_priority_rollup",
+    "q36_multimodal_meta",
+    "q37_embedding_neardup_pairs",
+    "q38_bpe_ish_token_counts",
+    "q43_multigrain_revenue_rollup",
+    "q48_stratified_doc_sample",
+    "q51_sentence_explode_udtf",
+    "q52_status_priority_cube",
+    "q53_big_spenders_having",
+    "q93_token_budget_packing",
+    "q124_value_anomaly_zscore",
+    "q136_bpe_merge_training",
+    "q142_key_skew_profile",
+    "q147_event_markov_transitions",
+    "q148_zonemap_skipping_audit",
+    "q151_streaming_sessions_complete",
+    "q156_bigram_lm_scores",
+    "q159_containment_fast",
+    "q162_doc_ngram_novelty_fast",
+    "q163_cms_heavy_hitters",
+    "q164_portable_hll_distinct",
+    # the r11-stamped window carries the freshest stamps and queues
+    # at the very end of the rotation
     "q321_incremental_exact_substring",
     "q322_incremental_exact_substring_apply",
     "q323_connected_components_star",
@@ -24086,93 +24242,6 @@ STAMP_PRIORITY: list[str] = [
     "q95_user_last_event_state",
     "q96_funnel_conversion",
     "q97_incremental_neardup",
-    # ---- r12 queue (beyond the 50-slot window; doc only) ----
-    "q98_session_transcripts",
-    "q44_approx_distinct_users",
-    "q46_streaming_hourly_stats",
-    "q47_streaming_user_totals",
-    "q99_streaming_dedup_replay",
-    "q100_hourly_gap_fill",
-    "q101_streaming_click_error_join",
-    "q103_video_mp4_meta",
-    "q104_temperature_source_mix",
-    "q105_streaming_enriched_purchases",
-    # remaining stale-r05 rows first, then the r06 block (q25/q26/
-    # q39/q42/q102/q113/q152/q153 excluded everywhere: rows-only)
-    "q106_streaming_sliding_stats",
-    "q107_user_type_counts_unpivot",
-    "q108_token_hof_stats",
-    "q109_recursive_chunk_spans",
-    "q110_passage_dedup_reassembly",
-    "q111_epoch_shard_plan",
-    "q112_train_val_test_split",
-    "q114_streaming_latest_wins_state",
-    "q115_image_png_meta",
-    "q116_bm25_search",
-    "q117_curriculum_deciles",
-    "q118_user_value_scd2",
-    "q119_cohort_retention",
-    "q120_image_ahash_clusters",
-    "q121_audio_signal_features",
-    "q122_value_trend_stats",
-    "q123_token_bigram_counts",
-    "q125_orders_profile",
-    "q126_weighted_doc_sample",
-    "q128_state_snapshot_diff",
-    "q129_lang_source_chi2",
-    "q130_source_token_kl",
-    "q131_incremental_hourly_agg",
-    "q132_trade_pagerank",
-    "q133_portable_winnowing",
-    "q134_per_source_weighted_sample",
-    "q135_lineitem_corr_matrix",
-    "q137_bpe_token_counts",
-    "q138_hybrid_rrf_retrieval",
-    "q139_user_value_twap",
-    "q140_linear_touch_attribution",
-    "q141_value_psi_drift",
-    "q143_ab_conversion_ztest",
-    "q144_zorder_layout_keys",
-    "q145_dau_wau_stickiness",
-    "q146_period_contribution",
-    "q01_week_count",
-    "q02_records_per_week",
-    "q03_week_totals",
-    "q04_recent_weeks_totals",
-    "q05_revenue_ratio_by_segment",
-    "q06_weekly_volume",
-    "q07_active_customers_by_region",
-    "q08_priority_month_ratio",
-    "q09_top10_nations_by_balance",
-    "q12_first_line_per_order",
-    "q22_ann_cosine_topk",
-    "q24_minhash_neardup_pairs",
-    "q35_status_priority_rollup",
-    "q36_multimodal_meta",
-    "q37_embedding_neardup_pairs",
-    "q38_bpe_ish_token_counts",
-    "q43_multigrain_revenue_rollup",
-    "q48_stratified_doc_sample",
-    "q50_corpus_dedup_canonical",
-    "q51_sentence_explode_udtf",
-    "q52_status_priority_cube",
-    "q53_big_spenders_having",
-    "q93_token_budget_packing",
-    "q124_value_anomaly_zscore",
-    "q127_basket_set_similarity",
-    "q136_bpe_merge_training",
-    "q142_key_skew_profile",
-    "q147_event_markov_transitions",
-    "q148_zonemap_skipping_audit",
-    "q149_doc_ngram_novelty",
-    "q150_source_overlap_matrix",
-    "q151_streaming_sessions_complete",
-    "q156_bigram_lm_scores",
-    "q158_doc_containment_pairs",
-    "q159_containment_fast",
-    "q162_doc_ngram_novelty_fast",
-    "q163_cms_heavy_hitters",
-    "q164_portable_hll_distinct",
 ]
 
 
