@@ -599,21 +599,34 @@ def q22_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+# r12 oracle-cost rewrite (value-identical, verified row-for-row at
+# sf0.001 AND sf0.01): the old spelling paired every doc against every
+# doc with two list_intersect scans per pair and re-derived the
+# (quadratically re-tokenizing) shingle CTE on both join sides.  The
+# pair relation is now an exact shared-gram count-join — sh lists are
+# distinct, so the join count IS len(list_intersect) and
+# |A∪B| = n_a + n_b - inter; identical integers feed the identical
+# DOUBLE divide and round.  ~13 s -> <0.5 s per consumer at oracle SF.
 _JACCARD_SQL = r"""
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
-           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
-  FROM documents)
-SELECT a.doc_id AS a, b.doc_id AS b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5"""
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents)),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM d),
+nsz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
+icnt AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.a AS a, i.b AS b,
+       round(CAST(i.inter AS DOUBLE)
+             / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+FROM icnt i JOIN nsz na ON na.doc_id = i.a JOIN nsz nb ON nb.doc_id = i.b
+WHERE CAST(i.inter AS DOUBLE)
+      / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5"""
 
 
 @register(
@@ -1194,21 +1207,39 @@ def q49_value_mad_by_type(spark, sf_dir):
     )
 
 
+# Oracle-side cost note (r12): the original spelling of this closure
+# inlined the shingle CTE into both sides of an O(n^2) list_intersect
+# pair join AND re-evaluated that join once per recursion round of cc
+# (DuckDB re-inlines non-MATERIALIZED CTEs at every reference) — 30-45 s
+# per consumer at ORACLE scale, dominating both the pytest suite and
+# the driver's correctness stamp.  The rewrite below is value-identical
+# (verified row-for-row for all seven consumers at sf0.001 AND sf0.01):
+# the token array is factored so each document tokenizes once, the
+# pair relation is derived as an exact count-join (sh lists are
+# distinct, so the shared-gram count IS len(list_intersect) and
+# |A∪B| = n_a + n_b - inter, the same integers feeding the same DOUBLE
+# compare), and every CTE the recursion touches is MATERIALIZED.
+# 270 s -> 0.4 s for the family at sf0.001.
 _CC_ORACLE_SQL = r"""
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
-           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
-  FROM documents),
-pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
-sym AS (
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents)),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM d),
+nsz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
+pairs AS MATERIALIZED (
+  SELECT i.a, i.b
+  FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id) i
+  JOIN nsz na ON na.doc_id = i.a
+  JOIN nsz nb ON nb.doc_id = i.b
+  WHERE CAST(i.inter AS DOUBLE)
+        / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5),
+sym AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
 cc AS (
   SELECT src AS node, src AS comp FROM sym
@@ -2132,14 +2163,14 @@ def q82_trailing_hour_purchase_sum(spark, sf_dir):
 @register(
     "q83_neardup_edit_distance",
     _JACCARD_SQL.replace(
-        "SELECT a.doc_id AS a, b.doc_id AS b,",
-        "SELECT a.doc_id AS a, b.doc_id AS b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,",
+        "SELECT i.a AS a, i.b AS b,",
+        "SELECT i.a AS a, i.b AS b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,",
     )
     .replace(
-        "FROM d a JOIN d b ON a.doc_id < b.doc_id",
-        "FROM d a JOIN d b ON a.doc_id < b.doc_id "
-        "JOIN documents ta ON ta.doc_id = a.doc_id "
-        "JOIN documents tb ON tb.doc_id = b.doc_id",
+        "FROM icnt i JOIN nsz na ON na.doc_id = i.a JOIN nsz nb ON nb.doc_id = i.b",
+        "FROM icnt i JOIN nsz na ON na.doc_id = i.a JOIN nsz nb ON nb.doc_id = i.b "
+        "JOIN documents ta ON ta.doc_id = i.a "
+        "JOIN documents tb ON tb.doc_id = i.b",
     ),
     ops=("ext-fuzzy-string",),
     doc="Character-level verification of the shingle-level candidates: "
@@ -2932,8 +2963,8 @@ def q96_funnel_conversion(spark, sf_dir):
 
 
 _INCR_JACCARD_SQL = _JACCARD_SQL.replace(
-    "FROM d a JOIN d b ON a.doc_id < b.doc_id",
-    "FROM d a JOIN d b ON a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4",
+    "ON x.g = y.g AND x.doc_id < y.doc_id",
+    "ON x.g = y.g AND x.doc_id % 5 <> 4 AND y.doc_id % 5 = 4",
 )
 
 
@@ -6571,11 +6602,17 @@ sh AS MATERIALIZED (
            range(1, greatest(len(tk) - 2, 0) + 1),
            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
   FROM tk),
+shx AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+shn AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM sh),
 losers AS MATERIALIZED (
-  SELECT DISTINCT b.doc_id AS doc_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+  SELECT DISTINCT i.b AS doc_id
+  FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM shx x JOIN shx y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id) i
+  JOIN shn na ON na.doc_id = i.a
+  JOIN shn nb ON nb.doc_id = i.b
+  WHERE CAST(i.inter AS DOUBLE)
+        / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5),
 g8 AS MATERIALIZED (
   SELECT doc_id, source,
          unnest(list_distinct(list_transform(
@@ -18117,14 +18154,18 @@ d AS MATERIALIZED (
            range(1, greatest(len(toks) - 2, 0) + 1),
            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
   FROM t),
+shx AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM d),
+shn AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
 tr AS MATERIALIZED (
-  SELECT a.doc_id AS a, b.doc_id AS b,
-         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-                      AS DOUBLE), 6) AS j
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE 10 * len(list_intersect(a.sh, b.sh))
-        >= 3 * len(list_distinct(list_concat(a.sh, b.sh)))),
+  SELECT i.a, i.b,
+         round(CAST(i.inter AS DOUBLE)
+               / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS j
+  FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM shx x JOIN shx y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id) i
+  JOIN shn na ON na.doc_id = i.a
+  JOIN shn nb ON nb.doc_id = i.b
+  WHERE 10 * i.inter >= 3 * (na.n + nb.n - i.inter)),
 h AS (
   SELECT doc_id,
          list_transform(sh, s ->
@@ -18529,19 +18570,24 @@ def q280_quality_curriculum_stages(spark, sf_dir):
 
 
 _LEAK_PAIRS_SQL = r"""
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
-           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
-  FROM documents),
-pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents)),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM d),
+nsz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
+pairs AS MATERIALIZED (
+  SELECT i.a, i.b
+  FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id) i
+  JOIN nsz na ON na.doc_id = i.a
+  JOIN nsz nb ON nb.doc_id = i.b
+  WHERE CAST(i.inter AS DOUBLE)
+        / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5),
 sp AS (
   SELECT doc_id,
          CASE WHEN substr(md5(concat('split0:', CAST(doc_id AS VARCHAR))), 1, 6)
@@ -21378,23 +21424,26 @@ def q301_aa_test_calibration(spark, sf_dir):
 _SENS_THRESHOLDS = (0.5, 0.6, 0.7, 0.8)
 
 _SENS_SQL = rf"""
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 0) + 1),
-           i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 1] || ' ' ||
-                regexp_split_to_array(trim(text), '\s+')[i + 2])) AS sh
-  FROM documents),
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents)),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM d),
+nsz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
 pairs AS MATERIALIZED (
-  SELECT a.doc_id AS a, b.doc_id AS b,
-         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-                      AS DOUBLE), 6) AS j
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-                     AS DOUBLE), 6) >= 0.5),
+  SELECT i.a, i.b,
+         round(CAST(i.inter AS DOUBLE)
+               / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS j
+  FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id) i
+  JOIN nsz na ON na.doc_id = i.a
+  JOIN nsz nb ON nb.doc_id = i.b
+  WHERE round(CAST(i.inter AS DOUBLE)
+              / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) >= 0.5),
 nd AS (SELECT count(*) AS n FROM documents),
 t AS (SELECT CAST(unnest([{", ".join(str(t) for t in _SENS_THRESHOLDS)}]) AS DOUBLE) AS thr),
 np AS (
