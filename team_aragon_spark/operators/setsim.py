@@ -95,7 +95,18 @@ def set_similarity_join(
     t = Fraction(threshold).limit_denominator(10**6)
     members = sets_df.select(
         F.col(id_col).alias("sid"), F.col(item_col).alias("item")
-    ).distinct()
+    ).distinct().persist()
+    # Persisted (r12): the membership relation feeds both self-join
+    # sides AND the per-set size aggregate (and, on the prefix path,
+    # the canonical-order build) — the column renames defeat exchange
+    # reuse, so without the cache the upstream derivation (q127's
+    # orders⋈lineitem basket build, the text consumers' shingle
+    # explode) plus the distinct re-ran up to FOUR times per query
+    # (plan-verified: four copies of the scan→join→distinct subtree
+    # in plans/r12/q127_before.txt).  (sid, item) rows only — far
+    # smaller than the relation it derives from; spillable.  Lifetime
+    # caller-managed (clear after materializing), the
+    # containment_join / lsh_candidate_pairs convention.
     if strategy == "count" or (
         strategy == "auto" and threshold < _PREFIX_MIN_THRESHOLD
     ):
@@ -147,6 +158,12 @@ def set_similarity_join(
             ).alias("items"),
             F.count(F.lit(1)).alias("n"),
         )
+        .persist()
+        # Persisted (r12): referenced by the prefix explode and both
+        # verify-join sides; the a/b renames defeat exchange reuse, so
+        # the canonical sort-and-collect re-ran per reference (the
+        # containment_join sibling already persists for exactly this
+        # reason).  Lifetime caller-managed.
     )
 
     # Prefix length n - ceil(t*n) + 1: for J(A,B) >= t the overlap is
