@@ -95,18 +95,18 @@ def set_similarity_join(
     t = Fraction(threshold).limit_denominator(10**6)
     members = sets_df.select(
         F.col(id_col).alias("sid"), F.col(item_col).alias("item")
-    ).distinct().persist()
-    # Persisted (r12): the membership relation feeds both self-join
-    # sides AND the per-set size aggregate (and, on the prefix path,
-    # the canonical-order build) — the column renames defeat exchange
-    # reuse, so without the cache the upstream derivation (q127's
-    # orders⋈lineitem basket build, the text consumers' shingle
-    # explode) plus the distinct re-ran up to FOUR times per query
-    # (plan-verified: four copies of the scan→join→distinct subtree
-    # in plans/r12/q127_before.txt).  (sid, item) rows only — far
-    # smaller than the relation it derives from; spillable.  Lifetime
-    # caller-managed (clear after materializing), the
-    # containment_join / lsh_candidate_pairs convention.
+    ).distinct()
+    # NOT persisted — measured counter-result (r12): the column
+    # renames defeat exchange reuse, so this relation's upstream
+    # (q127's orders⋈lineitem basket build) re-derives up to four
+    # times per query (plan-verified in plans/r12/q127_before.txt),
+    # and a persist() here looked like the guide-§5 fix.  A/B said
+    # otherwise at BOTH scales: q127 flat at sf0.1 (3.18 -> 3.13 s)
+    # and 41% WORSE at 100x (209.98 -> 296.75 s steady, same box,
+    # same method) — caching 60M (sid, item) rows costs more in
+    # cache-write + memory churn than four parallel parquet re-scans
+    # of the cheap upstream, the same columnar-rescan-beats-caching
+    # lesson as q316's r11 token-cache rejection.
     if strategy == "count" or (
         strategy == "auto" and threshold < _PREFIX_MIN_THRESHOLD
     ):
@@ -158,12 +158,13 @@ def set_similarity_join(
             ).alias("items"),
             F.count(F.lit(1)).alias("n"),
         )
-        .persist()
-        # Persisted (r12): referenced by the prefix explode and both
-        # verify-join sides; the a/b renames defeat exchange reuse, so
-        # the canonical sort-and-collect re-ran per reference (the
-        # containment_join sibling already persists for exactly this
-        # reason).  Lifetime caller-managed.
+        # not persisted: see the members counter-result above — the
+        # membership persist lost at both scales, and no registered
+        # consumer reaches this prefix path on a corpus where the
+        # canonical-order build dominates (the containment_join
+        # sibling persists because its verify probes it twice AFTER
+        # an expensive string-shingle upstream; here the auto gate
+        # sends those corpora to the count path).
     )
 
     # Prefix length n - ceil(t*n) + 1: for J(A,B) >= t the overlap is

@@ -93,25 +93,23 @@ def _topk_shortlist(c: DataFrame, q: DataFrame, k: int, round_digits: int):
     """
     import numpy as np
 
-    # LIMIT-bounded gate probe (the _cc_driver_labels / kcore_peel
-    # discipline): the count job early-stops at gate + 1 rows per
-    # partition instead of scanning a derived corpus relation to the
-    # end, and the result is exact whenever it is <= the gate.
-    n_corpus = c.limit(_SHORTLIST_MAX_CORPUS + 1).count()
-    if n_corpus > _SHORTLIST_MAX_CORPUS:
-        return None
-    # The queries side is LIMIT-bounded too (r11 VERDICT item 1): a
-    # huge queries relation must decline to the distributed plan, not
-    # land gate+1-unbounded on the driver.
+    # BOTH sides are LIMIT-bounded collects (r11 VERDICT item 1, the
+    # _cc_driver_labels / kcore_peel discipline): an oversized side
+    # declines to the distributed plan after a truncated transfer of
+    # gate + 1 rows, never an unbounded landing on the driver.  The
+    # bound doubles as the gate probe, so the under-gate (intended)
+    # case pays ONE job per side — the separate c.count() probe job
+    # is gone (it was metadata-cheap on parquet but a full pass on a
+    # derived corpus relation).
     qrows = q.limit(_SHORTLIST_MAX_CORPUS + 1).collect()
-    if (
-        not qrows
-        or len(qrows) > _SHORTLIST_MAX_CORPUS
-        or len(qrows) * n_corpus < _SHORTLIST_MIN_FOLDS
-    ):
+    if not qrows or len(qrows) > _SHORTLIST_MAX_CORPUS:
         return None
-    crows = c.collect()
-    if not crows:
+    crows = c.limit(_SHORTLIST_MAX_CORPUS + 1).collect()
+    if (
+        not crows
+        or len(crows) > _SHORTLIST_MAX_CORPUS
+        or len(qrows) * len(crows) < _SHORTLIST_MIN_FOLDS
+    ):
         return None
     cids = [r[0] for r in crows]
     qids = [r[0] for r in qrows]
